@@ -1,0 +1,141 @@
+"""Delta + variable-byte posting codecs, numpy-vectorized.
+
+Mirrors the reference engine's compression *semantics* — delta-encoded
+docid gaps and positions with 7-bit stop-bit variable-byte coding
+(`/root/reference/seekstorm/src/compress_postinglist.rs:949-977`,
+positions delta `index_posting.rs:53-66`) — in our own byte layout:
+little-endian base-128 varints, high bit = continuation. The reference
+additionally picks Array/Bitmap/RLE per block by density; Spark-side we
+keep varbyte everywhere (posting rows live in Parquet/Iceberg binary
+columns which are further page-compressed) and rely on the 65,536-docid
+block structure (`index.rs:114-115`) for bounded decode cost.
+
+All encode/decode paths are vectorized numpy — these run inside Arrow
+batches in `applyInPandas` / `mapInPandas`, never per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ROARING_BLOCK_SIZE = 65_536  # docids per block, reference index.rs:114-115
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Vectorized little-endian base-128 varint encode (uint64 input)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp = tmp >> np.uint64(1)
+    nbytes = np.maximum((nbits + 6) // 7, 1)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    max_b = int(nbytes.max())
+    rem = v.copy()
+    for k in range(max_b):
+        mask = nbytes > k
+        idx = starts[mask] + k
+        chunk = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > (k + 1)).astype(np.uint8) << 7
+        out[idx] = chunk | cont
+        rem[mask] = rem[mask] >> np.uint64(7)
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes) -> np.ndarray:
+    """Vectorized varint decode → uint64 array."""
+    if not buf:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8).astype(np.uint64)
+    is_last = (b & np.uint64(0x80)) == 0
+    n_values = int(is_last.sum())
+    value_id = np.concatenate(([0], np.cumsum(is_last)[:-1])).astype(np.int64)
+    starts = np.flatnonzero(np.diff(value_id, prepend=-1))
+    pos = np.arange(len(b), dtype=np.int64) - starts[value_id]
+    vals = np.zeros(n_values, dtype=np.uint64)
+    np.add.at(vals, value_id, (b & np.uint64(0x7F)) << (np.uint64(7) * pos.astype(np.uint64)))
+    return vals
+
+
+def delta_encode_sorted(ids: np.ndarray) -> np.ndarray:
+    """Strictly-increasing ids → gaps-minus-one (first id kept as-is)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    if ids.size == 0:
+        return ids.astype(np.uint64)
+    d = np.empty_like(ids)
+    d[0] = ids[0]
+    d[1:] = ids[1:] - ids[:-1] - 1
+    return d.astype(np.uint64)
+
+
+def delta_decode_sorted(deltas: np.ndarray) -> np.ndarray:
+    deltas = np.asarray(deltas, dtype=np.int64)
+    if deltas.size == 0:
+        return deltas
+    out = deltas.copy()
+    out[1:] += 1
+    return np.cumsum(out)
+
+
+def encode_docids(local_docids: np.ndarray) -> bytes:
+    """Sorted block-local docids (0..65535) → delta+VB bytes."""
+    return vb_encode(delta_encode_sorted(local_docids))
+
+
+def decode_docids(buf: bytes) -> np.ndarray:
+    return delta_decode_sorted(vb_decode(buf).astype(np.int64))
+
+
+def encode_tfs(tfs: np.ndarray) -> bytes:
+    """Term frequencies (>=1) → VB of tf-1."""
+    return vb_encode(np.asarray(tfs, dtype=np.int64) - 1)
+
+
+def decode_tfs(buf: bytes) -> np.ndarray:
+    return vb_decode(buf).astype(np.int64) + 1
+
+
+def encode_positions(flat_positions: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Concatenated per-doc position lists → per-doc delta (pos-prev-1,
+    reference index_posting.rs:53-66) + VB.
+
+    ``flat_positions`` is the concatenation of each doc's sorted
+    position list; ``tfs`` gives the per-doc list lengths.
+    """
+    flat = np.asarray(flat_positions, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if flat.size == 0:
+        return b""
+    d = np.empty_like(flat)
+    d[0] = flat[0]
+    d[1:] = flat[1:] - flat[:-1] - 1
+    # reset delta at the start of each doc's list
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    d[starts] = flat[starts]
+    return vb_encode(d.astype(np.uint64))
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Inverse of :func:`encode_positions` → list of per-doc arrays."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    flat = vb_decode(buf).astype(np.int64)
+    if flat.size == 0:
+        return [np.empty(0, dtype=np.int64) for _ in tfs]
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    bump = np.ones_like(flat)
+    bump[starts] = 0
+    flat = flat + bump
+    # per-doc cumulative sum: global cumsum minus offset at each start
+    g = np.cumsum(flat)
+    seg_off = np.repeat(g[starts] - flat[starts], tfs)
+    vals = g - seg_off
+    return np.split(vals, np.cumsum(tfs)[:-1])

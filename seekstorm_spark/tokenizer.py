@@ -1,0 +1,169 @@
+"""Reference-parity tokenizers, pure Python core + Arrow UDF wrappers.
+
+Replicates the reference engine's tokenizer semantics
+(`/root/reference/seekstorm/src/tokenizer.rs`):
+
+* ``AsciiAlphabetic`` (tokenizer.rs:320-338): ascii-lowercase, tokens =
+  maximal runs of ``a-z``. ("Mainly for benchmark compatibility".)
+* ``UnicodeAlphanumeric`` (tokenizer.rs:339-360, the default): full
+  Unicode lowercase; a token starts at a word character (``\\w``);
+  ``+ - #`` continue an already-started token (mid/end allowed — c++,
+  c#); any other char terminates it.
+* ``Whitespace`` / ``WhitespaceLowercase`` (tokenizer.rs:401-439).
+
+Doc-mode position semantics (tokenizer.rs:584-894): stopwords are
+dropped *without* advancing the position counter; positions are capped
+at 65,536 tokens per field (positions are u16) and 65,536 positions
+per term (`index.rs:110`); the per-field ``nonunique_terms_count`` is
+the final position counter (tokenizer.rs:1389) — this is the BM25 doc
+length before quantization.
+
+Query-mode operators (tokenizer.rs:539-570): leading ``+`` forces the
+whole query to Intersection; leading ``-`` marks the term NOT; ``"``
+spans mark Phrase terms; queries truncate to 100 terms
+(`index.rs:121`).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+MAX_QUERY_TERM_NUMBER = 100
+MAX_POSITIONS_PER_TERM = 65_536
+TOKEN_PER_FIELD_MAX = 65_536
+
+# UnicodeAlphanumeric: token = word char, then word chars and + - #.
+_RE_UNICODE_ALNUM = re.compile(r"\w[\w+#-]*", re.UNICODE)
+# AsciiAlphabetic: runs of a-z after ascii lowercasing.
+_RE_ASCII_ALPHA = re.compile(r"[a-z]+")
+
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+def ascii_lowercase(text: str) -> str:
+    """Rust ``to_ascii_lowercase``: maps only A-Z, leaves Unicode as-is."""
+    return text.translate(_ASCII_LOWER)
+
+
+def tokenize_line(text: str, tokenizer: str = "unicode_alphanumeric") -> list[str]:
+    """Raw token stream (the reference's ``non_unique_terms_line``)."""
+    if tokenizer == "unicode_alphanumeric":
+        return _RE_UNICODE_ALNUM.findall(text.lower())
+    if tokenizer == "ascii_alphabetic":
+        return _RE_ASCII_ALPHA.findall(ascii_lowercase(text))
+    if tokenizer == "whitespace":
+        return text.split()
+    if tokenizer == "whitespace_lowercase":
+        return ascii_lowercase(text).split()
+    raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
+def tokenize_doc(
+    text: str,
+    tokenizer: str = "unicode_alphanumeric",
+    stop_words: frozenset[str] | None = None,
+) -> tuple[dict[str, list[int]], int]:
+    """Doc-mode tokenization.
+
+    Returns ``(term -> positions, nonunique_terms_count)`` where the
+    count is the number of position-advancing (non-stopword) tokens,
+    capped at 65,536 — the BM25 doc length before quantization.
+    """
+    terms: dict[str, list[int]] = {}
+    position = 0
+    for tok in tokenize_line(text, tokenizer):
+        if stop_words and tok in stop_words:
+            continue  # stopwords do NOT advance the position counter
+        plist = terms.setdefault(tok, [])
+        if len(plist) < MAX_POSITIONS_PER_TERM:
+            plist.append(position)
+        position += 1
+        if position >= TOKEN_PER_FIELD_MAX:
+            break
+    return terms, position
+
+
+@dataclass
+class QueryTerm:
+    term: str
+    op: str  # "union" | "intersection" | "not" | "phrase"
+    phrase_index: int = -1  # position of the term inside its phrase span
+
+
+@dataclass
+class ParsedQuery:
+    terms: list[QueryTerm] = field(default_factory=list)
+    query_type: str = "union"  # overall type after operator promotion
+
+    @property
+    def positive_terms(self) -> list[QueryTerm]:
+        return [t for t in self.terms if t.op != "not"]
+
+    @property
+    def not_terms(self) -> list[QueryTerm]:
+        return [t for t in self.terms if t.op == "not"]
+
+
+def parse_query(
+    query: str,
+    default_type: str = "union",
+    tokenizer: str = "unicode_alphanumeric",
+    stop_words: frozenset[str] | None = None,
+) -> ParsedQuery:
+    """Query-mode tokenization with ``+ - "`` operators.
+
+    Semantics per tokenizer.rs:539-570: a ``+term`` promotes the whole
+    query to intersection; ``"…"`` spans mark phrase terms and promote
+    the query to phrase; ``-term`` excludes. Duplicate terms are
+    deduplicated by the engine (search.rs:3053-3064), not here.
+    """
+    result = ParsedQuery(query_type=default_type)
+    is_phrase = default_type == "phrase"
+    phrase_pos = 0
+    out: list[QueryTerm] = []
+    for chunk in query.split():
+        if is_phrase:
+            term_type = "phrase"
+        elif result.query_type == "phrase":
+            # terms outside a closed quote span are required (AND)
+            term_type = "intersection"
+        else:
+            term_type = result.query_type
+        if chunk.startswith("+"):
+            if result.query_type != "phrase":
+                result.query_type = "intersection"
+            term_type = "intersection"
+            chunk = chunk[1:]
+        elif chunk.startswith("-"):
+            term_type = "not"
+            chunk = chunk[1:]
+        if chunk.startswith('"'):
+            is_phrase = True
+            result.query_type = "phrase"
+            term_type = "phrase"
+            phrase_pos = 0
+            chunk = chunk[1:]
+        close_quote = chunk.endswith('"')
+        if close_quote:
+            result.query_type = "phrase"
+            term_type = "phrase"
+            chunk = chunk[:-1]
+        for tok in tokenize_line(chunk, tokenizer):
+            if stop_words and tok in stop_words:
+                continue
+            qt = QueryTerm(term=tok, op=term_type)
+            if term_type == "phrase":
+                qt.phrase_index = phrase_pos
+                phrase_pos += 1
+            out.append(qt)
+            if len(out) >= MAX_QUERY_TERM_NUMBER:
+                break
+        if close_quote:
+            is_phrase = False
+        if len(out) >= MAX_QUERY_TERM_NUMBER:
+            break
+    result.terms = out
+    return result

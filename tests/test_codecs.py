@@ -1,0 +1,81 @@
+"""Delta+varbyte codec roundtrip tests, incl. property-style randoms."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from seekstorm_spark.codecs import (
+    decode_docids,
+    decode_positions,
+    decode_tfs,
+    encode_docids,
+    encode_positions,
+    encode_tfs,
+    vb_decode,
+    vb_encode,
+)
+
+
+def test_vb_roundtrip_edges():
+    for vals in (
+        [],
+        [0],
+        [1],
+        [127],
+        [128],
+        [16383],
+        [16384],
+        [65535],
+        [2**32 - 1],
+        [2**40],
+        [0, 0, 0],
+        list(range(300)),
+    ):
+        arr = np.array(vals, dtype=np.uint64)
+        out = vb_decode(vb_encode(arr))
+        assert out.tolist() == vals
+
+
+def test_vb_roundtrip_random():
+    rng = np.random.default_rng(42)
+    for _ in range(20):
+        n = int(rng.integers(1, 5000))
+        vals = rng.integers(0, 2**40, size=n, dtype=np.uint64)
+        assert vb_decode(vb_encode(vals)).tolist() == vals.tolist()
+
+
+def test_docid_roundtrip():
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        n = int(rng.integers(1, 2000))
+        ids = np.sort(rng.choice(65536, size=n, replace=False))
+        assert decode_docids(encode_docids(ids)).tolist() == ids.tolist()
+
+
+def test_tf_roundtrip():
+    tfs = np.array([1, 1, 2, 5, 100, 65536], dtype=np.int64)
+    assert decode_tfs(encode_tfs(tfs)).tolist() == tfs.tolist()
+
+
+def test_positions_roundtrip():
+    # three docs with position lists [0,3,4], [7], [2,5]
+    flat = np.array([0, 3, 4, 7, 2, 5], dtype=np.int64)
+    tfs = np.array([3, 1, 2], dtype=np.int64)
+    buf = encode_positions(flat, tfs)
+    out = decode_positions(buf, tfs)
+    assert [a.tolist() for a in out] == [[0, 3, 4], [7], [2, 5]]
+
+
+def test_positions_roundtrip_random():
+    rng = np.random.default_rng(11)
+    for _ in range(10):
+        ndocs = int(rng.integers(1, 200))
+        lists = [
+            np.sort(rng.choice(65536, size=int(rng.integers(1, 50)), replace=False))
+            for _ in range(ndocs)
+        ]
+        flat = np.concatenate(lists)
+        tfs = np.array([len(x) for x in lists])
+        out = decode_positions(encode_positions(flat, tfs), tfs)
+        for got, want in zip(out, lists):
+            assert got.tolist() == want.tolist()
