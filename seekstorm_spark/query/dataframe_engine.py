@@ -1,0 +1,176 @@
+"""Catalyst-native BM25 scorer straight from a documents DataFrame.
+
+This is the *declarative twin* of the indexed WAND path: same
+semantics (tokenize → tf/df/dl → BM25 → query algebra → top-k)
+expressed entirely in built-in DataFrame ops so Catalyst handles
+predicate pushdown, column pruning, and join strategy. Two uses:
+
+1. the driver's DuckDB-oracle correctness gate (float64 math so the
+   SQL oracle computes the identical numbers; the f32
+   reference-parity path lives in `query.engine` + `oracle.py`);
+2. ad-hoc queries over corpora that haven't been indexed yet.
+
+The only Python in the plan is the vectorized tokenizer UDF and the
+256-entry SmallFloat quantization (a broadcast range join against the
+quantization table — Catalyst folds it to a BroadcastNestedLoopJoin
+over 256 rows).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from seekstorm_spark.quantization import DOCUMENT_LENGTH_COMPRESSION
+from seekstorm_spark.scoring import B, K
+from seekstorm_spark.tokenizer import tokenize_line
+
+
+@pandas_udf("array<string>")
+def tokenize_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-vectorized UnicodeAlphanumeric tokenizer (doc mode, no
+    stopwords) — reference tokenizer.rs:339-360 semantics."""
+    return texts.map(lambda t: tokenize_line(t or ""))
+
+
+def quantization_table(spark: SparkSession) -> DataFrame:
+    """256-row (dl_lo, dl_hi, dl_q) range table; joining
+    ``dl_raw BETWEEN dl_lo AND dl_hi`` implements int_to_byte4 →
+    byte4_to_int exactly (reference index.rs:4232-4279)."""
+    t = DOCUMENT_LENGTH_COMPRESSION
+    rows = [
+        (t[b], (t[b + 1] - 1) if b < 255 else (1 << 31), t[b]) for b in range(256)
+    ]
+    return spark.createDataFrame(rows, "dl_lo long, dl_hi long, dl_q long")
+
+
+def tokens(docs: DataFrame, docid_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(docid, term, pos) exploded token stream; pos is 0-based."""
+    return docs.select(
+        F.col(docid_col).alias("docid"),
+        F.posexplode(tokenize_udf(F.col(text_col))).alias("pos", "term"),
+    )
+
+
+def doc_lengths(
+    docs: DataFrame,
+    spark: SparkSession,
+    docid_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(docid, dl_raw, dl_q) with SmallFloat-quantized lengths."""
+    dl = docs.select(
+        F.col(docid_col).alias("docid"),
+        F.size(tokenize_udf(F.col(text_col))).cast("long").alias("dl_raw"),
+    )
+    q = F.broadcast(quantization_table(spark))
+    return dl.join(
+        q, (dl.dl_raw >= q.dl_lo) & (dl.dl_raw <= q.dl_hi), "left"
+    ).select("docid", "dl_raw", "dl_q")
+
+
+def corpus_stats(tok: DataFrame, dl: DataFrame) -> tuple[DataFrame, Column]:
+    """df per term; scalar stats computed by the caller."""
+    return tok.groupBy("term").agg(F.countDistinct("docid").alias("df"))
+
+
+def bm25_scored(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_terms: list[str],
+    qtype: str = "union",
+    not_terms: list[str] | None = None,
+    docid_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-candidate BM25 (float64) → DataFrame(docid, score).
+
+    AND = candidate must contain every query term (inner-join
+    semantics via HAVING count); OR = any; NOT terms anti-joined.
+    idf/avgdl per reference math (scoring.py), computed in float64.
+    """
+    not_terms = not_terms or []
+    tok = tokens(docs, docid_col, text_col)
+    dl = doc_lengths(docs, spark, docid_col, text_col)
+
+    n_docs = docs.count()
+    avgdl_row = dl.agg((F.sum("dl_q") / F.count("*")).alias("avgdl")).collect()[0]
+    avgdl = float(avgdl_row["avgdl"])
+
+    q = [t for t in dict.fromkeys(query_terms)]  # dedup, keep order
+    df_tbl = (
+        tok.filter(F.col("term").isin(q))
+        .groupBy("term")
+        .agg(F.countDistinct("docid").alias("df"))
+    )
+    tf_tbl = (
+        tok.filter(F.col("term").isin(q))
+        .groupBy("docid", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        tf_tbl.join(F.broadcast(df_tbl), "term")
+        .join(dl, "docid")
+        .withColumn(
+            "idf",
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (
+                F.col("tf")
+                * F.lit(K + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(K)
+                    * (
+                        F.lit(1.0 - B)
+                        + F.lit(B) * F.col("dl_q") / F.lit(avgdl)
+                    )
+                )
+            ),
+        )
+    )
+    agg = scored.groupBy("docid").agg(
+        F.sum("contrib").alias("score"),
+        F.countDistinct("term").alias("n_matched"),
+    )
+    if qtype == "intersection":
+        agg = agg.filter(F.col("n_matched") == len(q))
+    if not_terms:
+        excl = (
+            tok.filter(F.col("term").isin(list(not_terms)))
+            .select("docid")
+            .distinct()
+        )
+        agg = agg.join(excl, "docid", "left_anti")
+    return agg.select("docid", "score")
+
+
+def bm25_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_terms: list[str],
+    qtype: str = "union",
+    not_terms: list[str] | None = None,
+    top_k: int = 10,
+    docid_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k with deterministic ordering: rounded score desc, docid asc
+    (rounding first so the SQL oracle's f64 ties break identically)."""
+    scored = bm25_scored(
+        spark, docs, query_terms, qtype, not_terms, docid_col, text_col
+    ).withColumn("score_r", F.round(F.col("score"), 4))
+    return (
+        scored.orderBy(F.col("score_r").desc(), F.col("docid").asc())
+        .limit(top_k)
+        .select(F.col("docid"), F.col("score_r").alias("score"))
+    )

@@ -1,0 +1,413 @@
+"""Indexed query execution: block-max WAND over the postings table.
+
+Spark-first re-expression of the reference's read path
+(`/root/reference/seekstorm/src/search.rs:1154-2131`):
+
+* query terms → tiny broadcast-joined stats lookup (the reference's
+  segment-dictionary probe, `search.rs:3066-3303`);
+* partition-pruned postings scan — only the query terms' ``tbucket``
+  parquet partitions are read, with a pushed-down term filter (the
+  analog of the reference's per-segment key binary search);
+* blocks that cannot contain a top-k doc are skipped via per-block
+  score bounds (block-max WAND, reference `intersection.rs:2224-2233`,
+  `single.rs:372-386`, metadata `compress_postinglist.rs:530-676`) —
+  expressed as a ``mapInPandas`` kernel with a per-partition threshold
+  heap, blocks visited in bound-descending order;
+* AND = multi-way sorted intersection (`intersection.rs:112-2022`,
+  numpy ``intersect1d`` replaces the hand-rolled SIMD/galloping);
+  OR = k-way union with per-doc score sum (`union.rs:32-1166`);
+  NOT = anti-probe (`add_result.rs:3005-3062`); phrase = AND +
+  position-offset alignment (`add_result.rs:3152-3391`);
+* global top-k = per-partition heaps → ``orderBy(score, docid).limit``
+  (the reference's shard-merge, `search.rs:1875-2122`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from seekstorm_spark.codecs import (
+    ROARING_BLOCK_SIZE,
+    decode_docids,
+    decode_positions,
+    decode_tfs,
+)
+from seekstorm_spark.index.store import IndexStore
+from seekstorm_spark.quantization import _DECODE_NP
+from seekstorm_spark.scoring import B, K, idf_f32
+from seekstorm_spark.tokenizer import ParsedQuery, parse_query
+
+RESULT_SCHEMA = "docid long, score float"
+COUNT_SCHEMA = "matches long"
+
+
+@dataclass
+class QueryPlan:
+    qtype: str  # union | intersection | phrase
+    pos_terms: dict[str, float]  # term -> f32 idf
+    not_terms: list[str]
+    phrase: list[tuple[str, int]]  # (term, offset) incl. duplicates
+    missing_required: bool
+
+
+def _plan(
+    spark: SparkSession, store: IndexStore, query: str, default_type: str
+) -> QueryPlan:
+    meta = store.meta
+    stop_words = frozenset(meta.get("stop_words") or []) or None
+    pq: ParsedQuery = parse_query(
+        query, default_type, meta.get("tokenizer", "unicode_alphanumeric"), stop_words
+    )
+    pos = sorted({t.term for t in pq.positive_terms})
+    nots = sorted({t.term for t in pq.not_terms})
+    phrase = [(t.term, t.phrase_index) for t in pq.terms if t.op == "phrase"]
+    all_terms = sorted(set(pos) | set(nots))
+    if not all_terms:
+        return QueryPlan(pq.query_type, {}, [], [], False)
+
+    n_buckets = store.n_buckets
+    buckets = sorted(
+        {
+            int(r["b"])
+            for r in spark.createDataFrame([(t,) for t in all_terms], "term string")
+            .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
+            .collect()
+        }
+    )
+    stats = (
+        store.term_stats(spark)
+        .filter(F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms))
+        .select("term", "df")
+        .collect()
+    )
+    df_by_term = {r["term"]: int(r["df"]) for r in stats}
+    pos_idf = {
+        t: float(idf_f32(store.n_docs, df_by_term[t]))
+        for t in pos
+        if t in df_by_term
+    }
+    missing = any(t not in df_by_term for t in pos)
+    missing_required = missing and pq.query_type in ("intersection", "phrase")
+    return QueryPlan(
+        qtype=pq.query_type,
+        pos_terms=pos_idf,
+        not_terms=[t for t in nots if t in df_by_term],
+        phrase=phrase,
+        missing_required=missing_required,
+    )
+
+
+def search(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    top_k: int = 10,
+    offset: int = 0,
+    default_type: str = "union",
+    prune: bool = True,
+) -> DataFrame:
+    """Top-k BM25 search → DataFrame(docid, score), score f32,
+    ordered score desc / docid asc. ``prune=False`` disables the WAND
+    threshold (used to verify pruning is lossless)."""
+    plan = _plan(spark, store, query, default_type)
+    empty = spark.createDataFrame([], RESULT_SCHEMA)
+    if plan.missing_required or not plan.pos_terms:
+        return empty
+
+    rows = _annotated_postings(spark, store, plan)
+    need_k = top_k + offset
+
+    kernel = _make_kernel(plan, need_k, prune, store.avgdl)
+    parallelism = max(spark.sparkContext.defaultParallelism, 4)
+    candidates = (
+        rows.repartition(parallelism, "block_id")
+        .sortWithinPartitions(F.col("block_bound").desc(), "block_id", "term")
+        .mapInPandas(kernel, schema=RESULT_SCHEMA)
+    )
+    out = candidates.orderBy(F.col("score").desc(), F.col("docid").asc())
+    if offset:
+        out = out.offset(offset)
+    return out.limit(top_k)
+
+
+def count_matches(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    default_type: str = "union",
+) -> int:
+    """Exact match count (ResultType::Count, reference search.rs:168-176).
+
+    Single positive term without NOT/phrase short-circuits to the
+    stored df (reference single.rs:313-323) — no scan at all.
+    """
+    plan = _plan(spark, store, query, default_type)
+    if plan.missing_required or not plan.pos_terms:
+        return 0
+    if len(plan.pos_terms) == 1 and not plan.not_terms and plan.qtype != "phrase":
+        term = next(iter(plan.pos_terms))
+        r = (
+            store.term_stats(spark)
+            .filter(F.col("term") == term)
+            .agg(F.sum("df"))
+            .collect()[0][0]
+        )
+        return int(r or 0)
+
+    rows = _annotated_postings(spark, store, plan)
+    kernel = _make_kernel(plan, 0, False, store.avgdl, count_only=True)
+    parallelism = max(spark.sparkContext.defaultParallelism, 4)
+    out = (
+        rows.repartition(parallelism, "block_id")
+        .sortWithinPartitions(F.col("block_bound").desc(), "block_id", "term")
+        .mapInPandas(kernel, schema=COUNT_SCHEMA)
+        .agg(F.sum("matches"))
+        .collect()[0][0]
+    )
+    return int(out or 0)
+
+
+def _annotated_postings(
+    spark: SparkSession, store: IndexStore, plan: QueryPlan
+) -> DataFrame:
+    terms = sorted(set(plan.pos_terms) | set(plan.not_terms))
+    n_buckets = store.n_buckets
+    term_info = spark.createDataFrame(
+        [
+            (t, float(plan.pos_terms.get(t, 0.0)), t in plan.not_terms)
+            for t in terms
+        ],
+        "term string, idf double, is_not boolean",
+    )
+    buckets = [
+        int(r["b"])
+        for r in term_info.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    cols = [
+        "term",
+        "block_id",
+        "posting_count",
+        "max_tf_comp",
+        "docids_vb",
+        "tfs_vb",
+        "dls",
+    ]
+    if plan.qtype == "phrase":
+        cols.append("positions_vb")
+    postings = (
+        store.postings(spark)
+        .filter(F.col("tbucket").isin(buckets) & F.col("term").isin(terms))
+        .select(*cols)
+    )
+    if plan.qtype == "phrase":
+        postings = postings.withColumnRenamed("positions_vb", "pos_vb")
+    else:
+        postings = postings.withColumn("pos_vb", F.lit(None).cast("binary"))
+
+    rows = postings.join(F.broadcast(term_info), "term")
+    rows = rows.withColumn(
+        "bound_contrib",
+        F.when(F.col("is_not"), F.lit(0.0)).otherwise(
+            F.col("idf") * F.col("max_tf_comp")
+        ),
+    )
+    w = Window.partitionBy("block_id")
+    rows = rows.withColumn("block_bound", F.sum("bound_contrib").over(w))
+    if plan.qtype in ("intersection", "phrase"):
+        n_required = len(plan.pos_terms)
+        rows = rows.withColumn(
+            "pos_in_block",
+            F.sum(F.when(F.col("is_not"), 0).otherwise(1)).over(w),
+        ).filter(F.col("pos_in_block") >= n_required)
+    return rows.select(
+        "term",
+        "block_id",
+        "idf",
+        "is_not",
+        "docids_vb",
+        "tfs_vb",
+        "dls",
+        "pos_vb",
+        "block_bound",
+    )
+
+
+def _make_kernel(
+    plan: QueryPlan, top_k: int, prune: bool, avgdl: float, count_only: bool = False
+):
+    qtype = plan.qtype
+    pos_terms = dict(plan.pos_terms)
+    not_set = set(plan.not_terms)
+    phrase = list(plan.phrase)
+    decode_tab = _DECODE_NP.astype(np.float32)
+    avgdl32 = np.float32(avgdl)
+
+    def term_scores(idf: float, tfs: np.ndarray, dl_bytes: np.ndarray) -> np.ndarray:
+        tf32 = tfs.astype(np.float32)
+        dlq = decode_tab[dl_bytes.astype(np.int64)]
+        comp = tf32 * np.float32(K + 1.0) / (
+            tf32
+            + np.float32(K)
+            * (np.float32(1.0) - np.float32(B) + np.float32(B) * dlq / avgdl32)
+        )
+        return np.float32(idf) * comp
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-partition state
+        best_docids = np.empty(0, dtype=np.int64)
+        best_scores = np.empty(0, dtype=np.float32)
+        total_matches = 0
+        pending: list[pd.DataFrame] = []
+        pending_block = None
+
+        def threshold() -> float:
+            if not prune or len(best_scores) < top_k:
+                return -np.inf
+            return float(best_scores.min())
+
+        def merge_topk(docids: np.ndarray, scores: np.ndarray) -> None:
+            nonlocal best_docids, best_scores
+            d = np.concatenate([best_docids, docids])
+            s = np.concatenate([best_scores, scores])
+            order = np.lexsort((d, -s.astype(np.float64)))[:top_k]
+            best_docids, best_scores = d[order], s[order]
+
+        def process_block(rows: pd.DataFrame) -> None:
+            nonlocal total_matches
+            block_id = int(rows["block_id"].iloc[0])
+            if not count_only and prune:
+                if float(rows["block_bound"].iloc[0]) <= threshold():
+                    return
+            base = block_id * ROARING_BLOCK_SIZE
+            per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, bytes]] = {}
+            for _, r in rows.iterrows():
+                d = decode_docids(r["docids_vb"])
+                t = decode_tfs(r["tfs_vb"])
+                dl = np.frombuffer(r["dls"], dtype=np.uint8)
+                per_term[r["term"]] = (d, t, dl, r["pos_vb"])
+
+            pos_names = [t for t in per_term if t in pos_terms]
+            if not pos_names:
+                return
+
+            if qtype in ("intersection", "phrase"):
+                if len(pos_names) < len(pos_terms):
+                    return
+                common = per_term[pos_names[0]][0]
+                for t in pos_names[1:]:
+                    common = np.intersect1d(
+                        common, per_term[t][0], assume_unique=True
+                    )
+                    if common.size == 0:
+                        return
+                cand = common
+            else:
+                cand = np.unique(
+                    np.concatenate([per_term[t][0] for t in pos_names])
+                )
+
+            # NOT anti-probe
+            for t in not_set:
+                if t in per_term:
+                    cand = cand[
+                        ~np.isin(cand, per_term[t][0], assume_unique=True)
+                    ]
+            if cand.size == 0:
+                return
+
+            # phrase position alignment
+            if qtype == "phrase" and len(phrase) > 1:
+                keep = _phrase_filter(per_term, cand, phrase)
+                cand = cand[keep]
+                if cand.size == 0:
+                    return
+
+            total_matches += int(cand.size)
+            if count_only:
+                return
+
+            scores = np.zeros(cand.size, dtype=np.float32)
+            for t in pos_names:
+                d, tf, dl, _ = per_term[t]
+                if qtype in ("intersection", "phrase"):
+                    idx = np.searchsorted(d, cand)
+                    scores += term_scores(pos_terms[t], tf[idx], dl[idx])
+                else:
+                    idx = np.searchsorted(d, cand)
+                    valid = (idx < d.size) & (d[np.minimum(idx, d.size - 1)] == cand)
+                    ii = idx[valid]
+                    contrib = term_scores(pos_terms[t], tf[ii], dl[ii])
+                    scores[valid] += contrib
+            merge_topk(base + cand, scores)
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for block_id, grp in pdf.groupby("block_id", sort=False):
+                if pending_block is not None and block_id != pending_block:
+                    process_block(pd.concat(pending))
+                    pending = []
+                pending_block = block_id
+                pending.append(grp)
+        if pending:
+            process_block(pd.concat(pending))
+
+        if count_only:
+            yield pd.DataFrame({"matches": pd.Series([total_matches], dtype="int64")})
+        else:
+            yield pd.DataFrame(
+                {
+                    "docid": pd.Series(best_docids, dtype="int64"),
+                    "score": pd.Series(best_scores, dtype="float32"),
+                }
+            )
+
+    return kernel
+
+
+def _phrase_filter(
+    per_term: dict[str, tuple],
+    cand: np.ndarray,
+    phrase: list[tuple[str, int]],
+) -> np.ndarray:
+    """Boolean mask over cand: doc has the phrase terms position-aligned
+    (pos_i - offset_i equal across terms for some anchor,
+    reference add_result.rs:3152-3391)."""
+    # decode positions lazily per phrase term
+    decoded: dict[str, list[np.ndarray]] = {}
+    doc_index: dict[str, dict[int, int]] = {}
+    for term, _off in phrase:
+        if term in decoded or term not in per_term:
+            continue
+        d, tf, _dl, pos_vb = per_term[term]
+        decoded[term] = decode_positions(pos_vb, tf)
+        doc_index[term] = {int(x): i for i, x in enumerate(d)}
+
+    keep = np.zeros(cand.size, dtype=bool)
+    for ci, doc in enumerate(cand):
+        doc = int(doc)
+        anchors: np.ndarray | None = None
+        ok = True
+        for term, off in phrase:
+            di = doc_index.get(term, {}).get(doc)
+            if di is None:
+                ok = False
+                break
+            starts = decoded[term][di] - off
+            anchors = starts if anchors is None else np.intersect1d(anchors, starts)
+            if anchors.size == 0:
+                ok = False
+                break
+        keep[ci] = ok and anchors is not None and anchors.size > 0
+    return keep
