@@ -1,38 +1,706 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: build a real inverted index over the
+sf0.001 documents table and run a BM25 top-k query through the
+block-max WAND kernel.
+
+`queries()` / `oracle_sql()` — one entry per implemented operator
+(SURVEY.md §2 + training-data ops), each with a DuckDB oracle; the
+Spark side computes in float64 with the same operation order so
+rounded values hash-match.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seekstorm_spark.functions.dedup import (
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_udf,
+)
+from seekstorm_spark.functions.simsearch import cosine_topk, lsh_ann_topk
+from seekstorm_spark.functions.textstats import (
+    doc_fingerprint,
+    lang_id_udf,
+    quality_features,
+    ws_token_count,
+)
+from seekstorm_spark.quantization import DOCUMENT_LENGTH_COMPRESSION
+from seekstorm_spark.query.dataframe_engine import (
+    bm25_phrase_topk,
+    bm25_scored,
+    bm25_topk,
+    doc_lengths,
+    phrase_docids,
+    tokenize_udf,
+    tokens,
+)
+from seekstorm_spark.scoring import B, K
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB oracle side)
+# ---------------------------------------------------------------------------
+
+_TOKS = (
+    "(SELECT doc_id, unnest(string_split(text, ' ')) AS term, "
+    "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos "
+    "FROM documents)"
+)
+
+_K1 = repr(K + 1.0)  # identical float64 literals on both sides
+_KK = repr(float(K))
+_B1 = repr(1.0 - B)
+_BB = repr(float(B))
+
+
+def _quant_values() -> str:
+    t = DOCUMENT_LENGTH_COMPRESSION
+    rows = []
+    for b in range(256):
+        lo = t[b]
+        hi = (t[b + 1] - 1) if b < 255 else (1 << 40)
+        rows.append(f"({lo},{hi},{b},{t[b]})")
+    return ",".join(rows)
+
+
+_QUANT_CTE = (
+    f"quant(dl_lo, dl_hi, dl_byte, dl_q) AS (VALUES {_quant_values()})"
+)
+
+_DLQ_CTES = (
+    f"{_QUANT_CTE}, "
+    "dl AS (SELECT doc_id, len(list_filter(string_split(text, ' '), "
+    "x -> x <> '')) AS dl_raw FROM documents), "
+    "dlq AS (SELECT doc_id, dl_raw, dl_byte, dl_q FROM dl JOIN quant "
+    "ON dl_raw BETWEEN dl_lo AND dl_hi)"
+)
+
+
+def _in_list(terms: list[str]) -> str:
+    return ",".join(f"'{t}'" for t in terms)
+
+
+def _bm25_sql(
+    terms: list[str],
+    qtype: str = "union",
+    not_terms: list[str] | None = None,
+    phrase: list[str] | None = None,
+    extra_where: str = "",
+    top_k: int = 10,
+    docs_where: str = "",
+) -> str:
+    """DuckDB BM25 top-k, float64, same operation order as
+    `seekstorm_spark.query.dataframe_engine.bm25_topk`.
+
+    ``docs_where`` restricts the corpus itself (df/N/avgdl included),
+    matching a Spark-side pre-filter on the documents DataFrame."""
+    terms = list(dict.fromkeys(terms))
+    dw = f" WHERE {docs_where}" if docs_where else ""
+    toks_src = _TOKS.replace("FROM documents)", f"FROM documents{dw})")
+    dl_src = f"documents{dw}" if docs_where else "documents"
+    filters = []
+    if qtype == "intersection" or phrase:
+        filters.append(f"nm = {len(terms)}")
+    if not_terms:
+        filters.append(
+            "doc_id NOT IN (SELECT DISTINCT doc_id FROM toks "
+            f"WHERE term IN ({_in_list(not_terms)}))"
+        )
+    if phrase:
+        joins = []
+        for i, t in enumerate(phrase[1:], start=1):
+            joins.append(
+                f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{phrase[i]}'"
+            )
+        filters.append(
+            "doc_id IN (SELECT DISTINCT t0.doc_id FROM toks t0 "
+            + " ".join(joins)
+            + f" WHERE t0.term = '{phrase[0]}')"
+        )
+    if extra_where:
+        filters.append(extra_where)
+    where = ("WHERE " + " AND ".join(filters)) if filters else ""
+    dlq_ctes = (
+        f"{_QUANT_CTE}, "
+        "dl AS (SELECT doc_id, len(list_filter(string_split(text, ' '), "
+        f"x -> x <> '')) AS dl_raw FROM {dl_src}), "
+        "dlq AS (SELECT doc_id, dl_raw, dl_byte, dl_q FROM dl JOIN quant "
+        "ON dl_raw BETWEEN dl_lo AND dl_hi)"
+    )
+    return f"""
+WITH toks AS (SELECT * FROM {toks_src}),
+{dlq_ctes},
+stats AS (SELECT (SELECT count(*) FROM {dl_src})::DOUBLE AS n,
+                 (SELECT sum(dl_q)::DOUBLE / count(*)::DOUBLE FROM dlq) AS avgdl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+       WHERE term IN ({_in_list(terms)}) GROUP BY 1, 2),
+dft AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks
+        WHERE term IN ({_in_list(terms)}) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * (tf.tf * {_K1} / (tf.tf + {_KK} * ({_B1} + {_BB} * dlq.dl_q / s.avgdl))) ) AS score,
+         count(DISTINCT tf.term) AS nm
+  FROM tf JOIN dft USING (term) JOIN dlq USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id AS docid, round(score, 4) AS score FROM scored {where}
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {top_k}
+"""
+
+
+def _match_count_sql(
+    terms: list[str],
+    qtype: str,
+    not_terms: list[str] | None = None,
+    phrase: list[str] | None = None,
+) -> str:
+    terms = list(dict.fromkeys(terms))
+    having = f"HAVING count(DISTINCT term) = {len(terms)}" if qtype in (
+        "intersection",
+        "phrase",
+    ) else ""
+    nots = (
+        "AND doc_id NOT IN (SELECT DISTINCT doc_id FROM toks "
+        f"WHERE term IN ({_in_list(not_terms)}))"
+        if not_terms
+        else ""
+    )
+    phr = ""
+    if phrase:
+        joins = " ".join(
+            f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id AND "
+            f"t{i}.pos = t0.pos + {i} AND t{i}.term = '{phrase[i]}'"
+            for i in range(1, len(phrase))
+        )
+        phr = (
+            "AND doc_id IN (SELECT DISTINCT t0.doc_id FROM toks t0 "
+            f"{joins} WHERE t0.term = '{phrase[0]}')"
+        )
+    return f"""
+WITH toks AS (SELECT * FROM {_TOKS}),
+cand AS (SELECT doc_id FROM toks WHERE term IN ({_in_list(terms)})
+         GROUP BY doc_id {having})
+SELECT count(*)::BIGINT AS matches FROM cand
+WHERE 1=1 {nots} {phr}
+"""
+
+
+# Spark-side match counting with identical semantics
+def _match_count_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    terms: list[str],
+    qtype: str,
+    not_terms: list[str] | None = None,
+    phrase: list[str] | None = None,
+) -> DataFrame:
+    terms = list(dict.fromkeys(terms))
+    tok = tokens(docs)
+    cand = tok.filter(F.col("term").isin(terms)).groupBy("docid")
+    cand = cand.agg(F.countDistinct("term").alias("nm"))
+    if qtype in ("intersection", "phrase"):
+        cand = cand.filter(F.col("nm") == len(terms))
+    if not_terms:
+        excl = tok.filter(F.col("term").isin(not_terms)).select("docid").distinct()
+        cand = cand.join(excl, "docid", "left_anti")
+    if phrase:
+        cand = cand.join(phrase_docids(docs, phrase), "docid")
+    return cand.agg(F.count("*").cast("long").alias("matches"))
+
+
+_EN_MARKERS = sorted(
+    "the of and to in is that it was for on are with as".split()
+)
+_LANG_MARKER_SQL = {
+    "en": _EN_MARKERS,
+    "de": sorted("der die das und ist nicht ein eine zu mit von für".split()),
+    "fr": sorted("le la les et est ne pas un une pour dans que".split()),
+    "es": sorted("el la los las y es no un una para en que".split()),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: real index build + WAND query at sf0.001
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from seekstorm_spark.index.builder import IndexBuilder
+    from seekstorm_spark.query.engine import search
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    path = tempfile.mkdtemp(prefix="seekstorm_idx_")
+    store = IndexBuilder(spark, path, n_buckets=8).build(
+        docs, text_col="text", id_col="doc_id"
+    )
+    return search(
+        spark, store, "fast table scan", top_k=10, default_type="intersection"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- tokenization / stats (SURVEY §2.2, §2.5) ---
+    q["tokenize_count"] = lambda s, d: (
+        _docs(s, d)
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.size(tokenize_udf(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+    )
+    q["term_df"] = lambda s, d: (
+        tokens(_docs(s, d))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("docid").cast("long").alias("df"),
+            F.count("*").cast("long").alias("cf"),
+        )
+    )
+    q["doc_length_quantized"] = lambda s, d: (
+        doc_lengths(_docs(s, d), s).select(
+            "docid",
+            "dl_raw",
+            F.col("dl_q").cast("long").alias("dl_q"),
+        )
+    )
+    q["corpus_stats"] = lambda s, d: (
+        doc_lengths(_docs(s, d), s).agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.sum("dl_q") / F.count("*"), 6).alias("avgdl"),
+            F.sum("dl_raw").cast("long").alias("total_tokens"),
+        )
+    )
+
+    # --- BM25 scoring + query algebra (SURVEY §2.4, §2.6, §2.7) ---
+    q["bm25_topk_and"] = lambda s, d: bm25_topk(
+        s, _docs(s, d), ["fast", "table"], "intersection"
+    )
+    q["bm25_topk_or"] = lambda s, d: bm25_topk(
+        s, _docs(s, d), ["fast", "table"], "union"
+    )
+    q["bm25_topk_or3"] = lambda s, d: bm25_topk(
+        s, _docs(s, d), ["key", "value", "stream"], "union"
+    )
+    q["bm25_not"] = lambda s, d: bm25_topk(
+        s, _docs(s, d), ["fast"], "union", not_terms=["dup"]
+    )
+    q["bm25_single_rare"] = lambda s, d: bm25_topk(s, _docs(s, d), ["dup"], "union")
+    q["bm25_phrase"] = lambda s, d: bm25_phrase_topk(
+        s, _docs(s, d), ["fast", "table"]
+    )
+    q["count_and"] = lambda s, d: _match_count_df(
+        s, _docs(s, d), ["fast", "table"], "intersection"
+    )
+    q["count_or"] = lambda s, d: _match_count_df(
+        s, _docs(s, d), ["fast", "table"], "union"
+    )
+    q["count_phrase"] = lambda s, d: _match_count_df(
+        s, _docs(s, d), ["fast", "table"], "phrase", phrase=["fast", "table"]
+    )
+
+    # union inclusion–exclusion invariant (reference union.rs:1236-1248)
+    def union_incl_excl(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        tok = tokens(docs)
+        a = tok.filter(F.col("term") == "fast").select("docid").distinct()
+        b = tok.filter(F.col("term") == "table").select("docid").distinct()
+        n_a, n_b = a.count(), b.count()
+        n_and = a.join(b, "docid").count()
+        return s.createDataFrame(
+            [(n_a, n_b, n_and, n_a + n_b - n_and)],
+            "n_a long, n_b long, n_and long, n_or long",
+        )
+
+    q["count_union_incl_excl"] = union_incl_excl
+
+    # --- facets / sorts / browse (SURVEY §2.3, §2.5, §2.6) ---
+    def facet_lang(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        matching = (
+            tokens(docs).filter(F.col("term") == "fast").select("docid").distinct()
+        )
+        return (
+            docs.join(matching, docs.doc_id == matching.docid)
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    q["facet_count_lang"] = facet_lang
+    q["facet_range_nchars"] = lambda s, d: (
+        _docs(s, d)
+        .withColumn(
+            "bucket",
+            F.when(F.col("n_chars") < 100, "0-99")
+            .when(F.col("n_chars") < 200, "100-199")
+            .when(F.col("n_chars") < 300, "200-299")
+            .otherwise("300+"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    q["facet_minmax"] = lambda s, d: (
+        _docs(s, d)
+        .groupBy("lang")
+        .agg(
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+    def multikey_sort(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        scored = bm25_scored(s, docs, ["dup"], "union").withColumn(
+            "score", F.round(F.col("score"), 4)
+        )
+        return (
+            docs.join(scored, docs.doc_id == scored.docid)
+            .select("doc_id", "lang", "score")
+            .orderBy(
+                F.col("lang").asc(), F.col("score").desc(), F.col("doc_id").asc()
+            )
+            .limit(20)
+        )
+
+    q["multikey_sort"] = multikey_sort
+    q["delete_filter"] = lambda s, d: bm25_topk(
+        s,
+        _docs(s, d).filter(F.col("doc_id") % 7 != 0),
+        ["fast", "table"],
+        "intersection",
+    )
+
+    def get_document(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        top = bm25_topk(s, docs, ["fast", "table"], "intersection", top_k=5)
+        return top.join(docs, top.docid == docs.doc_id).select(
+            "doc_id", "score", "lang", "source", "n_chars"
+        )
+
+    q["get_document"] = get_document
+    q["iterator_skip_take"] = lambda s, d: (
+        _docs(s, d)
+        .orderBy(F.col("doc_id").asc())
+        .offset(100)
+        .limit(25)
+        .select("doc_id", "source", "n_chars")
+    )
+    q["empty_query_facets"] = lambda s, d: (
+        _docs(s, d).groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    )
+
+    # --- dedup (training-data ops) ---
+    q["dedup_fingerprint"] = lambda s, d: (
+        _docs(s, d)
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+    )
+    q["dedup_exact_groups"] = lambda s, d: exact_dup_groups(_docs(s, d))
+    q["dedup_jaccard_pairs"] = lambda s, d: jaccard_pairs(
+        _docs(s, d).filter(F.col("doc_id") < 60), threshold=0.01
+    )
+    q["dedup_simhash"] = lambda s, d: (
+        _docs(s, d)
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+    )
+    # probabilistic banding — rows-only check (pytest has the oracle)
+    q["dedup_minhash_candidates"] = lambda s, d: minhash_lsh_pairs(
+        _docs(s, d).filter(F.col("doc_id") < 60)
+    )
+
+    # --- similarity search ---
+    def ann_query_vec(s: SparkSession, d: str) -> list[float]:
+        row = _emb(s, d).filter(F.col("vec_id") == 0).select("embedding").first()
+        return [float(x) for x in row["embedding"]]
+
+    q["ann_cosine_topk"] = lambda s, d: cosine_topk(
+        _emb(s, d).filter(F.col("vec_id") != 0), ann_query_vec(s, d), k=10
+    )
+    q["ann_lsh_topk"] = lambda s, d: lsh_ann_topk(
+        _emb(s, d).filter(F.col("vec_id") != 0), ann_query_vec(s, d), k=10
+    )  # rows-only: hyperplanes not SQL-expressible
+
+    # --- text analysis ---
+    q["text_quality"] = lambda s, d: (
+        quality_features(_docs(s, d).filter(F.col("doc_id") < 50)).select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "punct_ratio",
+            "stopword_ratio",
+            "mean_token_len",
+        )
+    )
+    q["lang_id"] = lambda s, d: (
+        _docs(s, d)
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", lang_id_udf(F.col("text")).alias("pred_lang"))
+    )
+    q["token_count_ws"] = lambda s, d: (
+        _docs(s, d)
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", ws_token_count(F.col("text")).cast("long").alias("n_ws"))
+    )
+
+    # --- generic analytics over the star schema (engine breadth) ---
+    q["agg_pricing_summary"] = lambda s, d: (
+        s.read.parquet(f"{d}/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+    def top_customers(s: SparkSession, d: str) -> DataFrame:
+        orders = s.read.parquet(f"{d}/orders.parquet")
+        cust = s.read.parquet(f"{d}/customer.parquet")
+        return (
+            orders.groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "revenue")
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(10)
+        )
+
+    q["agg_top_customers"] = top_customers
+    q["agg_events_daily"] = lambda s, d: (
+        s.read.parquet(f"{d}/events.parquet")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["tokenize_count"] = (
+        "SELECT doc_id, len(list_filter(string_split(text, ' '), "
+        "x -> x <> ''))::BIGINT AS n_tokens FROM documents WHERE doc_id < 50"
+    )
+    o["term_df"] = (
+        f"SELECT term, count(DISTINCT doc_id)::BIGINT AS df, "
+        f"count(*)::BIGINT AS cf FROM {_TOKS} GROUP BY term"
+    )
+    o["doc_length_quantized"] = (
+        f"WITH {_DLQ_CTES} "
+        "SELECT doc_id AS docid, dl_raw::BIGINT AS dl_raw, dl_q::BIGINT AS dl_q "
+        "FROM dlq"
+    )
+    o["corpus_stats"] = (
+        f"WITH {_DLQ_CTES} "
+        "SELECT count(*)::BIGINT AS n_docs, "
+        "round(sum(dl_q)::DOUBLE / count(*), 6) AS avgdl, "
+        "sum(dl_raw)::BIGINT AS total_tokens FROM dlq"
+    )
+    o["bm25_topk_and"] = _bm25_sql(["fast", "table"], "intersection")
+    o["bm25_topk_or"] = _bm25_sql(["fast", "table"], "union")
+    o["bm25_topk_or3"] = _bm25_sql(["key", "value", "stream"], "union")
+    o["bm25_not"] = _bm25_sql(["fast"], "union", not_terms=["dup"])
+    o["bm25_single_rare"] = _bm25_sql(["dup"], "union")
+    o["bm25_phrase"] = _bm25_sql(
+        ["fast", "table"], "intersection", phrase=["fast", "table"]
+    )
+    o["count_and"] = _match_count_sql(["fast", "table"], "intersection")
+    o["count_or"] = _match_count_sql(["fast", "table"], "union")
+    o["count_phrase"] = _match_count_sql(
+        ["fast", "table"], "phrase", phrase=["fast", "table"]
+    )
+    o["count_union_incl_excl"] = f"""
+WITH toks AS (SELECT * FROM {_TOKS}),
+a AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'fast'),
+b AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'table'),
+i AS (SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b)
+SELECT (SELECT count(*) FROM a)::BIGINT AS n_a,
+       (SELECT count(*) FROM b)::BIGINT AS n_b,
+       (SELECT count(*) FROM i)::BIGINT AS n_and,
+       ((SELECT count(*) FROM a) + (SELECT count(*) FROM b)
+        - (SELECT count(*) FROM i))::BIGINT AS n_or
+"""
+    o["facet_count_lang"] = f"""
+SELECT lang, count(*)::BIGINT AS n FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM {_TOKS} WHERE term = 'fast')
+GROUP BY lang
+"""
+    o["facet_range_nchars"] = """
+SELECT CASE WHEN n_chars < 100 THEN '0-99'
+            WHEN n_chars < 200 THEN '100-199'
+            WHEN n_chars < 300 THEN '200-299'
+            ELSE '300+' END AS bucket,
+       count(*)::BIGINT AS n
+FROM documents GROUP BY 1
+"""
+    o["facet_minmax"] = (
+        "SELECT lang, min(n_chars)::BIGINT AS min_chars, "
+        "max(n_chars)::BIGINT AS max_chars FROM documents GROUP BY lang"
+    )
+    o["multikey_sort"] = f"""
+WITH scored AS ({_bm25_sql(["dup"], "union", top_k=1000000)})
+SELECT d.doc_id, d.lang, s.score
+FROM documents d JOIN scored s ON d.doc_id = s.docid
+ORDER BY d.lang ASC, s.score DESC, d.doc_id ASC LIMIT 20
+"""
+    o["delete_filter"] = _bm25_sql(
+        ["fast", "table"], "intersection", docs_where="doc_id % 7 <> 0"
+    )
+    o["get_document"] = f"""
+WITH top AS ({_bm25_sql(["fast", "table"], "intersection", top_k=5)})
+SELECT d.doc_id, t.score, d.lang, d.source, d.n_chars
+FROM top t JOIN documents d ON d.doc_id = t.docid
+"""
+    o["iterator_skip_take"] = (
+        "SELECT doc_id, source, n_chars FROM documents "
+        "ORDER BY doc_id ASC LIMIT 25 OFFSET 100"
+    )
+    o["empty_query_facets"] = (
+        "SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source"
+    )
+    _norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+    o["dedup_fingerprint"] = (
+        f"SELECT doc_id, md5({_norm}) AS fingerprint FROM documents "
+        "WHERE doc_id < 30"
+    )
+    o["dedup_exact_groups"] = f"""
+SELECT md5({_norm}) AS fingerprint, count(*)::BIGINT AS dup_count,
+       min(doc_id) AS keeper_docid
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+    o["dedup_jaccard_pairs"] = """
+WITH docs AS (SELECT doc_id, list_filter(string_split(trim(lower(text)), ' '),
+                                         x -> x <> '') AS toks
+              FROM documents WHERE doc_id < 60),
+sh AS (SELECT DISTINCT doc_id,
+              array_to_string(toks[i:i+2], ' ') AS shingle
+       FROM (SELECT doc_id, toks,
+                    unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+             FROM docs)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS docid_a, b.doc_id AS docid_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT docid_a, docid_b,
+       round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = docid_a
+JOIN sizes sb ON sb.doc_id = docid_b
+WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.01
+"""
+    o["dedup_simhash"] = """
+WITH docs AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                         x -> x <> '') AS toks
+              FROM documents WHERE doc_id < 30),
+tcnt AS (SELECT doc_id, t.tok AS term, count(*) AS cnt
+         FROM docs, unnest(toks) AS t(tok) GROUP BY 1, 2),
+th AS (SELECT doc_id, term, cnt,
+              ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h
+       FROM tcnt),
+bits AS (SELECT doc_id, b.b AS bit,
+                sum(CASE WHEN (h >> b.b) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+         FROM th CROSS JOIN generate_series(0, 63) AS b(b)
+         GROUP BY 1, 2)
+SELECT doc_id,
+       sum(CASE WHEN w > 0 THEN
+             CASE WHEN bit = 63 THEN -9223372036854775808
+                  ELSE (1::BIGINT << bit) END
+           ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+    o["ann_cosine_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         round(
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
+         4) AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+SELECT vec_id, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+    en = ",".join(f"'{m}'" for m in _EN_MARKERS)
+    o["text_quality"] = f"""
+SELECT doc_id,
+       len(list_filter(string_split(trim(text), ' '), x -> x <> ''))::BIGINT
+         AS n_tokens,
+       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(len(list_filter(string_split(lower(text), ' '), x -> x IN ({en})))::DOUBLE
+             / greatest(len(list_filter(string_split(trim(text), ' '), x -> x <> '')), 1),
+             6) AS stopword_ratio,
+       round((length(text) - (len(list_filter(string_split(trim(text), ' '),
+                                              x -> x <> '')) - 1))::DOUBLE
+             / greatest(len(list_filter(string_split(trim(text), ' '), x -> x <> '')), 1),
+             6) AS mean_token_len
+FROM documents WHERE doc_id < 50
+"""
+    marker_hits = {
+        lang: f"len(list_intersect(list_distinct(string_split(lower(text), ' ')), "
+        f"[{','.join(chr(39) + m + chr(39) for m in ms)}]))"
+        for lang, ms in _LANG_MARKER_SQL.items()
+    }
+    o["lang_id"] = f"""
+WITH h AS (SELECT doc_id,
+    {marker_hits['en']} AS hen, {marker_hits['de']} AS hde,
+    {marker_hits['fr']} AS hfr, {marker_hits['es']} AS hes
+  FROM documents WHERE doc_id < 50)
+SELECT doc_id,
+  CASE WHEN hen >= hde AND hen >= hfr AND hen >= hes AND hen > 0 THEN 'en'
+       WHEN hde >= hfr AND hde >= hes AND hde > 0 THEN 'de'
+       WHEN hfr >= hes AND hfr > 0 THEN 'fr'
+       WHEN hes > 0 THEN 'es'
+       ELSE 'und' END AS pred_lang
+FROM h
+"""
+    o["token_count_ws"] = (
+        "SELECT doc_id, len(list_filter(string_split(trim(text), ' '), "
+        "x -> x <> ''))::BIGINT AS n_ws FROM documents WHERE doc_id < 50"
+    )
+    o["agg_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+    o["agg_top_customers"] = """
+SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c.c_custkey ASC LIMIT 10
+"""
+    o["agg_events_daily"] = """
+SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+    return o

@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Measures, per BASELINE.json's metric:
+1. **index-build throughput (docs/sec)** over a deterministic
+   synthetic Common-Crawl-style corpus, at TWO parallelism levels
+   (local[N/4] and local[N]) on the same input — the in-sandbox
+   stand-in for the N-vs-4N-executor cluster scaling requirement —
+   plus the scaling efficiency between them.
+2. **query latency (p50)** of the reference-style query set through
+   the indexed block-max WAND path.
+3. **headline queries** on $SPARK_GRAFT_SF_DIR (default sf0.1):
+   per-query wall seconds across the operator suite.
+
+Output fields: metric/value/unit/queries/sf (driver contract), plus
+index_build {docs_per_sec at both levels, scaling_efficiency} and
+query_p50_s.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "40000"))
+QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
+
+WAND_QUERIES = [
+    ("term00000 term00010", "intersection"),
+    ("term00003 term00007 term00012", "intersection"),
+    ("term00005 term00020", "union"),
+    ("term00001 term00002 term00040", "union"),
+    ('"term00000 term00001"', "union"),
+    ("term00042", "union"),
+    ("term00000 -term00017", "union"),
+    ("term00100 term00200", "intersection"),
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _session(master: str, shuffle: int):
+    from seekstorm_spark.session import get_spark
+
+    return get_spark("bench", master=master, shuffle_partitions=shuffle)
+
+
+def bench_index_build(n_small: int, n_big: int) -> dict:
+    """Same job, same input, two parallelism levels."""
+    from seekstorm_spark.index.builder import IndexBuilder
+    from seekstorm_spark.sources.webtext import synth_webtext
+
+    out = {}
+    for level, n in (("small", n_small), ("big", n_big)):
+        spark = _session(f"local[{n}]", max(n, 8))
+        try:
+            docs = synth_webtext(spark, BENCH_DOCS, partitions=max(n * 2, 8)).cache()
+            docs.count()  # materialize corpus outside the timed window
+            path = f"/tmp/bench_idx_{n}"
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            t0 = time.time()
+            store = IndexBuilder(spark, path, n_buckets=max(n, 16)).build(
+                docs, text_col="text", order_col="url"
+            )
+            dt = time.time() - t0
+            out[level] = {
+                "cores": n,
+                "wall_s": round(dt, 2),
+                "docs_per_sec": round(BENCH_DOCS / dt, 1),
+            }
+            out["index_path"] = path
+            out["n_docs"] = store.n_docs
+        finally:
+            spark.stop()
+    ratio = out["big"]["cores"] / out["small"]["cores"]
+    speedup = out["big"]["docs_per_sec"] / out["small"]["docs_per_sec"]
+    out["scaling_efficiency"] = round(speedup / ratio, 3)
+    return out
+
+
+def bench_wand_queries(index_path: str, cores: int) -> dict:
+    from seekstorm_spark.index.store import IndexStore
+    from seekstorm_spark.query.engine import search
+
+    spark = _session(f"local[{cores}]", max(cores, 8))
+    try:
+        store = IndexStore.open(index_path)
+        lat: dict[str, float] = {}
+        # warm-up (JVM + parquet footers + Python workers)
+        search(spark, store, "term00042", top_k=10).collect()
+        for q, dt_ in WAND_QUERIES:
+            times = []
+            for _ in range(QUERY_REPS):
+                t0 = time.time()
+                search(spark, store, q, top_k=10, default_type=dt_).collect()
+                times.append(time.time() - t0)
+            lat[f"{dt_[:3]}:{q}"] = round(min(times), 3)
+        p50 = statistics.median(lat.values())
+        return {"per_query_s": lat, "p50_s": round(p50, 3)}
+    finally:
+        spark.stop()
+
+
+def bench_headline(sf_dir: str, cores: int) -> dict:
+    """Operator-suite queries on the driver's sf tables."""
+    import __spark_entry__ as entrymod
+
+    names = [
+        "bm25_topk_and",
+        "bm25_topk_or",
+        "bm25_phrase",
+        "term_df",
+        "dedup_exact_groups",
+        "dedup_jaccard_pairs",
+        "ann_cosine_topk",
+        "text_quality",
+        "agg_pricing_summary",
+        "agg_events_daily",
+    ]
+    spark = _session(f"local[{cores}]", max(cores, 8))
+    try:
+        qs = entrymod.queries()
+        out: dict[str, float] = {}
+        for name in names:
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            out[name] = round(time.time() - t0, 3)
+        return out
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    n_small = max(CPUS // 4, 1)
+    build = bench_index_build(n_small, CPUS)
+    wand = bench_wand_queries(build["index_path"], CPUS)
+    headline = bench_headline(SF_DIR, CPUS)
+
+    result = {
+        "metric": "headline operator suite wall time",
+        "value": round(sum(headline.values()), 3),
+        "unit": "sec",
+        "queries": headline,
+        "sf": _sf_from_dir(SF_DIR),
+        "index_build": {
+            "bench_docs": BENCH_DOCS,
+            "small": build["small"],
+            "big": build["big"],
+            "scaling_efficiency": build["scaling_efficiency"],
+        },
+        "wand_query": wand,
+        "query_p50_s": wand["p50_s"],
+        "docs_per_sec": build["big"]["docs_per_sec"],
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

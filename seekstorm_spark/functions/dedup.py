@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 from seekstorm_spark.functions.textstats import doc_fingerprint
 
@@ -134,7 +135,7 @@ def _md5_u64(data: bytes) -> int:
     return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
 
 
-@pandas_udf("array<bigint>")
+@pandas_udf(ArrayType(LongType()))
 def _minhash_udf(texts: pd.Series) -> pd.Series:
     """128-permutation MinHash signature over 3-token shingles."""
     n_hashes = 128
@@ -199,7 +200,7 @@ def minhash_lsh_pairs(
     )
 
 
-@pandas_udf("bigint")
+@pandas_udf(LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (tf-weighted bits)."""
 

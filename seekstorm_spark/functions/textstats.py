@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 # A tiny stopword-marker table per language for the heuristic
 # classifier. At 100 TB you would swap in fastText/CLD3 via the same
@@ -79,7 +80,7 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def lang_id_udf(texts: pd.Series) -> pd.Series:
     """Marker-token language heuristic (vectorized; ties → 'und')."""
 

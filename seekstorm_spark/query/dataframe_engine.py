@@ -22,13 +22,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
 
 from seekstorm_spark.quantization import DOCUMENT_LENGTH_COMPRESSION
 from seekstorm_spark.scoring import B, K
 from seekstorm_spark.tokenizer import tokenize_line
 
 
-@pandas_udf("array<string>")
+@pandas_udf(ArrayType(StringType()))
 def tokenize_udf(texts: pd.Series) -> pd.Series:
     """Arrow-vectorized UnicodeAlphanumeric tokenizer (doc mode, no
     stopwords) — reference tokenizer.rs:339-360 semantics."""
@@ -152,6 +153,50 @@ def bm25_scored(
         )
         agg = agg.join(excl, "docid", "left_anti")
     return agg.select("docid", "score")
+
+
+def phrase_docids(
+    docs: DataFrame,
+    phrase_terms: list[str],
+    docid_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """docids containing the exact token sequence (position-adjacency
+    self-joins — the declarative twin of the positional phrase check
+    in `query.engine`, reference add_result.rs:3152-3391)."""
+    tok = tokens(docs, docid_col, text_col)
+    base = tok.filter(F.col("term") == phrase_terms[0]).select(
+        "docid", F.col("pos").alias("anchor")
+    )
+    for i, t in enumerate(phrase_terms[1:], start=1):
+        nxt = tok.filter(F.col("term") == t).select(
+            "docid", (F.col("pos") - i).alias("anchor")
+        )
+        base = base.join(nxt, ["docid", "anchor"])
+    return base.select("docid").distinct()
+
+
+def bm25_phrase_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    phrase_terms: list[str],
+    top_k: int = 10,
+    docid_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Phrase top-k: adjacency-filtered candidates scored by the
+    phrase's component terms (Bm25f + SingleTerm decomposition,
+    reference index.rs:3050-3198)."""
+    matches = phrase_docids(docs, phrase_terms, docid_col, text_col)
+    scored = bm25_scored(
+        spark, docs, phrase_terms, "intersection", None, docid_col, text_col
+    ).join(matches, "docid")
+    return (
+        scored.withColumn("score_r", F.round(F.col("score"), 4))
+        .orderBy(F.col("score_r").desc(), F.col("docid").asc())
+        .limit(top_k)
+        .select("docid", F.col("score_r").alias("score"))
+    )
 
 
 def bm25_topk(

@@ -1,0 +1,202 @@
+"""Tests for training-data operators: dedup, simsearch, textstats,
+multimodal plumbing, streaming incremental indexing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    data = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma delta epsilon"),  # exact dup of 0
+        (2, "alpha beta gamma delta zeta"),  # near dup
+        (3, "completely different words here now"),
+        (4, "alpha beta gamma delta epsilon"),  # exact dup of 0
+    ]
+    return spark.createDataFrame(pd.DataFrame(data, columns=["doc_id", "text"]))
+
+
+def test_exact_dup_groups(docs):
+    from seekstorm_spark.functions.dedup import exact_dup_groups
+
+    rows = exact_dup_groups(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["dup_count"] == 3
+    assert rows[0]["keeper_docid"] == 0
+
+
+def test_jaccard_pairs(docs):
+    from seekstorm_spark.functions.dedup import jaccard_pairs
+
+    rows = jaccard_pairs(docs, threshold=0.3).collect()
+    pairs = {(r["docid_a"], r["docid_b"]): r["jaccard"] for r in rows}
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 4)] == 1.0 and pairs[(1, 4)] == 1.0
+    # 0 vs 2: shingles {abg, bgd, gde} vs {abg, bgd, gdz}: 2/4 = 0.5
+    assert pairs[(0, 2)] == 0.5
+    assert (0, 3) not in pairs
+
+
+def test_minhash_identical_docs_always_collide(docs):
+    from seekstorm_spark.functions.dedup import minhash_lsh_pairs
+
+    rows = minhash_lsh_pairs(docs).collect()
+    got = {(r["docid_a"], r["docid_b"]) for r in rows}
+    assert {(0, 1), (0, 4), (1, 4)} <= got
+    assert (0, 3) not in got and (1, 3) not in got
+
+
+def test_simhash_matches_duckdb_oracle(spark, docs):
+    """The SQL oracle in __spark_entry__ must produce bit-identical
+    simhash values — verify the construction on a local corpus."""
+    import duckdb
+
+    from seekstorm_spark.functions.dedup import simhash_udf
+
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in docs.select(
+            "doc_id", simhash_udf(F.col("text")).alias("simhash")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs_pd", docs.toPandas())
+    want = dict(
+        con.sql(
+            """
+WITH docs AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                         x -> x <> '') AS toks FROM docs_pd),
+tcnt AS (SELECT doc_id, t.tok AS term, count(*) AS cnt
+         FROM docs, unnest(toks) AS t(tok) GROUP BY 1, 2),
+th AS (SELECT doc_id, term, cnt,
+              ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h FROM tcnt),
+bits AS (SELECT doc_id, b.b AS bit,
+                sum(CASE WHEN (h >> b.b) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+         FROM th CROSS JOIN generate_series(0, 63) AS b(b) GROUP BY 1, 2)
+SELECT doc_id, sum(CASE WHEN w > 0 THEN
+         CASE WHEN bit = 63 THEN -9223372036854775808
+              ELSE (1::BIGINT << bit) END ELSE 0 END)::BIGINT
+FROM bits GROUP BY doc_id
+"""
+        ).fetchall()
+    )
+    assert got == want
+    assert got[0] == got[1] == got[4]  # identical docs → identical simhash
+
+
+def test_cosine_topk(spark):
+    from seekstorm_spark.functions.simsearch import cosine_topk, lsh_ann_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    vecs[7] = vecs[0] * 2.0  # same direction as query → cos 1.0
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(50), "embedding": [v.tolist() for v in vecs]})
+    )
+    q = [float(x) for x in vecs[0]]
+    top = cosine_topk(df.filter(F.col("vec_id") != 0), q, k=3).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["cos_sim"] == 1.0
+    # LSH with identical-direction vector: same signature bucket
+    ann = lsh_ann_topk(df.filter(F.col("vec_id") != 0), q, k=3).collect()
+    assert ann[0]["vec_id"] == 7
+
+
+def test_quality_and_langid(spark):
+    from seekstorm_spark.functions.textstats import (
+        lang_id_udf,
+        quality_features,
+        ws_token_count,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "the cat is on the mat",
+                    "der hund ist nicht das problem",
+                    "xyzzy qwerty",
+                ],
+            }
+        )
+    )
+    rows = df.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("n"),
+        lang_id_udf(F.col("text")).alias("lang"),
+    ).collect()
+    assert [r["n"] for r in rows] == [6, 6, 2]
+    assert [r["lang"] for r in rows] == ["en", "de", "und"]
+    q = quality_features(df).collect()
+    assert q[0]["stopword_ratio"] > 0.3
+    assert q[2]["stopword_ratio"] == 0.0
+
+
+def test_multimodal_plumbing(spark):
+    from seekstorm_spark.functions.multimodal import (
+        decode_image_meta,
+        extract_features,
+    )
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + (64).to_bytes(4, "big") + (
+        32
+    ).to_bytes(4, "big")
+    rows = [("u1", bytearray(png)), ("u2", bytearray(b"\xff\xd8rest")), ("u3", bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    meta = {r["url"]: r for r in decode_image_meta(df).collect()}
+    assert meta["u1"]["format"] == "png" and meta["u1"]["width"] == 64
+    assert meta["u2"]["format"] == "jpeg"
+    assert meta["u3"]["format"] == "unknown"
+    feats = extract_features(df, dim=8).collect()
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # deterministic: same bytes → same feature
+    again = extract_features(df, dim=8).collect()
+    assert [r["feature"] for r in feats] == [r["feature"] for r in again]
+
+
+def test_streaming_incremental_index(spark, tmp_path):
+    """Micro-batches appended via append_batch are immediately
+    searchable; stats accumulate across batches."""
+    from seekstorm_spark.index.store import IndexStore
+    from seekstorm_spark.query.engine import count_matches, search
+    from seekstorm_spark.streaming.incremental import append_batch
+
+    path = str(tmp_path / "stream_idx")
+    import os
+
+    os.makedirs(path)
+    store = IndexStore(path=path)
+    store.meta = {
+        "version": 1,
+        "tokenizer": "unicode_alphanumeric",
+        "stop_words": [],
+        "n_docs": 0,
+        "positions_sum_normalized": 0,
+        "avgdl": 1.0,
+        "n_buckets": 8,
+        "block_size": 65536,
+        "next_docid": 0,
+        "complete": True,
+    }
+    store.write_meta()
+
+    b1 = spark.createDataFrame(
+        pd.DataFrame({"text": ["alpha beta", "alpha gamma", "beta gamma"]})
+    )
+    append_batch(spark, store, b1)
+    assert store.n_docs == 3
+    assert count_matches(spark, store, "alpha", "union") == 2
+
+    b2 = spark.createDataFrame(
+        pd.DataFrame({"text": ["alpha beta gamma", "delta epsilon"]})
+    )
+    append_batch(spark, store, b2)
+    assert store.n_docs == 5
+    assert count_matches(spark, store, "alpha", "union") == 3
+    assert count_matches(spark, store, "delta", "union") == 1
+    top = search(spark, store, "alpha beta", top_k=3, default_type="intersection")
+    assert len(top.collect()) == 2
