@@ -27,7 +27,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "40000"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "200000"))
 QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
 
 WAND_QUERIES = [
@@ -72,7 +72,7 @@ def bench_index_build(n_small: int, n_big: int) -> dict:
 
             shutil.rmtree(path, ignore_errors=True)
             t0 = time.time()
-            store = IndexBuilder(spark, path, n_buckets=max(n, 16)).build(
+            store = IndexBuilder(spark, path, n_buckets=64).build(
                 docs, text_col="text", order_col="url"
             )
             dt = time.time() - t0

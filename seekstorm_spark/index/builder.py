@@ -49,13 +49,10 @@ from seekstorm_spark.codecs import (
     encode_tfs,
 )
 from seekstorm_spark.index.store import IndexStore
-from seekstorm_spark.quantization import decode_lengths, encode_lengths
+from seekstorm_spark.quantization import decode_lengths
 from seekstorm_spark.scoring import B, K
-from seekstorm_spark.tokenizer import tokenize_doc
 
-TERM_ROW_SCHEMA = (
-    "docid long, term string, tf int, positions array<int>, dl_byte int"
-)
+TERM_ROW_SCHEMA = "docid long, term string, pos int, dl_byte int"
 
 POSTING_SCHEMA = (
     "term string, block_id int, posting_count int, max_tf_comp float, "
@@ -113,94 +110,202 @@ def tokenize_to_term_rows(
     tokenizer: str = "unicode_alphanumeric",
     stop_words: frozenset[str] | None = None,
 ) -> DataFrame:
-    """docs(docid, text) → term rows; one sentinel row per doc
-    (term='') carries the doc length so empty docs stay counted."""
+    """docs(docid, text) → flat (docid, term, pos, dl_byte) rows; one
+    sentinel row per doc (term='', pos=-1) carries the doc length so
+    empty docs stay counted.
+
+    Flat position-level rows keep the Python side to one regex call
+    per doc plus numpy array assembly — the per-(term,doc) aggregation
+    happens vectorized inside the posting-block kernel, not here.
+    Position semantics match ``tokenizer.tokenize_doc`` (stopwords
+    dropped without advancing positions; 65,536-token field cap,
+    reference tokenizer.rs:584-894).
+    """
     tokenizer_name = tokenizer
     stops = stop_words
 
     def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from seekstorm_spark.quantization import int_to_byte4
+        from seekstorm_spark.tokenizer import TOKEN_PER_FIELD_MAX, tokenize_line
+
         for pdf in batches:
-            docids: list[int] = []
-            terms: list[str] = []
-            tfs: list[int] = []
-            poss: list[list[int]] = []
-            dls: list[int] = []
+            doc_ids: list[int] = []
+            counts: list[int] = []
+            dl_bytes: list[int] = []
+            all_terms: list[str] = []
             for docid, text in zip(pdf["docid"].values, pdf[text_col].values):
-                tmap, count = tokenize_doc(text or "", tokenizer_name, stops)
-                dl_byte = int(encode_lengths(np.array([count]))[0])
-                docids.append(docid)
-                terms.append("")
-                tfs.append(0)
-                poss.append([])
-                dls.append(dl_byte)
-                for term, positions in tmap.items():
-                    docids.append(docid)
-                    terms.append(term)
-                    tfs.append(len(positions))
-                    poss.append(positions)
-                    dls.append(dl_byte)
-            yield pd.DataFrame(
+                toks = tokenize_line(text or "", tokenizer_name)
+                if stops:
+                    toks = [t for t in toks if t not in stops]
+                if len(toks) > TOKEN_PER_FIELD_MAX:
+                    toks = toks[:TOKEN_PER_FIELD_MAX]
+                doc_ids.append(int(docid))
+                counts.append(len(toks))
+                dl_bytes.append(int_to_byte4(len(toks)))
+                all_terms.extend(toks)
+            counts_a = np.asarray(counts, dtype=np.int64)
+            docs_a = np.asarray(doc_ids, dtype=np.int64)
+            dlb_a = np.asarray(dl_bytes, dtype=np.int32)
+            total = int(counts_a.sum())
+            starts = np.concatenate(([0], np.cumsum(counts_a)[:-1]))
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts_a)
+            out = pd.DataFrame(
                 {
-                    "docid": pd.Series(docids, dtype="int64"),
-                    "term": terms,
-                    "tf": pd.Series(tfs, dtype="int32"),
-                    "positions": poss,
-                    "dl_byte": pd.Series(dls, dtype="int32"),
+                    "docid": np.concatenate(
+                        [np.repeat(docs_a, counts_a), docs_a]
+                    ),
+                    "term": all_terms + [""] * len(docs_a),
+                    "pos": np.concatenate(
+                        [pos, np.full(len(docs_a), -1, dtype=np.int64)]
+                    ).astype(np.int32),
+                    "dl_byte": np.concatenate(
+                        [np.repeat(dlb_a, counts_a), dlb_a]
+                    ).astype(np.int32),
                 }
             )
+            yield out
 
     return docs.select("docid", text_col).mapInPandas(_tok, schema=TERM_ROW_SCHEMA)
 
 
-def build_posting_blocks(term_rows: DataFrame, avgdl: float) -> DataFrame:
-    """(term, block) groups → compressed posting rows.
+def tokenize_to_doc_lengths(
+    docs: DataFrame,
+    text_col: str = "text",
+    tokenizer: str = "unicode_alphanumeric",
+    stop_words: frozenset[str] | None = None,
+) -> DataFrame:
+    """docs(docid, text) → (docid, dl_byte): token counts only, no term
+    materialization or shuffle — the cheap first pass that yields
+    N/avgdl before the posting pass needs them."""
+    tokenizer_name = tokenizer
+    stops = stop_words
 
-    The group key (term, block_id) bounds every task at 65,536 docids —
-    the reference's block structure (`index.rs:114-115`) doing double
-    duty as skew handling: a stopword with 10^9 postings becomes ~15k
-    independent bounded tasks, not one hot key.
+    def _count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from seekstorm_spark.quantization import int_to_byte4
+        from seekstorm_spark.tokenizer import TOKEN_PER_FIELD_MAX, tokenize_line
+
+        for pdf in batches:
+            dl = []
+            for text in pdf[text_col].values:
+                toks = tokenize_line(text or "", tokenizer_name)
+                if stops:
+                    toks = [t for t in toks if t not in stops]
+                dl.append(int_to_byte4(min(len(toks), TOKEN_PER_FIELD_MAX)))
+            yield pd.DataFrame(
+                {
+                    "docid": pdf["docid"].values,
+                    "dl_byte": pd.Series(dl, dtype="int32"),
+                }
+            )
+
+    return docs.select("docid", text_col).mapInPandas(
+        _count, schema="docid long, dl_byte int"
+    )
+
+
+def build_posting_blocks(
+    term_rows: DataFrame,
+    avgdl: float,
+    n_buckets: int,
+    only_buckets: list[int] | None = None,
+    block_size: int = ROARING_BLOCK_SIZE,
+) -> DataFrame:
+    """(term-bucket, block) groups → compressed posting rows.
+
+    Grouping by (tbucket, block_id) — not (term, block_id) — gives a
+    small number of *large* Arrow batches, each vectorized with one
+    ``lexsort`` + run-length pass over all its terms, instead of
+    millions of tiny per-term UDF invocations. Group size stays
+    bounded: ≤65,536 docids/block (`index.rs:114-115`) × the bucket's
+    share of the vocabulary — the Spark analog of the reference's 2048
+    term-hash segments committed per block (`index.rs:988-995`,
+    `commit.rs:467-682`). Raise ``n_buckets`` to shrink groups at
+    scale; skew from hot terms is already capped by the block bound.
     """
     avgdl_f = np.float32(avgdl)
 
     def _build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, block_id = key[0], int(key[1])
-        pdf = pdf.sort_values("docid", kind="mergesort")
-        docids = pdf["docid"].values.astype(np.int64)
-        local = (docids & (ROARING_BLOCK_SIZE - 1)).astype(np.int64)
-        tfs = pdf["tf"].values.astype(np.int64)
-        dl_bytes = pdf["dl_byte"].values.astype(np.uint8)
-        dl_q = decode_lengths(dl_bytes).astype(np.float32)
-        # block-max BM25 tf component in f32 (idf multiplied at query
-        # plan time; f32 multiply is monotone so the bound is admissible)
-        tf32 = tfs.astype(np.float32)
+        tbucket, block_id = int(key[0]), int(key[1])
+        term_codes, uniq_terms = pd.factorize(pdf["term"], sort=True)
+        d = pdf["docid"].values.astype(np.int64)
+        p = pdf["pos"].values.astype(np.int64)
+        dlb = pdf["dl_byte"].values.astype(np.uint8)
+        order = np.lexsort((p, d, term_codes))
+        t, d, p, dlb = term_codes[order], d[order], p[order], dlb[order]
+
+        # (term, doc) run boundaries → tf per posting
+        new_pair = np.empty(len(t), dtype=bool)
+        new_pair[0] = True
+        new_pair[1:] = (t[1:] != t[:-1]) | (d[1:] != d[:-1])
+        pair_starts = np.flatnonzero(new_pair)
+        tfs_all = np.diff(np.append(pair_starts, len(t)))
+        td_term = t[pair_starts]
+        td_doc = d[pair_starts]
+        td_dlb = dlb[pair_starts]
+
+        # f32 BM25 tf component per posting (block-max metadata;
+        # idf multiplied at plan time — monotone, bound stays admissible)
+        tf32 = tfs_all.astype(np.float32)
+        dl_q = decode_lengths(td_dlb).astype(np.float32)
         comp = tf32 * np.float32(K + 1.0) / (
             tf32
             + np.float32(K)
             * (np.float32(1.0) - np.float32(B) + np.float32(B) * dl_q / avgdl_f)
         )
-        flat_pos = (
-            np.concatenate(pdf["positions"].values)
-            if len(pdf)
-            else np.empty(0, dtype=np.int64)
-        )
+
+        # per-term slices over the (term, doc) arrays
+        new_term = np.empty(len(td_term), dtype=bool)
+        new_term[0] = True
+        new_term[1:] = td_term[1:] != td_term[:-1]
+        term_starts = np.flatnonzero(new_term)
+        term_ends = np.append(term_starts[1:], len(td_term))
+        pos_bounds = np.append(pair_starts, len(t))
+
+        local_all = (td_doc - block_id * block_size).astype(np.int64)
+        out_terms, out_cnt, out_max = [], [], []
+        out_docids, out_tfs, out_dls, out_pos = [], [], [], []
+        for s, e in zip(term_starts, term_ends):
+            tfs = tfs_all[s:e]
+            out_terms.append(uniq_terms[td_term[s]])
+            out_cnt.append(e - s)
+            out_max.append(float(comp[s:e].max()))
+            out_docids.append(encode_docids(local_all[s:e]))
+            out_tfs.append(encode_tfs(tfs))
+            out_dls.append(td_dlb[s:e].tobytes())
+            out_pos.append(
+                encode_positions(p[pos_bounds[s] : pos_bounds[e]], tfs)
+            )
         return pd.DataFrame(
             {
-                "term": [term],
-                "block_id": pd.Series([block_id], dtype="int32"),
-                "posting_count": pd.Series([len(docids)], dtype="int32"),
-                "max_tf_comp": pd.Series([float(comp.max())], dtype="float32"),
-                "docids_vb": [encode_docids(local)],
-                "tfs_vb": [encode_tfs(tfs)],
-                "dls": [dl_bytes.tobytes()],
-                "positions_vb": [encode_positions(flat_pos, tfs)],
+                "term": out_terms,
+                "block_id": pd.Series(
+                    np.full(len(out_terms), block_id), dtype="int32"
+                ),
+                "posting_count": pd.Series(out_cnt, dtype="int32"),
+                "max_tf_comp": pd.Series(out_max, dtype="float32"),
+                "docids_vb": out_docids,
+                "tfs_vb": out_tfs,
+                "dls": out_dls,
+                "positions_vb": out_pos,
+                "tbucket": pd.Series(
+                    np.full(len(out_terms), tbucket), dtype="int32"
+                ),
             }
         )
 
     blocks = term_rows.withColumn(
-        "block_id", (F.col("docid") / F.lit(ROARING_BLOCK_SIZE)).cast("int")
+        "block_id", (F.col("docid") / F.lit(block_size)).cast("int")
+    ).withColumn(
+        "tbucket",
+        F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int"),
     )
-    return blocks.groupBy("term", "block_id").applyInPandas(
-        _build, schema=POSTING_SCHEMA
+    if only_buckets is not None:
+        # resume: skip committed buckets before the shuffle, not after
+        blocks = blocks.filter(
+            F.col("tbucket").isin([int(b) for b in only_buckets])
+        )
+    return blocks.groupBy("tbucket", "block_id").applyInPandas(
+        _build, schema=POSTING_SCHEMA + ", tbucket int"
     )
 
 
@@ -212,12 +317,14 @@ class IndexBuilder:
         tokenizer: str = "unicode_alphanumeric",
         stop_words: frozenset[str] | None = None,
         n_buckets: int = 32,
+        block_size: int = ROARING_BLOCK_SIZE,
     ):
         self.spark = spark
         self.index_path = index_path
         self.tokenizer = tokenizer
         self.stop_words = stop_words
         self.n_buckets = n_buckets
+        self.block_size = block_size
 
     def build(
         self,
@@ -239,18 +346,19 @@ class IndexBuilder:
         store = IndexStore(path=self.index_path)
         os.makedirs(self.index_path, exist_ok=True)
 
+        # project early: only (order/id, text) enter the build shuffles —
+        # at 100 TB the html payload must never ride along
+        keep = [c for c in {order_col or text_col, id_col, text_col} if c]
         docs = assign_docids(
-            docs, order_col=order_col or text_col, id_col=id_col,
+            docs.select(*keep), order_col=order_col or text_col, id_col=id_col,
             n_buckets=max(self.n_buckets, 16),
         )
-
-        term_rows = tokenize_to_term_rows(
-            docs, text_col, self.tokenizer, self.stop_words
-        ).cache()
+        docs = docs.select("docid", text_col).cache()
 
         # --- doc_meta + global stats (reference commit.rs:264-325) ---
-        doc_meta = term_rows.filter(F.col("term") == "").select(
-            "docid", "dl_byte"
+        # cheap dedicated pass: token counts only, no term materialization
+        doc_meta = tokenize_to_doc_lengths(
+            docs, text_col, self.tokenizer, self.stop_words
         )
         doc_meta.write.mode("overwrite").parquet(store.doc_meta_path)
         doc_meta = spark.read.parquet(store.doc_meta_path)
@@ -273,12 +381,6 @@ class IndexBuilder:
         avgdl = float(np.float32(pos_sum) / np.float32(n_docs)) if n_docs else 1.0
 
         # --- posting blocks, bucketed by term hash ---
-        postings_src = term_rows.filter(F.col("term") != "")
-        posting_blocks = build_posting_blocks(postings_src, avgdl).withColumn(
-            "tbucket",
-            F.pmod(F.xxhash64(F.col("term")), F.lit(self.n_buckets)).cast("int"),
-        )
-
         committed: set[int] = set()
         if resume and os.path.exists(store.lineage_path):
             committed = {
@@ -293,10 +395,16 @@ class IndexBuilder:
             for b in (only_buckets or range(self.n_buckets))
             if b not in committed
         ]
-        if len(targets) < self.n_buckets:
-            posting_blocks = posting_blocks.filter(
-                F.col("tbucket").isin([int(b) for b in targets])
-            )
+        term_rows = tokenize_to_term_rows(
+            docs, text_col, self.tokenizer, self.stop_words
+        ).filter(F.col("term") != "")
+        posting_blocks = build_posting_blocks(
+            term_rows,
+            avgdl,
+            self.n_buckets,
+            only_buckets=targets if len(targets) < self.n_buckets else None,
+            block_size=self.block_size,
+        )
 
         mode = "append" if (resume or only_buckets) and os.path.exists(
             store.postings_path
@@ -346,7 +454,10 @@ class IndexBuilder:
             else "overwrite"
         ).parquet(store.lineage_path)
 
-        term_rows.unpersist()
+        docs.unpersist()
+        from seekstorm_spark.query.engine import invalidate_term_stats_cache
+
+        invalidate_term_stats_cache(store.path)
 
         store.meta = {
             "version": 1,
@@ -356,7 +467,7 @@ class IndexBuilder:
             "positions_sum_normalized": pos_sum,
             "avgdl": avgdl,
             "n_buckets": self.n_buckets,
-            "block_size": ROARING_BLOCK_SIZE,
+            "block_size": self.block_size,
             "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "complete": only_buckets is None or resume,
         }

@@ -39,6 +39,7 @@ from seekstorm_spark.codecs import (
     decode_positions,
     decode_tfs,
 )
+from seekstorm_spark.hashing import term_bucket
 from seekstorm_spark.index.store import IndexStore
 from seekstorm_spark.quantization import _DECODE_NP
 from seekstorm_spark.scoring import B, K, idf_f32
@@ -46,6 +47,25 @@ from seekstorm_spark.tokenizer import ParsedQuery, parse_query
 
 RESULT_SCHEMA = "docid long, score float"
 COUNT_SCHEMA = "matches long"
+
+# per-index cached term_stats DataFrames (tiny: one row per term)
+_TERM_STATS_CACHE: dict[str, object] = {}
+
+
+def _cached_term_stats(spark: SparkSession, store: IndexStore):
+    key = store.path
+    cached = _TERM_STATS_CACHE.get(key)
+    if cached is None:
+        cached = store.term_stats(spark).cache()
+        _TERM_STATS_CACHE[key] = cached
+    return cached
+
+
+def invalidate_term_stats_cache(path: str | None = None) -> None:
+    if path is None:
+        _TERM_STATS_CACHE.clear()
+    else:
+        _TERM_STATS_CACHE.pop(path, None)
 
 
 @dataclass
@@ -73,16 +93,9 @@ def _plan(
         return QueryPlan(pq.query_type, {}, [], [], False)
 
     n_buckets = store.n_buckets
-    buckets = sorted(
-        {
-            int(r["b"])
-            for r in spark.createDataFrame([(t,) for t in all_terms], "term string")
-            .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
-            .collect()
-        }
-    )
+    buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
     stats = (
-        store.term_stats(spark)
+        _cached_term_stats(spark, store)
         .filter(F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms))
         .select("term", "df")
         .collect()
@@ -124,13 +137,15 @@ def search(
     rows = _annotated_postings(spark, store, plan)
     need_k = top_k + offset
 
-    kernel = _make_kernel(plan, need_k, prune, store.avgdl)
-    parallelism = max(spark.sparkContext.defaultParallelism, 4)
-    candidates = (
-        rows.repartition(parallelism, "block_id")
-        .sortWithinPartitions(F.col("block_bound").desc(), "block_id", "term")
-        .mapInPandas(kernel, schema=RESULT_SCHEMA)
+    kernel = _make_kernel(
+        plan, need_k, prune, store.avgdl,
+        block_size=int(store.meta.get('block_size', ROARING_BLOCK_SIZE)),
     )
+    # rows are already hash-partitioned by block_id (the block-bound
+    # window's exchange) — no extra repartition needed
+    candidates = rows.sortWithinPartitions(
+        F.col("block_bound").desc(), "block_id", "term"
+    ).mapInPandas(kernel, schema=RESULT_SCHEMA)
     out = candidates.orderBy(F.col("score").desc(), F.col("docid").asc())
     if offset:
         out = out.offset(offset)
@@ -154,19 +169,23 @@ def count_matches(
     if len(plan.pos_terms) == 1 and not plan.not_terms and plan.qtype != "phrase":
         term = next(iter(plan.pos_terms))
         r = (
-            store.term_stats(spark)
-            .filter(F.col("term") == term)
+            _cached_term_stats(spark, store)
+            .filter(
+                (F.col("tbucket") == term_bucket(term, store.n_buckets))
+                & (F.col("term") == term)
+            )
             .agg(F.sum("df"))
             .collect()[0][0]
         )
         return int(r or 0)
 
     rows = _annotated_postings(spark, store, plan)
-    kernel = _make_kernel(plan, 0, False, store.avgdl, count_only=True)
-    parallelism = max(spark.sparkContext.defaultParallelism, 4)
+    kernel = _make_kernel(
+        plan, 0, False, store.avgdl, count_only=True,
+        block_size=int(store.meta.get('block_size', ROARING_BLOCK_SIZE)),
+    )
     out = (
-        rows.repartition(parallelism, "block_id")
-        .sortWithinPartitions(F.col("block_bound").desc(), "block_id", "term")
+        rows.sortWithinPartitions(F.col("block_bound").desc(), "block_id", "term")
         .mapInPandas(kernel, schema=COUNT_SCHEMA)
         .agg(F.sum("matches"))
         .collect()[0][0]
@@ -186,14 +205,7 @@ def _annotated_postings(
         ],
         "term string, idf double, is_not boolean",
     )
-    buckets = [
-        int(r["b"])
-        for r in term_info.select(
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
-        )
-        .distinct()
-        .collect()
-    ]
+    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     cols = [
         "term",
         "block_id",
@@ -244,7 +256,12 @@ def _annotated_postings(
 
 
 def _make_kernel(
-    plan: QueryPlan, top_k: int, prune: bool, avgdl: float, count_only: bool = False
+    plan: QueryPlan,
+    top_k: int,
+    prune: bool,
+    avgdl: float,
+    count_only: bool = False,
+    block_size: int = ROARING_BLOCK_SIZE,
 ):
     qtype = plan.qtype
     pos_terms = dict(plan.pos_terms)
@@ -289,7 +306,7 @@ def _make_kernel(
             if not count_only and prune:
                 if float(rows["block_bound"].iloc[0]) <= threshold():
                     return
-            base = block_id * ROARING_BLOCK_SIZE
+            base = block_id * block_size
             per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, bytes]] = {}
             for _, r in rows.iterrows():
                 d = decode_docids(r["docids_vb"])

@@ -51,13 +51,9 @@ def append_batch(
     committed blocks.
     """
     meta = dict(store.meta)
-    base_docid = (
-        (int(meta.get("next_docid", 0)) + ROARING_BLOCK_SIZE - 1)
-        // ROARING_BLOCK_SIZE
-        * ROARING_BLOCK_SIZE
-        if int(meta.get("next_docid", 0)) % ROARING_BLOCK_SIZE
-        else int(meta.get("next_docid", 0))
-    )
+    bs = int(meta.get("block_size", ROARING_BLOCK_SIZE))
+    nd = int(meta.get("next_docid", 0))
+    base_docid = ((nd + bs - 1) // bs * bs) if nd % bs else nd
 
     from seekstorm_spark.index.builder import assign_docids
 
@@ -87,9 +83,7 @@ def append_batch(
 
     n_buckets = int(meta.get("n_buckets", 32))
     blocks = build_posting_blocks(
-        term_rows.filter(F.col("term") != ""), avgdl
-    ).withColumn(
-        "tbucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
+        term_rows.filter(F.col("term") != ""), avgdl, n_buckets, block_size=bs
     )
     blocks.write.mode("append").partitionBy("tbucket").parquet(store.postings_path)
 
@@ -103,6 +97,9 @@ def append_batch(
         store.term_stats_path
     )
 
+    from seekstorm_spark.query.engine import invalidate_term_stats_cache
+
+    invalidate_term_stats_cache(store.path)
     term_rows.unpersist()
     meta.update(
         {
