@@ -463,6 +463,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("doc_id", ws_token_count(F.col("text")).cast("long").alias("n_ws"))
     )
 
+    # --- highlighting (reference highlighter.rs:71-382) ---
+    def highlight_kwic(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.highlight import highlight_first
+
+        docs = _docs(s, d)
+        top = bm25_topk(s, docs, ["fast", "table"], "intersection", top_k=5)
+        return top.join(docs, top.docid == docs.doc_id).select(
+            "doc_id",
+            highlight_first(F.col("text"), "fast", 30).alias("kwic"),
+        )
+
+    q["highlight_kwic"] = highlight_kwic
+
+    # --- hybrid RRF fusion (reference search.rs:1962-2035) ---
+    def hybrid_rrf(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.fusion import rrf_fuse
+
+        docs = _docs(s, d)
+        lex = bm25_topk(s, docs, ["fast", "table"], "union", top_k=10)
+        vec = cosine_topk(
+            _emb(s, d).filter(F.col("vec_id") != 0), ann_query_vec(s, d), k=10
+        ).withColumnRenamed("vec_id", "docid")
+        return rrf_fuse(lex, vec, id_col="docid", top_k=10)
+
+    q["hybrid_rrf"] = hybrid_rrf
+
     # --- generic analytics over the star schema (engine breadth) ---
     q["agg_pricing_summary"] = lambda s, d: (
         s.read.parquet(f"{d}/lineitem.parquet")
@@ -684,6 +710,40 @@ FROM h
         "SELECT doc_id, len(list_filter(string_split(trim(text), ' '), "
         "x -> x <> ''))::BIGINT AS n_ws FROM documents WHERE doc_id < 50"
     )
+    o["highlight_kwic"] = f"""
+WITH top AS ({_bm25_sql(["fast", "table"], "intersection", top_k=5)})
+SELECT d.doc_id,
+       CASE WHEN instr(d.text, 'fast') > 0 THEN
+         replace(substring(d.text,
+                           greatest(instr(d.text, 'fast') - 30, 1),
+                           {2 * 30 + len("fast")}),
+                 'fast', '<b>fast</b>')
+       ELSE '' END AS kwic
+FROM top t JOIN documents d ON d.doc_id = t.docid
+"""
+    o["hybrid_rrf"] = f"""
+WITH lex AS ({_bm25_sql(["fast", "table"], "union", top_k=10)}),
+lexr AS (SELECT docid, row_number() OVER (ORDER BY score DESC, docid ASC)
+           AS lex_rank FROM lex),
+vec AS (
+  WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+  SELECT e.vec_id AS docid,
+         round(
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
+         4) AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+  ORDER BY cos_sim DESC, docid ASC LIMIT 10),
+vecr AS (SELECT docid, row_number() OVER (ORDER BY cos_sim DESC, docid ASC)
+           AS vec_rank FROM vec)
+SELECT COALESCE(l.docid, v.docid) AS docid,
+       round(COALESCE(1.0 / (0.6 + l.lex_rank), 0.0)
+             + COALESCE(1.0 / (0.6 + v.vec_rank), 0.0), 6) AS rrf_score
+FROM lexr l FULL OUTER JOIN vecr v ON l.docid = v.docid
+ORDER BY rrf_score DESC, docid ASC LIMIT 10
+"""
     o["agg_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

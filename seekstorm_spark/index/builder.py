@@ -363,18 +363,15 @@ class IndexBuilder:
         doc_meta.write.mode("overwrite").parquet(store.doc_meta_path)
         doc_meta = spark.read.parquet(store.doc_meta_path)
 
-        agg = doc_meta.agg(
-            F.count("*").alias("n"),
-        ).collect()[0]
-        n_docs = int(agg["n"])
-        # positions_sum_normalized = sum of decompressed quantized
-        # lengths; avgdl divides by doc count (commit.rs:318-319), f32.
+        # one collect: the length histogram yields both N and the
+        # positions sum (avgdl per commit.rs:318-319, f32 division)
         dl_hist = {
             int(r["dl_byte"]): int(r["cnt"])
             for r in doc_meta.groupBy("dl_byte")
             .agg(F.count("*").alias("cnt"))
             .collect()
         }
+        n_docs = int(sum(dl_hist.values()))
         pos_sum = int(
             sum(int(decode_lengths(np.array([b]))[0]) * c for b, c in dl_hist.items())
         )
@@ -426,25 +423,28 @@ class IndexBuilder:
             F.sum("posting_count").cast("long").alias("df"),
             F.count("*").cast("int").alias("n_blocks"),
             F.max("max_tf_comp").alias("max_tf_comp"),
+            (
+                F.sum(F.length("docids_vb"))
+                + F.sum(F.length("tfs_vb"))
+                + F.sum(F.length("dls"))
+                + F.sum(F.length("positions_vb"))
+            ).cast("long").alias("bytes"),
         )
         term_stats.write.mode("overwrite").partitionBy("tbucket").parquet(
             store.term_stats_path
         )
 
-        # --- lineage (per-bucket commit record) ---
+        # --- lineage (per-bucket commit record), derived from the tiny
+        # term_stats table so the postings payload is read only once ---
+        ts = spark.read.parquet(store.term_stats_path)
         lineage = (
-            postings.filter(F.col("tbucket").isin([int(b) for b in targets]))
+            ts.filter(F.col("tbucket").isin([int(b) for b in targets]))
             .groupBy("tbucket")
             .agg(
-                F.count("*").cast("long").alias("n_blocks"),
-                F.countDistinct("term").cast("long").alias("n_terms"),
-                F.sum("posting_count").cast("long").alias("n_postings"),
-                (
-                    F.sum(F.length("docids_vb"))
-                    + F.sum(F.length("tfs_vb"))
-                    + F.sum(F.length("dls"))
-                    + F.sum(F.length("positions_vb"))
-                ).cast("long").alias("bytes"),
+                F.sum("n_blocks").cast("long").alias("n_blocks"),
+                F.count("*").cast("long").alias("n_terms"),
+                F.sum("df").cast("long").alias("n_postings"),
+                F.sum("bytes").cast("long").alias("bytes"),
             )
             .withColumn("committed_at", F.current_timestamp())
             .withColumn("build_wall_s", F.lit(float(time.time() - t0)))

@@ -37,6 +37,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-mode shuffle goes through spark.local.dir; tmpfs keeps the
+        # benchmark CPU-bound (a cluster has NVMe + network for this)
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
