@@ -56,6 +56,10 @@ class IndexStore:
     def lineage_path(self) -> str:
         return os.path.join(self.path, "lineage")
 
+    @property
+    def deletes_path(self) -> str:
+        return os.path.join(self.path, "deletes")
+
     # --- lifecycle ---
     @classmethod
     def open(cls, path: str) -> "IndexStore":

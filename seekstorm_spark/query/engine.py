@@ -140,6 +140,7 @@ def search(
     kernel = _make_kernel(
         plan, need_k, prune, store.avgdl,
         block_size=int(store.meta.get('block_size', ROARING_BLOCK_SIZE)),
+        deletes=_load_delete_set(spark, store),
     )
     # rows are already hash-partitioned by block_id (the block-bound
     # window's exchange) — no extra repartition needed
@@ -166,7 +167,15 @@ def count_matches(
     plan = _plan(spark, store, query, default_type)
     if plan.missing_required or not plan.pos_terms:
         return 0
-    if len(plan.pos_terms) == 1 and not plan.not_terms and plan.qtype != "phrase":
+    import os
+
+    has_deletes = os.path.exists(store.deletes_path)
+    if (
+        len(plan.pos_terms) == 1
+        and not plan.not_terms
+        and plan.qtype != "phrase"
+        and not has_deletes  # stored df doesn't reflect the delete set
+    ):
         term = next(iter(plan.pos_terms))
         r = (
             _cached_term_stats(spark, store)
@@ -183,6 +192,7 @@ def count_matches(
     kernel = _make_kernel(
         plan, 0, False, store.avgdl, count_only=True,
         block_size=int(store.meta.get('block_size', ROARING_BLOCK_SIZE)),
+        deletes=_load_delete_set(spark, store),
     )
     out = (
         rows.sortWithinPartitions(F.col("block_bound").desc(), "block_id", "term")
@@ -191,6 +201,60 @@ def count_matches(
         .collect()[0][0]
     )
     return int(out or 0)
+
+
+def browse(
+    spark: SparkSession,
+    store: IndexStore,
+    top_k: int = 10,
+    offset: int = 0,
+    descending: bool = True,
+) -> DataFrame:
+    """Empty-query index browse (reference iterator.rs /
+    search.rs:1413-1432): all live docids ordered by docid, paged."""
+    dm = store.doc_meta(spark).select("docid")
+    dm = _anti_join_deletes(spark, store, dm)
+    order = F.col("docid").desc() if descending else F.col("docid").asc()
+    out = dm.orderBy(order)
+    if offset:
+        out = out.offset(offset)
+    return out.limit(top_k)
+
+
+def delete_documents(
+    spark: SparkSession, store: IndexStore, docids: list[int]
+) -> None:
+    """Append docids to the delete set (reference delete.bin,
+    `index.rs:5081-5200`): postings stay immutable; results filter at
+    query time (`add_result.rs:3000-3002`)."""
+    import os
+
+    df = spark.createDataFrame([(int(d),) for d in docids], "docid long")
+    mode = "append" if os.path.exists(store.deletes_path) else "overwrite"
+    df.write.mode(mode).parquet(store.deletes_path)
+
+
+def _load_delete_set(spark: SparkSession, store: IndexStore) -> np.ndarray:
+    """Delete set as a sorted array for the kernel (the reference keeps
+    an in-RAM AHashSet, `index.rs:1593-1594`). Kept broadcast-sized; a
+    corpus with massive deletes should compact instead."""
+    import os
+
+    if not os.path.exists(store.deletes_path):
+        return np.empty(0, dtype=np.int64)
+    rows = spark.read.parquet(store.deletes_path).select("docid").collect()
+    return np.unique(np.array([r["docid"] for r in rows], dtype=np.int64))
+
+
+def _anti_join_deletes(
+    spark: SparkSession, store: IndexStore, df: DataFrame
+) -> DataFrame:
+    import os
+
+    if not os.path.exists(store.deletes_path):
+        return df
+    dels = spark.read.parquet(store.deletes_path).select("docid")
+    return df.join(F.broadcast(dels), "docid", "left_anti")
 
 
 def _annotated_postings(
@@ -262,11 +326,13 @@ def _make_kernel(
     avgdl: float,
     count_only: bool = False,
     block_size: int = ROARING_BLOCK_SIZE,
+    deletes: np.ndarray | None = None,
 ):
     qtype = plan.qtype
     pos_terms = dict(plan.pos_terms)
     not_set = set(plan.not_terms)
     phrase = list(plan.phrase)
+    delete_set = deletes if deletes is not None else np.empty(0, dtype=np.int64)
     decode_tab = _DECODE_NP.astype(np.float32)
     avgdl32 = np.float32(avgdl)
 
@@ -343,6 +409,12 @@ def _make_kernel(
             if cand.size == 0:
                 return
 
+            # deleted-doc filter (reference add_result.rs:3000-3002)
+            if delete_set.size:
+                cand = cand[~np.isin(base + cand, delete_set, assume_unique=True)]
+                if cand.size == 0:
+                    return
+
             # phrase position alignment
             if qtype == "phrase" and len(phrase) > 1:
                 keep = _phrase_filter(per_term, cand, phrase)
@@ -399,32 +471,43 @@ def _phrase_filter(
     phrase: list[tuple[str, int]],
 ) -> np.ndarray:
     """Boolean mask over cand: doc has the phrase terms position-aligned
-    (pos_i - offset_i equal across terms for some anchor,
-    reference add_result.rs:3152-3391)."""
-    # decode positions lazily per phrase term
-    decoded: dict[str, list[np.ndarray]] = {}
-    doc_index: dict[str, dict[int, int]] = {}
-    for term, _off in phrase:
-        if term in decoded or term not in per_term:
-            continue
-        d, tf, _dl, pos_vb = per_term[term]
-        decoded[term] = decode_positions(pos_vb, tf)
-        doc_index[term] = {int(x): i for i, x in enumerate(d)}
+    (pos_i - offset_i equal across terms for some shared anchor,
+    reference add_result.rs:3152-3391).
 
-    keep = np.zeros(cand.size, dtype=bool)
-    for ci, doc in enumerate(cand):
-        doc = int(doc)
-        anchors: np.ndarray | None = None
-        ok = True
-        for term, off in phrase:
-            di = doc_index.get(term, {}).get(doc)
-            if di is None:
-                ok = False
-                break
-            starts = decoded[term][di] - off
-            anchors = starts if anchors is None else np.intersect1d(anchors, starts)
-            if anchors.size == 0:
-                ok = False
-                break
-        keep[ci] = ok and anchors is not None and anchors.size > 0
-    return keep
+    Fully vectorized: each term's (doc, position) pairs become packed
+    ``doc << 18 | (pos - offset)`` anchor keys; the phrase's anchors are
+    the running ``isin`` intersection across terms — no per-doc loop.
+    Positions are < 2^17 (65,536 cap + offsets), docids block-local.
+    """
+    SHIFT = np.int64(18)
+    # pos - offset can reach -(MAX_QUERY_TERM_NUMBER-1) = -99; the bias
+    # keeps keys non-negative so the doc bits stay intact (pos < 65,536,
+    # so biased values stay below 2^18)
+    BIAS = np.int64(128)
+
+    def term_keys(term: str, off: int) -> np.ndarray | None:
+        if term not in per_term:
+            return None
+        d, tf, _dl, pos_vb = per_term[term]
+        plists = decode_positions(pos_vb, tf)
+        if not len(plists):
+            return np.empty(0, dtype=np.int64)
+        docs_rep = np.repeat(d, tf)
+        pos_flat = np.concatenate(plists) if len(plists) else np.empty(0, np.int64)
+        return (docs_rep.astype(np.int64) << SHIFT) | (
+            pos_flat.astype(np.int64) - np.int64(off) + BIAS
+        )
+
+    anchors: np.ndarray | None = None
+    for term, off in phrase:
+        keys = term_keys(term, off)
+        if keys is None:
+            return np.zeros(cand.size, dtype=bool)
+        if anchors is None:
+            anchors = keys
+        else:
+            anchors = anchors[np.isin(anchors, keys)]
+        if anchors.size == 0:
+            return np.zeros(cand.size, dtype=bool)
+    matched_docs = np.unique(anchors >> SHIFT)
+    return np.isin(cand, matched_docs, assume_unique=True)
