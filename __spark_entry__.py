@@ -360,6 +360,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy("bucket")
         .agg(F.count("*").cast("long").alias("n"))
     )
+    # cumulative range facet counts (CountWithinRange mode,
+    # reference search.rs:3598-3764 cumulative sums)
+    def facet_range_cumulative(s: SparkSession, d: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        base = (
+            _docs(s, d)
+            .withColumn("bucket_lo", (F.col("n_chars") / 100).cast("int") * 100)
+            .groupBy("bucket_lo")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        w = Window.orderBy("bucket_lo").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return base.select(
+            "bucket_lo",
+            "n",
+            F.sum("n").over(w).cast("long").alias("n_cumulative"),
+        )
+
+    q["facet_range_cumulative"] = facet_range_cumulative
     q["facet_minmax"] = lambda s, d: (
         _docs(s, d)
         .groupBy("lang")
@@ -582,6 +603,16 @@ SELECT CASE WHEN n_chars < 100 THEN '0-99'
             ELSE '300+' END AS bucket,
        count(*)::BIGINT AS n
 FROM documents GROUP BY 1
+"""
+    o["facet_range_cumulative"] = """
+WITH base AS (
+  SELECT (n_chars // 100) * 100 AS bucket_lo, count(*)::BIGINT AS n
+  FROM documents GROUP BY 1)
+SELECT bucket_lo, n,
+       sum(n) OVER (ORDER BY bucket_lo
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS n_cumulative
+FROM base
 """
     o["facet_minmax"] = (
         "SELECT lang, min(n_chars)::BIGINT AS min_chars, "

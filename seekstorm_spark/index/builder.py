@@ -62,15 +62,59 @@ POSTING_SCHEMA = (
 
 def assign_docids(
     docs: DataFrame,
-    order_col: str,
+    order_col: str | None,
     n_buckets: int = 64,
     id_col: str | None = None,
 ) -> DataFrame:
-    """Add a contiguous ``docid`` column, deterministically, without a
-    global sort. If ``id_col`` is given it is trusted as a unique
-    0-based long id (the driver testdata ships one)."""
+    """Add a contiguous ``docid`` column without a global sort.
+
+    Three strategies, all cluster-scalable:
+    * ``id_col`` — trust an existing unique 0-based long id.
+    * ``order_col`` — deterministic independent of input partitioning:
+      hash docs into buckets, prefix-sum the bucket counts (tiny
+      collect), rank within buckets. One shuffle.
+    * neither — partition-offset assignment: count rows per input
+      partition (map-side, near-zero shuffle), broadcast prefix sums,
+      number rows in place. NO data shuffle — the bulk-load fast path;
+      deterministic for a fixed input layout.
+    """
     if id_col is not None:
         return docs.withColumn("docid", F.col(id_col).cast("long"))
+
+    if order_col is None:
+        with_pid = docs.withColumn("_pid", F.spark_partition_id())
+        counts = {
+            int(r["_pid"]): int(r["cnt"])
+            for r in with_pid.groupBy("_pid")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        out_schema = StructType(
+            list(docs.schema.fields) + [StructField("docid", LongType())]
+        )
+
+        def _assign_seq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            n = 0
+            base = None
+            for pdf in batches:
+                if base is None and len(pdf):
+                    base = offsets[int(pdf["_pid"].iloc[0])]
+                pdf = pdf.drop(columns=["_pid"])
+                pdf["docid"] = np.arange(n, n + len(pdf), dtype=np.int64) + (
+                    base or 0
+                )
+                n += len(pdf)
+                yield pdf
+
+        return with_pid.mapInPandas(_assign_seq, schema=out_schema)
 
     docs = docs.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_buckets)).cast("int")
@@ -348,12 +392,17 @@ class IndexBuilder:
 
         # project early: only (order/id, text) enter the build shuffles —
         # at 100 TB the html payload must never ride along
-        keep = [c for c in {order_col or text_col, id_col, text_col} if c]
+        keep = [c for c in {order_col, id_col, text_col} if c]
         docs = assign_docids(
-            docs.select(*keep), order_col=order_col or text_col, id_col=id_col,
+            docs.select(*keep), order_col=order_col, id_col=id_col,
             n_buckets=max(self.n_buckets, 16),
         )
-        docs = docs.select("docid", text_col).cache()
+        docs = docs.select("docid", text_col)
+        if order_col is not None and id_col is None:
+            # the ordered strategy shuffles — cache so the two tokenize
+            # passes don't redo it; the shuffle-free strategies are
+            # cheaper to recompute than to cache
+            docs = docs.cache()
 
         # --- doc_meta + global stats (reference commit.rs:264-325) ---
         # cheap dedicated pass: token counts only, no term materialization
@@ -406,10 +455,11 @@ class IndexBuilder:
         mode = "append" if (resume or only_buckets) and os.path.exists(
             store.postings_path
         ) else "overwrite"
+        # exactly one shuffle partition per term bucket: each write task
+        # emits one parquet file into one partition dir (a task writing
+        # into many dirs costs a non-scaling file-create tail)
         (
-            posting_blocks.repartition(
-                max(spark.sparkContext.defaultParallelism, 8), "tbucket", "term"
-            )
+            posting_blocks.repartition(self.n_buckets, "tbucket")
             .sortWithinPartitions("term", "block_id")
             .write.mode(mode)
             .partitionBy("tbucket")
@@ -430,8 +480,12 @@ class IndexBuilder:
                 + F.sum(F.length("positions_vb"))
             ).cast("long").alias("bytes"),
         )
-        term_stats.write.mode("overwrite").partitionBy("tbucket").parquet(
-            store.term_stats_path
+        (
+            term_stats.repartition(self.n_buckets, "tbucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("tbucket")
+            .parquet(store.term_stats_path)
         )
 
         # --- lineage (per-bucket commit record), derived from the tiny

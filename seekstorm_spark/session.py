@@ -37,6 +37,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # text corpora are work-dense per byte: small scan partitions keep
+        # the Python tokenize stages as wide as the cluster (the 128MB
+        # default collapses a 64-file corpus into ~5 tasks)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         # local-mode shuffle goes through spark.local.dir; tmpfs keeps the
         # benchmark CPU-bound (a cluster has NVMe + network for this)
         .config(

@@ -85,7 +85,12 @@ def append_batch(
     blocks = build_posting_blocks(
         term_rows.filter(F.col("term") != ""), avgdl, n_buckets, block_size=bs
     )
-    blocks.write.mode("append").partitionBy("tbucket").parquet(store.postings_path)
+    (
+        blocks.repartition(n_buckets, "tbucket")
+        .write.mode("append")
+        .partitionBy("tbucket")
+        .parquet(store.postings_path)
+    )
 
     postings = spark.read.parquet(store.postings_path)
     term_stats = postings.groupBy("tbucket", "term").agg(
@@ -93,8 +98,11 @@ def append_batch(
         F.count("*").cast("int").alias("n_blocks"),
         F.max("max_tf_comp").alias("max_tf_comp"),
     )
-    term_stats.write.mode("overwrite").partitionBy("tbucket").parquet(
-        store.term_stats_path
+    (
+        term_stats.repartition(n_buckets, "tbucket")
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(store.term_stats_path)
     )
 
     from seekstorm_spark.query.engine import invalidate_term_stats_cache
