@@ -484,6 +484,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("doc_id", ws_token_count(F.col("text")).cast("long").alias("n_ws"))
     )
 
+    # --- multi-field BM25F with boosts + field filter (reference
+    # add_result.rs:1171-1426, search.rs:2483-2495) ---
+    def bm25f_two_fields(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.dataframe_engine import bm25f_topk
+
+        return bm25f_topk(
+            s,
+            _docs(s, d),
+            ["fast", "src3"],
+            fields=[("text", 1.0), ("source", 2.0)],
+            qtype="union",
+        )
+
+    q["bm25f_two_fields"] = bm25f_two_fields
+
+    def bm25f_field_filter(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.dataframe_engine import bm25f_topk
+
+        return bm25f_topk(
+            s,
+            _docs(s, d),
+            ["fast", "src3"],
+            fields=[("text", 1.0), ("source", 2.0)],
+            qtype="union",
+            field_filter=["source"],
+        )
+
+    q["bm25f_field_filter"] = bm25f_field_filter
+
     # --- highlighting (reference highlighter.rs:71-382) ---
     def highlight_kwic(s: SparkSession, d: str) -> DataFrame:
         from seekstorm_spark.functions.highlight import highlight_first
@@ -741,6 +770,45 @@ FROM h
         "SELECT doc_id, len(list_filter(string_split(trim(text), ' '), "
         "x -> x <> ''))::BIGINT AS n_ws FROM documents WHERE doc_id < 50"
     )
+    def _bm25f_sql(field_filter: str | None = None) -> str:
+        tf_where = f"AND field = '{field_filter}'" if field_filter else ""
+        return f"""
+WITH toks2 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term, 'text' AS field
+  FROM documents
+  UNION ALL
+  SELECT doc_id, source AS term, 'source' AS field FROM documents),
+{_QUANT_CTE},
+dl2 AS (
+  SELECT doc_id, 'text' AS field,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl_raw
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'source' AS field, 1 AS dl_raw FROM documents),
+dlq2 AS (SELECT doc_id, field, dl_q FROM dl2 JOIN quant
+         ON dl_raw BETWEEN dl_lo AND dl_hi),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT sum(dl_q) FROM dlq2)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dft AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks2
+        WHERE term IN ('fast','src3') GROUP BY 1),
+tf2 AS (SELECT doc_id, field, term, count(*)::DOUBLE AS tf FROM toks2
+        WHERE term IN ('fast','src3') {tf_where} GROUP BY 1, 2, 3),
+scored AS (
+  SELECT tf2.doc_id,
+         sum( (CASE WHEN tf2.field = 'text' THEN 1.0 ELSE 2.0 END)
+              * ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * (tf2.tf * {_K1} / (tf2.tf + {_KK} * ({_B1} + {_BB} * d.dl_q / s.avgdl))) ) AS score
+  FROM tf2 JOIN dft USING (term)
+  JOIN dlq2 d ON d.doc_id = tf2.doc_id AND d.field = tf2.field
+  CROSS JOIN stats s
+  GROUP BY tf2.doc_id)
+SELECT doc_id AS docid, round(score, 4) AS score FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+"""
+
+    o["bm25f_two_fields"] = _bm25f_sql()
+    o["bm25f_field_filter"] = _bm25f_sql("source")
     o["highlight_kwic"] = f"""
 WITH top AS ({_bm25_sql(["fast", "table"], "intersection", top_k=5)})
 SELECT d.doc_id,

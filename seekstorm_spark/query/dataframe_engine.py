@@ -155,6 +155,129 @@ def bm25_scored(
     return agg.select("docid", "score")
 
 
+def bm25f_scored(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_terms: list[str],
+    fields: list[tuple[str, float]],
+    qtype: str = "union",
+    docid_col: str = "doc_id",
+    field_filter: list[str] | None = None,
+) -> DataFrame:
+    """Multi-field BM25F (float64) → DataFrame(docid, score).
+
+    Reference semantics (`add_result.rs:1171-1426`, `index.rs:5332-5407`,
+    `commit.rs:318-319`):
+    * per-(doc, field) quantized lengths; ONE global avgdl =
+      Σ quantized per-field lengths / doc count (not per field);
+    * idf per term with df = docs containing the term in ANY field;
+    * contribution = boost_f · idf · tf_f(K+1)/(tf_f + K(1−B+B·dl_qf/avgdl)),
+      summed over fields, then terms;
+    * ``field_filter`` restricts both matching and scoring to the named
+      fields (reference search.rs:2483-2495, add_result.rs:3124-3136).
+    """
+    q = list(dict.fromkeys(query_terms))
+    quant = F.broadcast(quantization_table(spark))
+
+    per_field_toks = []
+    per_field_dl = []
+    for fname, _boost in fields:
+        t = tokens(docs, docid_col, fname).withColumn("field", F.lit(fname))
+        per_field_toks.append(t)
+        dl = docs.select(
+            F.col(docid_col).alias("docid"),
+            F.size(tokenize_udf(F.col(fname))).cast("long").alias("dl_raw"),
+        ).withColumn("field", F.lit(fname))
+        per_field_dl.append(dl)
+    tok = per_field_toks[0]
+    for t in per_field_toks[1:]:
+        tok = tok.unionByName(t)
+    dl_all = per_field_dl[0]
+    for d in per_field_dl[1:]:
+        dl_all = dl_all.unionByName(d)
+    dl_q = dl_all.join(
+        quant,
+        (dl_all.dl_raw >= quant.dl_lo) & (dl_all.dl_raw <= quant.dl_hi),
+        "left",
+    ).select("docid", "field", "dl_q")
+
+    n_docs = docs.count()
+    avgdl = float(
+        dl_q.agg((F.sum("dl_q") / F.lit(float(n_docs))).alias("a")).collect()[0]["a"]
+    )
+
+    # df over ANY field (matching is field-unrestricted for idf)
+    df_tbl = (
+        tok.filter(F.col("term").isin(q))
+        .groupBy("term")
+        .agg(F.countDistinct("docid").alias("df"))
+    )
+    scoring_tok = tok
+    if field_filter:
+        scoring_tok = tok.filter(F.col("field").isin(list(field_filter)))
+    tf_tbl = (
+        scoring_tok.filter(F.col("term").isin(q))
+        .groupBy("docid", "field", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    boost_map = F.create_map(
+        *[x for fname, b in fields for x in (F.lit(fname), F.lit(float(b)))]
+    )
+    scored = (
+        tf_tbl.join(F.broadcast(df_tbl), "term")
+        .join(dl_q, ["docid", "field"])
+        .withColumn(
+            "idf",
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            boost_map[F.col("field")]
+            * F.col("idf")
+            * (
+                F.col("tf")
+                * F.lit(K + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(K)
+                    * (F.lit(1.0 - B) + F.lit(B) * F.col("dl_q") / F.lit(avgdl))
+                )
+            ),
+        )
+    )
+    agg = scored.groupBy("docid").agg(
+        F.sum("contrib").alias("score"),
+        F.countDistinct("term").alias("n_matched"),
+    )
+    if qtype == "intersection":
+        agg = agg.filter(F.col("n_matched") == len(q))
+    return agg.select("docid", "score")
+
+
+def bm25f_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_terms: list[str],
+    fields: list[tuple[str, float]],
+    qtype: str = "union",
+    top_k: int = 10,
+    docid_col: str = "doc_id",
+    field_filter: list[str] | None = None,
+) -> DataFrame:
+    scored = bm25f_scored(
+        spark, docs, query_terms, fields, qtype, docid_col, field_filter
+    ).withColumn("score_r", F.round(F.col("score"), 4))
+    return (
+        scored.orderBy(F.col("score_r").desc(), F.col("docid").asc())
+        .limit(top_k)
+        .select("docid", F.col("score_r").alias("score"))
+    )
+
+
 def phrase_docids(
     docs: DataFrame,
     phrase_terms: list[str],
