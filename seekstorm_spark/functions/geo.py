@@ -1,0 +1,91 @@
+"""Geo helpers: Morton encoding + distance (reference geo_search.rs).
+
+The reference stores a Point as a lossy u64 Morton code — lat/lon
+scaled by 10^7 to i32, bit-interleaved (`geo_search.rs:27-88`) — and
+filters radius queries by a Morton range before the exact distance
+check (`geo_search.rs:128-144`). Spark-side the Morton code is a
+computed long column: range predicates on it prune parquet row groups
+the same way the reference prunes its facet array.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+_SCALE = 10_000_000  # ×10^7, reference geo_search.rs:33
+EARTH_RADIUS_KM = 6371.0
+KM_PER_MILE = 1.609344
+
+
+def _spread(v: np.ndarray) -> np.ndarray:
+    """Interleave 32-bit ints with zeros → 64-bit (Morton component)."""
+    x = v.astype(np.uint64)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def _unspread(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64) & np.uint64(0x5555555555555555)
+    x = (x | (x >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    x = (x | (x >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return x
+
+
+def morton_encode(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    """(lat, lon) degrees → u64 Morton code (i32 ×10^7 interleave)."""
+    la = (np.asarray(lat, dtype=np.float64) * _SCALE).astype(np.int64)
+    lo = (np.asarray(lon, dtype=np.float64) * _SCALE).astype(np.int64)
+    # bias i32 → u32 so the interleave is order-preserving per axis
+    la_u = (la + (1 << 31)).astype(np.uint64)
+    lo_u = (lo + (1 << 31)).astype(np.uint64)
+    return (_spread(la_u) << np.uint64(1)) | _spread(lo_u)
+
+
+def morton_decode(code: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    c = np.asarray(code, dtype=np.uint64)
+    la = _unspread(c >> np.uint64(1)).astype(np.int64) - (1 << 31)
+    lo = _unspread(c).astype(np.int64) - (1 << 31)
+    return la.astype(np.float64) / _SCALE, lo.astype(np.float64) / _SCALE
+
+
+def haversine_km(
+    lat1: np.ndarray, lon1: np.ndarray, lat2: float, lon2: float
+) -> np.ndarray:
+    """Great-circle distance in km (derived DistanceField analog,
+    reference geo_search.rs:115-127)."""
+    p1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    p2 = math.radians(lat2)
+    dp = np.radians(np.asarray(lat2 - np.asarray(lat1), dtype=np.float64))
+    dl = np.radians(np.asarray(lon2 - np.asarray(lon1), dtype=np.float64))
+    a = (
+        np.sin(dp / 2) ** 2
+        + np.cos(p1) * math.cos(p2) * np.sin(dl / 2) ** 2
+    )
+    return 2 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(a))
+
+
+def morton_range_for_radius(
+    lat: float, lon: float, radius_km: float
+) -> tuple[int, int]:
+    """Conservative [lo, hi] Morton range covering the radius — the
+    coarse pre-filter before the exact distance check
+    (geo_search.rs:128-144). A degree of latitude ≈ 111.32 km."""
+    dlat = radius_km / 111.32
+    dlon = radius_km / (111.32 * max(math.cos(math.radians(lat)), 1e-9))
+    corners_lat = np.array([lat - dlat, lat + dlat])
+    corners_lon = np.array([lon - dlon, lon + dlon])
+    codes = [
+        int(morton_encode(np.array([la]), np.array([lo]))[0])
+        for la in corners_lat
+        for lo in corners_lon
+    ]
+    return min(codes), max(codes)
