@@ -50,14 +50,25 @@ from seekstorm_spark.codecs import (
 )
 from seekstorm_spark.index.store import IndexStore
 from seekstorm_spark.quantization import decode_lengths
-from seekstorm_spark.scoring import B, K
 
 TERM_ROW_SCHEMA = "docid long, term string, pos int, dl_byte int"
 
 POSTING_SCHEMA = (
-    "term string, block_id int, posting_count int, max_tf_comp float, "
-    "docids_vb binary, tfs_vb binary, dls binary, positions_vb binary"
+    "term string, block_id int, posting_count int, max_tf int, "
+    "min_dl_byte int, docids_vb binary, tfs_vb binary, dls binary, "
+    "positions_vb binary"
 )
+
+# format v2: blocks store (max_tf, min_dl_byte) instead of a baked
+# max-score component. BM25's tf saturation is increasing in tf and
+# decreasing in dl, so comp(max_tf, min_dl) bounds every doc in the
+# block for ANY avgdl — the bound is computed at query time from the
+# CURRENT corpus avgdl (the reference equivalently stores the argmax
+# doc and rescores it at query time, compress_postinglist.rs:530-676).
+# This keeps block-max WAND admissible for incrementally grown indexes
+# where avgdl drifts after blocks are written, and removes the avgdl
+# dependency from the build (enabling the single-pass build below).
+INDEX_FORMAT_VERSION = 2
 
 
 def assign_docids(
@@ -249,7 +260,6 @@ def tokenize_to_doc_lengths(
 
 def build_posting_blocks(
     term_rows: DataFrame,
-    avgdl: float,
     n_buckets: int,
     only_buckets: list[int] | None = None,
     block_size: int = ROARING_BLOCK_SIZE,
@@ -265,14 +275,19 @@ def build_posting_blocks(
     term-hash segments committed per block (`index.rs:988-995`,
     `commit.rs:467-682`). Raise ``n_buckets`` to shrink groups at
     scale; skew from hot terms is already capped by the block bound.
+
+    Sentinel rows (term='', one per doc, carrying the doc's dl byte)
+    flow through the same shuffle and become the term-'' posting rows
+    from which doc_meta is derived — the document-length table rides
+    the one tokenize pass instead of needing its own.
     """
-    avgdl_f = np.float32(avgdl)
 
     def _build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         tbucket, block_id = int(key[0]), int(key[1])
         term_codes, uniq_terms = pd.factorize(pdf["term"], sort=True)
         d = pdf["docid"].values.astype(np.int64)
-        p = pdf["pos"].values.astype(np.int64)
+        # sentinel rows carry pos=-1; clip so the VB codec stays unsigned
+        p = np.maximum(pdf["pos"].values.astype(np.int64), 0)
         dlb = pdf["dl_byte"].values.astype(np.uint8)
         order = np.lexsort((p, d, term_codes))
         t, d, p, dlb = term_codes[order], d[order], p[order], dlb[order]
@@ -287,16 +302,6 @@ def build_posting_blocks(
         td_doc = d[pair_starts]
         td_dlb = dlb[pair_starts]
 
-        # f32 BM25 tf component per posting (block-max metadata;
-        # idf multiplied at plan time — monotone, bound stays admissible)
-        tf32 = tfs_all.astype(np.float32)
-        dl_q = decode_lengths(td_dlb).astype(np.float32)
-        comp = tf32 * np.float32(K + 1.0) / (
-            tf32
-            + np.float32(K)
-            * (np.float32(1.0) - np.float32(B) + np.float32(B) * dl_q / avgdl_f)
-        )
-
         # per-term slices over the (term, doc) arrays
         new_term = np.empty(len(td_term), dtype=bool)
         new_term[0] = True
@@ -306,13 +311,14 @@ def build_posting_blocks(
         pos_bounds = np.append(pair_starts, len(t))
 
         local_all = (td_doc - block_id * block_size).astype(np.int64)
-        out_terms, out_cnt, out_max = [], [], []
+        out_terms, out_cnt, out_maxtf, out_mindl = [], [], [], []
         out_docids, out_tfs, out_dls, out_pos = [], [], [], []
         for s, e in zip(term_starts, term_ends):
             tfs = tfs_all[s:e]
             out_terms.append(uniq_terms[td_term[s]])
             out_cnt.append(e - s)
-            out_max.append(float(comp[s:e].max()))
+            out_maxtf.append(int(tfs.max()))
+            out_mindl.append(int(td_dlb[s:e].min()))
             out_docids.append(encode_docids(local_all[s:e]))
             out_tfs.append(encode_tfs(tfs))
             out_dls.append(td_dlb[s:e].tobytes())
@@ -326,7 +332,8 @@ def build_posting_blocks(
                     np.full(len(out_terms), block_id), dtype="int32"
                 ),
                 "posting_count": pd.Series(out_cnt, dtype="int32"),
-                "max_tf_comp": pd.Series(out_max, dtype="float32"),
+                "max_tf": pd.Series(out_maxtf, dtype="int32"),
+                "min_dl_byte": pd.Series(out_mindl, dtype="int32"),
                 "docids_vb": out_docids,
                 "tfs_vb": out_tfs,
                 "dls": out_dls,
@@ -351,6 +358,39 @@ def build_posting_blocks(
     return blocks.groupBy("tbucket", "block_id").applyInPandas(
         _build, schema=POSTING_SCHEMA + ", tbucket int"
     )
+
+
+def _decode_doc_meta(
+    sentinel_postings: DataFrame, block_size: int
+) -> DataFrame:
+    """term-'' posting rows → (docid, dl_byte) rows.
+
+    Each sentinel posting block holds every docid of that block with
+    its SmallFloat dl byte — decoding them reconstructs the doc-length
+    table without a second tokenize pass over the corpus.
+    """
+    from seekstorm_spark.codecs import decode_docids
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs_d: list[np.ndarray] = []
+            outs_b: list[np.ndarray] = []
+            for block_id, docids_vb, dls in zip(
+                pdf["block_id"].values, pdf["docids_vb"].values, pdf["dls"].values
+            ):
+                d = decode_docids(docids_vb) + int(block_id) * block_size
+                outs_d.append(d.astype(np.int64))
+                outs_b.append(np.frombuffer(dls, dtype=np.uint8).astype(np.int32))
+            if not outs_d:
+                continue
+            yield pd.DataFrame(
+                {
+                    "docid": np.concatenate(outs_d),
+                    "dl_byte": np.concatenate(outs_b),
+                }
+            )
+
+    return sentinel_postings.mapInPandas(_dec, schema="docid long, dl_byte int")
 
 
 class IndexBuilder:
@@ -390,6 +430,10 @@ class IndexBuilder:
         store = IndexStore(path=self.index_path)
         os.makedirs(self.index_path, exist_ok=True)
 
+        from seekstorm_spark.hashing import term_bucket
+
+        sentinel_bucket = term_bucket("", self.n_buckets)
+
         # project early: only (order/id, text) enter the build shuffles —
         # at 100 TB the html payload must never ride along
         keep = [c for c in {order_col, id_col, text_col} if c]
@@ -398,35 +442,8 @@ class IndexBuilder:
             n_buckets=max(self.n_buckets, 16),
         )
         docs = docs.select("docid", text_col)
-        if order_col is not None and id_col is None:
-            # the ordered strategy shuffles — cache so the two tokenize
-            # passes don't redo it; the shuffle-free strategies are
-            # cheaper to recompute than to cache
-            docs = docs.cache()
 
-        # --- doc_meta + global stats (reference commit.rs:264-325) ---
-        # cheap dedicated pass: token counts only, no term materialization
-        doc_meta = tokenize_to_doc_lengths(
-            docs, text_col, self.tokenizer, self.stop_words
-        )
-        doc_meta.write.mode("overwrite").parquet(store.doc_meta_path)
-        doc_meta = spark.read.parquet(store.doc_meta_path)
-
-        # one collect: the length histogram yields both N and the
-        # positions sum (avgdl per commit.rs:318-319, f32 division)
-        dl_hist = {
-            int(r["dl_byte"]): int(r["cnt"])
-            for r in doc_meta.groupBy("dl_byte")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
-        n_docs = int(sum(dl_hist.values()))
-        pos_sum = int(
-            sum(int(decode_lengths(np.array([b]))[0]) * c for b, c in dl_hist.items())
-        )
-        avgdl = float(np.float32(pos_sum) / np.float32(n_docs)) if n_docs else 1.0
-
-        # --- posting blocks, bucketed by term hash ---
+        # --- resume bookkeeping ---
         committed: set[int] = set()
         if resume and os.path.exists(store.lineage_path):
             committed = {
@@ -441,12 +458,16 @@ class IndexBuilder:
             for b in (only_buckets or range(self.n_buckets))
             if b not in committed
         ]
+
+        # --- ONE tokenize pass → posting blocks, bucketed by term hash.
+        # Sentinel rows (term='', dl per doc) ride the same shuffle and
+        # become the term-'' postings that doc_meta derives from; format
+        # v2 bounds need no avgdl at build time, so no stats pre-pass.
         term_rows = tokenize_to_term_rows(
             docs, text_col, self.tokenizer, self.stop_words
-        ).filter(F.col("term") != "")
+        )
         posting_blocks = build_posting_blocks(
             term_rows,
-            avgdl,
             self.n_buckets,
             only_buckets=targets if len(targets) < self.n_buckets else None,
             block_size=self.block_size,
@@ -468,11 +489,48 @@ class IndexBuilder:
 
         postings = spark.read.parquet(store.postings_path)
 
-        # --- term stats (list heads: df, cf, list-max component) ---
-        term_stats = postings.groupBy("tbucket", "term").agg(
+        # --- doc_meta + global stats (reference commit.rs:264-325),
+        # derived from the sentinel postings (partition-pruned read of
+        # one tbucket) once the sentinel bucket has been committed ---
+        n_docs, pos_sum, avgdl = 0, 0, 1.0
+        if sentinel_bucket in targets or sentinel_bucket in committed:
+            if sentinel_bucket in targets or not os.path.exists(
+                store.doc_meta_path
+            ):
+                sent = postings.filter(
+                    (F.col("tbucket") == sentinel_bucket) & (F.col("term") == "")
+                ).select("block_id", "docids_vb", "dls")
+                _decode_doc_meta(sent, self.block_size).write.mode(
+                    "overwrite"
+                ).parquet(store.doc_meta_path)
+            doc_meta = spark.read.parquet(store.doc_meta_path)
+            # one collect: the length histogram yields both N and the
+            # positions sum (avgdl per commit.rs:318-319, f32 division)
+            dl_hist = {
+                int(r["dl_byte"]): int(r["cnt"])
+                for r in doc_meta.groupBy("dl_byte")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+            n_docs = int(sum(dl_hist.values()))
+            pos_sum = int(
+                sum(
+                    int(decode_lengths(np.array([b]))[0]) * c
+                    for b, c in dl_hist.items()
+                )
+            )
+            avgdl = (
+                float(np.float32(pos_sum) / np.float32(n_docs)) if n_docs else 1.0
+            )
+
+        # --- term stats (list heads: df, cf, list-max metadata) ---
+        term_stats = postings.filter(F.col("term") != "").groupBy(
+            "tbucket", "term"
+        ).agg(
             F.sum("posting_count").cast("long").alias("df"),
             F.count("*").cast("int").alias("n_blocks"),
-            F.max("max_tf_comp").alias("max_tf_comp"),
+            F.max("max_tf").cast("int").alias("max_tf"),
+            F.min("min_dl_byte").cast("int").alias("min_dl_byte"),
             (
                 F.sum(F.length("docids_vb"))
                 + F.sum(F.length("tfs_vb"))
@@ -508,18 +566,18 @@ class IndexBuilder:
             else "overwrite"
         ).parquet(store.lineage_path)
 
-        docs.unpersist()
         from seekstorm_spark.query.engine import invalidate_term_stats_cache
 
         invalidate_term_stats_cache(store.path)
 
         store.meta = {
-            "version": 1,
+            "version": INDEX_FORMAT_VERSION,
             "tokenizer": self.tokenizer,
             "stop_words": sorted(self.stop_words) if self.stop_words else [],
             "n_docs": n_docs,
             "positions_sum_normalized": pos_sum,
             "avgdl": avgdl,
+            "next_docid": n_docs,
             "n_buckets": self.n_buckets,
             "block_size": self.block_size,
             "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

@@ -48,24 +48,59 @@ from seekstorm_spark.tokenizer import ParsedQuery, parse_query
 RESULT_SCHEMA = "docid long, score float"
 COUNT_SCHEMA = "matches long"
 
-# per-index cached term_stats DataFrames (tiny: one row per term)
-_TERM_STATS_CACHE: dict[str, object] = {}
+# per-index probed term stats: {(path, mtime): {"df": {term: df},
+# "missing": set()}}. The probe reads ONLY the query terms' tbucket
+# partition files with pyarrow on the driver — no Spark job, and the
+# read is bounded by vocabulary/n_buckets regardless of corpus size
+# (the reference's in-RAM segment dictionary probe, search.rs:3066-3303).
+_TERM_STATS_CACHE: dict[tuple, dict] = {}
+# per-index cached delete sets: {(path, mtime): np.ndarray}
+_DELETE_CACHE: dict[tuple, np.ndarray] = {}
 
 
-def _cached_term_stats(spark: SparkSession, store: IndexStore):
-    key = store.path
-    cached = _TERM_STATS_CACHE.get(key)
-    if cached is None:
-        cached = store.term_stats(spark).cache()
-        _TERM_STATS_CACHE[key] = cached
-    return cached
+def _dir_mtime(path: str) -> float:
+    import os
+
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return -1.0
+
+
+def _probe_term_stats(store: IndexStore, terms: list[str]) -> dict[str, int]:
+    """term → df for the terms present in the index (driver-side
+    partition-pruned parquet probe; cached per index generation)."""
+    if not terms:
+        return {}
+    key = (store.path, _dir_mtime(store.term_stats_path))
+    entry = _TERM_STATS_CACHE.setdefault(key, {"df": {}, "missing": set()})
+    need = [t for t in terms if t not in entry["df"] and t not in entry["missing"]]
+    if need:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        buckets = sorted({term_bucket(t, store.n_buckets) for t in need})
+        dataset = pads.dataset(store.term_stats_path, partitioning="hive")
+        tbl = dataset.to_table(
+            columns=["term", "df"],
+            filter=pc.field("tbucket").isin(buckets) & pc.field("term").isin(need),
+        )
+        found = dict(
+            zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist())
+        )
+        entry["df"].update({t: int(v) for t, v in found.items()})
+        entry["missing"].update(t for t in need if t not in found)
+    return {t: entry["df"][t] for t in terms if t in entry["df"]}
 
 
 def invalidate_term_stats_cache(path: str | None = None) -> None:
     if path is None:
         _TERM_STATS_CACHE.clear()
+        _DELETE_CACHE.clear()
     else:
-        _TERM_STATS_CACHE.pop(path, None)
+        for cache in (_TERM_STATS_CACHE, _DELETE_CACHE):
+            for k in [k for k in cache if k[0] == path]:
+                cache.pop(k, None)
 
 
 @dataclass
@@ -92,15 +127,7 @@ def _plan(
     if not all_terms:
         return QueryPlan(pq.query_type, {}, [], [], False)
 
-    n_buckets = store.n_buckets
-    buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
-    stats = (
-        _cached_term_stats(spark, store)
-        .filter(F.col("tbucket").isin(buckets) & F.col("term").isin(all_terms))
-        .select("term", "df")
-        .collect()
-    )
-    df_by_term = {r["term"]: int(r["df"]) for r in stats}
+    df_by_term = _probe_term_stats(store, all_terms)
     pos_idf = {
         t: float(idf_f32(store.n_docs, df_by_term[t]))
         for t in pos
@@ -176,17 +203,9 @@ def count_matches(
         and plan.qtype != "phrase"
         and not has_deletes  # stored df doesn't reflect the delete set
     ):
+        # zero Spark jobs: the stored df IS the count (single.rs:313-323)
         term = next(iter(plan.pos_terms))
-        r = (
-            _cached_term_stats(spark, store)
-            .filter(
-                (F.col("tbucket") == term_bucket(term, store.n_buckets))
-                & (F.col("term") == term)
-            )
-            .agg(F.sum("df"))
-            .collect()[0][0]
-        )
-        return int(r or 0)
+        return int(_probe_term_stats(store, [term]).get(term, 0))
 
     rows = _annotated_postings(spark, store, plan)
     kernel = _make_kernel(
@@ -236,14 +255,23 @@ def delete_documents(
 
 def _load_delete_set(spark: SparkSession, store: IndexStore) -> np.ndarray:
     """Delete set as a sorted array for the kernel (the reference keeps
-    an in-RAM AHashSet, `index.rs:1593-1594`). Kept broadcast-sized; a
-    corpus with massive deletes should compact instead."""
+    an in-RAM AHashSet, `index.rs:1593-1594`). Read driver-side with
+    pyarrow (no Spark job) and cached per index generation; shipped to
+    executors once per query via the kernel closure — broadcast-sized.
+    A corpus with massive deletes should compact instead."""
     import os
 
     if not os.path.exists(store.deletes_path):
         return np.empty(0, dtype=np.int64)
-    rows = spark.read.parquet(store.deletes_path).select("docid").collect()
-    return np.unique(np.array([r["docid"] for r in rows], dtype=np.int64))
+    key = (store.path, _dir_mtime(store.deletes_path))
+    cached = _DELETE_CACHE.get(key)
+    if cached is None:
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(store.deletes_path).to_table(columns=["docid"])
+        cached = np.unique(tbl.column("docid").to_numpy(zero_copy_only=False))
+        _DELETE_CACHE[key] = cached.astype(np.int64)
+    return _DELETE_CACHE[key]
 
 
 def _anti_join_deletes(
@@ -274,7 +302,8 @@ def _annotated_postings(
         "term",
         "block_id",
         "posting_count",
-        "max_tf_comp",
+        "max_tf",
+        "min_dl_byte",
         "docids_vb",
         "tfs_vb",
         "dls",
@@ -292,11 +321,25 @@ def _annotated_postings(
         postings = postings.withColumn("pos_vb", F.lit(None).cast("binary"))
 
     rows = postings.join(F.broadcast(term_info), "term")
+    # format v2: the block-max bound is computed HERE, at query time,
+    # from the current avgdl — comp(max_tf, min_dl) bounds every doc in
+    # the block because BM25 tf-saturation is increasing in tf and
+    # decreasing in dl (reference compress_postinglist.rs:530-676);
+    # valid even when avgdl drifted after the block was written.
+    from seekstorm_spark.quantization import DOCUMENT_LENGTH_COMPRESSION
+
+    dlq_arr = F.array(
+        *[F.lit(float(v)) for v in DOCUMENT_LENGTH_COMPRESSION]
+    )
+    min_dlq = F.element_at(dlq_arr, F.col("min_dl_byte") + 1)
+    comp_ub = (F.col("max_tf") * F.lit(K + 1.0)) / (
+        F.col("max_tf")
+        + F.lit(K)
+        * (F.lit(1.0 - B) + F.lit(B) * min_dlq / F.lit(float(store.avgdl)))
+    )
     rows = rows.withColumn(
         "bound_contrib",
-        F.when(F.col("is_not"), F.lit(0.0)).otherwise(
-            F.col("idf") * F.col("max_tf_comp")
-        ),
+        F.when(F.col("is_not"), F.lit(0.0)).otherwise(F.col("idf") * comp_ub),
     )
     w = Window.partitionBy("block_id")
     rows = rows.withColumn("block_bound", F.sum("bound_contrib").over(w))
@@ -370,7 +413,15 @@ def _make_kernel(
             nonlocal total_matches
             block_id = int(rows["block_id"].iloc[0])
             if not count_only and prune:
-                if float(rows["block_bound"].iloc[0]) <= threshold():
+                # skip only on STRICT bound < threshold, with a small
+                # relative margin: the bound is computed in float64 while
+                # scores accumulate in f32, which can round up past the
+                # bound by a few ulps; equal-bound blocks must be
+                # processed so the docid-asc tiebreak on exact-tie scores
+                # matches the unpruned path.
+                thr = threshold()
+                eps = 1e-6 + 1e-5 * abs(thr) if np.isfinite(thr) else 0.0
+                if float(rows["block_bound"].iloc[0]) < thr - eps:
                     return
             base = block_id * block_size
             per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, bytes]] = {}

@@ -32,11 +32,18 @@ def idf(n_docs: int, df: int) -> float:
 
 
 def idf_f32(n_docs: int, df: int) -> np.float32:
+    """f32 idf with the log evaluated in float64 then rounded to f32.
+
+    The f32 argument is computed exactly as the reference does
+    (f32 adds/divide); routing the transcendental through float64 and
+    rounding makes the value reproducible across math libraries
+    (numpy, JVM, DuckDB ``ln(x)::FLOAT``) — a 1-ulp float64 libm
+    difference virtually never changes the rounded f32.
+    """
     n = np.float32(n_docs)
     d = np.float32(df)
-    return np.float32(
-        np.log((n - d + np.float32(0.5)) / (d + np.float32(0.5)) + np.float32(1.0))
-    )
+    arg = (n - d + np.float32(0.5)) / (d + np.float32(0.5)) + np.float32(1.0)
+    return np.float32(np.log(np.float64(arg)))
 
 
 def bm25_component(dl_q: np.ndarray, avgdl: float, dtype=np.float32) -> np.ndarray:

@@ -83,7 +83,7 @@ def append_batch(
 
     n_buckets = int(meta.get("n_buckets", 32))
     blocks = build_posting_blocks(
-        term_rows.filter(F.col("term") != ""), avgdl, n_buckets, block_size=bs
+        term_rows.filter(F.col("term") != ""), n_buckets, block_size=bs
     )
     (
         blocks.repartition(n_buckets, "tbucket")
@@ -93,10 +93,19 @@ def append_batch(
     )
 
     postings = spark.read.parquet(store.postings_path)
-    term_stats = postings.groupBy("tbucket", "term").agg(
+    term_stats = postings.filter(F.col("term") != "").groupBy(
+        "tbucket", "term"
+    ).agg(
         F.sum("posting_count").cast("long").alias("df"),
         F.count("*").cast("int").alias("n_blocks"),
-        F.max("max_tf_comp").alias("max_tf_comp"),
+        F.max("max_tf").cast("int").alias("max_tf"),
+        F.min("min_dl_byte").cast("int").alias("min_dl_byte"),
+        (
+            F.sum(F.length("docids_vb"))
+            + F.sum(F.length("tfs_vb"))
+            + F.sum(F.length("dls"))
+            + F.sum(F.length("positions_vb"))
+        ).cast("long").alias("bytes"),
     )
     (
         term_stats.repartition(n_buckets, "tbucket")
