@@ -192,6 +192,132 @@ WHERE 1=1 {nots} {phr}
 """
 
 
+# ---------------------------------------------------------------------------
+# indexed WAND engine oracles — f32-exact DuckDB SQL
+# ---------------------------------------------------------------------------
+#
+# The indexed path (seekstorm_spark/query/engine.py) scores in float32
+# with reference-parity math. DuckDB FLOAT arithmetic is IEEE-754
+# single and bit-matches numpy f32 op-for-op (verified empirically for
+# this expression shape), so the oracle mirrors the kernel's exact
+# operation order with explicit ::FLOAT casts:
+#   idf  = ln(f64((n32 - df32 + 0.5f)/(df32 + 0.5f) + 1.0f))::f32
+#   comp = tf32*2.2f / (tf32 + 1.2f*(0.25f + (0.75f*dlq32)/avgdl32))
+#   score = Σ_terms (idf*comp), accumulated in ascending-term order
+#           (the kernel visits per-block rows term-ascending).
+
+
+def _wand_store(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir, cached on disk) a REAL inverted index
+    over the documents table; wand_* queries search through it."""
+    import json
+    import os
+
+    from seekstorm_spark.index.builder import (
+        INDEX_FORMAT_VERSION,
+        IndexBuilder,
+    )
+    from seekstorm_spark.index.store import IndexStore
+
+    name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = f"/tmp/seekstorm_wand_idx_{name}"
+    meta = os.path.join(path, "meta.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            m = json.load(f)
+        if m.get("complete") and m.get("version") == INDEX_FORMAT_VERSION:
+            return IndexStore.open(path)
+    return IndexBuilder(spark, path, n_buckets=8).build(
+        _docs(spark, sf_dir), text_col="text", id_col="doc_id"
+    )
+
+
+def _wand_query(qstring: str, default_type: str, top_k: int = 10):
+    def run(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import search
+
+        store = _wand_store(s, d)
+        out = search(s, store, qstring, top_k=top_k, default_type=default_type)
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 4).alias("score")
+        )
+
+    return run
+
+
+_F = "::FLOAT"
+
+
+def _wand_bm25_sql(
+    terms: list[str],
+    qtype: str,
+    not_terms: list[str] | None = None,
+    phrase: list[str] | None = None,
+    top_k: int = 10,
+) -> str:
+    """f32-exact BM25 top-k matching the indexed WAND kernel."""
+    uniq = sorted(set(terms))
+    in_terms = _in_list(uniq)
+    filters = []
+    if qtype in ("intersection", "phrase") or phrase:
+        filters.append(f"nm = {len(uniq)}")
+    if not_terms:
+        filters.append(
+            "docid NOT IN (SELECT DISTINCT doc_id FROM toks "
+            f"WHERE term IN ({_in_list(not_terms)}))"
+        )
+    if phrase:
+        joins = " ".join(
+            f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{phrase[i]}'"
+            for i in range(1, len(phrase))
+        )
+        filters.append(
+            "docid IN (SELECT DISTINCT t0.doc_id FROM toks t0 "
+            f"{joins} WHERE t0.term = '{phrase[0]}')"
+        )
+    where = ("WHERE " + " AND ".join(filters)) if filters else ""
+    piv_cols = ",\n        ".join(
+        f"max(CASE WHEN term = '{t}' THEN c END) AS c{i}"
+        for i, t in enumerate(uniq)
+    )
+    # f32 accumulation in ascending-term order; adding 0.0f is exact,
+    # so COALESCE-to-zero reproduces the kernel's masked "+=".
+    acc = f"COALESCE(c0, 0.0{_F})"
+    for i in range(1, len(uniq)):
+        acc = f"({acc} + COALESCE(c{i}, 0.0{_F}))"
+    return f"""
+WITH {_QUANT_CTE},
+dl AS (SELECT doc_id, len(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS dl_raw FROM documents),
+dlq AS (SELECT doc_id, dl_q FROM dl JOIN quant
+        ON dl_raw BETWEEN dl_lo AND dl_hi),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 ((SELECT sum(dl_q) FROM dlq){_F}
+                  / (SELECT count(*) FROM documents){_F}) AS avgdl),
+toks AS (SELECT * FROM {_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({in_terms}) GROUP BY 1, 2),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN ({in_terms}) GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         (ln((((s.n{_F} - dft.df{_F} + 0.5{_F}) / (dft.df{_F} + 0.5{_F}))
+              + 1.0{_F})::DOUBLE){_F}
+          * ((tf.tf{_F} * 2.2{_F})
+             / (tf.tf{_F} + 1.2{_F}
+                * (0.25{_F} + ((0.75{_F} * dlq.dl_q{_F}) / s.avgdl))))) AS c
+  FROM tf JOIN dlq USING (doc_id) JOIN dft USING (term) CROSS JOIN stats s),
+piv AS (SELECT doc_id AS docid, count(*) AS nm,
+        {piv_cols}
+        FROM contrib GROUP BY doc_id),
+scored AS (SELECT docid, {acc} AS raw, nm FROM piv)
+SELECT docid, round(raw::DOUBLE, 4) AS score FROM (
+  SELECT docid, raw FROM scored {where}
+  ORDER BY raw DESC, docid ASC LIMIT {top_k})
+"""
+
+
 # Spark-side match counting with identical semantics
 def _match_count_df(
     spark: SparkSession,
@@ -310,6 +436,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_phrase"] = lambda s, d: bm25_phrase_topk(
         s, _docs(s, d), ["fast", "table"]
     )
+    # --- indexed block-max WAND engine (the actual product path:
+    # real index build → bucket-pruned scan → f32 kernel; reference
+    # search.rs:1154-2131). Oracles are f32-exact DuckDB SQL. ---
+    q["wand_topk_and"] = _wand_query("fast table", "intersection")
+    q["wand_topk_or"] = _wand_query("fast table", "union")
+    q["wand_topk_or3"] = _wand_query("key value stream", "union")
+    q["wand_phrase"] = _wand_query('"fast table"', "union")
+    q["wand_not"] = _wand_query("fast -dup", "union")
+    q["wand_single"] = _wand_query("dup", "union")
+
+    def wand_count_and(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import count_matches
+
+        store = _wand_store(s, d)
+        n = count_matches(s, store, "fast table", "intersection")
+        return s.createDataFrame([(n,)], "matches long")
+
+    q["wand_count_and"] = wand_count_and
+
     q["count_and"] = lambda s, d: _match_count_df(
         s, _docs(s, d), ["fast", "table"], "intersection"
     )
@@ -604,6 +749,15 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_phrase"] = _bm25_sql(
         ["fast", "table"], "intersection", phrase=["fast", "table"]
     )
+    o["wand_topk_and"] = _wand_bm25_sql(["fast", "table"], "intersection")
+    o["wand_topk_or"] = _wand_bm25_sql(["fast", "table"], "union")
+    o["wand_topk_or3"] = _wand_bm25_sql(["key", "value", "stream"], "union")
+    o["wand_phrase"] = _wand_bm25_sql(
+        ["fast", "table"], "phrase", phrase=["fast", "table"]
+    )
+    o["wand_not"] = _wand_bm25_sql(["fast"], "union", not_terms=["dup"])
+    o["wand_single"] = _wand_bm25_sql(["dup"], "union")
+    o["wand_count_and"] = _match_count_sql(["fast", "table"], "intersection")
     o["count_and"] = _match_count_sql(["fast", "table"], "intersection")
     o["count_or"] = _match_count_sql(["fast", "table"], "union")
     o["count_phrase"] = _match_count_sql(
