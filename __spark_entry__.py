@@ -591,10 +591,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .filter(F.col("doc_id") < 30)
         .select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
     )
-    # probabilistic banding — rows-only check (pytest has the oracle)
+    def dedup_minhash_sig(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.dedup import _minhash_udf
+
+        return (
+            _docs(s, d)
+            .filter(F.col("doc_id") < 30)
+            .select(
+                "doc_id", F.posexplode(_minhash_udf(F.col("text"))).alias("i", "mh")
+            )
+            .select("doc_id", F.col("i").cast("long").alias("i"), "mh")
+        )
+
+    q["dedup_minhash_sig"] = dedup_minhash_sig
     q["dedup_minhash_candidates"] = lambda s, d: minhash_lsh_pairs(
         _docs(s, d).filter(F.col("doc_id") < 60)
-    )
+    ).orderBy("docid_a", "docid_b")
 
     # --- similarity search ---
     def ann_query_vec(s: SparkSession, d: str) -> list[float]:
@@ -604,9 +616,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk"] = lambda s, d: cosine_topk(
         _emb(s, d).filter(F.col("vec_id") != 0), ann_query_vec(s, d), k=10
     )
-    q["ann_lsh_topk"] = lambda s, d: lsh_ann_topk(
-        _emb(s, d).filter(F.col("vec_id") != 0), ann_query_vec(s, d), k=10
-    )  # rows-only: hyperplanes not SQL-expressible
+
+    def ann_lsh(s: SparkSession, d: str) -> DataFrame:
+        import os
+
+        from seekstorm_spark.functions.simsearch import AnnIndex
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_ann_idx_{name}"
+        if os.path.exists(os.path.join(path, "meta.json")):
+            idx = AnnIndex.open(path)
+        else:
+            idx = AnnIndex.build(
+                s, _emb(s, d).filter(F.col("vec_id") != 0), path, n_planes=8
+            )
+        return idx.search(s, ann_query_vec(s, d), k=10, probe_hamming=1)
+
+    # signature-partitioned ANN: the scan reads ONLY the probed sig=
+    # partitions (hyperplanes are deterministic constants, so the
+    # oracle recomputes the same buckets in SQL)
+    q["ann_lsh_topk"] = ann_lsh
 
     # --- text analysis ---
     q["text_quality"] = lambda s, d: (
@@ -872,6 +901,51 @@ SELECT doc_id,
            ELSE 0 END)::BIGINT AS simhash
 FROM bits GROUP BY doc_id
 """
+    # MinHash: the md5-based universal-hash scheme (dedup.py) is fully
+    # SQL-expressible — the 128 (a, b) coefficients are deterministic
+    # constants embedded as a VALUES table.
+    from seekstorm_spark.functions.dedup import MINHASH_A, MINHASH_B
+
+    _ab_rows = ",".join(
+        f"({i},{int(a)},{int(b)})"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    _mh_ctes = f"""
+ab(i, a, b) AS (VALUES {_ab_rows}),
+mh_docs AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                       x -> x <> '') AS toks
+            FROM documents WHERE doc_id < {{maxid}}),
+sh3 AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, toks,
+                     unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+              FROM mh_docs WHERE len(toks) >= 3)),
+sh0 AS (SELECT doc_id, array_to_string(toks, ' ') AS shingle
+        FROM mh_docs WHERE len(toks) < 3),
+shu AS (SELECT * FROM sh3 UNION ALL SELECT * FROM sh0),
+hx AS (SELECT doc_id,
+              (('0x' || substr(md5(shingle), 1, 16))::UBIGINT >> 33)::BIGINT AS x
+       FROM shu),
+hv AS (SELECT doc_id, ab.i, min((ab.a * hx.x + ab.b)
+                                % 2305843009213693951) AS mh
+       FROM hx CROSS JOIN ab GROUP BY doc_id, ab.i)
+"""
+    o["dedup_minhash_sig"] = (
+        "WITH " + _mh_ctes.format(maxid=30)
+        + "SELECT doc_id, i::BIGINT AS i, mh::BIGINT AS mh FROM hv"
+    )
+    o["dedup_minhash_candidates"] = (
+        "WITH " + _mh_ctes.format(maxid=60)
+        + """,
+bands AS (SELECT doc_id, (i // 4) AS band,
+                 md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS bucket
+          FROM hv GROUP BY doc_id, (i // 4))
+SELECT DISTINCT a.doc_id AS docid_a, b.doc_id AS docid_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY docid_a, docid_b
+"""
+    )
+
     o["ann_cosine_topk"] = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
@@ -886,6 +960,44 @@ scored AS (
 SELECT vec_id, cos_sim FROM scored
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
+    # LSH-ANN: hyperplanes are seeded deterministic constants — embed
+    # them as double[] literals and recompute signatures in SQL; the
+    # candidate set = vectors with hamming(sig, qsig) <= 1, identical
+    # to the engine's probed partitions.
+    def _sig_sql(vec_expr: str, n_planes: int = 8, dim: int = 64) -> str:
+        from seekstorm_spark.functions.simsearch import _hyperplanes
+
+        planes = _hyperplanes(dim, n_planes, seed=1234)
+        parts = []
+        for b in range(n_planes):
+            lits = "[" + ",".join(repr(float(x)) for x in planes[b]) + "]"
+            parts.append(
+                f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> {vec_expr}[i]::DOUBLE * ({lits}::DOUBLE[])[i])) > 0 "
+                f"THEN {1 << b} ELSE 0 END)"
+            )
+        return " + ".join(parts)
+
+    o["ann_lsh_topk"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qsig AS (SELECT {_sig_sql('qv')} AS sig FROM q),
+sigs AS (SELECT vec_id, embedding, {_sig_sql('embedding')} AS sig
+         FROM embeddings WHERE vec_id <> 0),
+cand AS (SELECT s.vec_id, s.embedding FROM sigs s, qsig
+         WHERE bit_count(xor(s.sig::BIGINT, qsig.sig::BIGINT)) <= 1),
+scored AS (
+  SELECT c.vec_id,
+         round(
+           list_sum(list_transform(range(1, len(c.embedding) + 1),
+             i -> c.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
+         4) AS cos_sim
+  FROM cand c CROSS JOIN q)
+SELECT vec_id, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
     en = ",".join(f"'{m}'" for m in _EN_MARKERS)
     o["text_quality"] = f"""
 SELECT doc_id,
@@ -966,11 +1078,13 @@ ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
     o["highlight_kwic"] = f"""
 WITH top AS ({_bm25_sql(["fast", "table"], "intersection", top_k=5)})
 SELECT d.doc_id,
-       CASE WHEN instr(d.text, 'fast') > 0 THEN
-         replace(substring(d.text,
-                           greatest(instr(d.text, 'fast') - 30, 1),
-                           {2 * 30 + len("fast")}),
-                 'fast', '<b>fast</b>')
+       CASE WHEN regexp_matches(d.text, '\\bfast\\b') THEN
+         regexp_replace(
+           substring(d.text,
+                     greatest(length(regexp_extract(d.text,
+                                     '^(.*?)\\bfast\\b', 1)) + 1 - 30, 1),
+                     {2 * 30 + len("fast")}),
+           '\\bfast\\b', '<b>fast</b>', 'g')
        ELSE '' END AS kwic
 FROM top t JOIN documents d ON d.doc_id = t.docid
 """

@@ -57,13 +57,18 @@ def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """Distinct word n-gram shingles per doc via built-in array ops:
-    tokens → transform(sequence) → join — no Python in the plan."""
+    tokens → transform(sequence) → join — no Python in the plan.
+
+    Docs with fewer than ``n`` tokens yield no shingles (guarded:
+    ``sequence(0, k-1)`` with k <= 0 would produce a DESCENDING array
+    and a crashing ``slice`` start, so the sequence is gated on k > 0).
+    """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     k = F.size(toks) - (n - 1)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
     )
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     return (
         df.select(F.col(id_col).alias("docid"), F.explode(sh).alias("shingle"))
         .distinct()
@@ -135,28 +140,75 @@ def _md5_u64(data: bytes) -> int:
     return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
 
 
+# 128 universal-hash coefficients, hoisted to module scope (computed
+# once per Python worker, not per document). The scheme is SQL-
+# expressible end-to-end (see __spark_entry__.oracle_sql):
+#   base = first 8 md5 bytes of the shingle (big-endian u64)
+#   x    = base >> 33            (top 31 bits — keeps a*x+b inside
+#                                 int64, so DuckDB BIGINT math never
+#                                 overflows)
+#   h_i  = (a_i*x + b_i) mod 2^61-1,   a_i,b_i < 2^31
+#   sig_i = min over the doc's shingles
+MINHASH_N = 128
+_MH_MOD = np.int64((1 << 61) - 1)
+_mh_rng = np.random.default_rng(1234)
+MINHASH_A = _mh_rng.integers(1, 2**31, size=MINHASH_N, dtype=np.int64)
+MINHASH_B = _mh_rng.integers(0, 2**31, size=MINHASH_N, dtype=np.int64)
+
+
+def _doc_shingles(text: str, n: int = 3) -> set[str]:
+    """Distinct n-token shingles; short docs fall back to the whole
+    (lowercased, space-joined) token sequence as a single shingle."""
+    toks = (text or "").lower().split()
+    if len(toks) >= n:
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return {" ".join(toks)}
+
+
+def minhash_signatures_np(texts: list[str]) -> np.ndarray:
+    """(len(texts), 128) int64 MinHash signatures, batch-vectorized:
+    one md5 per unique shingle in the batch, then a single chunked
+    (shingles × 128) matrix min-reduced per doc — no per-row Python in
+    the permutation math."""
+    xs: list[int] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    cache: dict[str, int] = {}
+    for i, t in enumerate(texts):
+        shs = _doc_shingles(t)
+        counts[i] = len(shs)
+        for s in shs:
+            x = cache.get(s)
+            if x is None:
+                x = _md5_u64(s.encode()) >> 33
+                cache[s] = x
+            xs.append(x)
+    if not xs:
+        return np.empty((0, MINHASH_N), dtype=np.int64)
+    base = np.asarray(xs, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    sigs = np.empty((len(texts), MINHASH_N), dtype=np.int64)
+    # chunk over docs so the (shingles, 128) matrix stays ~200 MB max
+    CHUNK_SH = 200_000
+    d0 = 0
+    while d0 < len(texts):
+        d1 = d0
+        tot = 0
+        while d1 < len(texts) and (tot == 0 or tot + counts[d1] <= CHUNK_SH):
+            tot += counts[d1]
+            d1 += 1
+        lo = starts[d0]
+        seg = base[lo : lo + tot]
+        vals = (seg[:, None] * MINHASH_A[None, :] + MINHASH_B[None, :]) % _MH_MOD
+        sigs[d0:d1] = np.minimum.reduceat(vals, starts[d0:d1] - lo, axis=0)
+        d0 = d1
+    return sigs
+
+
 @pandas_udf(ArrayType(LongType()))
 def _minhash_udf(texts: pd.Series) -> pd.Series:
     """128-permutation MinHash signature over 3-token shingles."""
-    n_hashes = 128
-
-    def sig(t: str) -> list[int]:
-        toks = (t or "").lower().split()
-        shs = {
-            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
-        } or {t or ""}
-        base = np.array(
-            [_md5_u64(s.encode()) for s in shs], dtype=np.uint64
-        )
-        # universal hashing: h_i(x) = (a_i * x + b_i) mod 2^61-1
-        rng = np.random.default_rng(1234)
-        a = rng.integers(1, 2**31, size=n_hashes, dtype=np.uint64)
-        b = rng.integers(0, 2**31, size=n_hashes, dtype=np.uint64)
-        m = np.uint64((1 << 61) - 1)
-        vals = (base[None, :] * a[:, None] + b[:, None]) % m
-        return vals.min(axis=1).astype(np.int64).tolist()
-
-    return texts.map(sig)
+    sigs = minhash_signatures_np(texts.tolist())
+    return pd.Series(list(sigs))
 
 
 def minhash_lsh_pairs(
@@ -176,15 +228,22 @@ def minhash_lsh_pairs(
     sigs = df.select(
         F.col(id_col).alias("docid"), _minhash_udf(F.col(text_col)).alias("sig")
     )
+    # bucket key = md5 of the band's comma-joined signature values —
+    # engine-agnostic (the DuckDB oracle computes the identical key)
     banded = sigs.select(
         "docid",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.hash(
+                lambda i: F.md5(
                     F.concat_ws(
                         ",",
-                        F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band),
+                        F.transform(
+                            F.slice(
+                                F.col("sig"), i * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
                     )
                 ),
             )
@@ -202,25 +261,55 @@ def minhash_lsh_pairs(
 
 @pandas_udf(LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (tf-weighted bits)."""
-
-    def sh(t: str) -> int:
-        toks = (t or "").lower().split()
-        if not toks:
-            return 0
-        uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-        hashes = np.array([_md5_u64(u.encode()) for u in uniq], dtype=np.uint64)
-        bits = (
-            (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-            & np.uint64(1)
-        ).astype(np.int64)
-        weights = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-        out = np.uint64(0)
-        for bit in np.flatnonzero(weights > 0):
-            out |= np.uint64(1) << np.uint64(bit)
-        return int(out.astype(np.int64))  # two's-complement into BIGINT
-
-    return texts.map(sh)
+    """64-bit SimHash over whitespace tokens (tf-weighted bits),
+    batch-vectorized: one md5 per unique token in the Arrow batch,
+    then one (docs × 64) weight matrix via segment reduction."""
+    tok_ids: list[int] = []
+    doc_of: list[int] = []
+    vocab: dict[str, int] = {}
+    uniq_tokens: list[str] = []
+    for di, t in enumerate(texts):
+        for tok in (t or "").lower().split():
+            ti = vocab.get(tok)
+            if ti is None:
+                ti = len(uniq_tokens)
+                vocab[tok] = ti
+                uniq_tokens.append(tok)
+            tok_ids.append(ti)
+            doc_of.append(di)
+    n_docs = len(texts)
+    out = np.zeros(n_docs, dtype=np.int64)
+    if uniq_tokens:
+        hashes = np.array(
+            [_md5_u64(u.encode()) for u in uniq_tokens], dtype=np.uint64
+        )
+        # ±1 per bit per unique token: (U, 64) int8
+        signs = (
+            (
+                (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(np.int8)
+            * 2
+            - 1
+        )
+        t_ids = np.asarray(tok_ids, dtype=np.int64)
+        d_ids = np.asarray(doc_of, dtype=np.int64)
+        weights = np.zeros((n_docs, 64), dtype=np.int64)
+        # chunk the occurrence stream so the gathered sign rows stay small
+        CH = 1_000_000
+        for lo in range(0, len(t_ids), CH):
+            np.add.at(
+                weights, d_ids[lo : lo + CH], signs[t_ids[lo : lo + CH]]
+            )
+        powers = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(
+            np.uint64
+        )
+        packed = ((weights > 0).astype(np.uint64) * powers[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out = packed.view(np.int64)  # two's-complement into BIGINT
+        # (token-less docs have all-zero weights → packed 0, as before)
+    return pd.Series(out, dtype="int64")
 
 
 def simhash_dup_groups(

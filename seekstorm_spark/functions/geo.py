@@ -73,19 +73,60 @@ def haversine_km(
     return 2 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(a))
 
 
+def _window_range(lat_lo: float, lat_hi: float, lon_lo: float, lon_hi: float) -> tuple[int, int]:
+    codes = [
+        int(morton_encode(np.array([la]), np.array([lo]))[0])
+        for la in (lat_lo, lat_hi)
+        for lo in (lon_lo, lon_hi)
+    ]
+    return min(codes), max(codes)
+
+
+def morton_ranges_for_radius(
+    lat: float, lon: float, radius_km: float
+) -> list[tuple[int, int]]:
+    """Conservative Morton [lo, hi] ranges covering the radius — the
+    coarse pre-filter before the exact distance check
+    (geo_search.rs:128-144). A degree of latitude ≈ 111.32 km.
+
+    Latitude is clamped to ±90; a longitude window crossing the
+    antimeridian is SPLIT into two ranges (one per side) so the wrapped
+    portion is never silently dropped; a window touching a pole falls
+    back to all longitudes at the polar latitudes (every meridian
+    converges there).
+    """
+    dlat = radius_km / 111.32
+    lat_lo = max(lat - dlat, -90.0)
+    lat_hi = min(lat + dlat, 90.0)
+    touches_pole = (lat - dlat < -90.0) or (lat + dlat > 90.0)
+    # widest longitude span inside the window (cos shrinks toward poles)
+    min_cos = min(
+        math.cos(math.radians(lat_lo)), math.cos(math.radians(lat_hi))
+    )
+    if touches_pole or min_cos < 1e-9:
+        return [_window_range(lat_lo, lat_hi, -180.0, 180.0)]
+    dlon = radius_km / (111.32 * min_cos)
+    if dlon >= 180.0:
+        return [_window_range(lat_lo, lat_hi, -180.0, 180.0)]
+    lon_lo, lon_hi = lon - dlon, lon + dlon
+    if lon_lo < -180.0:  # wraps west → [lon_lo+360, 180] ∪ [-180, lon_hi]
+        return [
+            _window_range(lat_lo, lat_hi, lon_lo + 360.0, 180.0),
+            _window_range(lat_lo, lat_hi, -180.0, lon_hi),
+        ]
+    if lon_hi > 180.0:  # wraps east
+        return [
+            _window_range(lat_lo, lat_hi, lon_lo, 180.0),
+            _window_range(lat_lo, lat_hi, -180.0, lon_hi - 360.0),
+        ]
+    return [_window_range(lat_lo, lat_hi, lon_lo, lon_hi)]
+
+
 def morton_range_for_radius(
     lat: float, lon: float, radius_km: float
 ) -> tuple[int, int]:
-    """Conservative [lo, hi] Morton range covering the radius — the
-    coarse pre-filter before the exact distance check
-    (geo_search.rs:128-144). A degree of latitude ≈ 111.32 km."""
-    dlat = radius_km / 111.32
-    dlon = radius_km / (111.32 * max(math.cos(math.radians(lat)), 1e-9))
-    corners_lat = np.array([lat - dlat, lat + dlat])
-    corners_lon = np.array([lon - dlon, lon + dlon])
-    codes = [
-        int(morton_encode(np.array([la]), np.array([lo]))[0])
-        for la in corners_lat
-        for lo in corners_lon
-    ]
-    return min(codes), max(codes)
+    """Single conservative [lo, hi] range (the envelope of
+    :func:`morton_ranges_for_radius` — prefer that for wrap-aware
+    pruning; this envelope is correct but prunes less near ±180)."""
+    ranges = morton_ranges_for_radius(lat, lon, radius_km)
+    return min(r[0] for r in ranges), max(r[1] for r in ranges)

@@ -10,6 +10,8 @@ DataFrame and stays SQL-oracle-checkable.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -17,13 +19,24 @@ from pyspark.sql import functions as F
 def highlight_first(
     text: Column, term: str, width: int = 30
 ) -> Column:
-    """Fragment of ±width chars around the first occurrence of term
-    (1-based locate; empty string when absent), with every occurrence
-    of the term inside the fragment bolded."""
-    pos = F.locate(term, text)
+    """Fragment of ±width chars around the first *token-aligned*
+    occurrence of term (empty string when absent), with every
+    token-aligned occurrence inside the fragment bolded.
+
+    Word boundaries (``\\b``) keep "fast" from matching inside
+    "breakfast" — the reference highlighter matches whole tokens
+    (highlighter.rs:71-382). The first-occurrence position is the
+    length of the lazy prefix group, which both Java regex (Spark) and
+    RE2 (DuckDB) evaluate identically, so the oracle SQL reproduces
+    the exact fragment.
+    """
+    esc = re.escape(term)
+    pat = rf"\b{esc}\b"
+    # 1-based position of the first token-aligned match (0 = absent)
+    prefix = F.regexp_extract(text, rf"^(.*?){pat}", 1)
+    found = text.rlike(pat)
+    pos = F.length(prefix) + F.lit(1)
     start = F.greatest(pos - F.lit(width), F.lit(1))
     frag = F.substring(text, start, F.lit(2 * width + len(term)))
-    highlighted = F.replace(
-        frag, F.lit(term), F.lit(f"<b>{term}</b>")
-    )
-    return F.when(pos > 0, highlighted).otherwise(F.lit(""))
+    highlighted = F.regexp_replace(frag, pat, f"<b>{term}</b>")
+    return F.when(found, highlighted).otherwise(F.lit(""))

@@ -83,6 +83,30 @@ def lsh_signature_udf(dim: int, n_planes: int = 16, seed: int = 1234):
     return sig
 
 
+def query_signature(query: list[float], n_planes: int, seed: int = 1234) -> int:
+    planes = _hyperplanes(len(query), n_planes, seed)
+    proj = planes @ np.asarray(query, dtype=np.float64)
+    sig = 0
+    for b in range(n_planes):
+        if proj[b] > 0:
+            sig |= 1 << b
+    return sig
+
+
+def probe_signatures(qsig: int, n_planes: int, probe_hamming: int) -> list[int]:
+    """All signatures within ``probe_hamming`` bits of ``qsig``."""
+    probes = {qsig}
+    if probe_hamming >= 1:
+        probes |= {qsig ^ (1 << b) for b in range(n_planes)}
+    if probe_hamming >= 2:
+        probes |= {
+            qsig ^ (1 << b1) ^ (1 << b2)
+            for b1 in range(n_planes)
+            for b2 in range(b1 + 1, n_planes)
+        }
+    return sorted(probes)
+
+
 def lsh_ann_topk(
     df: DataFrame,
     query: list[float],
@@ -93,29 +117,105 @@ def lsh_ann_topk(
     probe_hamming: int = 1,
     seed: int = 1234,
 ) -> DataFrame:
-    """Approximate top-k: only vectors whose hyperplane signature is
-    within ``probe_hamming`` bits of the query's signature are scored.
-    At 100 TB the signature is a partition key — the scan prunes to
-    the probed buckets instead of reading every vector."""
+    """Approximate top-k over an UN-indexed DataFrame: computes the
+    signature of every vector at query time, then re-ranks the probed
+    buckets. Correct but full-scan — use :class:`AnnIndex` for the
+    scale path where the signature is a write-time partition key and
+    the scan prunes to the probed partitions."""
     dim = len(query)
-    planes = _hyperplanes(dim, n_planes, seed)
-    qsig = 0
-    proj = planes @ np.asarray(query, dtype=np.float64)
-    for b in range(n_planes):
-        if proj[b] > 0:
-            qsig |= 1 << b
-    # probe set: all signatures within hamming distance
-    probes = {qsig}
-    if probe_hamming >= 1:
-        probes |= {qsig ^ (1 << b) for b in range(n_planes)}
-    if probe_hamming >= 2:
-        probes |= {
-            qsig ^ (1 << b1) ^ (1 << b2)
-            for b1 in range(n_planes)
-            for b2 in range(b1 + 1, n_planes)
-        }
+    qsig = query_signature(query, n_planes, seed)
+    probes = probe_signatures(qsig, n_planes, probe_hamming)
     sig_udf = lsh_signature_udf(dim, n_planes, seed)
     cand = df.withColumn("_sig", sig_udf(F.col(vec_col))).filter(
         F.col("_sig").isin([int(s) for s in probes])
     )
     return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+class AnnIndex:
+    """Signature-partitioned ANN index (the scale path).
+
+    Build: every vector's random-hyperplane signature becomes a
+    write-time PARTITION KEY (``sig=<int>`` parquet dirs) — the Spark
+    analog of the reference's IVF cell assignment
+    (`vector_similarity.rs:43-68`, `clustering.rs` k-medoid cells;
+    hyperplane buckets replace k-medoids so assignment is stateless
+    and oracle-reproducible).
+
+    Query: the probed bucket ids (query signature ± ``probe_hamming``
+    bits — the nprobe analog) form a partition-pruning filter, so the
+    scan reads ONLY the probed ``sig=`` directories — at 100 TB this
+    touches probes/2^n_planes of the data instead of all of it —
+    followed by an exact cosine re-rank inside the probed buckets.
+    """
+
+    def __init__(self, path: str, meta: dict):
+        self.path = path
+        self.meta = meta
+
+    @classmethod
+    def build(
+        cls,
+        spark,
+        df: DataFrame,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_planes: int = 8,
+        seed: int = 1234,
+        dim: int | None = None,
+    ) -> "AnnIndex":
+        import json
+        import os
+
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        sig_udf = lsh_signature_udf(dim, n_planes, seed)
+        (
+            df.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                sig_udf(F.col(vec_col)).alias("sig"),
+            )
+            .repartition("sig")
+            .write.mode("overwrite")
+            .partitionBy("sig")
+            .parquet(os.path.join(path, "vectors"))
+        )
+        meta = {
+            "version": 1,
+            "dim": int(dim),
+            "n_planes": int(n_planes),
+            "seed": int(seed),
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        return cls(path, meta)
+
+    @classmethod
+    def open(cls, path: str) -> "AnnIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "meta.json")) as f:
+            return cls(path, json.load(f))
+
+    def vectors(self, spark) -> DataFrame:
+        import os
+
+        return spark.read.parquet(os.path.join(self.path, "vectors"))
+
+    def search(
+        self,
+        spark,
+        query: list[float],
+        k: int = 10,
+        probe_hamming: int = 1,
+    ) -> DataFrame:
+        n_planes = int(self.meta["n_planes"])
+        qsig = query_signature(query, n_planes, int(self.meta["seed"]))
+        probes = probe_signatures(qsig, n_planes, probe_hamming)
+        cand = self.vectors(spark).filter(
+            F.col("sig").isin([int(s) for s in probes])
+        )
+        return cosine_topk(cand, query, k, "vec_id", "embedding")

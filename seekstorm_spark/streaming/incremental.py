@@ -11,8 +11,11 @@ new (term, block) rows for the batch's docid range; the query side
 already unions across blocks, so fresh batches are searchable as soon
 as their commit lands — the micro-batch boundary IS the level
 boundary. Stats (N, avgdl) are refreshed in the index meta at each
-batch, and the checkpointLocation gives exactly-once resume (the
-streaming twin of the lineage-based batch resume).
+batch; block-max bounds are stored avgdl-free (format v2) and
+computed at query time, so pruning stays admissible as avgdl drifts
+across appends. foreachBatch is at-least-once, so appends are made
+idempotent: staged writes promoted under deterministic per-batch file
+names + applied-batch ids recorded in meta (see append_batch).
 
 Note: appended batches use block ranges disjoint from prior batches
 (docid base = running doc count rounded up to a block boundary), so
@@ -38,22 +41,55 @@ from seekstorm_spark.index.store import IndexStore
 from seekstorm_spark.quantization import decode_lengths
 
 
+def _promote_staged(stage_dir: str, dest_dir: str, tag: str) -> None:
+    """Move staged parquet files into the live table under
+    DETERMINISTIC names (``batch<tag>-<i>.parquet``). A retried batch
+    re-stages and ``os.replace``s the SAME target names, so a crash
+    between promotion and the meta commit never duplicates rows —
+    the local-FS analog of an Iceberg append commit."""
+    import os
+
+    os.makedirs(dest_dir, exist_ok=True)
+    files = sorted(
+        f for f in os.listdir(stage_dir) if f.endswith(".parquet")
+    )
+    for i, f in enumerate(files):
+        os.replace(
+            os.path.join(stage_dir, f),
+            os.path.join(dest_dir, f"batch{tag}-{i:05d}.parquet"),
+        )
+
+
 def append_batch(
     spark: SparkSession,
     store: IndexStore,
     batch_docs: DataFrame,
     text_col: str = "text",
+    batch_id: int | None = None,
 ) -> IndexStore:
     """Index one micro-batch into an existing (possibly empty) index.
 
     Docids start at the next block boundary after the current doc
     count, so the batch's (term, block) rows never collide with
     committed blocks.
+
+    Idempotent under at-least-once replay: batch data is written to a
+    staging dir, promoted into the live tables under deterministic
+    per-batch file names (a replay overwrites rather than duplicates),
+    and the meta commit — which records the applied ``batch_id`` —
+    happens last. A batch whose id is already in
+    ``meta.applied_batches`` is skipped entirely.
     """
+    import os
+    import shutil
+
     meta = dict(store.meta)
+    if batch_id is not None and batch_id in (meta.get("applied_batches") or []):
+        return store
     bs = int(meta.get("block_size", ROARING_BLOCK_SIZE))
     nd = int(meta.get("next_docid", 0))
     base_docid = ((nd + bs - 1) // bs * bs) if nd % bs else nd
+    tag = str(batch_id) if batch_id is not None else f"d{base_docid}"
 
     from seekstorm_spark.index.builder import assign_docids
 
@@ -66,9 +102,13 @@ def append_batch(
         frozenset(meta.get("stop_words") or []) or None,
     ).cache()
 
-    doc_meta = term_rows.filter(F.col("term") == "").select("docid", "dl_byte")
-    doc_meta.write.mode("append").parquet(store.doc_meta_path)
+    stage = os.path.join(store.path, "_staging", f"batch_{tag}")
+    shutil.rmtree(stage, ignore_errors=True)
 
+    doc_meta = term_rows.filter(F.col("term") == "").select("docid", "dl_byte")
+    doc_meta.write.mode("overwrite").parquet(os.path.join(stage, "doc_meta"))
+
+    doc_meta = spark.read.parquet(os.path.join(stage, "doc_meta"))
     batch_n = doc_meta.count()
     hist = {
         int(r["dl_byte"]): int(r["cnt"])
@@ -87,10 +127,26 @@ def append_batch(
     )
     (
         blocks.repartition(n_buckets, "tbucket")
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("tbucket")
-        .parquet(store.postings_path)
+        .parquet(os.path.join(stage, "postings"))
     )
+    term_rows.unpersist()
+
+    # --- promote: deterministic renames, then derived tables, then meta
+    _promote_staged(
+        os.path.join(stage, "doc_meta"), store.doc_meta_path, tag
+    )
+    stage_postings = os.path.join(stage, "postings")
+    for part in sorted(os.listdir(stage_postings)):
+        if not part.startswith("tbucket="):
+            continue
+        _promote_staged(
+            os.path.join(stage_postings, part),
+            os.path.join(store.postings_path, part),
+            tag,
+        )
+    shutil.rmtree(stage, ignore_errors=True)
 
     postings = spark.read.parquet(store.postings_path)
     term_stats = postings.filter(F.col("term") != "").groupBy(
@@ -117,13 +173,16 @@ def append_batch(
     from seekstorm_spark.query.engine import invalidate_term_stats_cache
 
     invalidate_term_stats_cache(store.path)
-    term_rows.unpersist()
+    applied = list(meta.get("applied_batches") or [])
+    if batch_id is not None:
+        applied.append(int(batch_id))
     meta.update(
         {
             "n_docs": n_docs,
             "positions_sum_normalized": pos_sum,
             "avgdl": avgdl,
             "next_docid": base_docid + batch_n,
+            "applied_batches": applied,
             "complete": True,
         }
     )
@@ -152,9 +211,11 @@ def start_incremental_indexing(
     if os.path.exists(store.meta_path):
         store = IndexStore.open(index_path)
     else:
+        from seekstorm_spark.index.builder import INDEX_FORMAT_VERSION
+
         os.makedirs(index_path, exist_ok=True)
         store.meta = {
-            "version": 1,
+            "version": INDEX_FORMAT_VERSION,
             "tokenizer": "unicode_alphanumeric",
             "stop_words": [],
             "n_docs": 0,
@@ -172,7 +233,10 @@ def start_incremental_indexing(
             return
         with open(store.meta_path) as f:
             store.meta = json.load(f)
-        append_batch(spark, store, batch_df, text_col)
+        # batch_id makes the append idempotent under foreachBatch's
+        # at-least-once replay (skip if applied; deterministic file
+        # names if partially promoted)
+        append_batch(spark, store, batch_df, text_col, batch_id=batch_id)
 
     writer = stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_path
