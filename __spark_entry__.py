@@ -232,6 +232,139 @@ def _wand_store(spark: SparkSession, sf_dir: str):
     )
 
 
+def _wandf_store(spark: SparkSession, sf_dir: str):
+    """Two-field (text, source) index — the reference's default data
+    model (per-field tf/positions, add_result.rs:1171-1426)."""
+    import json
+    import os
+
+    from seekstorm_spark.index.builder import (
+        INDEX_FORMAT_VERSION,
+        IndexBuilder,
+    )
+    from seekstorm_spark.index.store import IndexStore
+
+    name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = f"/tmp/seekstorm_wandf_idx_{name}"
+    meta = os.path.join(path, "meta.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            m = json.load(f)
+        if (
+            m.get("complete")
+            and m.get("version") == INDEX_FORMAT_VERSION
+            and m.get("fields") == ["text", "source"]
+        ):
+            return IndexStore.open(path)
+    return IndexBuilder(
+        spark, path, n_buckets=8, fields=["text", "source"]
+    ).build(_docs(spark, sf_dir), id_col="doc_id")
+
+
+def _wandf_query(
+    qstring: str,
+    default_type: str,
+    boosts: list[tuple[str, float]],
+    field_filter: list[str] | None = None,
+    top_k: int = 10,
+):
+    def run(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import search
+
+        store = _wandf_store(s, d)
+        out = search(
+            s,
+            store,
+            qstring,
+            top_k=top_k,
+            default_type=default_type,
+            fields=boosts,
+            field_filter=field_filter,
+        )
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 4).alias("score")
+        )
+
+    return run
+
+
+def _wand_bm25f_sql(
+    terms: list[str],
+    boosts: list[float],  # per field id: [text, source]
+    field_filter: int | None = None,
+    top_k: int = 10,
+) -> str:
+    """f32-exact BM25F top-k matching the indexed multi-field kernel:
+    per-(term, field) contributions boost·(idf·comp), accumulated in
+    (term asc, field asc) order; df = docs containing the term in ANY
+    field; one corpus-wide avgdl over all per-field lengths."""
+    uniq = sorted(set(terms))
+    in_terms = _in_list(uniq)
+    n_fields = len(boosts)
+    boost_case = (
+        "(CASE tf2.field "
+        + " ".join(f"WHEN {i} THEN {repr(float(b))}{_F}" for i, b in enumerate(boosts))
+        + f" END){_F}"
+    )
+    fwhere = f"AND field = {field_filter}" if field_filter is not None else ""
+    cells = []
+    acc = None
+    idx = 0
+    for t in uniq:
+        for fid in range(n_fields):
+            if field_filter is not None and fid != field_filter:
+                continue
+            cells.append(
+                f"max(CASE WHEN term = '{t}' AND field = {fid} "
+                f"THEN c END) AS c{idx}"
+            )
+            cell = f"COALESCE(c{idx}, 0.0{_F})"
+            acc = cell if acc is None else f"({acc} + {cell})"
+            idx += 1
+    piv_cols = ",\n        ".join(cells)
+    return f"""
+WITH {_QUANT_CTE},
+dl2 AS (SELECT doc_id, 0 AS field, len(list_filter(string_split(text, ' '),
+                                                   x -> x <> '')) AS dl_raw
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 1 AS field, len(list_filter(string_split(source, ' '),
+                                                   x -> x <> ''))
+        FROM documents),
+dlq2 AS (SELECT doc_id, field, dl_q FROM dl2 JOIN quant
+         ON dl_raw BETWEEN dl_lo AND dl_hi),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 ((SELECT sum(dl_q) FROM dlq2){_F}
+                  / (SELECT count(*) FROM documents){_F}) AS avgdl),
+toks2 AS (SELECT doc_id, 0 AS field, unnest(list_filter(
+            string_split(text, ' '), x -> x <> '')) AS term FROM documents
+          UNION ALL
+          SELECT doc_id, 1 AS field, unnest(list_filter(
+            string_split(source, ' '), x -> x <> '')) FROM documents),
+tf2 AS (SELECT doc_id, field, term, count(*) AS tf FROM toks2
+        WHERE term IN ({in_terms}) {fwhere} GROUP BY 1, 2, 3),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks2
+        WHERE term IN ({in_terms}) GROUP BY 1),
+contrib AS (
+  SELECT tf2.doc_id, tf2.term, tf2.field,
+         ({boost_case}
+          * (ln((((s.n{_F} - dft.df{_F} + 0.5{_F}) / (dft.df{_F} + 0.5{_F}))
+                 + 1.0{_F})::DOUBLE){_F}
+             * ((tf2.tf{_F} * 2.2{_F})
+                / (tf2.tf{_F} + 1.2{_F}
+                   * (0.25{_F} + ((0.75{_F} * d.dl_q{_F}) / s.avgdl)))))) AS c
+  FROM tf2 JOIN dlq2 d ON d.doc_id = tf2.doc_id AND d.field = tf2.field
+  JOIN dft USING (term) CROSS JOIN stats s),
+piv AS (SELECT doc_id AS docid,
+        {piv_cols}
+        FROM contrib GROUP BY doc_id),
+scored AS (SELECT docid, {acc} AS raw FROM piv)
+SELECT docid, round(raw::DOUBLE, 4) AS score FROM (
+  SELECT docid, raw FROM scored
+  ORDER BY raw DESC, docid ASC LIMIT {top_k})
+"""
+
+
 def _wand_query(qstring: str, default_type: str, top_k: int = 10):
     def run(s: SparkSession, d: str) -> DataFrame:
         from seekstorm_spark.query.engine import search
@@ -445,6 +578,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["wand_phrase"] = _wand_query('"fast table"', "union")
     q["wand_not"] = _wand_query("fast -dup", "union")
     q["wand_single"] = _wand_query("dup", "union")
+
+    # indexed multi-field BM25F (2-field index: text + source, boosts
+    # 1.0/2.0; reference add_result.rs:1171-1426, search.rs:2483-2495)
+    q["wand_bm25f_two_fields"] = _wandf_query(
+        "fast src3", "union", [("text", 1.0), ("source", 2.0)]
+    )
+    q["wand_bm25f_field_filter"] = _wandf_query(
+        "fast src3",
+        "union",
+        [("text", 1.0), ("source", 2.0)],
+        field_filter=["source"],
+    )
 
     def wand_count_and(s: SparkSession, d: str) -> DataFrame:
         from seekstorm_spark.query.engine import count_matches
@@ -786,6 +931,10 @@ def oracle_sql() -> dict[str, str]:
     )
     o["wand_not"] = _wand_bm25_sql(["fast"], "union", not_terms=["dup"])
     o["wand_single"] = _wand_bm25_sql(["dup"], "union")
+    o["wand_bm25f_two_fields"] = _wand_bm25f_sql(["fast", "src3"], [1.0, 2.0])
+    o["wand_bm25f_field_filter"] = _wand_bm25f_sql(
+        ["fast", "src3"], [1.0, 2.0], field_filter=1
+    )
     o["wand_count_and"] = _match_count_sql(["fast", "table"], "intersection")
     o["count_and"] = _match_count_sql(["fast", "table"], "intersection")
     o["count_or"] = _match_count_sql(["fast", "table"], "union")

@@ -51,15 +51,21 @@ from seekstorm_spark.codecs import (
 from seekstorm_spark.index.store import IndexStore
 from seekstorm_spark.quantization import decode_lengths
 
-TERM_ROW_SCHEMA = "docid long, term string, pos int, dl_byte int"
+TERM_ROW_SCHEMA = "docid long, field int, term string, pos int, dl_byte int"
 
+# Multi-field postings: one row per (term, field, block) with the
+# field's tf/positions/dl bytes — the reference's default data model
+# (per-field tf/positions per doc, index.rs:5332-5407,
+# add_result.rs:1171-1426). df_block is the per-block count of
+# DISTINCT docs containing the term in ANY field (so term_stats df is
+# the BM25F document frequency, not a per-field sum).
 POSTING_SCHEMA = (
-    "term string, block_id int, posting_count int, max_tf int, "
-    "min_dl_byte int, docids_vb binary, tfs_vb binary, dls binary, "
-    "positions_vb binary"
+    "term string, field int, block_id int, posting_count int, "
+    "df_block int, max_tf int, min_dl_byte int, docids_vb binary, "
+    "tfs_vb binary, dls binary, positions_vb binary"
 )
 
-# format v2: blocks store (max_tf, min_dl_byte) instead of a baked
+# format v3: blocks store (max_tf, min_dl_byte) instead of a baked
 # max-score component. BM25's tf saturation is increasing in tf and
 # decreasing in dl, so comp(max_tf, min_dl) bounds every doc in the
 # block for ANY avgdl — the bound is computed at query time from the
@@ -68,7 +74,7 @@ POSTING_SCHEMA = (
 # This keeps block-max WAND admissible for incrementally grown indexes
 # where avgdl drifts after blocks are written, and removes the avgdl
 # dependency from the build (enabling the single-pass build below).
-INDEX_FORMAT_VERSION = 2
+INDEX_FORMAT_VERSION = 3
 
 
 def assign_docids(
@@ -164,63 +170,83 @@ def tokenize_to_term_rows(
     text_col: str = "text",
     tokenizer: str = "unicode_alphanumeric",
     stop_words: frozenset[str] | None = None,
+    fields: list[str] | None = None,
 ) -> DataFrame:
-    """docs(docid, text) → flat (docid, term, pos, dl_byte) rows; one
-    sentinel row per doc (term='', pos=-1) carries the doc length so
-    empty docs stay counted.
+    """docs(docid, <fields…>) → flat (docid, field, term, pos, dl_byte)
+    rows; one sentinel row per (doc, field) (term='', pos=-1) carries
+    that field's quantized length so empty fields stay counted.
+
+    ``fields`` defaults to ``[text_col]`` (single-field, field id 0);
+    multi-field indexes list their field columns in build order — the
+    list index IS the field id (reference indexed_field_id_vec,
+    index.rs:5332-5407).
 
     Flat position-level rows keep the Python side to one regex call
-    per doc plus numpy array assembly — the per-(term,doc) aggregation
-    happens vectorized inside the posting-block kernel, not here.
-    Position semantics match ``tokenizer.tokenize_doc`` (stopwords
-    dropped without advancing positions; 65,536-token field cap,
-    reference tokenizer.rs:584-894).
+    per field plus numpy array assembly — the per-(term,doc)
+    aggregation happens vectorized inside the posting-block kernel,
+    not here. Position semantics match ``tokenizer.tokenize_doc``
+    (stopwords dropped without advancing positions; 65,536-token field
+    cap, reference tokenizer.rs:584-894).
     """
     tokenizer_name = tokenizer
     stops = stop_words
+    field_cols = list(fields) if fields else [text_col]
 
     def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from seekstorm_spark.quantization import int_to_byte4
         from seekstorm_spark.tokenizer import TOKEN_PER_FIELD_MAX, tokenize_line
 
         for pdf in batches:
-            doc_ids: list[int] = []
-            counts: list[int] = []
-            dl_bytes: list[int] = []
-            all_terms: list[str] = []
-            for docid, text in zip(pdf["docid"].values, pdf[text_col].values):
-                toks = tokenize_line(text or "", tokenizer_name)
-                if stops:
-                    toks = [t for t in toks if t not in stops]
-                if len(toks) > TOKEN_PER_FIELD_MAX:
-                    toks = toks[:TOKEN_PER_FIELD_MAX]
-                doc_ids.append(int(docid))
-                counts.append(len(toks))
-                dl_bytes.append(int_to_byte4(len(toks)))
-                all_terms.extend(toks)
-            counts_a = np.asarray(counts, dtype=np.int64)
-            docs_a = np.asarray(doc_ids, dtype=np.int64)
-            dlb_a = np.asarray(dl_bytes, dtype=np.int32)
-            total = int(counts_a.sum())
-            starts = np.concatenate(([0], np.cumsum(counts_a)[:-1]))
-            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts_a)
-            out = pd.DataFrame(
-                {
-                    "docid": np.concatenate(
-                        [np.repeat(docs_a, counts_a), docs_a]
-                    ),
-                    "term": all_terms + [""] * len(docs_a),
-                    "pos": np.concatenate(
-                        [pos, np.full(len(docs_a), -1, dtype=np.int64)]
-                    ).astype(np.int32),
-                    "dl_byte": np.concatenate(
-                        [np.repeat(dlb_a, counts_a), dlb_a]
-                    ).astype(np.int32),
-                }
-            )
-            yield out
+            frames = []
+            for fid, fcol in enumerate(field_cols):
+                doc_ids: list[int] = []
+                counts: list[int] = []
+                dl_bytes: list[int] = []
+                all_terms: list[str] = []
+                for docid, text in zip(pdf["docid"].values, pdf[fcol].values):
+                    toks = tokenize_line(
+                        text if isinstance(text, str) else "", tokenizer_name
+                    )
+                    if stops:
+                        toks = [t for t in toks if t not in stops]
+                    if len(toks) > TOKEN_PER_FIELD_MAX:
+                        toks = toks[:TOKEN_PER_FIELD_MAX]
+                    doc_ids.append(int(docid))
+                    counts.append(len(toks))
+                    dl_bytes.append(int_to_byte4(len(toks)))
+                    all_terms.extend(toks)
+                counts_a = np.asarray(counts, dtype=np.int64)
+                docs_a = np.asarray(doc_ids, dtype=np.int64)
+                dlb_a = np.asarray(dl_bytes, dtype=np.int32)
+                total = int(counts_a.sum())
+                starts = np.concatenate(([0], np.cumsum(counts_a)[:-1]))
+                pos = np.arange(total, dtype=np.int64) - np.repeat(
+                    starts, counts_a
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "docid": np.concatenate(
+                                [np.repeat(docs_a, counts_a), docs_a]
+                            ),
+                            "field": np.full(
+                                total + len(docs_a), fid, dtype=np.int32
+                            ),
+                            "term": all_terms + [""] * len(docs_a),
+                            "pos": np.concatenate(
+                                [pos, np.full(len(docs_a), -1, dtype=np.int64)]
+                            ).astype(np.int32),
+                            "dl_byte": np.concatenate(
+                                [np.repeat(dlb_a, counts_a), dlb_a]
+                            ).astype(np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(frames) if len(frames) > 1 else frames[0]
 
-    return docs.select("docid", text_col).mapInPandas(_tok, schema=TERM_ROW_SCHEMA)
+    return docs.select("docid", *field_cols).mapInPandas(
+        _tok, schema=TERM_ROW_SCHEMA
+    )
 
 
 def tokenize_to_doc_lengths(
@@ -285,38 +311,71 @@ def build_posting_blocks(
     def _build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         tbucket, block_id = int(key[0]), int(key[1])
         term_codes, uniq_terms = pd.factorize(pdf["term"], sort=True)
+        fld = pdf["field"].values.astype(np.int64)
         d = pdf["docid"].values.astype(np.int64)
         # sentinel rows carry pos=-1; clip so the VB codec stays unsigned
         p = np.maximum(pdf["pos"].values.astype(np.int64), 0)
         dlb = pdf["dl_byte"].values.astype(np.uint8)
-        order = np.lexsort((p, d, term_codes))
-        t, d, p, dlb = term_codes[order], d[order], p[order], dlb[order]
+        order = np.lexsort((p, d, fld, term_codes))
+        t, f, d, p, dlb = (
+            term_codes[order],
+            fld[order],
+            d[order],
+            p[order],
+            dlb[order],
+        )
 
-        # (term, doc) run boundaries → tf per posting
+        # (term, field, doc) run boundaries → tf per posting
         new_pair = np.empty(len(t), dtype=bool)
         new_pair[0] = True
-        new_pair[1:] = (t[1:] != t[:-1]) | (d[1:] != d[:-1])
+        new_pair[1:] = (
+            (t[1:] != t[:-1]) | (f[1:] != f[:-1]) | (d[1:] != d[:-1])
+        )
         pair_starts = np.flatnonzero(new_pair)
         tfs_all = np.diff(np.append(pair_starts, len(t)))
         td_term = t[pair_starts]
+        td_field = f[pair_starts]
         td_doc = d[pair_starts]
         td_dlb = dlb[pair_starts]
 
-        # per-term slices over the (term, doc) arrays
+        # per-(term, field) slices over the (term, field, doc) arrays
+        new_tf = np.empty(len(td_term), dtype=bool)
+        new_tf[0] = True
+        new_tf[1:] = (td_term[1:] != td_term[:-1]) | (
+            td_field[1:] != td_field[:-1]
+        )
+        tf_starts = np.flatnonzero(new_tf)
+        tf_ends = np.append(tf_starts[1:], len(td_term))
+        pos_bounds = np.append(pair_starts, len(t))
+
+        # per-term ranges (across fields) for the union df_block
         new_term = np.empty(len(td_term), dtype=bool)
         new_term[0] = True
         new_term[1:] = td_term[1:] != td_term[:-1]
         term_starts = np.flatnonzero(new_term)
         term_ends = np.append(term_starts[1:], len(td_term))
-        pos_bounds = np.append(pair_starts, len(t))
+        term_starts_set = set(term_starts.tolist())
+        df_block_by_term = {
+            int(td_term[s]): int(np.unique(td_doc[s:e]).size)
+            for s, e in zip(term_starts, term_ends)
+        }
 
         local_all = (td_doc - block_id * block_size).astype(np.int64)
-        out_terms, out_cnt, out_maxtf, out_mindl = [], [], [], []
+        out_terms, out_fields, out_cnt, out_dfb = [], [], [], []
+        out_maxtf, out_mindl = [], []
         out_docids, out_tfs, out_dls, out_pos = [], [], [], []
-        for s, e in zip(term_starts, term_ends):
+        for s, e in zip(tf_starts, tf_ends):
             tfs = tfs_all[s:e]
             out_terms.append(uniq_terms[td_term[s]])
+            out_fields.append(int(td_field[s]))
             out_cnt.append(e - s)
+            # df_block on the term's FIRST field row only, so summing
+            # over rows never double counts (0 on the others)
+            out_dfb.append(
+                df_block_by_term[int(td_term[s])]
+                if s in term_starts_set
+                else 0
+            )
             out_maxtf.append(int(tfs.max()))
             out_mindl.append(int(td_dlb[s:e].min()))
             out_docids.append(encode_docids(local_all[s:e]))
@@ -328,10 +387,12 @@ def build_posting_blocks(
         return pd.DataFrame(
             {
                 "term": out_terms,
+                "field": pd.Series(out_fields, dtype="int32"),
                 "block_id": pd.Series(
                     np.full(len(out_terms), block_id), dtype="int32"
                 ),
                 "posting_count": pd.Series(out_cnt, dtype="int32"),
+                "df_block": pd.Series(out_dfb, dtype="int32"),
                 "max_tf": pd.Series(out_maxtf, dtype="int32"),
                 "min_dl_byte": pd.Series(out_mindl, dtype="int32"),
                 "docids_vb": out_docids,
@@ -374,23 +435,31 @@ def _decode_doc_meta(
     def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs_d: list[np.ndarray] = []
+            outs_f: list[np.ndarray] = []
             outs_b: list[np.ndarray] = []
-            for block_id, docids_vb, dls in zip(
-                pdf["block_id"].values, pdf["docids_vb"].values, pdf["dls"].values
+            for block_id, field, docids_vb, dls in zip(
+                pdf["block_id"].values,
+                pdf["field"].values,
+                pdf["docids_vb"].values,
+                pdf["dls"].values,
             ):
                 d = decode_docids(docids_vb) + int(block_id) * block_size
                 outs_d.append(d.astype(np.int64))
+                outs_f.append(np.full(d.size, int(field), dtype=np.int32))
                 outs_b.append(np.frombuffer(dls, dtype=np.uint8).astype(np.int32))
             if not outs_d:
                 continue
             yield pd.DataFrame(
                 {
                     "docid": np.concatenate(outs_d),
+                    "field": np.concatenate(outs_f),
                     "dl_byte": np.concatenate(outs_b),
                 }
             )
 
-    return sentinel_postings.mapInPandas(_dec, schema="docid long, dl_byte int")
+    return sentinel_postings.mapInPandas(
+        _dec, schema="docid long, field int, dl_byte int"
+    )
 
 
 class IndexBuilder:
@@ -402,6 +471,7 @@ class IndexBuilder:
         stop_words: frozenset[str] | None = None,
         n_buckets: int = 32,
         block_size: int = ROARING_BLOCK_SIZE,
+        fields: list[str] | None = None,
     ):
         self.spark = spark
         self.index_path = index_path
@@ -409,6 +479,7 @@ class IndexBuilder:
         self.stop_words = stop_words
         self.n_buckets = n_buckets
         self.block_size = block_size
+        self.fields = list(fields) if fields else None
 
     def build(
         self,
@@ -434,14 +505,15 @@ class IndexBuilder:
 
         sentinel_bucket = term_bucket("", self.n_buckets)
 
-        # project early: only (order/id, text) enter the build shuffles —
-        # at 100 TB the html payload must never ride along
-        keep = [c for c in {order_col, id_col, text_col} if c]
+        fields = self.fields or [text_col]
+        # project early: only (order/id, <fields…>) enter the build
+        # shuffles — at 100 TB the html payload must never ride along
+        keep = [c for c in dict.fromkeys([order_col, id_col, *fields]) if c]
         docs = assign_docids(
             docs.select(*keep), order_col=order_col, id_col=id_col,
             n_buckets=max(self.n_buckets, 16),
         )
-        docs = docs.select("docid", text_col)
+        docs = docs.select("docid", *fields)
 
         # --- resume bookkeeping ---
         committed: set[int] = set()
@@ -464,7 +536,7 @@ class IndexBuilder:
         # become the term-'' postings that doc_meta derives from; format
         # v2 bounds need no avgdl at build time, so no stats pre-pass.
         term_rows = tokenize_to_term_rows(
-            docs, text_col, self.tokenizer, self.stop_words
+            docs, text_col, self.tokenizer, self.stop_words, fields=fields
         )
         posting_blocks = build_posting_blocks(
             term_rows,
@@ -499,24 +571,26 @@ class IndexBuilder:
             ):
                 sent = postings.filter(
                     (F.col("tbucket") == sentinel_bucket) & (F.col("term") == "")
-                ).select("block_id", "docids_vb", "dls")
+                ).select("block_id", "field", "docids_vb", "dls")
                 _decode_doc_meta(sent, self.block_size).write.mode(
                     "overwrite"
                 ).parquet(store.doc_meta_path)
             doc_meta = spark.read.parquet(store.doc_meta_path)
-            # one collect: the length histogram yields both N and the
-            # positions sum (avgdl per commit.rs:318-319, f32 division)
+            # one collect: the per-field length histogram yields N
+            # (field-0 rows), and the positions sum over ALL fields
+            # (avgdl = Σ per-field quantized dl / doc count,
+            # commit.rs:318-319, f32 division)
             dl_hist = {
-                int(r["dl_byte"]): int(r["cnt"])
-                for r in doc_meta.groupBy("dl_byte")
+                (int(r["field"]), int(r["dl_byte"])): int(r["cnt"])
+                for r in doc_meta.groupBy("field", "dl_byte")
                 .agg(F.count("*").alias("cnt"))
                 .collect()
             }
-            n_docs = int(sum(dl_hist.values()))
+            n_docs = int(sum(c for (fid, _b), c in dl_hist.items() if fid == 0))
             pos_sum = int(
                 sum(
                     int(decode_lengths(np.array([b]))[0]) * c
-                    for b, c in dl_hist.items()
+                    for (_f, b), c in dl_hist.items()
                 )
             )
             avgdl = (
@@ -527,7 +601,10 @@ class IndexBuilder:
         term_stats = postings.filter(F.col("term") != "").groupBy(
             "tbucket", "term"
         ).agg(
-            F.sum("posting_count").cast("long").alias("df"),
+            # df = distinct docs containing the term in ANY field
+            # (df_block is nonzero on one field row per (term, block))
+            F.sum("df_block").cast("long").alias("df"),
+            F.sum("posting_count").cast("long").alias("cf_fields"),
             F.count("*").cast("int").alias("n_blocks"),
             F.max("max_tf").cast("int").alias("max_tf"),
             F.min("min_dl_byte").cast("int").alias("min_dl_byte"),
@@ -572,6 +649,7 @@ class IndexBuilder:
 
         store.meta = {
             "version": INDEX_FORMAT_VERSION,
+            "fields": fields,
             "tokenizer": self.tokenizer,
             "stop_words": sorted(self.stop_words) if self.stop_words else [],
             "n_docs": n_docs,

@@ -144,6 +144,30 @@ def _plan(
     )
 
 
+def _resolve_fields(
+    store: IndexStore,
+    fields: list[tuple[str, float]] | None,
+    field_filter: list[str] | None,
+) -> tuple[dict[int, float], list[int] | None]:
+    """(field id → boost, allowed field ids or None=all).
+
+    ``fields`` sets per-field boosts (reference FieldBoost,
+    add_result.rs:1171-1426); ``field_filter`` restricts matching AND
+    scoring to the named fields (search.rs:2483-2495) while df/idf
+    stay corpus-wide."""
+    names = list(store.meta.get("fields") or ["text"])
+    boosts = {i: 1.0 for i in range(len(names))}
+    if fields:
+        for name, b in fields:
+            if name not in names:
+                raise ValueError(f"unknown field {name!r}; indexed: {names}")
+            boosts[names.index(name)] = float(b)
+    allowed = None
+    if field_filter:
+        allowed = sorted(names.index(n) for n in field_filter)
+    return boosts, allowed
+
+
 def search(
     spark: SparkSession,
     store: IndexStore,
@@ -152,16 +176,20 @@ def search(
     offset: int = 0,
     default_type: str = "union",
     prune: bool = True,
+    fields: list[tuple[str, float]] | None = None,
+    field_filter: list[str] | None = None,
 ) -> DataFrame:
-    """Top-k BM25 search → DataFrame(docid, score), score f32,
+    """Top-k BM25(F) search → DataFrame(docid, score), score f32,
     ordered score desc / docid asc. ``prune=False`` disables the WAND
-    threshold (used to verify pruning is lossless)."""
+    threshold (used to verify pruning is lossless). ``fields`` sets
+    per-field boosts; ``field_filter`` restricts match+score fields."""
     plan = _plan(spark, store, query, default_type)
     empty = spark.createDataFrame([], RESULT_SCHEMA)
     if plan.missing_required or not plan.pos_terms:
         return empty
 
-    rows = _annotated_postings(spark, store, plan)
+    boosts, allowed = _resolve_fields(store, fields, field_filter)
+    rows = _annotated_postings(spark, store, plan, boosts, allowed)
     need_k = top_k + offset
 
     kernel = _make_kernel(
@@ -172,7 +200,7 @@ def search(
     # rows are already hash-partitioned by block_id (the block-bound
     # window's exchange) — no extra repartition needed
     candidates = rows.sortWithinPartitions(
-        F.col("block_bound").desc(), "block_id", "term"
+        F.col("block_bound").desc(), "block_id", "term", "field"
     ).mapInPandas(kernel, schema=RESULT_SCHEMA)
     out = candidates.orderBy(F.col("score").desc(), F.col("docid").asc())
     if offset:
@@ -185,6 +213,7 @@ def count_matches(
     store: IndexStore,
     query: str,
     default_type: str = "union",
+    field_filter: list[str] | None = None,
 ) -> int:
     """Exact match count (ResultType::Count, reference search.rs:168-176).
 
@@ -201,20 +230,24 @@ def count_matches(
         len(plan.pos_terms) == 1
         and not plan.not_terms
         and plan.qtype != "phrase"
+        and field_filter is None  # stored df counts matches in ANY field
         and not has_deletes  # stored df doesn't reflect the delete set
     ):
         # zero Spark jobs: the stored df IS the count (single.rs:313-323)
         term = next(iter(plan.pos_terms))
         return int(_probe_term_stats(store, [term]).get(term, 0))
 
-    rows = _annotated_postings(spark, store, plan)
+    boosts, allowed = _resolve_fields(store, None, field_filter)
+    rows = _annotated_postings(spark, store, plan, boosts, allowed)
     kernel = _make_kernel(
         plan, 0, False, store.avgdl, count_only=True,
         block_size=int(store.meta.get('block_size', ROARING_BLOCK_SIZE)),
         deletes=_load_delete_set(spark, store),
     )
     out = (
-        rows.sortWithinPartitions(F.col("block_bound").desc(), "block_id", "term")
+        rows.sortWithinPartitions(
+            F.col("block_bound").desc(), "block_id", "term", "field"
+        )
         .mapInPandas(kernel, schema=COUNT_SCHEMA)
         .agg(F.sum("matches"))
         .collect()[0][0]
@@ -231,7 +264,7 @@ def browse(
 ) -> DataFrame:
     """Empty-query index browse (reference iterator.rs /
     search.rs:1413-1432): all live docids ordered by docid, paged."""
-    dm = store.doc_meta(spark).select("docid")
+    dm = store.doc_meta(spark).filter(F.col("field") == 0).select("docid")
     dm = _anti_join_deletes(spark, store, dm)
     order = F.col("docid").desc() if descending else F.col("docid").asc()
     out = dm.orderBy(order)
@@ -286,7 +319,11 @@ def _anti_join_deletes(
 
 
 def _annotated_postings(
-    spark: SparkSession, store: IndexStore, plan: QueryPlan
+    spark: SparkSession,
+    store: IndexStore,
+    plan: QueryPlan,
+    boosts: dict[int, float] | None = None,
+    allowed_fields: list[int] | None = None,
 ) -> DataFrame:
     terms = sorted(set(plan.pos_terms) | set(plan.not_terms))
     n_buckets = store.n_buckets
@@ -300,6 +337,7 @@ def _annotated_postings(
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     cols = [
         "term",
+        "field",
         "block_id",
         "posting_count",
         "max_tf",
@@ -315,17 +353,32 @@ def _annotated_postings(
         .filter(F.col("tbucket").isin(buckets) & F.col("term").isin(terms))
         .select(*cols)
     )
+    if allowed_fields is not None:
+        # field filter pushes to the scan (reference search.rs:2483-2495)
+        postings = postings.filter(
+            F.col("field").isin([int(i) for i in allowed_fields])
+        )
     if plan.qtype == "phrase":
         postings = postings.withColumnRenamed("positions_vb", "pos_vb")
     else:
         postings = postings.withColumn("pos_vb", F.lit(None).cast("binary"))
 
     rows = postings.join(F.broadcast(term_info), "term")
+    n_fields = len(store.meta.get("fields") or ["text"])
+    boost_arr = F.array(
+        *[
+            F.lit(float((boosts or {}).get(i, 1.0)))
+            for i in range(max(n_fields, 1))
+        ]
+    )
+    rows = rows.withColumn("boost", F.element_at(boost_arr, F.col("field") + 1))
     # format v2: the block-max bound is computed HERE, at query time,
     # from the current avgdl — comp(max_tf, min_dl) bounds every doc in
     # the block because BM25 tf-saturation is increasing in tf and
     # decreasing in dl (reference compress_postinglist.rs:530-676);
-    # valid even when avgdl drifted after the block was written.
+    # valid even when avgdl drifted after the block was written. Per-
+    # field rows each contribute boost·idf·comp_ub — an upper bound of
+    # the BM25F sum over fields (add_result.rs:1171-1426).
     from seekstorm_spark.quantization import DOCUMENT_LENGTH_COMPRESSION
 
     dlq_arr = F.array(
@@ -339,7 +392,9 @@ def _annotated_postings(
     )
     rows = rows.withColumn(
         "bound_contrib",
-        F.when(F.col("is_not"), F.lit(0.0)).otherwise(F.col("idf") * comp_ub),
+        F.when(F.col("is_not"), F.lit(0.0)).otherwise(
+            F.col("idf") * F.col("boost") * comp_ub
+        ),
     )
     w = Window.partitionBy("block_id")
     rows = rows.withColumn("block_bound", F.sum("bound_contrib").over(w))
@@ -347,10 +402,16 @@ def _annotated_postings(
         n_required = len(plan.pos_terms)
         rows = rows.withColumn(
             "pos_in_block",
-            F.sum(F.when(F.col("is_not"), 0).otherwise(1)).over(w),
+            F.size(
+                F.collect_set(
+                    F.when(~F.col("is_not"), F.col("term"))
+                ).over(w)
+            ),
         ).filter(F.col("pos_in_block") >= n_required)
     return rows.select(
         "term",
+        "field",
+        "boost",
         "block_id",
         "idf",
         "is_not",
@@ -424,38 +485,49 @@ def _make_kernel(
                 if float(rows["block_bound"].iloc[0]) < thr - eps:
                     return
             base = block_id * block_size
-            per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, bytes]] = {}
+            # entries in row order = (term asc, field asc): this is the
+            # f32 score accumulation order (and the oracle SQL's)
+            entries: list[tuple] = []
+            groups: dict[str, list[tuple]] = {}
             for _, r in rows.iterrows():
                 d = decode_docids(r["docids_vb"])
                 t = decode_tfs(r["tfs_vb"])
                 dl = np.frombuffer(r["dls"], dtype=np.uint8)
-                per_term[r["term"]] = (d, t, dl, r["pos_vb"])
+                e = (r["term"], int(r["field"]), float(r["boost"]), d, t, dl, r["pos_vb"])
+                entries.append(e)
+                groups.setdefault(r["term"], []).append(e)
 
-            pos_names = [t for t in per_term if t in pos_terms]
+            def union_docs(term: str) -> np.ndarray:
+                ds = [e[3] for e in groups[term]]
+                if len(ds) == 1:
+                    return ds[0]
+                return np.unique(np.concatenate(ds))
+
+            pos_names = [t for t in groups if t in pos_terms]
             if not pos_names:
                 return
 
             if qtype in ("intersection", "phrase"):
                 if len(pos_names) < len(pos_terms):
                     return
-                common = per_term[pos_names[0]][0]
+                common = union_docs(pos_names[0])
                 for t in pos_names[1:]:
                     common = np.intersect1d(
-                        common, per_term[t][0], assume_unique=True
+                        common, union_docs(t), assume_unique=True
                     )
                     if common.size == 0:
                         return
                 cand = common
             else:
                 cand = np.unique(
-                    np.concatenate([per_term[t][0] for t in pos_names])
+                    np.concatenate([union_docs(t) for t in pos_names])
                 )
 
-            # NOT anti-probe
+            # NOT anti-probe (match in ANY field excludes)
             for t in not_set:
-                if t in per_term:
+                if t in groups:
                     cand = cand[
-                        ~np.isin(cand, per_term[t][0], assume_unique=True)
+                        ~np.isin(cand, union_docs(t), assume_unique=True)
                     ]
             if cand.size == 0:
                 return
@@ -466,9 +538,9 @@ def _make_kernel(
                 if cand.size == 0:
                     return
 
-            # phrase position alignment
+            # phrase position alignment (within a single field)
             if qtype == "phrase" and len(phrase) > 1:
-                keep = _phrase_filter(per_term, cand, phrase)
+                keep = _phrase_filter(groups, cand, phrase)
                 cand = cand[keep]
                 if cand.size == 0:
                     return
@@ -478,17 +550,16 @@ def _make_kernel(
                 return
 
             scores = np.zeros(cand.size, dtype=np.float32)
-            for t in pos_names:
-                d, tf, dl, _ = per_term[t]
-                if qtype in ("intersection", "phrase"):
-                    idx = np.searchsorted(d, cand)
-                    scores += term_scores(pos_terms[t], tf[idx], dl[idx])
-                else:
-                    idx = np.searchsorted(d, cand)
-                    valid = (idx < d.size) & (d[np.minimum(idx, d.size - 1)] == cand)
-                    ii = idx[valid]
-                    contrib = term_scores(pos_terms[t], tf[ii], dl[ii])
-                    scores[valid] += contrib
+            for term, _field, boost, d, tf, dl, _pv in entries:
+                if term not in pos_terms:
+                    continue
+                idx = np.searchsorted(d, cand)
+                valid = (idx < d.size) & (d[np.minimum(idx, d.size - 1)] == cand)
+                ii = idx[valid]
+                contrib = np.float32(boost) * term_scores(
+                    pos_terms[term], tf[ii], dl[ii]
+                )
+                scores[valid] += contrib
             merge_topk(base + cand, scores)
 
         for pdf in batches:
@@ -517,37 +588,50 @@ def _make_kernel(
 
 
 def _phrase_filter(
-    per_term: dict[str, tuple],
+    groups: dict[str, list[tuple]],
     cand: np.ndarray,
     phrase: list[tuple[str, int]],
 ) -> np.ndarray:
     """Boolean mask over cand: doc has the phrase terms position-aligned
     (pos_i - offset_i equal across terms for some shared anchor,
-    reference add_result.rs:3152-3391).
+    reference add_result.rs:3152-3391) — within a single field.
 
-    Fully vectorized: each term's (doc, position) pairs become packed
-    ``doc << 18 | (pos - offset)`` anchor keys; the phrase's anchors are
-    the running ``isin`` intersection across terms — no per-doc loop.
-    Positions are < 2^17 (65,536 cap + offsets), docids block-local.
+    Fully vectorized: each term's (doc, field, position) triples become
+    packed ``((doc << 4) | field) << 18 | (pos - offset)`` anchor keys;
+    the phrase's anchors are the running ``isin`` intersection across
+    terms — no per-doc loop. Positions are < 2^17 (65,536 cap +
+    offsets), docids block-local, field ids < 16.
     """
     SHIFT = np.int64(18)
+    FSHIFT = np.int64(4)
     # pos - offset can reach -(MAX_QUERY_TERM_NUMBER-1) = -99; the bias
     # keeps keys non-negative so the doc bits stay intact (pos < 65,536,
     # so biased values stay below 2^18)
     BIAS = np.int64(128)
 
     def term_keys(term: str, off: int) -> np.ndarray | None:
-        if term not in per_term:
+        if term not in groups:
             return None
-        d, tf, _dl, pos_vb = per_term[term]
-        plists = decode_positions(pos_vb, tf)
-        if not len(plists):
+        parts = []
+        for _t, field, _b, d, tf, _dl, pos_vb in groups[term]:
+            plists = decode_positions(pos_vb, tf)
+            if not len(plists):
+                continue
+            docs_rep = np.repeat(d, tf)
+            pos_flat = np.concatenate(plists)
+            parts.append(
+                (
+                    (
+                        (docs_rep.astype(np.int64) << FSHIFT)
+                        | np.int64(field)
+                    )
+                    << SHIFT
+                )
+                | (pos_flat.astype(np.int64) - np.int64(off) + BIAS)
+            )
+        if not parts:
             return np.empty(0, dtype=np.int64)
-        docs_rep = np.repeat(d, tf)
-        pos_flat = np.concatenate(plists) if len(plists) else np.empty(0, np.int64)
-        return (docs_rep.astype(np.int64) << SHIFT) | (
-            pos_flat.astype(np.int64) - np.int64(off) + BIAS
-        )
+        return np.concatenate(parts)
 
     anchors: np.ndarray | None = None
     for term, off in phrase:
@@ -560,5 +644,5 @@ def _phrase_filter(
             anchors = anchors[np.isin(anchors, keys)]
         if anchors.size == 0:
             return np.zeros(cand.size, dtype=bool)
-    matched_docs = np.unique(anchors >> SHIFT)
+    matched_docs = np.unique(anchors >> (SHIFT + FSHIFT))
     return np.isin(cand, matched_docs, assume_unique=True)

@@ -105,17 +105,24 @@ def append_batch(
     stage = os.path.join(store.path, "_staging", f"batch_{tag}")
     shutil.rmtree(stage, ignore_errors=True)
 
-    doc_meta = term_rows.filter(F.col("term") == "").select("docid", "dl_byte")
+    doc_meta = term_rows.filter(F.col("term") == "").select(
+        "docid", "field", "dl_byte"
+    )
     doc_meta.write.mode("overwrite").parquet(os.path.join(stage, "doc_meta"))
 
     doc_meta = spark.read.parquet(os.path.join(stage, "doc_meta"))
-    batch_n = doc_meta.count()
     hist = {
-        int(r["dl_byte"]): int(r["cnt"])
-        for r in doc_meta.groupBy("dl_byte").agg(F.count("*").alias("cnt")).collect()
+        (int(r["field"]), int(r["dl_byte"])): int(r["cnt"])
+        for r in doc_meta.groupBy("field", "dl_byte")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
     }
+    batch_n = int(sum(c for (fid, _b), c in hist.items() if fid == 0))
     batch_pos_sum = int(
-        sum(int(decode_lengths(np.array([b]))[0]) * c for b, c in hist.items())
+        sum(
+            int(decode_lengths(np.array([b]))[0]) * c
+            for (_f, b), c in hist.items()
+        )
     )
     n_docs = int(meta.get("n_docs", 0)) + batch_n
     pos_sum = int(meta.get("positions_sum_normalized", 0)) + batch_pos_sum
@@ -152,7 +159,8 @@ def append_batch(
     term_stats = postings.filter(F.col("term") != "").groupBy(
         "tbucket", "term"
     ).agg(
-        F.sum("posting_count").cast("long").alias("df"),
+        F.sum("df_block").cast("long").alias("df"),
+        F.sum("posting_count").cast("long").alias("cf_fields"),
         F.count("*").cast("int").alias("n_blocks"),
         F.max("max_tf").cast("int").alias("max_tf"),
         F.min("min_dl_byte").cast("int").alias("min_dl_byte"),
