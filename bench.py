@@ -161,7 +161,14 @@ def bench_wand_queries(index_path: str, cores: int) -> dict:
     from seekstorm_spark.index.store import IndexStore
     from seekstorm_spark.query.engine import search
 
-    spark = _session(f"local[{cores}]", max(cores, 8))
+    # query-serving session: AQE's per-stage re-planning costs ~0.15 s
+    # on point queries that touch a handful of posting rows; a serving
+    # deployment pins a small static shuffle width instead
+    spark = _session(
+        f"local[{cores}]",
+        8,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     try:
         store = IndexStore.open(index_path)
         lat: dict[str, float] = {}

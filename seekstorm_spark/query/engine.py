@@ -56,6 +56,20 @@ COUNT_SCHEMA = "matches long"
 _TERM_STATS_CACHE: dict[tuple, dict] = {}
 # per-index cached delete sets: {(path, mtime): np.ndarray}
 _DELETE_CACHE: dict[tuple, np.ndarray] = {}
+# per-(session, index generation) cached postings reader DataFrames —
+# reusing the DataFrame reuses its resolved file index, saving the
+# ~0.4 s directory listing + schema inference EVERY query would
+# otherwise pay
+_READER_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached_postings(spark: SparkSession, store: IndexStore) -> DataFrame:
+    key = (id(spark), store.path, _dir_mtime(store.postings_path))
+    df = _READER_CACHE.get(key)
+    if df is None:
+        df = store.postings(spark)
+        _READER_CACHE[key] = df
+    return df
 
 
 def _dir_mtime(path: str) -> float:
@@ -97,10 +111,13 @@ def invalidate_term_stats_cache(path: str | None = None) -> None:
     if path is None:
         _TERM_STATS_CACHE.clear()
         _DELETE_CACHE.clear()
+        _READER_CACHE.clear()
     else:
         for cache in (_TERM_STATS_CACHE, _DELETE_CACHE):
             for k in [k for k in cache if k[0] == path]:
                 cache.pop(k, None)
+        for k in [k for k in _READER_CACHE if k[1] == path]:
+            _READER_CACHE.pop(k, None)
 
 
 @dataclass
@@ -327,13 +344,6 @@ def _annotated_postings(
 ) -> DataFrame:
     terms = sorted(set(plan.pos_terms) | set(plan.not_terms))
     n_buckets = store.n_buckets
-    term_info = spark.createDataFrame(
-        [
-            (t, float(plan.pos_terms.get(t, 0.0)), t in plan.not_terms)
-            for t in terms
-        ],
-        "term string, idf double, is_not boolean",
-    )
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     cols = [
         "term",
@@ -349,7 +359,7 @@ def _annotated_postings(
     if plan.qtype == "phrase":
         cols.append("positions_vb")
     postings = (
-        store.postings(spark)
+        _cached_postings(spark, store)
         .filter(F.col("tbucket").isin(buckets) & F.col("term").isin(terms))
         .select(*cols)
     )
@@ -363,7 +373,20 @@ def _annotated_postings(
     else:
         postings = postings.withColumn("pos_vb", F.lit(None).cast("binary"))
 
-    rows = postings.join(F.broadcast(term_info), "term")
+    # term metadata as LITERAL expressions (a query touches a handful
+    # of terms): no broadcast-join sub-job — a measurable chunk of the
+    # per-query latency floor
+    idf_expr = F.lit(0.0)
+    for t, v in plan.pos_terms.items():
+        idf_expr = F.when(F.col("term") == t, F.lit(float(v))).otherwise(
+            idf_expr
+        )
+    rows = postings.withColumn("idf", idf_expr).withColumn(
+        "is_not",
+        F.col("term").isin(list(plan.not_terms))
+        if plan.not_terms
+        else F.lit(False),
+    )
     n_fields = len(store.meta.get("fields") or ["text"])
     boost_arr = F.array(
         *[
@@ -396,6 +419,18 @@ def _annotated_postings(
             F.col("idf") * F.col("boost") * comp_ub
         ),
     )
+    n_index_fields = len(store.meta.get("fields") or ["text"])
+    eff_fields = (
+        len(allowed_fields) if allowed_fields is not None else n_index_fields
+    )
+    if len(terms) == 1 and eff_fields == 1:
+        # single posting row per block: its contribution IS the block
+        # bound — skip the per-block window (one whole exchange)
+        rows = rows.withColumn("block_bound", F.col("bound_contrib"))
+        return rows.select(
+            "term", "field", "boost", "block_id", "idf", "is_not",
+            "docids_vb", "tfs_vb", "dls", "pos_vb", "block_bound",
+        )
     w = Window.partitionBy("block_id")
     rows = rows.withColumn("block_bound", F.sum("bound_contrib").over(w))
     if plan.qtype in ("intersection", "phrase"):
