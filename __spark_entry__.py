@@ -225,11 +225,15 @@ def _wand_store(spark: SparkSession, sf_dir: str):
     if os.path.exists(meta):
         with open(meta) as f:
             m = json.load(f)
-        if m.get("complete") and m.get("version") == INDEX_FORMAT_VERSION:
+        if (
+            m.get("complete")
+            and m.get("version") == INDEX_FORMAT_VERSION
+            and "lang" in (m.get("facets") or {})
+        ):
             return IndexStore.open(path)
-    return IndexBuilder(spark, path, n_buckets=8).build(
-        _docs(spark, sf_dir), text_col="text", id_col="doc_id"
-    )
+    return IndexBuilder(
+        spark, path, n_buckets=8, facet_cols=["lang"]
+    ).build(_docs(spark, sf_dir), text_col="text", id_col="doc_id")
 
 
 def _wandf_store(spark: SparkSession, sf_dir: str):
@@ -387,11 +391,15 @@ def _wand_bm25_sql(
     not_terms: list[str] | None = None,
     phrase: list[str] | None = None,
     top_k: int = 10,
+    extra_where: str = "",
+    final_select: str | None = None,
 ) -> str:
     """f32-exact BM25 top-k matching the indexed WAND kernel."""
     uniq = sorted(set(terms))
     in_terms = _in_list(uniq)
     filters = []
+    if extra_where:
+        filters.append(extra_where)
     if qtype in ("intersection", "phrase") or phrase:
         filters.append(f"nm = {len(uniq)}")
     if not_terms:
@@ -445,9 +453,9 @@ piv AS (SELECT doc_id AS docid, count(*) AS nm,
         {piv_cols}
         FROM contrib GROUP BY doc_id),
 scored AS (SELECT docid, {acc} AS raw, nm FROM piv)
-SELECT docid, round(raw::DOUBLE, 4) AS score FROM (
+{final_select or f'''SELECT docid, round(raw::DOUBLE, 4) AS score FROM (
   SELECT docid, raw FROM scored {where}
-  ORDER BY raw DESC, docid ASC LIMIT {top_k})
+  ORDER BY raw DESC, docid ASC LIMIT {top_k})'''}
 """
 
 
@@ -578,6 +586,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["wand_phrase"] = _wand_query('"fast table"', "union")
     q["wand_not"] = _wand_query("fast -dup", "union")
     q["wand_single"] = _wand_query("dup", "union")
+
+    # facet filter + multi-key result sort INSIDE the indexed engine
+    # (reference search.rs:2543-2726 facet pushdown, min_heap.rs:56-546
+    # composite sort keys)
+    def wand_facet_filter(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import search
+
+        store = _wand_store(s, d)
+        out = search(
+            s, store, "fast table", top_k=10, default_type="union",
+            facet_filters={"lang": ["en"]},
+        )
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 4).alias("score")
+        )
+
+    q["wand_facet_filter"] = wand_facet_filter
+
+    def wand_facet_sort(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import search
+
+        store = _wand_store(s, d)
+        out = search(
+            s, store, "fast", top_k=20, default_type="union",
+            result_sort=[("lang", "asc"), ("score", "desc")],
+        )
+        return out.select(
+            "docid",
+            "lang",
+            F.round(F.col("score").cast("double"), 4).alias("score"),
+        )
+
+    q["wand_facet_sort"] = wand_facet_sort
 
     # indexed multi-field BM25F (2-field index: text + source, boosts
     # 1.0/2.0; reference add_result.rs:1171-1426, search.rs:2483-2495)
@@ -931,6 +972,21 @@ def oracle_sql() -> dict[str, str]:
     )
     o["wand_not"] = _wand_bm25_sql(["fast"], "union", not_terms=["dup"])
     o["wand_single"] = _wand_bm25_sql(["dup"], "union")
+    o["wand_facet_filter"] = _wand_bm25_sql(
+        ["fast", "table"],
+        "union",
+        extra_where=(
+            "docid IN (SELECT doc_id FROM documents WHERE lang = 'en')"
+        ),
+    )
+    o["wand_facet_sort"] = _wand_bm25_sql(
+        ["fast"],
+        "union",
+        final_select="""SELECT docid, lang, round(raw::DOUBLE, 4) AS score FROM (
+  SELECT s.docid, s.raw, d.lang FROM scored s
+  JOIN documents d ON d.doc_id = s.docid
+  ORDER BY d.lang ASC, s.raw DESC, s.docid ASC LIMIT 20)""",
+    )
     o["wand_bm25f_two_fields"] = _wand_bm25f_sql(["fast", "src3"], [1.0, 2.0])
     o["wand_bm25f_field_filter"] = _wand_bm25f_sql(
         ["fast", "src3"], [1.0, 2.0], field_filter=1

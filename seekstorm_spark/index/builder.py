@@ -421,6 +421,81 @@ def build_posting_blocks(
     )
 
 
+def build_facet_blocks(
+    docs_with_ids: DataFrame,
+    facet_cols: list[str],
+    block_size: int = ROARING_BLOCK_SIZE,
+) -> tuple[DataFrame, dict[str, list[str]]]:
+    """Per-block facet byte arrays — the distributed analog of the
+    reference's in-RAM per-doc facet array (facet String16,
+    index.rs facet_index / ARCHITECTURE.md facets ≤ 2^16 values; we
+    keep one byte per doc per facet, ≤255 distinct values + missing).
+
+    Returns (DataFrame(facet, block_id, fvalues binary), facet
+    dictionaries {facet: sorted values}): ``fvalues[local_docid]`` is
+    the index of the doc's value in the facet's SORTED dictionary, so
+    byte order == lexicographic value order and engine-side sorts on
+    the byte are value-correct. 255 = missing/null.
+    """
+    dicts: dict[str, list[str]] = {}
+    frames = []
+    for fc in facet_cols:
+        vals = sorted(
+            r[0]
+            for r in docs_with_ids.select(fc).distinct().collect()
+            if r[0] is not None
+        )
+        if len(vals) > 255:
+            raise ValueError(
+                f"facet {fc!r} has {len(vals)} distinct values (>255); "
+                "use a range facet or a wider dictionary"
+            )
+        dicts[fc] = [str(v) for v in vals]
+        mapping = {v: i for i, v in enumerate(vals)}
+
+        def _make_enc(fc: str, mapping: dict):
+            def _enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+                block_id = int(key[0])
+                local = (
+                    pdf["docid"].values.astype(np.int64)
+                    - block_id * block_size
+                )
+                arr = np.full(int(local.max()) + 1, 255, dtype=np.uint8)
+                codes = (
+                    pdf[fc]
+                    .map(lambda v: mapping.get(v, 255))
+                    .values.astype(np.uint8)
+                )
+                arr[local] = codes
+                return pd.DataFrame(
+                    {
+                        "facet": [fc],
+                        "block_id": pd.Series([block_id], dtype="int32"),
+                        "fvalues": [arr.tobytes()],
+                    }
+                )
+
+            return _enc
+
+        _enc = _make_enc(fc, mapping)
+
+        fb = (
+            docs_with_ids.select("docid", fc)
+            .withColumn(
+                "block_id", (F.col("docid") / F.lit(block_size)).cast("int")
+            )
+            .groupBy("block_id")
+            .applyInPandas(
+                _enc, schema="facet string, block_id int, fvalues binary"
+            )
+        )
+        frames.append(fb)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out, dicts
+
+
 def _decode_doc_meta(
     sentinel_postings: DataFrame, block_size: int
 ) -> DataFrame:
@@ -472,6 +547,7 @@ class IndexBuilder:
         n_buckets: int = 32,
         block_size: int = ROARING_BLOCK_SIZE,
         fields: list[str] | None = None,
+        facet_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.index_path = index_path
@@ -480,6 +556,7 @@ class IndexBuilder:
         self.n_buckets = n_buckets
         self.block_size = block_size
         self.fields = list(fields) if fields else None
+        self.facet_cols = list(facet_cols) if facet_cols else None
 
     def build(
         self,
@@ -506,13 +583,31 @@ class IndexBuilder:
         sentinel_bucket = term_bucket("", self.n_buckets)
 
         fields = self.fields or [text_col]
-        # project early: only (order/id, <fields…>) enter the build
-        # shuffles — at 100 TB the html payload must never ride along
-        keep = [c for c in dict.fromkeys([order_col, id_col, *fields]) if c]
+        facet_cols = self.facet_cols or []
+        # project early: only (order/id, <fields…>, <facets…>) enter the
+        # build shuffles — at 100 TB the html payload must never ride
+        keep = [
+            c
+            for c in dict.fromkeys([order_col, id_col, *fields, *facet_cols])
+            if c
+        ]
         docs = assign_docids(
             docs.select(*keep), order_col=order_col, id_col=id_col,
             n_buckets=max(self.n_buckets, 16),
         )
+        facet_dicts: dict[str, list[str]] = {}
+        if facet_cols:
+            facet_blocks, facet_dicts = build_facet_blocks(
+                docs.select("docid", *facet_cols),
+                facet_cols,
+                self.block_size,
+            )
+            (
+                facet_blocks.repartition(1, "facet")
+                .write.mode("overwrite")
+                .partitionBy("facet")
+                .parquet(store.facets_path)
+            )
         docs = docs.select("docid", *fields)
 
         # --- resume bookkeeping ---
@@ -650,6 +745,7 @@ class IndexBuilder:
         store.meta = {
             "version": INDEX_FORMAT_VERSION,
             "fields": fields,
+            "facets": facet_dicts,
             "tokenizer": self.tokenizer,
             "stop_words": sorted(self.stop_words) if self.stop_words else [],
             "n_docs": n_docs,

@@ -60,6 +60,10 @@ class IndexStore:
     def deletes_path(self) -> str:
         return os.path.join(self.path, "deletes")
 
+    @property
+    def facets_path(self) -> str:
+        return os.path.join(self.path, "facets")
+
     # --- lifecycle ---
     @classmethod
     def open(cls, path: str) -> "IndexStore":
@@ -84,6 +88,9 @@ class IndexStore:
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.lineage_path)
+
+    def facet_blocks(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.facets_path)
 
     @property
     def n_docs(self) -> int:

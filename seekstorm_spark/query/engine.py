@@ -185,6 +185,32 @@ def _resolve_fields(
     return boosts, allowed
 
 
+def _resolve_facets(
+    store: IndexStore,
+    facet_filters: dict[str, list[str]] | None,
+    result_sort: list[tuple[str, str]] | None,
+) -> tuple[dict[str, np.ndarray], list[str], dict[str, list[str]]]:
+    """(facet → allowed byte values, facets the kernel must emit,
+    facet dictionaries). Facet bytes index the SORTED value dictionary
+    written at build time (build_facet_blocks)."""
+    dicts: dict[str, list[str]] = store.meta.get("facets") or {}
+    filters_b: dict[str, np.ndarray] = {}
+    for fname, values in (facet_filters or {}).items():
+        if fname not in dicts:
+            raise ValueError(f"unknown facet {fname!r}; indexed: {list(dicts)}")
+        lookup = {v: i for i, v in enumerate(dicts[fname])}
+        allowed = sorted(lookup[v] for v in values if v in lookup)
+        filters_b[fname] = np.asarray(allowed, dtype=np.uint8)
+    emit = []
+    for key, _dir in result_sort or []:
+        if key in ("score", "docid"):
+            continue
+        if key not in dicts:
+            raise ValueError(f"unknown sort facet {key!r}; indexed: {list(dicts)}")
+        emit.append(key)
+    return filters_b, emit, dicts
+
+
 def search(
     spark: SparkSession,
     store: IndexStore,
@@ -195,31 +221,71 @@ def search(
     prune: bool = True,
     fields: list[tuple[str, float]] | None = None,
     field_filter: list[str] | None = None,
+    facet_filters: dict[str, list[str]] | None = None,
+    result_sort: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
-    """Top-k BM25(F) search → DataFrame(docid, score), score f32,
-    ordered score desc / docid asc. ``prune=False`` disables the WAND
-    threshold (used to verify pruning is lossless). ``fields`` sets
-    per-field boosts; ``field_filter`` restricts match+score fields."""
+    """Top-k BM25(F) search → DataFrame(docid[, sort facets…], score),
+    score f32. ``prune=False`` disables the WAND threshold (used to
+    verify pruning is lossless). ``fields`` sets per-field boosts;
+    ``field_filter`` restricts match+score fields; ``facet_filters``
+    restricts results to docs whose facet value is in the allowed list
+    (applied INSIDE the kernel via per-block facet byte arrays, so
+    top-k pruning stays admissible — reference search.rs:2543-2726);
+    ``result_sort`` orders by facet/score/docid keys (multi-key sort,
+    reference min_heap.rs:56-546) — pruning is disabled then, since a
+    non-score primary key invalidates the score threshold."""
     plan = _plan(spark, store, query, default_type)
-    empty = spark.createDataFrame([], RESULT_SCHEMA)
     if plan.missing_required or not plan.pos_terms:
-        return empty
+        return spark.createDataFrame([], RESULT_SCHEMA)
 
     boosts, allowed = _resolve_fields(store, fields, field_filter)
-    rows = _annotated_postings(spark, store, plan, boosts, allowed)
+    filters_b, emit_facets, dicts = _resolve_facets(
+        store, facet_filters, result_sort
+    )
+    need_facets = sorted(set(filters_b) | set(emit_facets))
+    rows = _annotated_postings(
+        spark, store, plan, boosts, allowed, facet_cols=need_facets
+    )
     need_k = top_k + offset
+    emit_all = bool(result_sort)
 
     kernel = _make_kernel(
-        plan, need_k, prune, store.avgdl,
+        plan, need_k, prune and not emit_all, store.avgdl,
         block_size=int(store.meta.get('block_size', ROARING_BLOCK_SIZE)),
         deletes=_load_delete_set(spark, store),
+        facet_filters_b=filters_b,
+        emit_facets=emit_facets,
+        emit_all=emit_all,
     )
+    schema = RESULT_SCHEMA + "".join(f", fb_{fc} int" for fc in emit_facets)
     # rows are already hash-partitioned by block_id (the block-bound
     # window's exchange) — no extra repartition needed
     candidates = rows.sortWithinPartitions(
         F.col("block_bound").desc(), "block_id", "term", "field"
-    ).mapInPandas(kernel, schema=RESULT_SCHEMA)
-    out = candidates.orderBy(F.col("score").desc(), F.col("docid").asc())
+    ).mapInPandas(kernel, schema=schema)
+
+    if result_sort:
+        # decode facet bytes → values (sorted dictionary ⇒ byte order
+        # is value order), then multi-key sort
+        out_cols = [F.col("docid")]
+        for fc in emit_facets:
+            arr = F.array(*[F.lit(v) for v in dicts[fc]])
+            candidates = candidates.withColumn(
+                fc,
+                F.when(
+                    F.col(f"fb_{fc}") == 255, F.lit(None).cast("string")
+                ).otherwise(F.element_at(arr, F.col(f"fb_{fc}") + 1)),
+            )
+            out_cols.append(F.col(fc))
+        out_cols.append(F.col("score"))
+        order = []
+        for key, direction in result_sort:
+            col = F.col(key)
+            order.append(col.desc() if direction == "desc" else col.asc())
+        order.append(F.col("docid").asc())
+        out = candidates.select(*out_cols).orderBy(*order)
+    else:
+        out = candidates.orderBy(F.col("score").desc(), F.col("docid").asc())
     if offset:
         out = out.offset(offset)
     return out.limit(top_k)
@@ -335,12 +401,34 @@ def _anti_join_deletes(
     return df.join(F.broadcast(dels), "docid", "left_anti")
 
 
+def _join_facet_blocks(
+    spark: SparkSession,
+    store: IndexStore,
+    rows: DataFrame,
+    facet_cols: list[str],
+) -> tuple[DataFrame, list]:
+    """Left-join per-block facet byte arrays onto the posting rows
+    (rows are hash-partitioned by block_id already, so only the small
+    facet side exchanges). Returns (rows, extra select columns)."""
+    extra = []
+    for fc in facet_cols:
+        fb = (
+            store.facet_blocks(spark)
+            .filter(F.col("facet") == fc)
+            .select("block_id", F.col("fvalues").alias(f"fb_{fc}"))
+        )
+        rows = rows.join(fb, "block_id", "left")
+        extra.append(f"fb_{fc}")
+    return rows, extra
+
+
 def _annotated_postings(
     spark: SparkSession,
     store: IndexStore,
     plan: QueryPlan,
     boosts: dict[int, float] | None = None,
     allowed_fields: list[int] | None = None,
+    facet_cols: list[str] | None = None,
 ) -> DataFrame:
     terms = sorted(set(plan.pos_terms) | set(plan.not_terms))
     n_buckets = store.n_buckets
@@ -423,14 +511,18 @@ def _annotated_postings(
     eff_fields = (
         len(allowed_fields) if allowed_fields is not None else n_index_fields
     )
+    base_cols = [
+        "term", "field", "boost", "block_id", "idf", "is_not",
+        "docids_vb", "tfs_vb", "dls", "pos_vb", "block_bound",
+    ]
     if len(terms) == 1 and eff_fields == 1:
         # single posting row per block: its contribution IS the block
         # bound — skip the per-block window (one whole exchange)
         rows = rows.withColumn("block_bound", F.col("bound_contrib"))
-        return rows.select(
-            "term", "field", "boost", "block_id", "idf", "is_not",
-            "docids_vb", "tfs_vb", "dls", "pos_vb", "block_bound",
-        )
+        if facet_cols:
+            rows, extra = _join_facet_blocks(spark, store, rows, facet_cols)
+            return rows.select(*base_cols, *extra)
+        return rows.select(*base_cols)
     w = Window.partitionBy("block_id")
     rows = rows.withColumn("block_bound", F.sum("bound_contrib").over(w))
     if plan.qtype in ("intersection", "phrase"):
@@ -443,19 +535,10 @@ def _annotated_postings(
                 ).over(w)
             ),
         ).filter(F.col("pos_in_block") >= n_required)
-    return rows.select(
-        "term",
-        "field",
-        "boost",
-        "block_id",
-        "idf",
-        "is_not",
-        "docids_vb",
-        "tfs_vb",
-        "dls",
-        "pos_vb",
-        "block_bound",
-    )
+    if facet_cols:
+        rows, extra = _join_facet_blocks(spark, store, rows, facet_cols)
+        return rows.select(*base_cols, *extra)
+    return rows.select(*base_cols)
 
 
 def _make_kernel(
@@ -466,12 +549,20 @@ def _make_kernel(
     count_only: bool = False,
     block_size: int = ROARING_BLOCK_SIZE,
     deletes: np.ndarray | None = None,
+    facet_filters_b: dict[str, np.ndarray] | None = None,
+    emit_facets: list[str] | None = None,
+    emit_all: bool = False,
 ):
     qtype = plan.qtype
     pos_terms = dict(plan.pos_terms)
     not_set = set(plan.not_terms)
     phrase = list(plan.phrase)
     delete_set = deletes if deletes is not None else np.empty(0, dtype=np.int64)
+    facet_filters = [
+        (f"fb_{name}", allowed)
+        for name, allowed in (facet_filters_b or {}).items()
+    ]
+    emit_cols = [f"fb_{name}" for name in (emit_facets or [])]
     decode_tab = _DECODE_NP.astype(np.float32)
     avgdl32 = np.float32(avgdl)
 
@@ -489,6 +580,9 @@ def _make_kernel(
         # per-partition state
         best_docids = np.empty(0, dtype=np.int64)
         best_scores = np.empty(0, dtype=np.float32)
+        all_docids: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        all_facets: dict[str, list[np.ndarray]] = {c: [] for c in emit_cols}
         total_matches = 0
         pending: list[pd.DataFrame] = []
         pending_block = None
@@ -573,6 +667,19 @@ def _make_kernel(
                 if cand.size == 0:
                     return
 
+            # facet filters via the block's facet byte array (reference
+            # pushes facet predicates into the pruned scan the same
+            # way, search.rs:2543-2726); filtering candidates keeps the
+            # block bound admissible (bound ≥ any subset's max score)
+            for colname, allowed in facet_filters:
+                buf = rows[colname].iloc[0]
+                if buf is None:
+                    return
+                fv = np.frombuffer(buf, dtype=np.uint8)
+                cand = cand[np.isin(fv[cand], allowed)]
+                if cand.size == 0:
+                    return
+
             # phrase position alignment (within a single field)
             if qtype == "phrase" and len(phrase) > 1:
                 keep = _phrase_filter(groups, cand, phrase)
@@ -595,7 +702,14 @@ def _make_kernel(
                     pos_terms[term], tf[ii], dl[ii]
                 )
                 scores[valid] += contrib
-            merge_topk(base + cand, scores)
+            if emit_all:
+                all_docids.append(base + cand)
+                all_scores.append(scores)
+                for colname in emit_cols:
+                    fv = np.frombuffer(rows[colname].iloc[0], dtype=np.uint8)
+                    all_facets[colname].append(fv[cand].astype(np.int32))
+            else:
+                merge_topk(base + cand, scores)
 
         for pdf in batches:
             if pdf.empty:
@@ -611,6 +725,29 @@ def _make_kernel(
 
         if count_only:
             yield pd.DataFrame({"matches": pd.Series([total_matches], dtype="int64")})
+        elif emit_all:
+            out = {
+                "docid": pd.Series(
+                    np.concatenate(all_docids)
+                    if all_docids
+                    else np.empty(0, np.int64),
+                    dtype="int64",
+                ),
+                "score": pd.Series(
+                    np.concatenate(all_scores)
+                    if all_scores
+                    else np.empty(0, np.float32),
+                    dtype="float32",
+                ),
+            }
+            for colname in emit_cols:
+                out[colname] = pd.Series(
+                    np.concatenate(all_facets[colname])
+                    if all_facets[colname]
+                    else np.empty(0, np.int32),
+                    dtype="int32",
+                )
+            yield pd.DataFrame(out)
         else:
             yield pd.DataFrame(
                 {

@@ -118,3 +118,54 @@ def test_phrase_within_single_field(spark, mf_store):
 def test_unknown_field_raises(spark, mf_store):
     with pytest.raises(ValueError):
         search(spark, mf_store, "fast", fields=[("nope", 2.0)])
+
+
+@pytest.fixture(scope="module")
+def facet_store(spark, tmp_path_factory):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(len(DOCS)),
+                "body": [b for _, b in DOCS],
+                "lang": ["en", "de", "en", "fr", "de"],
+            }
+        )
+    )
+    path = str(tmp_path_factory.mktemp("fc") / "idx")
+    store = IndexBuilder(
+        spark, path, n_buckets=4, facet_cols=["lang"]
+    ).build(docs, text_col="body", id_col="doc_id")
+    return store
+
+
+def test_facet_filter_in_indexed_search(spark, facet_store):
+    # "fast" in bodies of docs 0,1,4; langs en,de,de
+    got = search(
+        spark, facet_store, "fast", top_k=10,
+        facet_filters={"lang": ["de"]},
+    ).collect()
+    assert {r["docid"] for r in got} == {1, 4}
+    # pruned == unpruned under a facet filter
+    a = search(spark, facet_store, "fast engine", top_k=3,
+               facet_filters={"lang": ["de"]}, prune=True).collect()
+    b = search(spark, facet_store, "fast engine", top_k=3,
+               facet_filters={"lang": ["de"]}, prune=False).collect()
+    assert [(r["docid"], r["score"]) for r in a] == [
+        (r["docid"], r["score"]) for r in b
+    ]
+
+
+def test_result_sort_multikey(spark, facet_store):
+    got = search(
+        spark, facet_store, "fast", top_k=10,
+        result_sort=[("lang", "asc"), ("score", "desc")],
+    ).collect()
+    # matches: doc0 (en), doc1 (de), doc4 (de); sorted de,de,en
+    assert [r["lang"] for r in got] == ["de", "de", "en"]
+    # within 'de', score desc: doc4 (tf=3) beats doc1 (tf=1)
+    assert [r["docid"] for r in got][:2] == [4, 1]
+
+
+def test_unknown_facet_raises(spark, facet_store):
+    with pytest.raises(ValueError):
+        search(spark, facet_store, "fast", facet_filters={"nope": ["x"]})
