@@ -171,6 +171,7 @@ def tokenize_to_term_rows(
     tokenizer: str = "unicode_alphanumeric",
     stop_words: frozenset[str] | None = None,
     fields: list[str] | None = None,
+    stemmer: str | None = None,
 ) -> DataFrame:
     """docs(docid, <fields…>) → flat (docid, field, term, pos, dl_byte)
     rows; one sentinel row per (doc, field) (term='', pos=-1) carries
@@ -190,6 +191,7 @@ def tokenize_to_term_rows(
     """
     tokenizer_name = tokenizer
     stops = stop_words
+    stem_lang = stemmer
     field_cols = list(fields) if fields else [text_col]
 
     def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -205,7 +207,9 @@ def tokenize_to_term_rows(
                 all_terms: list[str] = []
                 for docid, text in zip(pdf["docid"].values, pdf[fcol].values):
                     toks = tokenize_line(
-                        text if isinstance(text, str) else "", tokenizer_name
+                        text if isinstance(text, str) else "",
+                        tokenizer_name,
+                        stem_lang,
                     )
                     if stops:
                         toks = [t for t in toks if t not in stops]
@@ -548,6 +552,7 @@ class IndexBuilder:
         block_size: int = ROARING_BLOCK_SIZE,
         fields: list[str] | None = None,
         facet_cols: list[str] | None = None,
+        stemmer: str | None = None,
     ):
         self.spark = spark
         self.index_path = index_path
@@ -557,6 +562,7 @@ class IndexBuilder:
         self.block_size = block_size
         self.fields = list(fields) if fields else None
         self.facet_cols = list(facet_cols) if facet_cols else None
+        self.stemmer = stemmer
 
     def build(
         self,
@@ -631,7 +637,8 @@ class IndexBuilder:
         # become the term-'' postings that doc_meta derives from; format
         # v2 bounds need no avgdl at build time, so no stats pre-pass.
         term_rows = tokenize_to_term_rows(
-            docs, text_col, self.tokenizer, self.stop_words, fields=fields
+            docs, text_col, self.tokenizer, self.stop_words, fields=fields,
+            stemmer=self.stemmer,
         )
         posting_blocks = build_posting_blocks(
             term_rows,
@@ -747,6 +754,7 @@ class IndexBuilder:
             "fields": fields,
             "facets": facet_dicts,
             "tokenizer": self.tokenizer,
+            "stemmer": self.stemmer,
             "stop_words": sorted(self.stop_words) if self.stop_words else [],
             "n_docs": n_docs,
             "positions_sum_normalized": pos_sum,

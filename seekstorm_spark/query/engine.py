@@ -135,7 +135,11 @@ def _plan(
     meta = store.meta
     stop_words = frozenset(meta.get("stop_words") or []) or None
     pq: ParsedQuery = parse_query(
-        query, default_type, meta.get("tokenizer", "unicode_alphanumeric"), stop_words
+        query,
+        default_type,
+        meta.get("tokenizer", "unicode_alphanumeric"),
+        stop_words,
+        meta.get("stemmer"),
     )
     pos = sorted({t.term for t in pq.positive_terms})
     nots = sorted({t.term for t in pq.not_terms})

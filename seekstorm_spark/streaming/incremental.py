@@ -100,6 +100,7 @@ def append_batch(
     term_rows = tokenize_to_term_rows(
         docs, text_col, meta.get("tokenizer", "unicode_alphanumeric"),
         frozenset(meta.get("stop_words") or []) or None,
+        stemmer=meta.get("stemmer"),
     ).cache()
 
     stage = os.path.join(store.path, "_staging", f"batch_{tag}")

@@ -48,23 +48,87 @@ def ascii_lowercase(text: str) -> str:
     return text.translate(_ASCII_LOWER)
 
 
-def tokenize_line(text: str, tokenizer: str = "unicode_alphanumeric") -> list[str]:
-    """Raw token stream (the reference's ``non_unique_terms_line``)."""
+# --- character folding (UnicodeAlphanumericFolded) --------------------
+# Reference fold_diacritics_accents_ligatures_zalgo_umlaut
+# (tokenizer.rs:27-117): lowercase, expand ligatures/roman numerals/
+# umlauts, strip diacritics via canonical+compatible decomposition,
+# drop zalgo combining marks (categories Mn, Me).
+
+_FOLD_MULTI = {
+    "ﬀ": "ff", "ﬃ": "ffi", "ﬄ": "ffl", "ﬁ": "fi", "ﬂ": "fl",
+    "ﬆ": "st", "ﬅ": "st",
+    "ⅰ": "i", "ⅱ": "ii", "ⅲ": "iii", "ⅳ": "iv", "ⅴ": "v", "ⅵ": "vi",
+    "ⅶ": "vii", "ⅷ": "viii", "ⅸ": "ix", "ⅹ": "x", "ⅺ": "xi", "ⅻ": "xii",
+    "ⅼ": "l", "ⅽ": "c", "ⅾ": "d", "ⅿ": "m",
+    "ä": "ae", "ö": "oe", "ü": "ue", "ß": "ss",
+}
+_FOLD_SINGLE = {
+    "ł": "l", "æ": "a", "œ": "o", "ø": "o", "ð": "d", "þ": "t",
+    "đ": "d", "ɖ": "d", "ħ": "h", "ı": "i", "ƿ": "w", "ȝ": "g",
+}
+_ZALGO_CATEGORIES = ("Mn", "Me")
+
+
+def fold_text(text: str) -> str:
+    """Fold diacritics/accents/ligatures/umlauts/zalgo to basic chars
+    (reference tokenizer.rs:27-117 semantics). Lowercases first."""
+    import unicodedata
+
+    out: list[str] = []
+    for cc in text.lower():
+        multi = _FOLD_MULTI.get(cc)
+        if multi is not None:
+            out.append(multi)
+            continue
+        single = _FOLD_SINGLE.get(cc)
+        if single is not None:
+            out.append(single)
+            continue
+        # canonical decomposition → first char (base letter)
+        base = unicodedata.normalize("NFD", cc)[0]
+        # compatible decomposition → first alphanumeric, else base
+        base2 = next(
+            (c for c in unicodedata.normalize("NFKD", base) if c.isalnum()),
+            base,
+        )
+        base2 = _FOLD_SINGLE.get(base2, base2)
+        if unicodedata.category(base2) not in _ZALGO_CATEGORIES:
+            out.append(base2)
+    return "".join(out)
+
+
+def tokenize_line(
+    text: str,
+    tokenizer: str = "unicode_alphanumeric",
+    stemmer: str | None = None,
+) -> list[str]:
+    """Raw token stream (the reference's ``non_unique_terms_line``).
+    ``stemmer`` (e.g. ``"en"``) stems every token after tokenization,
+    index- and query-side alike (reference tokenizer.rs:576-592)."""
     if tokenizer == "unicode_alphanumeric":
-        return _RE_UNICODE_ALNUM.findall(text.lower())
-    if tokenizer == "ascii_alphabetic":
-        return _RE_ASCII_ALPHA.findall(ascii_lowercase(text))
-    if tokenizer == "whitespace":
-        return text.split()
-    if tokenizer == "whitespace_lowercase":
-        return ascii_lowercase(text).split()
-    raise ValueError(f"unknown tokenizer {tokenizer!r}")
+        toks = _RE_UNICODE_ALNUM.findall(text.lower())
+    elif tokenizer == "unicode_alphanumeric_folded":
+        toks = _RE_UNICODE_ALNUM.findall(fold_text(text))
+    elif tokenizer == "ascii_alphabetic":
+        toks = _RE_ASCII_ALPHA.findall(ascii_lowercase(text))
+    elif tokenizer == "whitespace":
+        toks = text.split()
+    elif tokenizer == "whitespace_lowercase":
+        toks = ascii_lowercase(text).split()
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    if stemmer:
+        from seekstorm_spark.stemmer import stem
+
+        toks = [stem(t, stemmer) for t in toks]
+    return toks
 
 
 def tokenize_doc(
     text: str,
     tokenizer: str = "unicode_alphanumeric",
     stop_words: frozenset[str] | None = None,
+    stemmer: str | None = None,
 ) -> tuple[dict[str, list[int]], int]:
     """Doc-mode tokenization.
 
@@ -74,7 +138,7 @@ def tokenize_doc(
     """
     terms: dict[str, list[int]] = {}
     position = 0
-    for tok in tokenize_line(text, tokenizer):
+    for tok in tokenize_line(text, tokenizer, stemmer):
         if stop_words and tok in stop_words:
             continue  # stopwords do NOT advance the position counter
         plist = terms.setdefault(tok, [])
@@ -112,6 +176,7 @@ def parse_query(
     default_type: str = "union",
     tokenizer: str = "unicode_alphanumeric",
     stop_words: frozenset[str] | None = None,
+    stemmer: str | None = None,
 ) -> ParsedQuery:
     """Query-mode tokenization with ``+ - "`` operators.
 
@@ -151,7 +216,7 @@ def parse_query(
             result.query_type = "phrase"
             term_type = "phrase"
             chunk = chunk[:-1]
-        for tok in tokenize_line(chunk, tokenizer):
+        for tok in tokenize_line(chunk, tokenizer, stemmer):
             if stop_words and tok in stop_words:
                 continue
             qt = QueryTerm(term=tok, op=term_type)

@@ -169,3 +169,36 @@ def test_result_sort_multikey(spark, facet_store):
 def test_unknown_facet_raises(spark, facet_store):
     with pytest.raises(ValueError):
         search(spark, facet_store, "fast", facet_filters={"nope": ["x"]})
+
+
+def test_folded_stemmed_index_e2e(spark, tmp_path_factory):
+    """Folded tokenizer + Porter stemmer, index- and query-side:
+    'café' matches 'cafe', 'running' matches 'runs' (reference
+    tokenizer.rs:27-117 fold, 576-592 stemming)."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "the café was running smoothly",
+                    "a cafe that runs",
+                    "nothing related",
+                ],
+            }
+        )
+    )
+    path = str(tmp_path_factory.mktemp("fold") / "idx")
+    store = IndexBuilder(
+        spark,
+        path,
+        n_buckets=4,
+        tokenizer="unicode_alphanumeric_folded",
+        stemmer="en",
+    ).build(docs, text_col="text", id_col="doc_id")
+    # query with the accented form finds the plain form and vice versa
+    got = search(spark, store, "cafe", top_k=10).collect()
+    assert {r["docid"] for r in got} == {0, 1}
+    got = search(spark, store, "café run", top_k=10,
+                 default_type="intersection").collect()
+    assert {r["docid"] for r in got} == {0, 1}
+    assert count_matches(spark, store, "RUNS", "union") == 2

@@ -90,3 +90,55 @@ def test_query_term_cap():
     q = " ".join(f"t{i}" for i in range(150))
     pq = parse_query(q)
     assert len(pq.terms) == 100  # MAX_QUERY_TERM_NUMBER, index.rs:121
+
+
+def test_fold_reference_vectors():
+    """Hand-checked vectors from the reference fold table
+    (tokenizer.rs:27-117): ligatures, umlauts, diacritics, zalgo."""
+    from seekstorm_spark.tokenizer import fold_text
+
+    assert fold_text("café") == "cafe"
+    assert fold_text("ﬁle") == "file"
+    assert fold_text("straße") == "strasse"
+    assert fold_text("Über") == "ueber"
+    assert fold_text("Mädchen") == "maedchen"
+    assert fold_text("œuvre") == "ouvre"
+    assert fold_text("ⅶ") == "vii"
+    assert fold_text("naïve") == "naive"
+    assert fold_text("łódź") == "lodz"
+    # zalgo combining marks stripped
+    assert fold_text("h̶e̶l̶l̶o̶") == "hello"
+    # plain ascii unchanged (lowercased)
+    assert fold_text("Hello C++") == "hello c++"
+
+
+def test_folded_tokenizer_and_stemmer():
+    from seekstorm_spark.tokenizer import tokenize_line
+
+    assert tokenize_line("Café au ﬁlet", "unicode_alphanumeric_folded") == [
+        "cafe", "au", "filet"
+    ]
+    assert tokenize_line(
+        "running quickly", "unicode_alphanumeric", stemmer="en"
+    ) == ["run", "quickli"]
+    # non-implemented language passes through
+    assert tokenize_line("laufende", "unicode_alphanumeric", stemmer="xx") == [
+        "laufende"
+    ]
+
+
+def test_porter_published_vectors():
+    from seekstorm_spark.stemmer import porter_stem
+
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "agreed": "agre",
+        "plastered": "plaster", "motoring": "motor", "hopping": "hop",
+        "relational": "relat", "conditional": "condit",
+        "vietnamization": "vietnam", "operator": "oper",
+        "decisiveness": "decis", "triplicate": "triplic",
+        "electriciti": "electr", "adoption": "adopt",
+        "replacement": "replac", "argument": "argument", "rate": "rate",
+        "controll": "control", "roll": "roll", "running": "run",
+    }
+    for w, expect in vectors.items():
+        assert porter_stem(w) == expect, w
