@@ -587,6 +587,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["wand_not"] = _wand_query("fast -dup", "union")
     q["wand_single"] = _wand_query("dup", "union")
 
+    # phrase via n-gram index (frequent-pair pre-join; same oracle as
+    # the positional phrase — scores must be identical, reference
+    # NGRAM_SEARCH.md "faithful N-gram Bm25f")
+    def wand_phrase_ngram(s: SparkSession, d: str) -> DataFrame:
+        import json
+        import os
+
+        from seekstorm_spark.index.builder import (
+            INDEX_FORMAT_VERSION,
+            IndexBuilder,
+        )
+        from seekstorm_spark.index.store import IndexStore
+        from seekstorm_spark.query.engine import _plan, search
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_wandng_idx_{name}"
+        meta = os.path.join(path, "meta.json")
+        store = None
+        if os.path.exists(meta):
+            with open(meta) as f:
+                m = json.load(f)
+            if m.get("complete") and m.get("version") == INDEX_FORMAT_VERSION \
+                    and m.get("frequent_terms"):
+                store = IndexStore.open(path)
+        if store is None:
+            store = IndexBuilder(
+                s, path, n_buckets=8, frequent_terms=["fast", "table"]
+            ).build(_docs(s, d), text_col="text", id_col="doc_id")
+        assert _plan(s, store, '"fast table"', "union").qtype == "ngram2"
+        out = search(s, store, '"fast table"', top_k=10, default_type="union")
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 4).alias("score")
+        )
+
+    q["wand_phrase_ngram"] = wand_phrase_ngram
+
     # facet filter + multi-key result sort INSIDE the indexed engine
     # (reference search.rs:2543-2726 facet pushdown, min_heap.rs:56-546
     # composite sort keys)
@@ -972,6 +1008,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["wand_not"] = _wand_bm25_sql(["fast"], "union", not_terms=["dup"])
     o["wand_single"] = _wand_bm25_sql(["dup"], "union")
+    o["wand_phrase_ngram"] = _wand_bm25_sql(
+        ["fast", "table"], "phrase", phrase=["fast", "table"]
+    )
     o["wand_facet_filter"] = _wand_bm25_sql(
         ["fast", "table"],
         "union",

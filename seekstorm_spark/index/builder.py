@@ -51,7 +51,10 @@ from seekstorm_spark.codecs import (
 from seekstorm_spark.index.store import IndexStore
 from seekstorm_spark.quantization import decode_lengths
 
-TERM_ROW_SCHEMA = "docid long, field int, term string, pos int, dl_byte int"
+TERM_ROW_SCHEMA = (
+    "docid long, field int, term string, pos int, dl_byte int, "
+    "tf1 int, tf2 int"
+)
 
 # Multi-field postings: one row per (term, field, block) with the
 # field's tf/positions/dl bytes — the reference's default data model
@@ -62,7 +65,8 @@ TERM_ROW_SCHEMA = "docid long, field int, term string, pos int, dl_byte int"
 POSTING_SCHEMA = (
     "term string, field int, block_id int, posting_count int, "
     "df_block int, max_tf int, min_dl_byte int, docids_vb binary, "
-    "tfs_vb binary, dls binary, positions_vb binary"
+    "tfs_vb binary, dls binary, positions_vb binary, "
+    "tfs1_vb binary, tfs2_vb binary, max_tf1 int, max_tf2 int"
 )
 
 # format v3: blocks store (max_tf, min_dl_byte) instead of a baked
@@ -165,6 +169,9 @@ def assign_docids(
     )
 
 
+NGRAM_SEP = "\x1e"  # joins partial terms inside an n-gram key
+
+
 def tokenize_to_term_rows(
     docs: DataFrame,
     text_col: str = "text",
@@ -172,6 +179,7 @@ def tokenize_to_term_rows(
     stop_words: frozenset[str] | None = None,
     fields: list[str] | None = None,
     stemmer: str | None = None,
+    frequent_terms: frozenset[str] | None = None,
 ) -> DataFrame:
     """docs(docid, <fields…>) → flat (docid, field, term, pos, dl_byte)
     rows; one sentinel row per (doc, field) (term='', pos=-1) carries
@@ -192,9 +200,12 @@ def tokenize_to_term_rows(
     tokenizer_name = tokenizer
     stops = stop_words
     stem_lang = stemmer
+    freq = frequent_terms
     field_cols = list(fields) if fields else [text_col]
 
     def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
         from seekstorm_spark.quantization import int_to_byte4
         from seekstorm_spark.tokenizer import TOKEN_PER_FIELD_MAX, tokenize_line
 
@@ -205,6 +216,12 @@ def tokenize_to_term_rows(
                 counts: list[int] = []
                 dl_bytes: list[int] = []
                 all_terms: list[str] = []
+                ng_doc: list[int] = []
+                ng_term: list[str] = []
+                ng_pos: list[int] = []
+                ng_dlb: list[int] = []
+                ng_tf1: list[int] = []
+                ng_tf2: list[int] = []
                 for docid, text in zip(pdf["docid"].values, pdf[fcol].values):
                     toks = tokenize_line(
                         text if isinstance(text, str) else "",
@@ -217,8 +234,25 @@ def tokenize_to_term_rows(
                         toks = toks[:TOKEN_PER_FIELD_MAX]
                     doc_ids.append(int(docid))
                     counts.append(len(toks))
-                    dl_bytes.append(int_to_byte4(len(toks)))
+                    dlb = int_to_byte4(len(toks))
+                    dl_bytes.append(dlb)
                     all_terms.extend(toks)
+                    if freq:
+                        # NgramFF: adjacent frequent-term pairs become
+                        # extra posting terms carrying the FULL per-doc
+                        # tf of each partial term, so BM25 scoring stays
+                        # rank-identical (NGRAM_SEARCH.md "faithful
+                        # N-gram Bm25f"; tokenizer.rs:673-1387)
+                        tf_cnt = Counter(toks)
+                        for i in range(len(toks) - 1):
+                            a, b = toks[i], toks[i + 1]
+                            if a in freq and b in freq:
+                                ng_doc.append(int(docid))
+                                ng_term.append(a + NGRAM_SEP + b)
+                                ng_pos.append(i)
+                                ng_dlb.append(dlb)
+                                ng_tf1.append(tf_cnt[a])
+                                ng_tf2.append(tf_cnt[b])
                 counts_a = np.asarray(counts, dtype=np.int64)
                 docs_a = np.asarray(doc_ids, dtype=np.int64)
                 dlb_a = np.asarray(dl_bytes, dtype=np.int32)
@@ -227,21 +261,46 @@ def tokenize_to_term_rows(
                 pos = np.arange(total, dtype=np.int64) - np.repeat(
                     starts, counts_a
                 )
+                n_ng = len(ng_doc)
                 frames.append(
                     pd.DataFrame(
                         {
                             "docid": np.concatenate(
-                                [np.repeat(docs_a, counts_a), docs_a]
+                                [
+                                    np.repeat(docs_a, counts_a),
+                                    docs_a,
+                                    np.asarray(ng_doc, dtype=np.int64),
+                                ]
                             ),
                             "field": np.full(
-                                total + len(docs_a), fid, dtype=np.int32
+                                total + len(docs_a) + n_ng, fid, dtype=np.int32
                             ),
-                            "term": all_terms + [""] * len(docs_a),
+                            "term": all_terms + [""] * len(docs_a) + ng_term,
                             "pos": np.concatenate(
-                                [pos, np.full(len(docs_a), -1, dtype=np.int64)]
+                                [
+                                    pos,
+                                    np.full(len(docs_a), -1, dtype=np.int64),
+                                    np.asarray(ng_pos, dtype=np.int64),
+                                ]
                             ).astype(np.int32),
                             "dl_byte": np.concatenate(
-                                [np.repeat(dlb_a, counts_a), dlb_a]
+                                [
+                                    np.repeat(dlb_a, counts_a),
+                                    dlb_a,
+                                    np.asarray(ng_dlb, dtype=np.int64),
+                                ]
+                            ).astype(np.int32),
+                            "tf1": np.concatenate(
+                                [
+                                    np.zeros(total + len(docs_a), np.int64),
+                                    np.asarray(ng_tf1, dtype=np.int64),
+                                ]
+                            ).astype(np.int32),
+                            "tf2": np.concatenate(
+                                [
+                                    np.zeros(total + len(docs_a), np.int64),
+                                    np.asarray(ng_tf2, dtype=np.int64),
+                                ]
                             ).astype(np.int32),
                         }
                     )
@@ -320,13 +379,17 @@ def build_posting_blocks(
         # sentinel rows carry pos=-1; clip so the VB codec stays unsigned
         p = np.maximum(pdf["pos"].values.astype(np.int64), 0)
         dlb = pdf["dl_byte"].values.astype(np.uint8)
+        tf1a = pdf["tf1"].values.astype(np.int64)
+        tf2a = pdf["tf2"].values.astype(np.int64)
         order = np.lexsort((p, d, fld, term_codes))
-        t, f, d, p, dlb = (
+        t, f, d, p, dlb, tf1a, tf2a = (
             term_codes[order],
             fld[order],
             d[order],
             p[order],
             dlb[order],
+            tf1a[order],
+            tf2a[order],
         )
 
         # (term, field, doc) run boundaries → tf per posting
@@ -341,6 +404,8 @@ def build_posting_blocks(
         td_field = f[pair_starts]
         td_doc = d[pair_starts]
         td_dlb = dlb[pair_starts]
+        td_tf1 = tf1a[pair_starts]
+        td_tf2 = tf2a[pair_starts]
 
         # per-(term, field) slices over the (term, field, doc) arrays
         new_tf = np.empty(len(td_term), dtype=bool)
@@ -368,9 +433,11 @@ def build_posting_blocks(
         out_terms, out_fields, out_cnt, out_dfb = [], [], [], []
         out_maxtf, out_mindl = [], []
         out_docids, out_tfs, out_dls, out_pos = [], [], [], []
+        out_tfs1, out_tfs2, out_maxtf1, out_maxtf2 = [], [], [], []
         for s, e in zip(tf_starts, tf_ends):
             tfs = tfs_all[s:e]
-            out_terms.append(uniq_terms[td_term[s]])
+            term_str = uniq_terms[td_term[s]]
+            out_terms.append(term_str)
             out_fields.append(int(td_field[s]))
             out_cnt.append(e - s)
             # df_block on the term's FIRST field row only, so summing
@@ -388,6 +455,20 @@ def build_posting_blocks(
             out_pos.append(
                 encode_positions(p[pos_bounds[s] : pos_bounds[e]], tfs)
             )
+            if NGRAM_SEP in term_str:
+                # n-gram posting: carry the partial terms' full per-doc
+                # tfs (constant over the pair run — taken at run start)
+                t1s = td_tf1[s:e]
+                t2s = td_tf2[s:e]
+                out_tfs1.append(encode_tfs(t1s))
+                out_tfs2.append(encode_tfs(t2s))
+                out_maxtf1.append(int(t1s.max()))
+                out_maxtf2.append(int(t2s.max()))
+            else:
+                out_tfs1.append(None)
+                out_tfs2.append(None)
+                out_maxtf1.append(0)
+                out_maxtf2.append(0)
         return pd.DataFrame(
             {
                 "term": out_terms,
@@ -403,6 +484,10 @@ def build_posting_blocks(
                 "tfs_vb": out_tfs,
                 "dls": out_dls,
                 "positions_vb": out_pos,
+                "tfs1_vb": out_tfs1,
+                "tfs2_vb": out_tfs2,
+                "max_tf1": pd.Series(out_maxtf1, dtype="int32"),
+                "max_tf2": pd.Series(out_maxtf2, dtype="int32"),
                 "tbucket": pd.Series(
                     np.full(len(out_terms), tbucket), dtype="int32"
                 ),
@@ -553,6 +638,7 @@ class IndexBuilder:
         fields: list[str] | None = None,
         facet_cols: list[str] | None = None,
         stemmer: str | None = None,
+        frequent_terms: list[str] | None = None,
     ):
         self.spark = spark
         self.index_path = index_path
@@ -563,6 +649,9 @@ class IndexBuilder:
         self.fields = list(fields) if fields else None
         self.facet_cols = list(facet_cols) if facet_cols else None
         self.stemmer = stemmer
+        self.frequent_terms = (
+            frozenset(frequent_terms) if frequent_terms else None
+        )
 
     def build(
         self,
@@ -638,7 +727,7 @@ class IndexBuilder:
         # v2 bounds need no avgdl at build time, so no stats pre-pass.
         term_rows = tokenize_to_term_rows(
             docs, text_col, self.tokenizer, self.stop_words, fields=fields,
-            stemmer=self.stemmer,
+            stemmer=self.stemmer, frequent_terms=self.frequent_terms,
         )
         posting_blocks = build_posting_blocks(
             term_rows,
@@ -755,6 +844,9 @@ class IndexBuilder:
             "facets": facet_dicts,
             "tokenizer": self.tokenizer,
             "stemmer": self.stemmer,
+            "frequent_terms": sorted(self.frequent_terms)
+            if self.frequent_terms
+            else [],
             "stop_words": sorted(self.stop_words) if self.stop_words else [],
             "n_docs": n_docs,
             "positions_sum_normalized": pos_sum,

@@ -122,11 +122,15 @@ def invalidate_term_stats_cache(path: str | None = None) -> None:
 
 @dataclass
 class QueryPlan:
-    qtype: str  # union | intersection | phrase
+    qtype: str  # union | intersection | phrase | ngram2
     pos_terms: dict[str, float]  # term -> f32 idf
     not_terms: list[str]
     phrase: list[tuple[str, int]]  # (term, offset) incl. duplicates
     missing_required: bool
+    # phrase→n-gram rewrite (NGRAM_SEARCH.md, tokenizer.rs:673-1387):
+    # the 2-term phrase's posting list IS the pre-joined adjacency
+    # match; partial-term tfs ride the posting for faithful BM25
+    ngram_key: str | None = None
 
 
 def _plan(
@@ -147,6 +151,42 @@ def _plan(
     all_terms = sorted(set(pos) | set(nots))
     if not all_terms:
         return QueryPlan(pq.query_type, {}, [], [], False)
+
+    # phrase → n-gram rewrite: a 2-term phrase of distinct FREQUENT
+    # terms with no NOT terms reads the pre-joined n-gram posting
+    # instead of intersecting two long stopword lists
+    frequent = frozenset(meta.get("frequent_terms") or [])
+    if (
+        pq.query_type == "phrase"
+        and frequent
+        and len(phrase) == 2
+        and not nots
+        and phrase[0][1] == 0
+        and phrase[1][1] == 1
+        and phrase[0][0] != phrase[1][0]
+        and phrase[0][0] in frequent
+        and phrase[1][0] in frequent
+    ):
+        from seekstorm_spark.index.builder import NGRAM_SEP
+
+        t1, t2 = phrase[0][0], phrase[1][0]
+        ng_key = t1 + NGRAM_SEP + t2
+        stats = _probe_term_stats(store, [ng_key, t1, t2])
+        if t1 in stats and t2 in stats:
+            if ng_key not in stats:
+                # pair never adjacent anywhere → empty result
+                return QueryPlan("ngram2", {}, [], [], True)
+            pos_idf = {
+                t: float(idf_f32(store.n_docs, stats[t])) for t in (t1, t2)
+            }
+            return QueryPlan(
+                qtype="ngram2",
+                pos_terms=pos_idf,
+                not_terms=[],
+                phrase=phrase,
+                missing_required=False,
+                ngram_key=ng_key,
+            )
 
     df_by_term = _probe_term_stats(store, all_terms)
     pos_idf = {
@@ -323,6 +363,15 @@ def count_matches(
         # zero Spark jobs: the stored df IS the count (single.rs:313-323)
         term = next(iter(plan.pos_terms))
         return int(_probe_term_stats(store, [term]).get(term, 0))
+    if (
+        plan.qtype == "ngram2"
+        and field_filter is None
+        and not has_deletes
+    ):
+        # the n-gram's stored df IS the phrase match count
+        return int(
+            _probe_term_stats(store, [plan.ngram_key]).get(plan.ngram_key, 0)
+        )
 
     boosts, allowed = _resolve_fields(store, None, field_filter)
     rows = _annotated_postings(spark, store, plan, boosts, allowed)
@@ -434,7 +483,10 @@ def _annotated_postings(
     allowed_fields: list[int] | None = None,
     facet_cols: list[str] | None = None,
 ) -> DataFrame:
-    terms = sorted(set(plan.pos_terms) | set(plan.not_terms))
+    if plan.qtype == "ngram2":
+        terms = [plan.ngram_key]
+    else:
+        terms = sorted(set(plan.pos_terms) | set(plan.not_terms))
     n_buckets = store.n_buckets
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     cols = [
@@ -448,6 +500,8 @@ def _annotated_postings(
         "tfs_vb",
         "dls",
     ]
+    if plan.qtype == "ngram2":
+        cols += ["tfs1_vb", "tfs2_vb", "max_tf1", "max_tf2"]
     if plan.qtype == "phrase":
         cols.append("positions_vb")
     postings = (
@@ -500,17 +554,33 @@ def _annotated_postings(
         *[F.lit(float(v)) for v in DOCUMENT_LENGTH_COMPRESSION]
     )
     min_dlq = F.element_at(dlq_arr, F.col("min_dl_byte") + 1)
-    comp_ub = (F.col("max_tf") * F.lit(K + 1.0)) / (
-        F.col("max_tf")
-        + F.lit(K)
-        * (F.lit(1.0 - B) + F.lit(B) * min_dlq / F.lit(float(store.avgdl)))
-    )
-    rows = rows.withColumn(
-        "bound_contrib",
-        F.when(F.col("is_not"), F.lit(0.0)).otherwise(
-            F.col("idf") * F.col("boost") * comp_ub
-        ),
-    )
+
+    def _comp_ub(tf_col):
+        return (tf_col * F.lit(K + 1.0)) / (
+            tf_col
+            + F.lit(K)
+            * (
+                F.lit(1.0 - B)
+                + F.lit(B) * min_dlq / F.lit(float(store.avgdl))
+            )
+        )
+
+    if plan.qtype == "ngram2":
+        from seekstorm_spark.index.builder import NGRAM_SEP
+
+        t1, t2 = plan.ngram_key.split(NGRAM_SEP)
+        bound = F.col("boost") * (
+            F.lit(float(plan.pos_terms[t1])) * _comp_ub(F.col("max_tf1"))
+            + F.lit(float(plan.pos_terms[t2])) * _comp_ub(F.col("max_tf2"))
+        )
+        rows = rows.withColumn("bound_contrib", bound)
+    else:
+        rows = rows.withColumn(
+            "bound_contrib",
+            F.when(F.col("is_not"), F.lit(0.0)).otherwise(
+                F.col("idf") * F.col("boost") * _comp_ub(F.col("max_tf"))
+            ),
+        )
     n_index_fields = len(store.meta.get("fields") or ["text"])
     eff_fields = (
         len(allowed_fields) if allowed_fields is not None else n_index_fields
@@ -519,6 +589,8 @@ def _annotated_postings(
         "term", "field", "boost", "block_id", "idf", "is_not",
         "docids_vb", "tfs_vb", "dls", "pos_vb", "block_bound",
     ]
+    if plan.qtype == "ngram2":
+        base_cols += ["tfs1_vb", "tfs2_vb"]
     if len(terms) == 1 and eff_fields == 1:
         # single posting row per block: its contribution IS the block
         # bound — skip the per-block window (one whole exchange)
@@ -557,7 +629,18 @@ def _make_kernel(
     emit_facets: list[str] | None = None,
     emit_all: bool = False,
 ):
-    qtype = plan.qtype
+    is_ngram = plan.qtype == "ngram2"
+    if is_ngram:
+        from seekstorm_spark.index.builder import NGRAM_SEP
+
+        ngram_parts = tuple(plan.ngram_key.split(NGRAM_SEP))
+        # the n-gram posting IS the adjacency match; score it as the
+        # intersection of its two partial terms (faithful Bm25f,
+        # NGRAM_SEARCH.md)
+        qtype = "intersection"
+    else:
+        ngram_parts = None
+        qtype = plan.qtype
     pos_terms = dict(plan.pos_terms)
     not_set = set(plan.not_terms)
     phrase = list(plan.phrase)
@@ -624,11 +707,33 @@ def _make_kernel(
             groups: dict[str, list[tuple]] = {}
             for _, r in rows.iterrows():
                 d = decode_docids(r["docids_vb"])
-                t = decode_tfs(r["tfs_vb"])
                 dl = np.frombuffer(r["dls"], dtype=np.uint8)
+                if is_ngram:
+                    # expand the n-gram posting into two pseudo-entries
+                    # carrying each partial term's full per-doc tf
+                    for tname, tfcol in zip(
+                        ngram_parts, ("tfs1_vb", "tfs2_vb")
+                    ):
+                        e = (
+                            tname,
+                            int(r["field"]),
+                            float(r["boost"]),
+                            d,
+                            decode_tfs(r[tfcol]),
+                            dl,
+                            None,
+                        )
+                        entries.append(e)
+                        groups.setdefault(tname, []).append(e)
+                    continue
+                t = decode_tfs(r["tfs_vb"])
                 e = (r["term"], int(r["field"]), float(r["boost"]), d, t, dl, r["pos_vb"])
                 entries.append(e)
                 groups.setdefault(r["term"], []).append(e)
+            if is_ngram:
+                # generic scoring accumulates in (term asc, field asc)
+                # order — restore it after the pairwise expansion
+                entries.sort(key=lambda e: (e[0], e[1]))
 
             def union_docs(term: str) -> np.ndarray:
                 ds = [e[3] for e in groups[term]]

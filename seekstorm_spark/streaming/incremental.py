@@ -101,6 +101,7 @@ def append_batch(
         docs, text_col, meta.get("tokenizer", "unicode_alphanumeric"),
         frozenset(meta.get("stop_words") or []) or None,
         stemmer=meta.get("stemmer"),
+        frequent_terms=frozenset(meta.get("frequent_terms") or []) or None,
     ).cache()
 
     stage = os.path.join(store.path, "_staging", f"batch_{tag}")
