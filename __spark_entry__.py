@@ -393,6 +393,7 @@ def _wand_bm25_sql(
     top_k: int = 10,
     extra_where: str = "",
     final_select: str | None = None,
+    toks_src: str | None = None,
 ) -> str:
     """f32-exact BM25 top-k matching the indexed WAND kernel."""
     uniq = sorted(set(terms))
@@ -436,7 +437,7 @@ dlq AS (SELECT doc_id, dl_q FROM dl JOIN quant
 stats AS (SELECT (SELECT count(*) FROM documents) AS n,
                  ((SELECT sum(dl_q) FROM dlq){_F}
                   / (SELECT count(*) FROM documents){_F}) AS avgdl),
-toks AS (SELECT * FROM {_TOKS}),
+toks AS (SELECT * FROM {toks_src or _TOKS}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
        WHERE term IN ({in_terms}) GROUP BY 1, 2),
 dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
@@ -622,6 +623,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["wand_phrase_ngram"] = wand_phrase_ngram
+
+    # index-time synonym expansion (multi-way fast<->stream; reference
+    # Synonym struct index.rs:1077-1098, expansion index.rs:5869-5897)
+    def wand_synonym(s: SparkSession, d: str) -> DataFrame:
+        import json
+        import os
+
+        from seekstorm_spark.index.builder import (
+            INDEX_FORMAT_VERSION,
+            IndexBuilder,
+        )
+        from seekstorm_spark.index.store import IndexStore
+        from seekstorm_spark.query.engine import search
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_wandsyn_idx_{name}"
+        meta = os.path.join(path, "meta.json")
+        store = None
+        if os.path.exists(meta):
+            with open(meta) as f:
+                m = json.load(f)
+            if m.get("complete") and m.get("version") == INDEX_FORMAT_VERSION \
+                    and m.get("synonyms"):
+                store = IndexStore.open(path)
+        if store is None:
+            store = IndexBuilder(
+                s,
+                path,
+                n_buckets=8,
+                synonyms=[{"terms": ["fast", "stream"], "multiway": True}],
+            ).build(_docs(s, d), text_col="text", id_col="doc_id")
+        out = search(s, store, "fast", top_k=10, default_type="union")
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 4).alias("score")
+        )
+
+    q["wand_synonym"] = wand_synonym
 
     # facet filter + multi-key result sort INSIDE the indexed engine
     # (reference search.rs:2543-2726 facet pushdown, min_heap.rs:56-546
@@ -859,6 +897,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle recomputes the same buckets in SQL)
     q["ann_lsh_topk"] = ann_lsh
 
+    # --- geo radius (reference geo_search.rs:128-144: Morton-range
+    # prefilter + exact haversine post-filter). Coordinates derived
+    # deterministically from doc_id on both sides. ---
+    def geo_radius(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.geo import geo_radius_filter
+
+        docs = (
+            _docs(s, d)
+            .withColumn(
+                "lat", (F.col("doc_id") * 37 % 18000) / 100.0 - 90.0
+            )
+            .withColumn(
+                "lon", (F.col("doc_id") * 73 % 36000) / 100.0 - 180.0
+            )
+        )
+        return (
+            geo_radius_filter(
+                docs, "lat", "lon", 48.8566, 2.3522, 3000.0
+            )
+            .select("doc_id", F.round(F.col("dist_km"), 4).alias("dist_km"))
+            .orderBy("doc_id")
+        )
+
+    q["geo_radius"] = geo_radius
+
     # --- text analysis ---
     q["text_quality"] = lambda s, d: (
         quality_features(_docs(s, d).filter(F.col("doc_id") < 50)).select(
@@ -1011,6 +1074,16 @@ def oracle_sql() -> dict[str, str]:
     o["wand_phrase_ngram"] = _wand_bm25_sql(
         ["fast", "table"], "phrase", phrase=["fast", "table"]
     )
+    # synonym expansion: the effective token stream is the original
+    # plus a swapped copy of every fast/stream occurrence
+    _toks_syn = (
+        f"(SELECT doc_id, term, pos FROM {_TOKS} t1 "
+        "UNION ALL "
+        "SELECT doc_id, CASE term WHEN 'fast' THEN 'stream' "
+        "ELSE 'fast' END AS term, pos "
+        f"FROM {_TOKS} t2 WHERE term IN ('fast','stream'))"
+    )
+    o["wand_synonym"] = _wand_bm25_sql(["fast"], "union", toks_src=_toks_syn)
     o["wand_facet_filter"] = _wand_bm25_sql(
         ["fast", "table"],
         "union",
@@ -1240,6 +1313,23 @@ scored AS (
   FROM cand c CROSS JOIN q)
 SELECT vec_id, cos_sim FROM scored
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+    o["geo_radius"] = """
+WITH pts AS (
+  SELECT doc_id,
+         (doc_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+         (doc_id * 73 % 36000) / 100.0 - 180.0 AS lon
+  FROM documents),
+d AS (
+  SELECT doc_id,
+         2.0 * 6371.0 * asin(sqrt(
+           pow(sin(radians(48.8566 - lat) / 2), 2)
+           + cos(radians(lat)) * cos(radians(48.8566))
+             * pow(sin(radians(2.3522 - lon) / 2), 2))) AS dist_km
+  FROM pts)
+SELECT doc_id, round(dist_km, 4) AS dist_km FROM d
+WHERE dist_km <= 3000.0 ORDER BY doc_id
 """
 
     en = ",".join(f"'{m}'" for m in _EN_MARKERS)

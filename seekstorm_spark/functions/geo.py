@@ -130,3 +130,86 @@ def morton_range_for_radius(
     pruning; this envelope is correct but prunes less near ±180)."""
     ranges = morton_ranges_for_radius(lat, lon, radius_km)
     return min(r[0] for r in ranges), max(r[1] for r in ranges)
+
+
+def haversine_col(lat_col, lon_col, lat2: float, lon2: float):
+    """Great-circle distance (km) as a BUILT-IN column expression —
+    float64 JVM trig in the same operand order as :func:`haversine_km`
+    and the DuckDB oracle, so rounded values compare exactly."""
+    from pyspark.sql import functions as F
+
+    p1 = F.radians(lat_col)
+    p2 = math.radians(lat2)
+    dp = F.radians(F.lit(lat2) - lat_col)
+    dl = F.radians(F.lit(lon2) - lon_col)
+    a = F.pow(F.sin(dp / 2), 2) + F.cos(p1) * F.lit(math.cos(p2)) * F.pow(
+        F.sin(dl / 2), 2
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def geo_radius_filter(
+    df,
+    lat_col: str,
+    lon_col: str,
+    lat: float,
+    lon: float,
+    radius_km: float,
+    morton_col: str | None = None,
+):
+    """Rows within ``radius_km`` of (lat, lon), with the distance as a
+    ``dist_km`` column — Morton-range prefilter + exact haversine
+    post-filter (reference geo_search.rs:128-144).
+
+    When ``morton_col`` names a STORED Morton column the range
+    predicates push down to the scan (at scale the Morton code is a
+    write-time column / sort key, so row groups outside the window are
+    never read); otherwise the code is computed on the fly and the
+    prefilter only cheapens the exact check. The prefilter window is
+    conservative (covers the radius, splits across the antimeridian),
+    so results equal the pure-haversine oracle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    if morton_col is None:
+        @pandas_udf(LongType())
+        def _morton(lat_s, lon_s):
+            import pandas as pd
+
+            return pd.Series(
+                morton_encode(lat_s.values, lon_s.values).astype(np.int64)
+            )
+
+        df = df.withColumn(
+            "_mcode", _morton(F.col(lat_col), F.col(lon_col))
+        )
+        morton_col = "_mcode"
+    cond = None
+    for lo, hi in morton_ranges_for_radius(lat, lon, radius_km):
+        # stored Morton codes are u64 viewed as i64: split ranges that
+        # cross the sign boundary so BETWEEN stays correct
+        for slo, shi in _signed_ranges(lo, hi):
+            c = F.col(morton_col).between(slo, shi)
+            cond = c if cond is None else (cond | c)
+    pre = df.filter(cond)
+    return (
+        pre.withColumn(
+            "dist_km", haversine_col(F.col(lat_col), F.col(lon_col), lat, lon)
+        )
+        .filter(F.col("dist_km") <= radius_km)
+        .drop("_mcode")
+    )
+
+
+def _signed_ranges(lo: int, hi: int) -> list[tuple[int, int]]:
+    """[lo, hi] over u64 → ranges over the i64 (two's-complement)
+    view, splitting at the sign boundary 2^63."""
+    SPLIT = 1 << 63
+
+    def s(v: int) -> int:
+        return v - (1 << 64) if v >= SPLIT else v
+
+    if lo < SPLIT <= hi:
+        return [(s(lo), (1 << 63) - 1), (-(1 << 63), s(hi))]
+    return [(s(lo), s(hi))]

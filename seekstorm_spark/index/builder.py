@@ -180,6 +180,7 @@ def tokenize_to_term_rows(
     fields: list[str] | None = None,
     stemmer: str | None = None,
     frequent_terms: frozenset[str] | None = None,
+    synonym_map: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """docs(docid, <fields…>) → flat (docid, field, term, pos, dl_byte)
     rows; one sentinel row per (doc, field) (term='', pos=-1) carries
@@ -201,6 +202,7 @@ def tokenize_to_term_rows(
     stops = stop_words
     stem_lang = stemmer
     freq = frequent_terms
+    syn = synonym_map
     field_cols = list(fields) if fields else [text_col]
 
     def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -222,6 +224,10 @@ def tokenize_to_term_rows(
                 ng_dlb: list[int] = []
                 ng_tf1: list[int] = []
                 ng_tf2: list[int] = []
+                sy_doc: list[int] = []
+                sy_term: list[str] = []
+                sy_pos: list[int] = []
+                sy_dlb: list[int] = []
                 for docid, text in zip(pdf["docid"].values, pdf[fcol].values):
                     toks = tokenize_line(
                         text if isinstance(text, str) else "",
@@ -237,6 +243,19 @@ def tokenize_to_term_rows(
                     dlb = int_to_byte4(len(toks))
                     dl_bytes.append(dlb)
                     all_terms.extend(toks)
+                    if syn:
+                        # index-time synonym expansion: a doc
+                        # containing a source term is ALSO indexed
+                        # under its synonym targets at the same
+                        # positions (reference index.rs:5869-5897;
+                        # Synonym struct index.rs:1077-1098) — doc
+                        # length stays unchanged
+                        for i, tok in enumerate(toks):
+                            for target in syn.get(tok, ()):
+                                sy_doc.append(int(docid))
+                                sy_term.append(target)
+                                sy_pos.append(i)
+                                sy_dlb.append(dlb)
                     if freq:
                         # NgramFF: adjacent frequent-term pairs become
                         # extra posting terms carrying the FULL per-doc
@@ -262,6 +281,7 @@ def tokenize_to_term_rows(
                     starts, counts_a
                 )
                 n_ng = len(ng_doc)
+                n_sy = len(sy_doc)
                 frames.append(
                     pd.DataFrame(
                         {
@@ -270,17 +290,24 @@ def tokenize_to_term_rows(
                                     np.repeat(docs_a, counts_a),
                                     docs_a,
                                     np.asarray(ng_doc, dtype=np.int64),
+                                    np.asarray(sy_doc, dtype=np.int64),
                                 ]
                             ),
                             "field": np.full(
-                                total + len(docs_a) + n_ng, fid, dtype=np.int32
+                                total + len(docs_a) + n_ng + n_sy,
+                                fid,
+                                dtype=np.int32,
                             ),
-                            "term": all_terms + [""] * len(docs_a) + ng_term,
+                            "term": all_terms
+                            + [""] * len(docs_a)
+                            + ng_term
+                            + sy_term,
                             "pos": np.concatenate(
                                 [
                                     pos,
                                     np.full(len(docs_a), -1, dtype=np.int64),
                                     np.asarray(ng_pos, dtype=np.int64),
+                                    np.asarray(sy_pos, dtype=np.int64),
                                 ]
                             ).astype(np.int32),
                             "dl_byte": np.concatenate(
@@ -288,18 +315,25 @@ def tokenize_to_term_rows(
                                     np.repeat(dlb_a, counts_a),
                                     dlb_a,
                                     np.asarray(ng_dlb, dtype=np.int64),
+                                    np.asarray(sy_dlb, dtype=np.int64),
                                 ]
                             ).astype(np.int32),
                             "tf1": np.concatenate(
                                 [
-                                    np.zeros(total + len(docs_a), np.int64),
+                                    np.zeros(
+                                        total + len(docs_a), np.int64
+                                    ),
                                     np.asarray(ng_tf1, dtype=np.int64),
+                                    np.zeros(n_sy, np.int64),
                                 ]
                             ).astype(np.int32),
                             "tf2": np.concatenate(
                                 [
-                                    np.zeros(total + len(docs_a), np.int64),
+                                    np.zeros(
+                                        total + len(docs_a), np.int64
+                                    ),
                                     np.asarray(ng_tf2, dtype=np.int64),
+                                    np.zeros(n_sy, np.int64),
                                 ]
                             ).astype(np.int32),
                         }
@@ -639,6 +673,7 @@ class IndexBuilder:
         facet_cols: list[str] | None = None,
         stemmer: str | None = None,
         frequent_terms: list[str] | None = None,
+        synonyms: list[dict] | None = None,
     ):
         self.spark = spark
         self.index_path = index_path
@@ -652,6 +687,25 @@ class IndexBuilder:
         self.frequent_terms = (
             frozenset(frequent_terms) if frequent_terms else None
         )
+        # synonyms: [{"terms": [...], "multiway": bool}] (reference
+        # Synonym struct, index.rs:1077-1098). Multi-way: every term is
+        # indexed under all others; one-way: followers are indexed
+        # under the FIRST term only (searches for the first term find
+        # them, not vice versa).
+        self.synonyms = synonyms or []
+        self.synonym_map: dict[str, list[str]] = {}
+        for group in self.synonyms:
+            terms_g = list(group["terms"])
+            multiway = bool(group.get("multiway", True))
+            for i, t in enumerate(terms_g):
+                if multiway:
+                    targets = [x for x in terms_g if x != t]
+                elif i > 0:
+                    targets = [terms_g[0]]
+                else:
+                    targets = []
+                if targets:
+                    self.synonym_map.setdefault(t, []).extend(targets)
 
     def build(
         self,
@@ -728,6 +782,7 @@ class IndexBuilder:
         term_rows = tokenize_to_term_rows(
             docs, text_col, self.tokenizer, self.stop_words, fields=fields,
             stemmer=self.stemmer, frequent_terms=self.frequent_terms,
+            synonym_map=self.synonym_map or None,
         )
         posting_blocks = build_posting_blocks(
             term_rows,
@@ -847,6 +902,7 @@ class IndexBuilder:
             "frequent_terms": sorted(self.frequent_terms)
             if self.frequent_terms
             else [],
+            "synonyms": self.synonyms,
             "stop_words": sorted(self.stop_words) if self.stop_words else [],
             "n_docs": n_docs,
             "positions_sum_normalized": pos_sum,

@@ -202,3 +202,36 @@ def test_folded_stemmed_index_e2e(spark, tmp_path_factory):
                  default_type="intersection").collect()
     assert {r["docid"] for r in got} == {0, 1}
     assert count_matches(spark, store, "RUNS", "union") == 2
+
+
+def test_synonyms_multiway_and_oneway(spark, tmp_path_factory):
+    """Reference Synonym semantics (index.rs:1077-1098): multi-way —
+    every term finds the others; one-way — searches for the FIRST term
+    find follower docs, not vice versa."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "the street is long",
+                    "an avenue of trees",
+                    "a road to nowhere",
+                ],
+            }
+        )
+    )
+    base = tmp_path_factory.mktemp("syn")
+    multi = IndexBuilder(
+        spark, str(base / "multi"), n_buckets=4,
+        synonyms=[{"terms": ["street", "avenue", "road"], "multiway": True}],
+    ).build(docs, text_col="text", id_col="doc_id")
+    assert count_matches(spark, multi, "street", "union") == 3
+    assert count_matches(spark, multi, "avenue", "union") == 3
+
+    oneway = IndexBuilder(
+        spark, str(base / "oneway"), n_buckets=4,
+        synonyms=[{"terms": ["street", "avenue", "road"], "multiway": False}],
+    ).build(docs, text_col="text", id_col="doc_id")
+    assert count_matches(spark, oneway, "street", "union") == 3
+    assert count_matches(spark, oneway, "avenue", "union") == 1
+    assert count_matches(spark, oneway, "road", "union") == 1
