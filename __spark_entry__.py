@@ -624,6 +624,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_phrase_ngram"] = wand_phrase_ngram
 
+    # spell correction (SymSpell delete-neighborhood + Levenshtein
+    # verify; reference search.rs:1200-1411, commit.rs:428-448) and
+    # query autocomplete (completion dictionary, commit.rs:417-426)
+    def spell_correct_q(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.spell import (
+            build_spell_dictionary,
+            has_spell,
+            spell_correct,
+        )
+
+        store = _wand_store(s, d)
+        if not has_spell(store):
+            build_spell_dictionary(s, store)
+        rows = []
+        for w in ["fastt", "tabel", "strem"]:
+            c = spell_correct(store, w)
+            rows.append((w, c[0] if c else None))
+        return s.createDataFrame(rows, "word string, correction string")
+
+    q["spell_correct"] = spell_correct_q
+
+    def qac_suggest(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.spell import (
+            build_completion_dictionary,
+            complete,
+            has_completions,
+        )
+
+        store = _wand_store(s, d)
+        if not has_completions(store):
+            build_completion_dictionary(s, store)
+        sugg = complete(store, "st", k=5)
+        rows = [(i + 1, t) for i, (t, _df) in enumerate(sugg)]
+        return s.createDataFrame(rows, "rank long, term string")
+
+    q["qac_suggest"] = qac_suggest
+
     # index-time synonym expansion (multi-way fast<->stream; reference
     # Synonym struct index.rs:1077-1098, expansion index.rs:5869-5897)
     def wand_synonym(s: SparkSession, d: str) -> DataFrame:
@@ -1074,6 +1111,28 @@ def oracle_sql() -> dict[str, str]:
     o["wand_phrase_ngram"] = _wand_bm25_sql(
         ["fast", "table"], "phrase", phrase=["fast", "table"]
     )
+    o["spell_correct"] = f"""
+WITH toks AS (SELECT * FROM {_TOKS}),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+words(word) AS (VALUES ('fastt'), ('tabel'), ('strem')),
+cand AS (SELECT w.word, d.term, levenshtein(w.word, d.term) AS dist, d.df
+         FROM words w CROSS JOIN dict d
+         WHERE levenshtein(w.word, d.term) <= 2),
+rnk AS (SELECT *, row_number() OVER (
+          PARTITION BY word ORDER BY dist ASC, df DESC, term ASC) AS rn
+        FROM cand)
+SELECT w.word, r.term AS correction
+FROM words w LEFT JOIN rnk r ON r.word = w.word AND r.rn = 1
+ORDER BY w.word
+"""
+    o["qac_suggest"] = f"""
+WITH toks AS (SELECT * FROM {_TOKS}),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+SELECT row_number() OVER (ORDER BY df DESC, term ASC) AS rank, term
+FROM dict WHERE term LIKE 'st%'
+ORDER BY df DESC, term ASC LIMIT 5
+"""
+
     # synonym expansion: the effective token stream is the original
     # plus a swapped copy of every fast/stream occurrence
     _toks_syn = (

@@ -1,0 +1,244 @@
+"""Spell correction (SymSpell-style) + query autocomplete (QAC).
+
+Engine analogs of the reference's query-rewriting aids
+(`/root/reference/seekstorm/src/search.rs:1200-1411` SymSpell compound
+correction + completion lookup; dictionaries built at commit,
+`commit.rs:414-449`):
+
+* **Spell dictionary** — the published SymSpell scheme (delete-
+  neighborhood indexing): every vocabulary term emits its deletion
+  variants up to edit distance 2; a query word's own deletions probe
+  the table, and surviving candidates are verified with true
+  Levenshtein distance and ranked by (distance, -df, term). The
+  dictionary build is a distributed explode over term_stats; the
+  probe is a driver-side partition-pruned pyarrow read (the same
+  pattern as the term-stats probe — bounded by vocabulary/bucket).
+* **Completion dictionary** — top-k terms by document frequency per
+  prefix (the reference's completion trie flattened to a prefix →
+  suggestions table).
+
+Both tables live inside the index directory and derive purely from
+term_stats, so they rebuild cheaply after appends.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seekstorm_spark.index.store import IndexStore
+
+SPELL_MAX_EDITS = 2
+SPELL_MAX_TERM_LEN = 24  # deletes explode quadratically; cap like SymSpell
+SPELL_BUCKETS = 32
+QAC_MIN_PREFIX = 1
+QAC_MAX_PREFIX = 12
+QAC_TOP_K = 8
+
+
+def _spell_path(store: IndexStore) -> str:
+    return os.path.join(store.path, "spell")
+
+
+def _qac_path(store: IndexStore) -> str:
+    return os.path.join(store.path, "completions")
+
+
+def _deletes(word: str, max_edits: int = SPELL_MAX_EDITS) -> set[str]:
+    """All strings reachable from ``word`` by deleting ≤ max_edits
+    chars (including the word itself)."""
+    out = {word}
+    frontier = {word}
+    for _ in range(max_edits):
+        nxt = set()
+        for w in frontier:
+            for i in range(len(w)):
+                nxt.add(w[: i] + w[i + 1 :])
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain Levenshtein distance (matches DuckDB ``levenshtein``)."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def build_spell_dictionary(
+    spark: SparkSession, store: IndexStore, max_edits: int = SPELL_MAX_EDITS
+) -> None:
+    """Distributed SymSpell dictionary: (dkey, term, df) rows, hash-
+    partitioned by dkey bucket so probes prune to a few files."""
+    ts = store.term_stats(spark).select("term", "df").filter(
+        (F.col("term") != "") & (~F.col("term").contains("\x1e"))
+    )
+
+    def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys: list[str] = []
+            terms: list[str] = []
+            dfs: list[int] = []
+            for term, df_ in zip(pdf["term"].values, pdf["df"].values):
+                if len(term) > SPELL_MAX_TERM_LEN:
+                    continue
+                for k in _deletes(term, max_edits):
+                    keys.append(k)
+                    terms.append(term)
+                    dfs.append(int(df_))
+            yield pd.DataFrame(
+                {
+                    "dkey": keys,
+                    "term": terms,
+                    "df": pd.Series(dfs, dtype="int64"),
+                }
+            )
+
+    rows = ts.mapInPandas(_explode, schema="dkey string, term string, df long")
+    rows = rows.withColumn(
+        "dbucket", F.pmod(F.xxhash64("dkey"), F.lit(SPELL_BUCKETS)).cast("int")
+    )
+    (
+        rows.repartition(SPELL_BUCKETS, "dbucket")
+        .sortWithinPartitions("dkey")
+        .write.mode("overwrite")
+        .partitionBy("dbucket")
+        .parquet(_spell_path(store))
+    )
+
+
+def spell_correct(
+    store: IndexStore, word: str, max_edits: int = SPELL_MAX_EDITS
+) -> tuple[str, int, int] | None:
+    """Best correction for ``word`` → (term, distance, df), ranked by
+    (distance asc, df desc, term asc); None when nothing is within
+    ``max_edits``. Driver-side pyarrow probe — no Spark job."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from seekstorm_spark.hashing import term_bucket
+
+    probes = sorted(_deletes(word.lower(), max_edits))
+    buckets = sorted({term_bucket(k, SPELL_BUCKETS) for k in probes})
+    dataset = pads.dataset(_spell_path(store), partitioning="hive")
+    tbl = dataset.to_table(
+        columns=["term", "df"],
+        filter=pc.field("dbucket").isin(buckets)
+        & pc.field("dkey").isin(probes),
+    )
+    best: tuple[int, int, str] | None = None
+    seen: set[str] = set()
+    for term, df_ in zip(
+        tbl.column("term").to_pylist(), tbl.column("df").to_pylist()
+    ):
+        if term in seen:
+            continue
+        seen.add(term)
+        dist = levenshtein(word.lower(), term)
+        if dist > max_edits:
+            continue
+        key = (dist, -int(df_), term)
+        if best is None or key < best:
+            best = key
+    if best is None:
+        return None
+    return best[2], best[0], -best[1]
+
+
+def build_completion_dictionary(
+    spark: SparkSession, store: IndexStore, top_k: int = QAC_TOP_K
+) -> None:
+    """Prefix → top-k (term, df) suggestions, df desc / term asc (the
+    reference's completion dictionary, commit.rs:417-426)."""
+    from pyspark.sql.window import Window
+
+    ts = store.term_stats(spark).select("term", "df").filter(
+        (F.col("term") != "") & (~F.col("term").contains("\x1e"))
+    )
+    prefixes = ts.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(QAC_MIN_PREFIX),
+                    F.least(F.length("term"), F.lit(QAC_MAX_PREFIX)),
+                ),
+                lambda n: F.substring(F.col("term"), 1, n),
+            )
+        ).alias("prefix"),
+        "term",
+        "df",
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    )
+    top = (
+        prefixes.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .withColumn(
+            "pbucket",
+            F.pmod(F.xxhash64("prefix"), F.lit(SPELL_BUCKETS)).cast("int"),
+        )
+    )
+    (
+        top.repartition(SPELL_BUCKETS, "pbucket")
+        .sortWithinPartitions("prefix", "rank")
+        .write.mode("overwrite")
+        .partitionBy("pbucket")
+        .parquet(_qac_path(store))
+    )
+
+
+def complete(
+    store: IndexStore, prefix: str, k: int = 5
+) -> list[tuple[str, int]]:
+    """Top-k completions for ``prefix`` → [(term, df)], df desc / term
+    asc. Driver-side pyarrow probe — no Spark job."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from seekstorm_spark.hashing import term_bucket
+
+    p = prefix.lower()
+    dataset = pads.dataset(_qac_path(store), partitioning="hive")
+    tbl = dataset.to_table(
+        columns=["term", "df", "rank"],
+        filter=(
+            pc.field("pbucket") == term_bucket(p, SPELL_BUCKETS)
+        )
+        & (pc.field("prefix") == p),
+    )
+    rows = sorted(
+        zip(
+            tbl.column("rank").to_pylist(),
+            tbl.column("term").to_pylist(),
+            tbl.column("df").to_pylist(),
+        )
+    )
+    return [(t, int(d)) for _r, t, d in rows[:k]]
+
+
+def has_spell(store: IndexStore) -> bool:
+    return os.path.exists(_spell_path(store))
+
+
+def has_completions(store: IndexStore) -> bool:
+    return os.path.exists(_qac_path(store))
