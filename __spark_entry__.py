@@ -974,6 +974,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .filter(F.col("doc_id") < 50)
         .select("doc_id", lang_id_udf(F.col("text")).alias("pred_lang"))
     )
+    # nested-JSON string-leaf flattening (reference
+    # object_values_to_string_vec_recursive, index.rs:5312-5327) over a
+    # deterministically constructed nested document
+    def json_flatten(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.textstats import json_flatten_values
+
+        docs = _docs(s, d).filter(F.col("doc_id") < 30)
+        j = F.to_json(
+            F.struct(
+                F.col("source"),
+                F.struct(F.col("lang"), F.col("n_chars")).alias("meta"),
+                F.array(F.lit("tag1"), F.col("lang")).alias("tags"),
+            )
+        )
+        return docs.select("doc_id", json_flatten_values(j).alias("flat"))
+
+    q["json_flatten"] = json_flatten
+
     q["token_count_ws"] = lambda s, d: (
         _docs(s, d)
         .filter(F.col("doc_id") < 50)
@@ -1425,6 +1443,10 @@ SELECT doc_id,
        ELSE 'und' END AS pred_lang
 FROM h
 """
+    o["json_flatten"] = (
+        "SELECT doc_id, source || ' ' || lang || ' tag1 ' || lang AS flat "
+        "FROM documents WHERE doc_id < 30"
+    )
     o["token_count_ws"] = (
         "SELECT doc_id, len(list_filter(string_split(trim(text), ' '), "
         "x -> x <> ''))::BIGINT AS n_ws FROM documents WHERE doc_id < 50"

@@ -94,3 +94,34 @@ def lang_id_udf(texts: pd.Series) -> pd.Series:
         return best_lang
 
     return texts.map(classify)
+
+
+@pandas_udf(StringType())
+def json_flatten_values(js: pd.Series) -> pd.Series:
+    """Recursively extract STRING leaf values from a JSON document (in
+    document order, field names and non-string scalars excluded) and
+    join them with single spaces — the indexable text of a nested JSON
+    doc (reference object_values_to_string_vec_recursive,
+    index.rs:5312-5327)."""
+    import json
+
+    def flatten(v, out: list) -> None:
+        if isinstance(v, str):
+            out.append(v)
+        elif isinstance(v, list):
+            for x in v:
+                flatten(x, out)
+        elif isinstance(v, dict):
+            for x in v.values():
+                flatten(x, out)
+
+    def run(s: str) -> str:
+        try:
+            v = json.loads(s) if s else None
+        except (ValueError, TypeError):
+            return ""
+        out: list = []
+        flatten(v, out)
+        return " ".join(out)
+
+    return js.map(run)

@@ -290,3 +290,61 @@ def test_ann_index_recall_and_partition_pruning(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[[^\]]*sig", plan)
     assert m, plan
+
+
+def test_jpeg_sof_dimensions():
+    """Real JPEG dimension parse (SOF marker walk, no decoder)."""
+    from seekstorm_spark.functions.multimodal import _sniff
+
+    # minimal JPEG: SOI, APP0 stub, SOF0 (8-bit, 480x640), EOI
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + (480).to_bytes(2, "big")  # height
+        + (640).to_bytes(2, "big")  # width
+        + b"\x03" + b"\x00" * 9
+    )
+    data = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    assert _sniff(data) == ("jpeg", 640, 480)
+
+
+def test_wav_audio_frames(spark):
+    """PCM WAV parse + frame sampling through mapInPandas."""
+    import struct
+
+    from seekstorm_spark.functions.multimodal import decode_audio_frames
+
+    rate, n = 8000, 2048
+    samples = np.ascontiguousarray(
+        (np.sin(np.arange(n) * 0.1) * 20000).astype("<i2")
+    ).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    wav = (
+        b"RIFF" + (36 + len(samples)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + fmt
+        + b"data" + len(samples).to_bytes(4, "little") + samples
+    )
+    df = spark.createDataFrame([("u1", bytearray(wav)), ("u2", bytearray(b"oggs-not-wav"))],
+                               "url string, audio binary")
+    rows = decode_audio_frames(df, frame_samples=1024).collect()
+    assert {r["url"] for r in rows} == {"u1"}  # non-WAV yields no rows
+    assert len(rows) == 2 and all(r["sample_rate"] == rate for r in rows)
+    assert all(len(r["frame"]) == 1024 for r in rows)
+    assert max(abs(x) for x in rows[0]["frame"]) <= 1.0
+
+
+def test_json_flatten_values(spark):
+    from seekstorm_spark.functions.textstats import json_flatten_values
+
+    df = spark.createDataFrame(
+        [
+            ('{"a": "x", "b": {"c": ["y", 5, "z"], "d": 3.2}, "e": null}',),
+            ("not json",),
+            (None,),
+        ],
+        "j string",
+    )
+    got = [r[0] for r in df.select(json_flatten_values(F.col("j"))).collect()]
+    assert got == ["x y z", "", ""]
