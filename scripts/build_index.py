@@ -22,9 +22,16 @@ import json
 import sys
 import time
 
-# direct `python scripts/x.py` runs: make the repo root importable
-# (under spark-submit, --py-files seekstorm_spark.zip covers this)
-sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
+# direct `python scripts/x.py` runs: make the repo root importable for
+# BOTH the driver and the Python workers (under spark-submit,
+# --py-files seekstorm_spark.zip covers this)
+import os as _os
+
+_repo_root = str(__import__("pathlib").Path(__file__).resolve().parent.parent)
+sys.path.insert(0, _repo_root)
+_os.environ["PYTHONPATH"] = (
+    _repo_root + _os.pathsep + _os.environ.get("PYTHONPATH", "")
+).rstrip(_os.pathsep)
 
 
 def main() -> int:
