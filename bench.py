@@ -28,7 +28,11 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "250000"))
-BUILD_REPS = int(os.environ.get("BENCH_BUILD_REPS", "3"))
+# 4 interleaved rep pairs: the shared host's load phases shift the
+# TRUE 2c/8c ratio between ~0.80 (loaded: our 8 threads land on SMT
+# siblings of busy host cores) and ~0.89 (quiet); min-per-level over
+# more pairs converges both walls to their quiet-phase values
+BUILD_REPS = int(os.environ.get("BENCH_BUILD_REPS", "4"))
 QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
 # Scaling levels: N and 4N cores. This sandbox advertises 32 vCPUs but
 # they are SMT threads on ~16 physical cores — a pure-Python burn test

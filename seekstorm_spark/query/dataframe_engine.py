@@ -77,6 +77,50 @@ def corpus_stats(tok: DataFrame, dl: DataFrame) -> tuple[DataFrame, Column]:
     return tok.groupBy("term").agg(F.countDistinct("docid").alias("df"))
 
 
+def query_term_rows(
+    docs: DataFrame,
+    terms: list[str],
+    docid_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ONE tokenize pass per query: per doc, a sentinel row
+    (term='', tf=0) carrying dl_raw, plus one (term, tf) row per
+    matched query term — everything BM25 needs without re-tokenizing
+    the corpus for dl, df and tf separately."""
+    term_set = frozenset(terms)
+
+    def _tok(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            out_doc, out_term, out_dl, out_tf = [], [], [], []
+            for docid, text in zip(pdf[docid_col].values, pdf[text_col].values):
+                toks = tokenize_line(text or "")
+                did = int(docid)
+                out_doc.append(did)
+                out_term.append("")
+                out_dl.append(len(toks))
+                out_tf.append(0)
+                cnt = Counter(t for t in toks if t in term_set)
+                for t, n in cnt.items():
+                    out_doc.append(did)
+                    out_term.append(t)
+                    out_dl.append(len(toks))
+                    out_tf.append(n)
+            yield pd.DataFrame(
+                {
+                    "docid": pd.Series(out_doc, dtype="int64"),
+                    "term": out_term,
+                    "dl_raw": pd.Series(out_dl, dtype="int64"),
+                    "tf": pd.Series(out_tf, dtype="int64"),
+                }
+            )
+
+    return docs.select(docid_col, text_col).mapInPandas(
+        _tok, schema="docid long, term string, dl_raw long, tf long"
+    )
+
+
 def bm25_scored(
     spark: SparkSession,
     docs: DataFrame,
@@ -90,34 +134,39 @@ def bm25_scored(
 
     AND = candidate must contain every query term (inner-join
     semantics via HAVING count); OR = any; NOT terms anti-joined.
-    idf/avgdl per reference math (scoring.py), computed in float64.
+    idf/avgdl per reference math (scoring.py), computed in float64 —
+    corpus stats arrive as a 1-row cross-joined DataFrame (no per-query
+    ``collect``), and the corpus is tokenized exactly ONCE per query.
     """
     not_terms = not_terms or []
-    tok = tokens(docs, docid_col, text_col)
-    dl = doc_lengths(docs, spark, docid_col, text_col)
-
-    n_docs = docs.count()
-    avgdl_row = dl.agg((F.sum("dl_q") / F.count("*")).alias("avgdl")).collect()[0]
-    avgdl = float(avgdl_row["avgdl"])
-
     q = [t for t in dict.fromkeys(query_terms)]  # dedup, keep order
-    df_tbl = (
-        tok.filter(F.col("term").isin(q))
-        .groupBy("term")
-        .agg(F.countDistinct("docid").alias("df"))
+    rows = query_term_rows(docs, list(q) + list(not_terms), docid_col, text_col)
+
+    quant = F.broadcast(quantization_table(spark))
+    dl = (
+        rows.filter(F.col("term") == "")
+        .join(quant, (F.col("dl_raw") >= quant.dl_lo) & (F.col("dl_raw") <= quant.dl_hi), "left")
+        .select("docid", "dl_q")
     )
-    tf_tbl = (
-        tok.filter(F.col("term").isin(q))
-        .groupBy("docid", "term")
-        .agg(F.count("*").alias("tf"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl_q") / F.count("*")).alias("avgdl"),
     )
+
+    term_rows = rows.filter(F.col("term").isin(q))
+    df_tbl = term_rows.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
-        tf_tbl.join(F.broadcast(df_tbl), "term")
-        .join(dl, "docid")
+        term_rows.join(F.broadcast(df_tbl), "term")
+        .join(
+            quant,
+            (F.col("dl_raw") >= quant.dl_lo) & (F.col("dl_raw") <= quant.dl_hi),
+            "left",
+        )
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
             F.log(
-                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5))
                 + F.lit(1.0)
             ),
@@ -133,7 +182,7 @@ def bm25_scored(
                     + F.lit(K)
                     * (
                         F.lit(1.0 - B)
-                        + F.lit(B) * F.col("dl_q") / F.lit(avgdl)
+                        + F.lit(B) * F.col("dl_q") / F.col("avgdl")
                     )
                 )
             ),
@@ -147,7 +196,7 @@ def bm25_scored(
         agg = agg.filter(F.col("n_matched") == len(q))
     if not_terms:
         excl = (
-            tok.filter(F.col("term").isin(list(not_terms)))
+            rows.filter(F.col("term").isin(list(not_terms)))
             .select("docid")
             .distinct()
         )
