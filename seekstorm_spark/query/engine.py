@@ -1,25 +1,32 @@
 """Indexed query execution: block-max WAND over the postings table.
 
 Spark-first re-expression of the reference's read path
-(`/root/reference/seekstorm/src/search.rs:1154-2131`):
+(`/root/reference/seekstorm/src/search.rs:1154-2131`). A point query
+is exactly ONE Spark job:
 
-* query terms → tiny broadcast-joined stats lookup (the reference's
-  segment-dictionary probe, `search.rs:3066-3303`);
+* query terms → driver-side pyarrow probe of the partitioned
+  term-stats table (the reference's in-RAM segment-dictionary probe,
+  `search.rs:3066-3303`) — no Spark pre-job; 2-term frequent phrases
+  rewrite to their pre-joined n-gram posting (`NGRAM_SEARCH.md`);
 * partition-pruned postings scan — only the query terms' ``tbucket``
-  parquet partitions are read, with a pushed-down term filter (the
-  analog of the reference's per-segment key binary search);
+  parquet partitions are read, with pushed-down term (and field)
+  filters; term idf/flags are literal expressions, not a join;
 * blocks that cannot contain a top-k doc are skipped via per-block
-  score bounds (block-max WAND, reference `intersection.rs:2224-2233`,
+  score bounds computed at query time from (max_tf, min_dl) and the
+  live avgdl (block-max WAND, reference `intersection.rs:2224-2233`,
   `single.rs:372-386`, metadata `compress_postinglist.rs:530-676`) —
-  expressed as a ``mapInPandas`` kernel with a per-partition threshold
-  heap, blocks visited in bound-descending order;
-* AND = multi-way sorted intersection (`intersection.rs:112-2022`,
-  numpy ``intersect1d`` replaces the hand-rolled SIMD/galloping);
-  OR = k-way union with per-doc score sum (`union.rs:32-1166`);
+  a ``mapInPandas`` kernel with a per-partition threshold heap, blocks
+  visited in bound-descending order; facet filters apply inside the
+  kernel from per-block facet byte arrays (`search.rs:2543-2726`);
+* AND = multi-way sorted intersection over per-term field unions
+  (`intersection.rs:112-2022`; numpy ``intersect1d`` replaces the
+  hand-rolled SIMD/galloping); OR = k-way union with per-doc BM25F
+  score sum (`union.rs:32-1166`, `add_result.rs:1171-1426`);
   NOT = anti-probe (`add_result.rs:3005-3062`); phrase = AND +
-  position-offset alignment (`add_result.rs:3152-3391`);
+  position-offset alignment within a field (`add_result.rs:3152-3391`);
 * global top-k = per-partition heaps → ``orderBy(score, docid).limit``
-  (the reference's shard-merge, `search.rs:1875-2122`).
+  (the reference's shard-merge, `search.rs:1875-2122`); multi-key
+  result sorts switch the kernel to emit-all (`min_heap.rs:56-546`).
 """
 
 from __future__ import annotations
