@@ -927,8 +927,10 @@ def load_or_build(
     meta = os.path.join(index_path, "meta.json")
     if os.path.exists(meta):
         with open(meta) as f:
-            if json.load(f).get("complete"):
-                return IndexStore.open(index_path)
+            m = json.load(f)
+        # stale on-disk caches from an older format must rebuild
+        if m.get("complete") and m.get("version") == INDEX_FORMAT_VERSION:
+            return IndexStore.open(index_path)
     return IndexBuilder(spark, index_path, **(builder_kwargs or {})).build(
         docs, **(build_kwargs or {})
     )
