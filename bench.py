@@ -255,6 +255,7 @@ def main() -> None:
             "bench_docs": BENCH_DOCS,
             "small": build["small"],
             "big": build["big"],
+            "rep_pairs": build["rep_pairs"],
             "scaling_efficiency": build["scaling_efficiency"],
         },
         "wand_query": wand,
