@@ -616,7 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             store = IndexBuilder(
                 s, path, n_buckets=8, frequent_terms=["fast", "table"]
             ).build(_docs(s, d), text_col="text", id_col="doc_id")
-        assert _plan(s, store, '"fast table"', "union").qtype == "ngram2"
+        assert _plan(s, store, '"fast table"', "union").qtype == "ngram"
         out = search(s, store, '"fast table"', top_k=10, default_type="union")
         return out.select(
             "docid", F.round(F.col("score").cast("double"), 4).alias("score")
@@ -1133,9 +1133,10 @@ def oracle_sql() -> dict[str, str]:
 WITH toks AS (SELECT * FROM {_TOKS}),
 dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
 words(word) AS (VALUES ('fastt'), ('tabel'), ('strem')),
-cand AS (SELECT w.word, d.term, levenshtein(w.word, d.term) AS dist, d.df
+cand AS (SELECT w.word, d.term,
+                damerau_levenshtein(w.word, d.term) AS dist, d.df
          FROM words w CROSS JOIN dict d
-         WHERE levenshtein(w.word, d.term) <= 2),
+         WHERE damerau_levenshtein(w.word, d.term) <= 2),
 rnk AS (SELECT *, row_number() OVER (
           PARTITION BY word ORDER BY dist ASC, df DESC, term ASC) AS rn
         FROM cand)

@@ -53,7 +53,7 @@ from seekstorm_spark.quantization import decode_lengths
 
 TERM_ROW_SCHEMA = (
     "docid long, field int, term string, pos int, dl_byte int, "
-    "tf1 int, tf2 int"
+    "tf1 int, tf2 int, tf3 int"
 )
 
 # Multi-field postings: one row per (term, field, block) with the
@@ -66,7 +66,8 @@ POSTING_SCHEMA = (
     "term string, field int, block_id int, posting_count int, "
     "df_block int, max_tf int, min_dl_byte int, docids_vb binary, "
     "tfs_vb binary, dls binary, positions_vb binary, "
-    "tfs1_vb binary, tfs2_vb binary, max_tf1 int, max_tf2 int"
+    "tfs1_vb binary, tfs2_vb binary, tfs3_vb binary, "
+    "max_tf1 int, max_tf2 int, max_tf3 int"
 )
 
 # format v3: blocks store (max_tf, min_dl_byte) instead of a baked
@@ -78,7 +79,41 @@ POSTING_SCHEMA = (
 # This keeps block-max WAND admissible for incrementally grown indexes
 # where avgdl drifts after blocks are written, and removes the avgdl
 # dependency from the build (enabling the single-pass build below).
-INDEX_FORMAT_VERSION = 3
+#
+# format v4: trigram n-gram postings (tfs3_vb/max_tf3 partial-tf
+# columns, reference NgramSet patterns index.rs:1834-1872), typed facet
+# metadata ({"type": "string"|"numeric"}), and a LOG-STRUCTURED
+# term_stats table: incremental appends add per-batch partial
+# aggregates as new files, readers sum df per term across partials.
+INDEX_FORMAT_VERSION = 4
+
+# reference NgramSet (index.rs:1834-1852): which adjacent-term shapes
+# get pre-joined postings; f = frequent (in frequent_terms), r = rare.
+# Default mirrors the reference's DEFAULT_NGRAM_INDEXING (FF | FFF,
+# index.rs:1423).
+ALL_NGRAM_PATTERNS = ("ff", "fr", "rf", "fff", "rff", "ffr", "frf")
+DEFAULT_NGRAM_PATTERNS = ("ff", "fff")
+
+
+def synonym_map_from_groups(groups: list[dict]) -> dict[str, list[str]]:
+    """Synonym groups → source-term expansion map (reference Synonym
+    struct, index.rs:1077-1098). Multi-way: every term is indexed
+    under all others; one-way: followers are indexed under the FIRST
+    term only."""
+    out: dict[str, list[str]] = {}
+    for group in groups:
+        terms_g = list(group["terms"])
+        multiway = bool(group.get("multiway", True))
+        for i, t in enumerate(terms_g):
+            if multiway:
+                targets = [x for x in terms_g if x != t]
+            elif i > 0:
+                targets = [terms_g[0]]
+            else:
+                targets = []
+            if targets:
+                out.setdefault(t, []).extend(targets)
+    return out
 
 
 def assign_docids(
@@ -181,6 +216,7 @@ def tokenize_to_term_rows(
     stemmer: str | None = None,
     frequent_terms: frozenset[str] | None = None,
     synonym_map: dict[str, list[str]] | None = None,
+    ngram_patterns: tuple[str, ...] | list[str] | None = None,
 ) -> DataFrame:
     """docs(docid, <fields…>) → flat (docid, field, term, pos, dl_byte)
     rows; one sentinel row per (doc, field) (term='', pos=-1) carries
@@ -203,6 +239,13 @@ def tokenize_to_term_rows(
     stem_lang = stemmer
     freq = frequent_terms
     syn = synonym_map
+    patterns = tuple(
+        ngram_patterns
+        if ngram_patterns is not None
+        else (DEFAULT_NGRAM_PATTERNS if freq else ())
+    )
+    bi_patterns = frozenset(p for p in patterns if len(p) == 2)
+    tri_patterns = frozenset(p for p in patterns if len(p) == 3)
     field_cols = list(fields) if fields else [text_col]
 
     def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -224,6 +267,7 @@ def tokenize_to_term_rows(
                 ng_dlb: list[int] = []
                 ng_tf1: list[int] = []
                 ng_tf2: list[int] = []
+                ng_tf3: list[int] = []
                 sy_doc: list[int] = []
                 sy_term: list[str] = []
                 sy_pos: list[int] = []
@@ -256,22 +300,41 @@ def tokenize_to_term_rows(
                                 sy_term.append(target)
                                 sy_pos.append(i)
                                 sy_dlb.append(dlb)
-                    if freq:
-                        # NgramFF: adjacent frequent-term pairs become
-                        # extra posting terms carrying the FULL per-doc
-                        # tf of each partial term, so BM25 scoring stays
-                        # rank-identical (NGRAM_SEARCH.md "faithful
-                        # N-gram Bm25f"; tokenizer.rs:673-1387)
+                    if freq and (bi_patterns or tri_patterns):
+                        # N-gram postings: adjacent term pairs/triples
+                        # whose frequent/rare shape matches an enabled
+                        # pattern become extra posting terms carrying
+                        # the FULL per-doc tf of each partial term, so
+                        # BM25 scoring stays rank-identical
+                        # (NGRAM_SEARCH.md "faithful N-gram Bm25f";
+                        # tokenizer.rs:673-1387, index.rs:1834-1872)
                         tf_cnt = Counter(toks)
+                        fr = ["f" if t in freq else "r" for t in toks]
                         for i in range(len(toks) - 1):
                             a, b = toks[i], toks[i + 1]
-                            if a in freq and b in freq:
+                            if fr[i] + fr[i + 1] in bi_patterns:
                                 ng_doc.append(int(docid))
                                 ng_term.append(a + NGRAM_SEP + b)
                                 ng_pos.append(i)
                                 ng_dlb.append(dlb)
                                 ng_tf1.append(tf_cnt[a])
                                 ng_tf2.append(tf_cnt[b])
+                                ng_tf3.append(0)
+                            if (
+                                i + 2 < len(toks)
+                                and fr[i] + fr[i + 1] + fr[i + 2]
+                                in tri_patterns
+                            ):
+                                c = toks[i + 2]
+                                ng_doc.append(int(docid))
+                                ng_term.append(
+                                    a + NGRAM_SEP + b + NGRAM_SEP + c
+                                )
+                                ng_pos.append(i)
+                                ng_dlb.append(dlb)
+                                ng_tf1.append(tf_cnt[a])
+                                ng_tf2.append(tf_cnt[b])
+                                ng_tf3.append(tf_cnt[c])
                 counts_a = np.asarray(counts, dtype=np.int64)
                 docs_a = np.asarray(doc_ids, dtype=np.int64)
                 dlb_a = np.asarray(dl_bytes, dtype=np.int32)
@@ -333,6 +396,15 @@ def tokenize_to_term_rows(
                                         total + len(docs_a), np.int64
                                     ),
                                     np.asarray(ng_tf2, dtype=np.int64),
+                                    np.zeros(n_sy, np.int64),
+                                ]
+                            ).astype(np.int32),
+                            "tf3": np.concatenate(
+                                [
+                                    np.zeros(
+                                        total + len(docs_a), np.int64
+                                    ),
+                                    np.asarray(ng_tf3, dtype=np.int64),
                                     np.zeros(n_sy, np.int64),
                                 ]
                             ).astype(np.int32),
@@ -415,8 +487,9 @@ def build_posting_blocks(
         dlb = pdf["dl_byte"].values.astype(np.uint8)
         tf1a = pdf["tf1"].values.astype(np.int64)
         tf2a = pdf["tf2"].values.astype(np.int64)
+        tf3a = pdf["tf3"].values.astype(np.int64)
         order = np.lexsort((p, d, fld, term_codes))
-        t, f, d, p, dlb, tf1a, tf2a = (
+        t, f, d, p, dlb, tf1a, tf2a, tf3a = (
             term_codes[order],
             fld[order],
             d[order],
@@ -424,6 +497,7 @@ def build_posting_blocks(
             dlb[order],
             tf1a[order],
             tf2a[order],
+            tf3a[order],
         )
 
         # (term, field, doc) run boundaries → tf per posting
@@ -440,6 +514,7 @@ def build_posting_blocks(
         td_dlb = dlb[pair_starts]
         td_tf1 = tf1a[pair_starts]
         td_tf2 = tf2a[pair_starts]
+        td_tf3 = tf3a[pair_starts]
 
         # per-(term, field) slices over the (term, field, doc) arrays
         new_tf = np.empty(len(td_term), dtype=bool)
@@ -468,6 +543,7 @@ def build_posting_blocks(
         out_maxtf, out_mindl = [], []
         out_docids, out_tfs, out_dls, out_pos = [], [], [], []
         out_tfs1, out_tfs2, out_maxtf1, out_maxtf2 = [], [], [], []
+        out_tfs3, out_maxtf3 = [], []
         for s, e in zip(tf_starts, tf_ends):
             tfs = tfs_all[s:e]
             term_str = uniq_terms[td_term[s]]
@@ -498,11 +574,20 @@ def build_posting_blocks(
                 out_tfs2.append(encode_tfs(t2s))
                 out_maxtf1.append(int(t1s.max()))
                 out_maxtf2.append(int(t2s.max()))
+                if term_str.count(NGRAM_SEP) == 2:
+                    t3s = td_tf3[s:e]
+                    out_tfs3.append(encode_tfs(t3s))
+                    out_maxtf3.append(int(t3s.max()))
+                else:
+                    out_tfs3.append(None)
+                    out_maxtf3.append(0)
             else:
                 out_tfs1.append(None)
                 out_tfs2.append(None)
+                out_tfs3.append(None)
                 out_maxtf1.append(0)
                 out_maxtf2.append(0)
+                out_maxtf3.append(0)
         return pd.DataFrame(
             {
                 "term": out_terms,
@@ -520,8 +605,10 @@ def build_posting_blocks(
                 "positions_vb": out_pos,
                 "tfs1_vb": out_tfs1,
                 "tfs2_vb": out_tfs2,
+                "tfs3_vb": out_tfs3,
                 "max_tf1": pd.Series(out_maxtf1, dtype="int32"),
                 "max_tf2": pd.Series(out_maxtf2, dtype="int32"),
+                "max_tf3": pd.Series(out_maxtf3, dtype="int32"),
                 "tbucket": pd.Series(
                     np.full(len(out_terms), tbucket), dtype="int32"
                 ),
@@ -544,79 +631,153 @@ def build_posting_blocks(
     )
 
 
+FACET_MISSING = 255  # string-facet byte for null/unknown
+
+
+def facet_values(spec) -> list[str] | None:
+    """Dictionary values of a facet spec (None for numeric facets).
+    Accepts both the v4 typed shape ({"type", "values"}) and the
+    legacy v3 plain-list shape."""
+    if isinstance(spec, dict):
+        return spec.get("values")
+    return list(spec)
+
+
+def build_facet_dictionaries(
+    docs_with_ids: DataFrame, facet_cols: list[str]
+) -> dict[str, dict]:
+    """Typed facet metadata in ONE Spark job regardless of facet count.
+
+    String facets get a sorted ≤255-value dictionary (one byte per doc
+    per block; byte order == value order so engine-side sorts on the
+    byte are value-correct; 255 = missing). Numeric facets store raw
+    float64 values per block (range filters/counts at query time, the
+    reference's numeric RangeType facets, search.rs:3598-3764) and
+    need no dictionary.
+    """
+    numeric_types = {
+        "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
+    }
+    meta: dict[str, dict] = {}
+    string_cols = []
+    for fc in facet_cols:
+        dtype = dict(docs_with_ids.dtypes)[fc]
+        base = dtype.split("(")[0]
+        if base in numeric_types:
+            meta[fc] = {"type": "numeric"}
+        else:
+            meta[fc] = {"type": "string"}
+            string_cols.append(fc)
+    if string_cols:
+        # one unioned distinct pass for ALL string dictionaries
+        kv = docs_with_ids.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(fc).alias("facet"),
+                            F.col(fc).cast("string").alias("value"),
+                        )
+                        for fc in string_cols
+                    ]
+                )
+            ).alias("kv")
+        ).select("kv.facet", "kv.value")
+        rows = (
+            kv.filter(F.col("value").isNotNull())
+            .distinct()
+            .collect()
+        )
+        by_facet: dict[str, list[str]] = {fc: [] for fc in string_cols}
+        for r in rows:
+            by_facet[r["facet"]].append(r["value"])
+        for fc, vals in by_facet.items():
+            if len(vals) > 255:
+                raise ValueError(
+                    f"facet {fc!r} has {len(vals)} distinct values (>255); "
+                    "use a numeric facet or a wider dictionary"
+                )
+            meta[fc]["values"] = sorted(vals)
+    return meta
+
+
+def encode_facet_blocks(
+    docs_with_ids: DataFrame,
+    facet_meta: dict[str, dict],
+    block_size: int = ROARING_BLOCK_SIZE,
+) -> DataFrame:
+    """Per-block facet arrays for ALL facets in ONE kernel pass — the
+    distributed analog of the reference's in-RAM per-doc facet array
+    (index.rs facet_index). One row per (facet, block): string facets
+    are uint8 dictionary codes, numeric facets raw float64 (NaN =
+    missing)."""
+    facet_cols = list(facet_meta)
+    mappings = {
+        fc: {v: i for i, v in enumerate(facet_values(spec) or [])}
+        for fc, spec in facet_meta.items()
+    }
+    is_numeric = {
+        fc: facet_values(spec) is None for fc, spec in facet_meta.items()
+    }
+
+    def _enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        block_id = int(key[0])
+        local = pdf["docid"].values.astype(np.int64) - block_id * block_size
+        size = int(local.max()) + 1
+        out_facet, out_vals = [], []
+        for fc in facet_cols:
+            if is_numeric[fc]:
+                arr = np.full(size, np.nan, dtype=np.float64)
+                vals = pd.to_numeric(pdf[fc], errors="coerce").values.astype(
+                    np.float64
+                )
+                arr[local] = vals
+            else:
+                mapping = mappings[fc]
+                arr = np.full(size, FACET_MISSING, dtype=np.uint8)
+                codes = (
+                    pdf[fc]
+                    .map(
+                        lambda v: FACET_MISSING
+                        if v is None
+                        else mapping.get(str(v), FACET_MISSING)
+                    )
+                    .values.astype(np.uint8)
+                )
+                arr[local] = codes
+            out_facet.append(fc)
+            out_vals.append(arr.tobytes())
+        return pd.DataFrame(
+            {
+                "facet": out_facet,
+                "block_id": pd.Series(
+                    np.full(len(out_facet), block_id), dtype="int32"
+                ),
+                "fvalues": out_vals,
+            }
+        )
+
+    return (
+        docs_with_ids.select("docid", *facet_cols)
+        .withColumn(
+            "block_id", (F.col("docid") / F.lit(block_size)).cast("int")
+        )
+        .groupBy("block_id")
+        .applyInPandas(
+            _enc, schema="facet string, block_id int, fvalues binary"
+        )
+    )
+
+
 def build_facet_blocks(
     docs_with_ids: DataFrame,
     facet_cols: list[str],
     block_size: int = ROARING_BLOCK_SIZE,
-) -> tuple[DataFrame, dict[str, list[str]]]:
-    """Per-block facet byte arrays — the distributed analog of the
-    reference's in-RAM per-doc facet array (facet String16,
-    index.rs facet_index / ARCHITECTURE.md facets ≤ 2^16 values; we
-    keep one byte per doc per facet, ≤255 distinct values + missing).
-
-    Returns (DataFrame(facet, block_id, fvalues binary), facet
-    dictionaries {facet: sorted values}): ``fvalues[local_docid]`` is
-    the index of the doc's value in the facet's SORTED dictionary, so
-    byte order == lexicographic value order and engine-side sorts on
-    the byte are value-correct. 255 = missing/null.
-    """
-    dicts: dict[str, list[str]] = {}
-    frames = []
-    for fc in facet_cols:
-        vals = sorted(
-            r[0]
-            for r in docs_with_ids.select(fc).distinct().collect()
-            if r[0] is not None
-        )
-        if len(vals) > 255:
-            raise ValueError(
-                f"facet {fc!r} has {len(vals)} distinct values (>255); "
-                "use a range facet or a wider dictionary"
-            )
-        dicts[fc] = [str(v) for v in vals]
-        mapping = {v: i for i, v in enumerate(vals)}
-
-        def _make_enc(fc: str, mapping: dict):
-            def _enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-                block_id = int(key[0])
-                local = (
-                    pdf["docid"].values.astype(np.int64)
-                    - block_id * block_size
-                )
-                arr = np.full(int(local.max()) + 1, 255, dtype=np.uint8)
-                codes = (
-                    pdf[fc]
-                    .map(lambda v: mapping.get(v, 255))
-                    .values.astype(np.uint8)
-                )
-                arr[local] = codes
-                return pd.DataFrame(
-                    {
-                        "facet": [fc],
-                        "block_id": pd.Series([block_id], dtype="int32"),
-                        "fvalues": [arr.tobytes()],
-                    }
-                )
-
-            return _enc
-
-        _enc = _make_enc(fc, mapping)
-
-        fb = (
-            docs_with_ids.select("docid", fc)
-            .withColumn(
-                "block_id", (F.col("docid") / F.lit(block_size)).cast("int")
-            )
-            .groupBy("block_id")
-            .applyInPandas(
-                _enc, schema="facet string, block_id int, fvalues binary"
-            )
-        )
-        frames.append(fb)
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out, dicts
+) -> tuple[DataFrame, dict[str, dict]]:
+    """Dictionaries (one job) + per-block arrays (one kernel) — build
+    job count is independent of the number of facets."""
+    facet_meta = build_facet_dictionaries(docs_with_ids, facet_cols)
+    return encode_facet_blocks(docs_with_ids, facet_meta, block_size), facet_meta
 
 
 def _decode_doc_meta(
@@ -660,6 +821,30 @@ def _decode_doc_meta(
     )
 
 
+def term_stats_aggregate(postings: DataFrame) -> DataFrame:
+    """Postings → per-(tbucket, term) list-head aggregates. Shared by
+    the full build (whole table) and incremental appends (one batch's
+    staged postings → a log-structured PARTIAL; readers sum df per
+    term across partials, so append cost is O(batch) not O(index))."""
+    return postings.filter(F.col("term") != "").groupBy(
+        "tbucket", "term"
+    ).agg(
+        # df = distinct docs containing the term in ANY field
+        # (df_block is nonzero on one field row per (term, block))
+        F.sum("df_block").cast("long").alias("df"),
+        F.sum("posting_count").cast("long").alias("cf_fields"),
+        F.count("*").cast("int").alias("n_blocks"),
+        F.max("max_tf").cast("int").alias("max_tf"),
+        F.min("min_dl_byte").cast("int").alias("min_dl_byte"),
+        (
+            F.sum(F.length("docids_vb"))
+            + F.sum(F.length("tfs_vb"))
+            + F.sum(F.length("dls"))
+            + F.sum(F.length("positions_vb"))
+        ).cast("long").alias("bytes"),
+    )
+
+
 class IndexBuilder:
     def __init__(
         self,
@@ -674,6 +859,7 @@ class IndexBuilder:
         stemmer: str | None = None,
         frequent_terms: list[str] | None = None,
         synonyms: list[dict] | None = None,
+        ngram_patterns: list[str] | None = None,
     ):
         self.spark = spark
         self.index_path = index_path
@@ -687,25 +873,27 @@ class IndexBuilder:
         self.frequent_terms = (
             frozenset(frequent_terms) if frequent_terms else None
         )
+        # reference NgramSet subset (index.rs:1834-1872); default
+        # FF | FFF when a frequent set is given
+        if ngram_patterns is not None:
+            bad = set(ngram_patterns) - set(ALL_NGRAM_PATTERNS)
+            if bad:
+                raise ValueError(
+                    f"unknown ngram patterns {sorted(bad)}; "
+                    f"valid: {ALL_NGRAM_PATTERNS}"
+                )
+            self.ngram_patterns = tuple(ngram_patterns)
+        else:
+            self.ngram_patterns = (
+                DEFAULT_NGRAM_PATTERNS if self.frequent_terms else ()
+            )
         # synonyms: [{"terms": [...], "multiway": bool}] (reference
         # Synonym struct, index.rs:1077-1098). Multi-way: every term is
         # indexed under all others; one-way: followers are indexed
         # under the FIRST term only (searches for the first term find
         # them, not vice versa).
         self.synonyms = synonyms or []
-        self.synonym_map: dict[str, list[str]] = {}
-        for group in self.synonyms:
-            terms_g = list(group["terms"])
-            multiway = bool(group.get("multiway", True))
-            for i, t in enumerate(terms_g):
-                if multiway:
-                    targets = [x for x in terms_g if x != t]
-                elif i > 0:
-                    targets = [terms_g[0]]
-                else:
-                    targets = []
-                if targets:
-                    self.synonym_map.setdefault(t, []).extend(targets)
+        self.synonym_map = synonym_map_from_groups(self.synonyms)
 
     def build(
         self,
@@ -744,7 +932,7 @@ class IndexBuilder:
             docs.select(*keep), order_col=order_col, id_col=id_col,
             n_buckets=max(self.n_buckets, 16),
         )
-        facet_dicts: dict[str, list[str]] = {}
+        facet_dicts: dict[str, dict] = {}
         if facet_cols:
             facet_blocks, facet_dicts = build_facet_blocks(
                 docs.select("docid", *facet_cols),
@@ -783,6 +971,7 @@ class IndexBuilder:
             docs, text_col, self.tokenizer, self.stop_words, fields=fields,
             stemmer=self.stemmer, frequent_terms=self.frequent_terms,
             synonym_map=self.synonym_map or None,
+            ngram_patterns=self.ngram_patterns,
         )
         posting_blocks = build_posting_blocks(
             term_rows,
@@ -844,23 +1033,7 @@ class IndexBuilder:
             )
 
         # --- term stats (list heads: df, cf, list-max metadata) ---
-        term_stats = postings.filter(F.col("term") != "").groupBy(
-            "tbucket", "term"
-        ).agg(
-            # df = distinct docs containing the term in ANY field
-            # (df_block is nonzero on one field row per (term, block))
-            F.sum("df_block").cast("long").alias("df"),
-            F.sum("posting_count").cast("long").alias("cf_fields"),
-            F.count("*").cast("int").alias("n_blocks"),
-            F.max("max_tf").cast("int").alias("max_tf"),
-            F.min("min_dl_byte").cast("int").alias("min_dl_byte"),
-            (
-                F.sum(F.length("docids_vb"))
-                + F.sum(F.length("tfs_vb"))
-                + F.sum(F.length("dls"))
-                + F.sum(F.length("positions_vb"))
-            ).cast("long").alias("bytes"),
-        )
+        term_stats = term_stats_aggregate(postings)
         (
             term_stats.repartition(self.n_buckets, "tbucket")
             .sortWithinPartitions("term")
@@ -902,6 +1075,7 @@ class IndexBuilder:
             "frequent_terms": sorted(self.frequent_terms)
             if self.frequent_terms
             else [],
+            "ngram_patterns": list(self.ngram_patterns),
             "synonyms": self.synonyms,
             "stop_words": sorted(self.stop_words) if self.stop_words else [],
             "n_docs": n_docs,

@@ -6,18 +6,34 @@ is exactly ONE Spark job:
 
 * query terms → driver-side pyarrow probe of the partitioned
   term-stats table (the reference's in-RAM segment-dictionary probe,
-  `search.rs:3066-3303`) — no Spark pre-job; 2-term frequent phrases
-  rewrite to their pre-joined n-gram posting (`NGRAM_SEARCH.md`);
+  `search.rs:3066-3303`) — no Spark pre-job; the table is
+  log-structured (appends add per-batch partials), so the probe sums
+  df per term; phrases rewrite GREEDILY TRIGRAM-FIRST onto pre-joined
+  n-gram postings (`NGRAM_SEARCH.md`; reference `tokenizer.rs:898-1387`,
+  `index.rs:1833-1872`) — remaining cross-unit adjacency checks run on
+  the grams' own positions;
+* optional query rewrite: ``rewrite="spell"`` substitutes zero-df
+  terms with their SymSpell correction, ``rewrite="suggest"``
+  completes the trailing term from the QAC dictionary (reference
+  SearchRewrite / SearchSuggest, `search.rs:1200-1411`);
 * partition-pruned postings scan — only the query terms' ``tbucket``
   parquet partitions are read, with pushed-down term (and field)
   filters; term idf/flags are literal expressions, not a join;
+  ``staged=[StagedBatch…]`` unions an uncommitted micro-batch's
+  postings/stats into the same scan — the reference's realtime
+  level-0 (`realtime_search.rs:921-2095`): a doc is searchable the
+  moment staging finishes, before its commit;
 * blocks that cannot contain a top-k doc are skipped via per-block
   score bounds computed at query time from (max_tf, min_dl) and the
   live avgdl (block-max WAND, reference `intersection.rs:2224-2233`,
   `single.rs:372-386`, metadata `compress_postinglist.rs:530-676`) —
   a ``mapInPandas`` kernel with a per-partition threshold heap, blocks
-  visited in bound-descending order; facet filters apply inside the
-  kernel from per-block facet byte arrays (`search.rs:2543-2726`);
+  visited in bound-descending order; facet filters (string-dictionary
+  bytes AND numeric-range float64 arrays) and geo radius filters apply
+  inside the kernel from per-block facet arrays (`search.rs:2543-2726`,
+  geo `min_heap.rs` Point comparator); facet COUNTING over all matches
+  also runs inside the scan (`add_result.rs:487-646`,
+  `search.rs:3598-3764`);
 * AND = multi-way sorted intersection over per-term field unions
   (`intersection.rs:112-2022`; numpy ``intersect1d`` replaces the
   hand-rolled SIMD/galloping); OR = k-way union with per-doc BM25F
@@ -31,8 +47,9 @@ is exactly ONE Spark job:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
-from dataclasses import dataclass
+from dataclasses import dataclass, field as dc_field
 
 import numpy as np
 import pandas as pd
@@ -47,6 +64,7 @@ from seekstorm_spark.codecs import (
     decode_tfs,
 )
 from seekstorm_spark.hashing import term_bucket
+from seekstorm_spark.index.builder import NGRAM_SEP, facet_values
 from seekstorm_spark.index.store import IndexStore
 from seekstorm_spark.quantization import _DECODE_NP
 from seekstorm_spark.scoring import B, K, idf_f32
@@ -54,14 +72,16 @@ from seekstorm_spark.tokenizer import ParsedQuery, parse_query
 
 RESULT_SCHEMA = "docid long, score float"
 COUNT_SCHEMA = "matches long"
+FACET_COUNT_SCHEMA = "facet string, code long, matches long"
+EARTH_RADIUS_KM = 6371.0
 
-# per-index probed term stats: {(path, mtime): {"df": {term: df},
+# per-index probed term stats: {(path, generation): {"df": {term: df},
 # "missing": set()}}. The probe reads ONLY the query terms' tbucket
 # partition files with pyarrow on the driver — no Spark job, and the
 # read is bounded by vocabulary/n_buckets regardless of corpus size
 # (the reference's in-RAM segment dictionary probe, search.rs:3066-3303).
 _TERM_STATS_CACHE: dict[tuple, dict] = {}
-# per-index cached delete sets: {(path, mtime): np.ndarray}
+# per-index cached delete sets: {(path, generation): np.ndarray}
 _DELETE_CACHE: dict[tuple, np.ndarray] = {}
 # per-(session, index generation) cached postings reader DataFrames —
 # reusing the DataFrame reuses its resolved file index, saving the
@@ -80,38 +100,70 @@ def _cached_postings(spark: SparkSession, store: IndexStore) -> DataFrame:
 
 
 def _dir_mtime(path: str) -> float:
+    """Index-table generation: max mtime over the directory AND its
+    immediate partition subdirs. Appends promote files INTO existing
+    ``tbucket=`` subdirs via os.replace, which bumps the subdir mtime
+    but not the parent's — keying on the parent alone left long-lived
+    serving processes on the pre-append file listing."""
     import os
 
     try:
-        return os.path.getmtime(path)
+        m = os.path.getmtime(path)
+        with os.scandir(path) as it:
+            for e in it:
+                if e.is_dir():
+                    m = max(m, e.stat().st_mtime)
+        return m
     except OSError:
         return -1.0
 
 
-def _probe_term_stats(store: IndexStore, terms: list[str]) -> dict[str, int]:
+def _probe_stats_dir(
+    path: str, terms: list[str], n_buckets: int
+) -> dict[str, int]:
+    """Raw driver-side probe of one (possibly log-structured)
+    term-stats directory: term → Σ df across partial rows."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    if not terms or not os.path.exists(path):
+        return {}
+    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+    dataset = pads.dataset(path, partitioning="hive")
+    tbl = dataset.to_table(
+        columns=["term", "df"],
+        filter=pc.field("tbucket").isin(buckets) & pc.field("term").isin(terms),
+    )
+    out: dict[str, int] = {}
+    for t, v in zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist()):
+        out[t] = out.get(t, 0) + int(v)
+    return out
+
+
+def _probe_term_stats(
+    store: IndexStore, terms: list[str], staged: list | None = None
+) -> dict[str, int]:
     """term → df for the terms present in the index (driver-side
-    partition-pruned parquet probe; cached per index generation)."""
+    partition-pruned parquet probe; cached per index generation).
+    ``staged`` batches' term-stats deltas are probed uncached (tiny)
+    and summed in — realtime level-0 stats."""
     if not terms:
         return {}
     key = (store.path, _dir_mtime(store.term_stats_path))
     entry = _TERM_STATS_CACHE.setdefault(key, {"df": {}, "missing": set()})
     need = [t for t in terms if t not in entry["df"] and t not in entry["missing"]]
     if need:
-        import pyarrow.compute as pc
-        import pyarrow.dataset as pads
-
-        buckets = sorted({term_bucket(t, store.n_buckets) for t in need})
-        dataset = pads.dataset(store.term_stats_path, partitioning="hive")
-        tbl = dataset.to_table(
-            columns=["term", "df"],
-            filter=pc.field("tbucket").isin(buckets) & pc.field("term").isin(need),
-        )
-        found = dict(
-            zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist())
-        )
-        entry["df"].update({t: int(v) for t, v in found.items()})
+        found = _probe_stats_dir(store.term_stats_path, need, store.n_buckets)
+        entry["df"].update(found)
         entry["missing"].update(t for t in need if t not in found)
-    return {t: entry["df"][t] for t in terms if t in entry["df"]}
+    out = {t: entry["df"][t] for t in terms if t in entry["df"]}
+    for sb in staged or []:
+        extra = _probe_stats_dir(sb.term_stats_path, terms, store.n_buckets)
+        for t, v in extra.items():
+            out[t] = out.get(t, 0) + v
+    return out
 
 
 def invalidate_term_stats_cache(path: str | None = None) -> None:
@@ -127,21 +179,88 @@ def invalidate_term_stats_cache(path: str | None = None) -> None:
             _READER_CACHE.pop(k, None)
 
 
+def _effective_stats(store: IndexStore, staged: list | None) -> tuple[int, float]:
+    """(n_docs, avgdl) including any staged batches — f32 division per
+    reference commit.rs:318-319."""
+    if not staged:
+        return store.n_docs, store.avgdl
+    n = store.n_docs
+    ps = int(store.meta.get("positions_sum_normalized", 0))
+    for sb in staged:
+        n += sb.batch_n
+        ps += sb.batch_pos_sum
+    avgdl = float(np.float32(ps) / np.float32(n)) if n else 1.0
+    return n, avgdl
+
+
 @dataclass
 class QueryPlan:
-    qtype: str  # union | intersection | phrase | ngram2
-    pos_terms: dict[str, float]  # term -> f32 idf
+    qtype: str  # union | intersection | phrase | ngram
+    pos_terms: dict[str, float]  # ORIGINAL term -> f32 idf
     not_terms: list[str]
-    phrase: list[tuple[str, int]]  # (term, offset) incl. duplicates
+    phrase: list[tuple[str, int]]  # original (term, offset) incl. duplicates
     missing_required: bool
     # phrase→n-gram rewrite (NGRAM_SEARCH.md, tokenizer.rs:673-1387):
-    # the 2-term phrase's posting list IS the pre-joined adjacency
-    # match; partial-term tfs ride the posting for faithful BM25
-    ngram_key: str | None = None
+    # units = the phrase segmented into posting lookups — gram keys
+    # (pre-joined adjacency postings carrying partial-term tfs) and
+    # leftover single terms, each with its phrase offset. qtype
+    # "ngram" = ONE unit covers the whole phrase (no positional join
+    # at all); "phrase" with units aligns the units on the grams' own
+    # positions. unit_parts maps gram key → its original terms.
+    units: list[tuple[str, int]] | None = None
+    unit_parts: dict[str, list[str]] = dc_field(default_factory=dict)
+
+    def required_posting_terms(self) -> list[str]:
+        """Posting terms the scan must find in a block for an
+        intersection/phrase to match: the units' keys plus any
+        positive term not covered by a unit (e.g. required terms
+        outside the quoted span)."""
+        if self.units is None:
+            return sorted(self.pos_terms)
+        covered: set[str] = set()
+        for u, _off in self.units:
+            covered.update(self.unit_parts.get(u, [u]))
+        extra = [t for t in self.pos_terms if t not in covered]
+        return sorted({u for u, _off in self.units} | set(extra))
+
+
+def _classify(term: str, frequent: frozenset[str]) -> str:
+    return "f" if term in frequent else "r"
+
+
+def _segment_phrase(
+    phrase_terms: list[str],
+    frequent: frozenset[str],
+    patterns: frozenset[str],
+) -> list[tuple[str, int]]:
+    """Greedy trigram-first segmentation of a phrase into posting
+    units (reference rewrites longest-gram-first, index.rs:1833-1872).
+    Returns [(posting term, phrase offset)] — gram keys where an
+    enabled pattern matches, single terms elsewhere."""
+    units: list[tuple[str, int]] = []
+    fr = [_classify(t, frequent) for t in phrase_terms]
+    i = 0
+    n = len(phrase_terms)
+    while i < n:
+        if i + 3 <= n and "".join(fr[i : i + 3]) in patterns:
+            units.append((NGRAM_SEP.join(phrase_terms[i : i + 3]), i))
+            i += 3
+        elif i + 2 <= n and "".join(fr[i : i + 2]) in patterns:
+            units.append((NGRAM_SEP.join(phrase_terms[i : i + 2]), i))
+            i += 2
+        else:
+            units.append((phrase_terms[i], i))
+            i += 1
+    return units
 
 
 def _plan(
-    spark: SparkSession, store: IndexStore, query: str, default_type: str
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    default_type: str,
+    staged: list | None = None,
+    rewrite: str | None = None,
 ) -> QueryPlan:
     meta = store.meta
     stop_words = frozenset(meta.get("stop_words") or []) or None
@@ -152,6 +271,36 @@ def _plan(
         stop_words,
         meta.get("stemmer"),
     )
+
+    n_docs, _ = _effective_stats(store, staged)
+
+    if rewrite == "spell" and pq.terms:
+        # SearchRewrite (reference search.rs:1200-1411): a query term
+        # with df 0 is replaced by its best SymSpell correction before
+        # planning, so misspellings return the corrected top-k
+        from seekstorm_spark.query.spell import has_spell, spell_correct
+
+        if has_spell(store):
+            all_t = sorted({t.term for t in pq.terms})
+            stats0 = _probe_term_stats(store, all_t, staged)
+            subs: dict[str, str] = {}
+            for t in all_t:
+                if stats0.get(t, 0) == 0:
+                    c = spell_correct(store, t)
+                    if c:
+                        subs[t] = c[0]
+            for qt in pq.terms:
+                qt.term = subs.get(qt.term, qt.term)
+    elif rewrite == "suggest" and pq.terms:
+        # SearchSuggest: the trailing term is a prefix — complete it
+        # from the QAC dictionary (reference search.rs:1200-1411)
+        from seekstorm_spark.query.spell import complete, has_completions
+
+        if has_completions(store):
+            sugg = complete(store, pq.terms[-1].term, k=1)
+            if sugg:
+                pq.terms[-1].term = sugg[0][0]
+
     pos = sorted({t.term for t in pq.positive_terms})
     nots = sorted({t.term for t in pq.not_terms})
     phrase = [(t.term, t.phrase_index) for t in pq.terms if t.op == "phrase"]
@@ -159,50 +308,56 @@ def _plan(
     if not all_terms:
         return QueryPlan(pq.query_type, {}, [], [], False)
 
-    # phrase → n-gram rewrite: a 2-term phrase of distinct FREQUENT
-    # terms with no NOT terms reads the pre-joined n-gram posting
-    # instead of intersecting two long stopword lists
+    # phrase → n-gram rewrite: segment the phrase greedily onto the
+    # gram patterns this index materialized; a single covering unit
+    # needs no positional join at all, multiple units align on the
+    # grams' positions instead of every term's
     frequent = frozenset(meta.get("frequent_terms") or [])
+    patterns = frozenset(meta.get("ngram_patterns") or [])
+    units = None
+    unit_parts: dict[str, list[str]] = {}
     if (
         pq.query_type == "phrase"
-        and frequent
-        and len(phrase) == 2
-        and not nots
-        and phrase[0][1] == 0
-        and phrase[1][1] == 1
-        and phrase[0][0] != phrase[1][0]
-        and phrase[0][0] in frequent
-        and phrase[1][0] in frequent
+        and patterns
+        and len(phrase) >= 2
+        and [off for _t, off in phrase] == list(range(len(phrase)))
     ):
-        from seekstorm_spark.index.builder import NGRAM_SEP
-
-        t1, t2 = phrase[0][0], phrase[1][0]
-        ng_key = t1 + NGRAM_SEP + t2
-        stats = _probe_term_stats(store, [ng_key, t1, t2])
-        if t1 in stats and t2 in stats:
-            if ng_key not in stats:
-                # pair never adjacent anywhere → empty result
-                return QueryPlan("ngram2", {}, [], [], True)
-            pos_idf = {
-                t: float(idf_f32(store.n_docs, stats[t])) for t in (t1, t2)
+        cand_units = _segment_phrase(
+            [t for t, _off in phrase], frequent, patterns
+        )
+        if any(NGRAM_SEP in u for u, _off in cand_units):
+            units = cand_units
+            unit_parts = {
+                u: u.split(NGRAM_SEP)
+                for u, _off in units
+                if NGRAM_SEP in u
             }
-            return QueryPlan(
-                qtype="ngram2",
-                pos_terms=pos_idf,
-                not_terms=[],
-                phrase=phrase,
-                missing_required=False,
-                ngram_key=ng_key,
-            )
 
-    df_by_term = _probe_term_stats(store, all_terms)
+    probe_terms = sorted(set(all_terms) | set(unit_parts))
+    df_by_term = _probe_term_stats(store, probe_terms, staged)
     pos_idf = {
-        t: float(idf_f32(store.n_docs, df_by_term[t]))
+        t: float(idf_f32(n_docs, df_by_term[t]))
         for t in pos
         if t in df_by_term
     }
     missing = any(t not in df_by_term for t in pos)
     missing_required = missing and pq.query_type in ("intersection", "phrase")
+    if units is not None and not missing:
+        # an indexed-pattern gram with both parts present but no
+        # posting means the sequence is never adjacent anywhere →
+        # the phrase matches nothing
+        if any(g not in df_by_term for g in unit_parts):
+            return QueryPlan("ngram", {}, nots, phrase, True)
+        qtype = "ngram" if len(units) == 1 else "phrase"
+        return QueryPlan(
+            qtype=qtype,
+            pos_terms=pos_idf,
+            not_terms=[t for t in nots if t in df_by_term],
+            phrase=phrase,
+            missing_required=False,
+            units=units,
+            unit_parts=unit_parts,
+        )
     return QueryPlan(
         qtype=pq.query_type,
         pos_terms=pos_idf,
@@ -238,28 +393,66 @@ def _resolve_fields(
 
 def _resolve_facets(
     store: IndexStore,
-    facet_filters: dict[str, list[str]] | None,
+    facet_filters: dict | None,
     result_sort: list[tuple[str, str]] | None,
-) -> tuple[dict[str, np.ndarray], list[str], dict[str, list[str]]]:
-    """(facet → allowed byte values, facets the kernel must emit,
-    facet dictionaries). Facet bytes index the SORTED value dictionary
-    written at build time (build_facet_blocks)."""
-    dicts: dict[str, list[str]] = store.meta.get("facets") or {}
-    filters_b: dict[str, np.ndarray] = {}
+    geo_filter: dict | None = None,
+) -> tuple[dict, list[str], dict[str, list[str] | None], dict[str, str]]:
+    """(facet → kernel filter spec, facets the kernel must emit,
+    facet dictionaries (None for numeric), facet kinds).
+
+    String facets filter on a byte allow-list against the SORTED value
+    dictionary written at build time; numeric facets filter on a
+    closed [lo, hi] range over the raw per-block float64 array."""
+    specs: dict = store.meta.get("facets") or {}
+    kinds = {
+        name: ("numeric" if facet_values(spec) is None else "string")
+        for name, spec in specs.items()
+    }
+    dicts = {name: facet_values(spec) for name, spec in specs.items()}
+    filters_k: dict = {}
     for fname, values in (facet_filters or {}).items():
-        if fname not in dicts:
-            raise ValueError(f"unknown facet {fname!r}; indexed: {list(dicts)}")
-        lookup = {v: i for i, v in enumerate(dicts[fname])}
-        allowed = sorted(lookup[v] for v in values if v in lookup)
-        filters_b[fname] = np.asarray(allowed, dtype=np.uint8)
+        if fname not in specs:
+            raise ValueError(f"unknown facet {fname!r}; indexed: {list(specs)}")
+        if kinds[fname] == "numeric":
+            lo, hi = values
+            filters_k[fname] = ("numeric", float(lo), float(hi))
+        else:
+            lookup = {v: i for i, v in enumerate(dicts[fname])}
+            allowed = sorted(lookup[v] for v in values if v in lookup)
+            filters_k[fname] = ("string", np.asarray(allowed, dtype=np.uint8))
     emit = []
     for key, _dir in result_sort or []:
-        if key in ("score", "docid"):
+        if key in ("score", "docid") or key == "geo_dist":
             continue
-        if key not in dicts:
-            raise ValueError(f"unknown sort facet {key!r}; indexed: {list(dicts)}")
+        if key not in specs:
+            raise ValueError(f"unknown sort facet {key!r}; indexed: {list(specs)}")
         emit.append(key)
-    return filters_b, emit, dicts
+    if geo_filter:
+        for c in (geo_filter["lat"], geo_filter["lon"]):
+            if c not in specs or kinds[c] != "numeric":
+                raise ValueError(
+                    f"geo filter needs numeric facet column {c!r}; "
+                    f"indexed: {list(specs)}"
+                )
+    return filters_k, emit, dicts, kinds
+
+
+def _empty_result(
+    spark: SparkSession,
+    emit_facets: list[str],
+    kinds: dict[str, str],
+    want_dist: bool,
+) -> DataFrame:
+    """Empty result with the SAME schema the kernel path produces —
+    including requested sort-facet columns (a plain RESULT_SCHEMA here
+    broke callers selecting the sort facet on empty-plan queries)."""
+    parts = ["docid long"]
+    for fc in emit_facets:
+        parts.append(f"{fc} " + ("double" if kinds[fc] == "numeric" else "string"))
+    if want_dist:
+        parts.append("geo_dist double")
+    parts.append("score float")
+    return spark.createDataFrame([], ", ".join(parts))
 
 
 def search(
@@ -272,43 +465,77 @@ def search(
     prune: bool = True,
     fields: list[tuple[str, float]] | None = None,
     field_filter: list[str] | None = None,
-    facet_filters: dict[str, list[str]] | None = None,
+    facet_filters: dict | None = None,
     result_sort: list[tuple[str, str]] | None = None,
+    staged: list | None = None,
+    rewrite: str | None = None,
+    geo_filter: dict | None = None,
 ) -> DataFrame:
     """Top-k BM25(F) search → DataFrame(docid[, sort facets…], score),
     score f32. ``prune=False`` disables the WAND threshold (used to
     verify pruning is lossless). ``fields`` sets per-field boosts;
     ``field_filter`` restricts match+score fields; ``facet_filters``
-    restricts results to docs whose facet value is in the allowed list
-    (applied INSIDE the kernel via per-block facet byte arrays, so
-    top-k pruning stays admissible — reference search.rs:2543-2726);
+    restricts results to docs whose facet value is allowed — string
+    facets take a value list, numeric facets a (lo, hi) closed range —
+    applied INSIDE the kernel via per-block facet arrays, so top-k
+    pruning stays admissible (reference search.rs:2543-2726);
     ``result_sort`` orders by facet/score/docid keys (multi-key sort,
     reference min_heap.rs:56-546) — pruning is disabled then, since a
-    non-score primary key invalidates the score threshold."""
-    plan = _plan(spark, store, query, default_type)
+    non-score primary key invalidates the score threshold; ``staged``
+    unions uncommitted micro-batches into the query (realtime level-0,
+    reference realtime_search.rs:921-2095); ``rewrite`` applies spell
+    correction / QAC completion to the query before planning;
+    ``geo_filter`` = {"lat": facet, "lon": facet, "at": (lat, lon),
+    "radius_km": r} keeps only docs within the haversine radius
+    (reference geo Point facets, search.rs:2712-2724) — sort on
+    "geo_dist" to order by distance."""
+    staged = list(staged) if staged else None
+    filters_k, emit_facets, dicts, kinds = _resolve_facets(
+        store, facet_filters, result_sort, geo_filter
+    )
+    want_dist = bool(result_sort) and any(
+        key == "geo_dist" for key, _d in result_sort or []
+    )
+    if want_dist and not geo_filter:
+        raise ValueError("sorting by geo_dist requires geo_filter")
+    plan = _plan(spark, store, query, default_type, staged, rewrite)
     if plan.missing_required or not plan.pos_terms:
+        if result_sort:
+            return _empty_result(spark, emit_facets, kinds, want_dist)
         return spark.createDataFrame([], RESULT_SCHEMA)
 
     boosts, allowed = _resolve_fields(store, fields, field_filter)
-    filters_b, emit_facets, dicts = _resolve_facets(
-        store, facet_filters, result_sort
-    )
-    need_facets = sorted(set(filters_b) | set(emit_facets))
+    need_facets = sorted(set(filters_k) | set(emit_facets))
+    if geo_filter:
+        need_facets = sorted(
+            set(need_facets) | {geo_filter["lat"], geo_filter["lon"]}
+        )
+    n_docs, avgdl = _effective_stats(store, staged)
     rows = _annotated_postings(
-        spark, store, plan, boosts, allowed, facet_cols=need_facets
+        spark, store, plan, boosts, allowed, facet_cols=need_facets,
+        staged=staged, avgdl=avgdl,
     )
     need_k = top_k + offset
     emit_all = bool(result_sort)
 
     kernel = _make_kernel(
-        plan, need_k, prune and not emit_all, store.avgdl,
+        plan, need_k, prune and not emit_all, avgdl,
         block_size=int(store.meta.get('block_size', ROARING_BLOCK_SIZE)),
         deletes=_load_delete_set(spark, store),
-        facet_filters_b=filters_b,
+        facet_filters_k=filters_k,
         emit_facets=emit_facets,
+        facet_kinds=kinds,
         emit_all=emit_all,
+        geo=geo_filter,
+        emit_dist=want_dist,
     )
-    schema = RESULT_SCHEMA + "".join(f", fb_{fc} int" for fc in emit_facets)
+    schema = RESULT_SCHEMA
+    for fc in emit_facets:
+        schema += f", fb_{fc} " + (
+            "double" if kinds[fc] == "numeric" else "int"
+        )
+    if want_dist:
+        schema += ", geo_dist double"
     # rows are already hash-partitioned by block_id (the block-bound
     # window's exchange) — no extra repartition needed
     candidates = rows.sortWithinPartitions(
@@ -320,14 +547,24 @@ def search(
         # is value order), then multi-key sort
         out_cols = [F.col("docid")]
         for fc in emit_facets:
-            arr = F.array(*[F.lit(v) for v in dicts[fc]])
-            candidates = candidates.withColumn(
-                fc,
-                F.when(
-                    F.col(f"fb_{fc}") == 255, F.lit(None).cast("string")
-                ).otherwise(F.element_at(arr, F.col(f"fb_{fc}") + 1)),
-            )
+            if kinds[fc] == "numeric":
+                candidates = candidates.withColumn(
+                    fc,
+                    F.when(
+                        F.isnan(F.col(f"fb_{fc}")), F.lit(None).cast("double")
+                    ).otherwise(F.col(f"fb_{fc}")),
+                )
+            else:
+                arr = F.array(*[F.lit(v) for v in dicts[fc]])
+                candidates = candidates.withColumn(
+                    fc,
+                    F.when(
+                        F.col(f"fb_{fc}") == 255, F.lit(None).cast("string")
+                    ).otherwise(F.element_at(arr, F.col(f"fb_{fc}") + 1)),
+                )
             out_cols.append(F.col(fc))
+        if want_dist:
+            out_cols.append(F.col("geo_dist"))
         out_cols.append(F.col("score"))
         order = []
         for key, direction in result_sort:
@@ -348,13 +585,17 @@ def count_matches(
     query: str,
     default_type: str = "union",
     field_filter: list[str] | None = None,
+    staged: list | None = None,
 ) -> int:
     """Exact match count (ResultType::Count, reference search.rs:168-176).
 
     Single positive term without NOT/phrase short-circuits to the
-    stored df (reference single.rs:313-323) — no scan at all.
+    stored df (reference single.rs:313-323) — no scan at all. The df
+    probe already sums staged partials, so the shortcut stays valid
+    for realtime level-0 counts.
     """
-    plan = _plan(spark, store, query, default_type)
+    staged = list(staged) if staged else None
+    plan = _plan(spark, store, query, default_type, staged)
     if plan.missing_required or not plan.pos_terms:
         return 0
     import os
@@ -364,26 +605,25 @@ def count_matches(
         len(plan.pos_terms) == 1
         and not plan.not_terms
         and plan.qtype != "phrase"
+        and plan.qtype != "ngram"
         and field_filter is None  # stored df counts matches in ANY field
         and not has_deletes  # stored df doesn't reflect the delete set
     ):
         # zero Spark jobs: the stored df IS the count (single.rs:313-323)
         term = next(iter(plan.pos_terms))
-        return int(_probe_term_stats(store, [term]).get(term, 0))
-    if (
-        plan.qtype == "ngram2"
-        and field_filter is None
-        and not has_deletes
-    ):
-        # the n-gram's stored df IS the phrase match count
-        return int(
-            _probe_term_stats(store, [plan.ngram_key]).get(plan.ngram_key, 0)
-        )
+        return int(_probe_term_stats(store, [term], staged).get(term, 0))
+    if plan.qtype == "ngram" and field_filter is None and not has_deletes:
+        # the covering gram's stored df IS the phrase match count
+        gram = plan.units[0][0]
+        return int(_probe_term_stats(store, [gram], staged).get(gram, 0))
 
     boosts, allowed = _resolve_fields(store, None, field_filter)
-    rows = _annotated_postings(spark, store, plan, boosts, allowed)
+    _n, avgdl = _effective_stats(store, staged)
+    rows = _annotated_postings(
+        spark, store, plan, boosts, allowed, staged=staged, avgdl=avgdl
+    )
     kernel = _make_kernel(
-        plan, 0, False, store.avgdl, count_only=True,
+        plan, 0, False, avgdl, count_only=True,
         block_size=int(store.meta.get('block_size', ROARING_BLOCK_SIZE)),
         deletes=_load_delete_set(spark, store),
     )
@@ -396,6 +636,130 @@ def count_matches(
         .collect()[0][0]
     )
     return int(out or 0)
+
+
+def facet_counts(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    facets: list[str],
+    default_type: str = "union",
+    staged: list | None = None,
+) -> DataFrame:
+    """String-facet value counts over ALL matching docs, computed
+    INSIDE the pruned postings scan (the reference counts facets
+    during result collection, add_result.rs:487-646) →
+    DataFrame(facet, value, n)."""
+    return _facet_count_run(
+        spark, store, query, default_type, staged,
+        string_facets=facets, range_facets=None,
+    )
+
+
+def facet_range_counts(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    ranges: dict[str, list[float]],
+    default_type: str = "union",
+    staged: list | None = None,
+    cumulative: bool = False,
+) -> DataFrame:
+    """Numeric range-facet counts over ALL matching docs (reference
+    RangeType facets + CountWithinRange cumulative sums,
+    search.rs:3598-3764) → DataFrame(facet, bucket_lo, n[,
+    n_cumulative]). ``ranges`` maps facet → ascending LOWER bounds;
+    the last bucket is open-ended."""
+    out = _facet_count_run(
+        spark, store, query, default_type, staged,
+        string_facets=None, range_facets=ranges,
+    )
+    if cumulative:
+        w = (
+            Window.partitionBy("facet")
+            .orderBy("bucket_lo")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.select(
+            "facet", "bucket_lo", "n",
+            F.sum("n").over(w).cast("long").alias("n_cumulative"),
+        )
+    return out
+
+
+def _facet_count_run(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    default_type: str,
+    staged: list | None,
+    string_facets: list[str] | None,
+    range_facets: dict[str, list[float]] | None,
+) -> DataFrame:
+    staged = list(staged) if staged else None
+    specs: dict = store.meta.get("facets") or {}
+    count_spec: dict = {}
+    for fc in string_facets or []:
+        vals = facet_values(specs[fc]) if fc in specs else None
+        if fc not in specs or vals is None:
+            raise ValueError(f"{fc!r} is not an indexed string facet")
+        count_spec[fc] = ("string", None)
+    for fc, bounds in (range_facets or {}).items():
+        if fc not in specs or facet_values(specs[fc]) is not None:
+            raise ValueError(f"{fc!r} is not an indexed numeric facet")
+        count_spec[fc] = ("numeric", np.asarray(sorted(bounds), dtype=np.float64))
+
+    plan = _plan(spark, store, query, default_type, staged)
+    if string_facets:
+        empty = spark.createDataFrame([], "facet string, value string, n long")
+    else:
+        empty = spark.createDataFrame([], "facet string, bucket_lo double, n long")
+    if plan.missing_required or not plan.pos_terms:
+        return empty
+
+    boosts, allowed = _resolve_fields(store, None, None)
+    _n, avgdl = _effective_stats(store, staged)
+    rows = _annotated_postings(
+        spark, store, plan, boosts, allowed,
+        facet_cols=sorted(count_spec), staged=staged, avgdl=avgdl,
+    )
+    kernel = _make_kernel(
+        plan, 0, False, avgdl, count_only=True,
+        block_size=int(store.meta.get('block_size', ROARING_BLOCK_SIZE)),
+        deletes=_load_delete_set(spark, store),
+        count_facets=count_spec,
+    )
+    agg = (
+        rows.sortWithinPartitions(
+            F.col("block_bound").desc(), "block_id", "term", "field"
+        )
+        .mapInPandas(kernel, schema=FACET_COUNT_SCHEMA)
+        .groupBy("facet", "code")
+        .agg(F.sum("matches").cast("long").alias("n"))
+    )
+    if string_facets:
+        # decode dictionary codes → values with a per-facet literal map
+        decode = None
+        for fc in string_facets:
+            vals = facet_values(specs[fc])
+            arr = F.array(*[F.lit(v) for v in vals])
+            expr = F.element_at(arr, F.col("code").cast("int") + 1)
+            decode = (
+                expr
+                if decode is None
+                else F.when(F.col("facet") == fc, expr).otherwise(decode)
+            )
+        return agg.select("facet", decode.alias("value"), "n")
+    bounds_arr = None
+    for fc, (_k, bounds) in count_spec.items():
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        expr = F.element_at(arr, F.col("code").cast("int") + 1)
+        bounds_arr = (
+            expr
+            if bounds_arr is None
+            else F.when(F.col("facet") == fc, expr).otherwise(bounds_arr)
+        )
+    return agg.select("facet", bounds_arr.alias("bucket_lo"), "n")
 
 
 def browse(
@@ -434,7 +798,8 @@ def _load_delete_set(spark: SparkSession, store: IndexStore) -> np.ndarray:
     an in-RAM AHashSet, `index.rs:1593-1594`). Read driver-side with
     pyarrow (no Spark job) and cached per index generation; shipped to
     executors once per query via the kernel closure — broadcast-sized.
-    A corpus with massive deletes should compact instead."""
+    A corpus with massive deletes should compact instead (see
+    index.compaction.compact)."""
     import os
 
     if not os.path.exists(store.deletes_path):
@@ -466,16 +831,22 @@ def _join_facet_blocks(
     store: IndexStore,
     rows: DataFrame,
     facet_cols: list[str],
+    staged: list | None = None,
 ) -> tuple[DataFrame, list]:
-    """Left-join per-block facet byte arrays onto the posting rows
-    (rows are hash-partitioned by block_id already, so only the small
-    facet side exchanges). Returns (rows, extra select columns)."""
+    """Left-join per-block facet arrays onto the posting rows (rows
+    are hash-partitioned by block_id already, so only the small facet
+    side exchanges). Staged batches' facet blocks union in for
+    realtime level-0. Returns (rows, extra select columns)."""
+    import os
+
     extra = []
     for fc in facet_cols:
-        fb = (
-            store.facet_blocks(spark)
-            .filter(F.col("facet") == fc)
-            .select("block_id", F.col("fvalues").alias(f"fb_{fc}"))
+        fb = store.facet_blocks(spark)
+        for sb in staged or []:
+            if os.path.exists(sb.facets_path):
+                fb = fb.unionByName(spark.read.parquet(sb.facets_path))
+        fb = fb.filter(F.col("facet") == fc).select(
+            "block_id", F.col("fvalues").alias(f"fb_{fc}")
         )
         rows = rows.join(fb, "block_id", "left")
         extra.append(f"fb_{fc}")
@@ -489,11 +860,17 @@ def _annotated_postings(
     boosts: dict[int, float] | None = None,
     allowed_fields: list[int] | None = None,
     facet_cols: list[str] | None = None,
+    staged: list | None = None,
+    avgdl: float | None = None,
 ) -> DataFrame:
-    if plan.qtype == "ngram2":
-        terms = [plan.ngram_key]
-    else:
-        terms = sorted(set(plan.pos_terms) | set(plan.not_terms))
+    if avgdl is None:
+        avgdl = store.avgdl
+    terms = sorted(
+        set(plan.required_posting_terms())
+        | (set() if plan.units is not None else set(plan.pos_terms))
+        | set(plan.not_terms)
+    )
+    has_gram = any(NGRAM_SEP in t for t in terms)
     n_buckets = store.n_buckets
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     cols = [
@@ -507,15 +884,18 @@ def _annotated_postings(
         "tfs_vb",
         "dls",
     ]
-    if plan.qtype == "ngram2":
-        cols += ["tfs1_vb", "tfs2_vb", "max_tf1", "max_tf2"]
+    if has_gram:
+        cols += [
+            "tfs1_vb", "tfs2_vb", "tfs3_vb", "max_tf1", "max_tf2", "max_tf3",
+        ]
     if plan.qtype == "phrase":
         cols.append("positions_vb")
-    postings = (
-        _cached_postings(spark, store)
-        .filter(F.col("tbucket").isin(buckets) & F.col("term").isin(terms))
-        .select(*cols)
-    )
+    postings = _cached_postings(spark, store)
+    for sb in staged or []:
+        postings = postings.unionByName(spark.read.parquet(sb.postings_path))
+    postings = postings.filter(
+        F.col("tbucket").isin(buckets) & F.col("term").isin(terms)
+    ).select(*cols)
     if allowed_fields is not None:
         # field filter pushes to the scan (reference search.rs:2483-2495)
         postings = postings.filter(
@@ -548,7 +928,7 @@ def _annotated_postings(
         ]
     )
     rows = rows.withColumn("boost", F.element_at(boost_arr, F.col("field") + 1))
-    # format v2: the block-max bound is computed HERE, at query time,
+    # format v3+: the block-max bound is computed HERE, at query time,
     # from the current avgdl — comp(max_tf, min_dl) bounds every doc in
     # the block because BM25 tf-saturation is increasing in tf and
     # decreasing in dl (reference compress_postinglist.rs:530-676);
@@ -568,26 +948,27 @@ def _annotated_postings(
             + F.lit(K)
             * (
                 F.lit(1.0 - B)
-                + F.lit(B) * min_dlq / F.lit(float(store.avgdl))
+                + F.lit(B) * min_dlq / F.lit(float(avgdl))
             )
         )
 
-    if plan.qtype == "ngram2":
-        from seekstorm_spark.index.builder import NGRAM_SEP
-
-        t1, t2 = plan.ngram_key.split(NGRAM_SEP)
-        bound = F.col("boost") * (
-            F.lit(float(plan.pos_terms[t1])) * _comp_ub(F.col("max_tf1"))
-            + F.lit(float(plan.pos_terms[t2])) * _comp_ub(F.col("max_tf2"))
-        )
-        rows = rows.withColumn("bound_contrib", bound)
-    else:
-        rows = rows.withColumn(
-            "bound_contrib",
-            F.when(F.col("is_not"), F.lit(0.0)).otherwise(
-                F.col("idf") * F.col("boost") * _comp_ub(F.col("max_tf"))
-            ),
-        )
+    single_bound = F.col("idf") * _comp_ub(F.col("max_tf"))
+    bound_expr = single_bound
+    for gk, parts in (plan.unit_parts or {}).items():
+        # gram rows bound by the sum of their partial terms' upper
+        # bounds (each partial carries its own per-block max_tf)
+        g = F.lit(0.0)
+        for k, part in enumerate(parts):
+            g = g + F.lit(float(plan.pos_terms.get(part, 0.0))) * _comp_ub(
+                F.col(f"max_tf{k + 1}")
+            )
+        bound_expr = F.when(F.col("term") == gk, g).otherwise(bound_expr)
+    rows = rows.withColumn(
+        "bound_contrib",
+        F.when(F.col("is_not"), F.lit(0.0)).otherwise(
+            F.col("boost") * bound_expr
+        ),
+    )
     n_index_fields = len(store.meta.get("fields") or ["text"])
     eff_fields = (
         len(allowed_fields) if allowed_fields is not None else n_index_fields
@@ -596,20 +977,23 @@ def _annotated_postings(
         "term", "field", "boost", "block_id", "idf", "is_not",
         "docids_vb", "tfs_vb", "dls", "pos_vb", "block_bound",
     ]
-    if plan.qtype == "ngram2":
-        base_cols += ["tfs1_vb", "tfs2_vb"]
-    if len(terms) == 1 and eff_fields == 1:
+    if has_gram:
+        base_cols += ["tfs1_vb", "tfs2_vb", "tfs3_vb"]
+    if len(terms) == 1 and eff_fields == 1 and not staged:
         # single posting row per block: its contribution IS the block
-        # bound — skip the per-block window (one whole exchange)
+        # bound — skip the per-block window (one whole exchange).
+        # Disabled when staged batches may add a second row per block.
         rows = rows.withColumn("block_bound", F.col("bound_contrib"))
         if facet_cols:
-            rows, extra = _join_facet_blocks(spark, store, rows, facet_cols)
+            rows, extra = _join_facet_blocks(
+                spark, store, rows, facet_cols, staged
+            )
             return rows.select(*base_cols, *extra)
         return rows.select(*base_cols)
     w = Window.partitionBy("block_id")
     rows = rows.withColumn("block_bound", F.sum("bound_contrib").over(w))
-    if plan.qtype in ("intersection", "phrase"):
-        n_required = len(plan.pos_terms)
+    if plan.qtype in ("intersection", "phrase", "ngram"):
+        required = plan.required_posting_terms()
         rows = rows.withColumn(
             "pos_in_block",
             F.size(
@@ -617,9 +1001,9 @@ def _annotated_postings(
                     F.when(~F.col("is_not"), F.col("term"))
                 ).over(w)
             ),
-        ).filter(F.col("pos_in_block") >= n_required)
+        ).filter(F.col("pos_in_block") >= len(required))
     if facet_cols:
-        rows, extra = _join_facet_blocks(spark, store, rows, facet_cols)
+        rows, extra = _join_facet_blocks(spark, store, rows, facet_cols, staged)
         return rows.select(*base_cols, *extra)
     return rows.select(*base_cols)
 
@@ -632,31 +1016,61 @@ def _make_kernel(
     count_only: bool = False,
     block_size: int = ROARING_BLOCK_SIZE,
     deletes: np.ndarray | None = None,
-    facet_filters_b: dict[str, np.ndarray] | None = None,
+    facet_filters_k: dict | None = None,
     emit_facets: list[str] | None = None,
+    facet_kinds: dict[str, str] | None = None,
     emit_all: bool = False,
+    count_facets: dict | None = None,
+    geo: dict | None = None,
+    emit_dist: bool = False,
 ):
-    is_ngram = plan.qtype == "ngram2"
-    if is_ngram:
-        from seekstorm_spark.index.builder import NGRAM_SEP
-
-        ngram_parts = tuple(plan.ngram_key.split(NGRAM_SEP))
-        # the n-gram posting IS the adjacency match; score it as the
-        # intersection of its two partial terms (faithful Bm25f,
-        # NGRAM_SEARCH.md)
-        qtype = "intersection"
-    else:
-        ngram_parts = None
-        qtype = plan.qtype
+    qtype = plan.qtype
     pos_terms = dict(plan.pos_terms)
     not_set = set(plan.not_terms)
-    phrase = list(plan.phrase)
+    units = list(plan.units) if plan.units is not None else None
+    unit_parts = dict(plan.unit_parts or {})
+    # positional alignment runs over UNITS when the phrase was gram-
+    # rewritten (gram postings carry the gram-start positions), else
+    # over the raw phrase terms; a single covering unit ("ngram")
+    # needs no alignment at all — adjacency is the gram's definition
+    if qtype == "phrase" and units is not None:
+        align = units
+    elif qtype == "phrase":
+        align = list(plan.phrase)
+    else:
+        align = []
+    # scoring sources: each ORIGINAL positive term is scored from
+    # exactly one posting term — its own posting, or one gram's
+    # partial-tf column (full per-doc tf rides the gram posting, so
+    # scores are bit-identical to the single-term path)
+    source_map: dict[str, tuple[str, int | None]] = {}
+    if units is not None:
+        for u, _off in units:
+            parts = unit_parts.get(u)
+            if parts is None:
+                source_map.setdefault(u, (u, None))
+            else:
+                for k, part in enumerate(parts):
+                    source_map.setdefault(part, (u, k))
+        for t in pos_terms:
+            source_map.setdefault(t, (t, None))
+    else:
+        source_map = {t: (t, None) for t in pos_terms}
+    required_terms = plan.required_posting_terms()
     delete_set = deletes if deletes is not None else np.empty(0, dtype=np.int64)
-    facet_filters = [
-        (f"fb_{name}", allowed)
-        for name, allowed in (facet_filters_b or {}).items()
-    ]
-    emit_cols = [f"fb_{name}" for name in (emit_facets or [])]
+    facet_filters = list((facet_filters_k or {}).items())
+    kinds = facet_kinds or {}
+    emit_cols = [(f"fb_{name}", kinds.get(name, "string")) for name in (emit_facets or [])]
+    cfacets = dict(count_facets or {})
+    geo_cfg = None
+    if geo:
+        geo_cfg = (
+            f"fb_{geo['lat']}",
+            f"fb_{geo['lon']}",
+            float(geo["at"][0]),
+            float(geo["at"][1]),
+            float(geo["radius_km"]),
+        )
     decode_tab = _DECODE_NP.astype(np.float32)
     avgdl32 = np.float32(avgdl)
 
@@ -674,10 +1088,18 @@ def _make_kernel(
         # per-partition state
         best_docids = np.empty(0, dtype=np.int64)
         best_scores = np.empty(0, dtype=np.float32)
+        best_dists: np.ndarray = np.empty(0, dtype=np.float64)
         all_docids: list[np.ndarray] = []
         all_scores: list[np.ndarray] = []
-        all_facets: dict[str, list[np.ndarray]] = {c: [] for c in emit_cols}
+        all_dists: list[np.ndarray] = []
+        all_facets: dict[str, list[np.ndarray]] = {c: [] for c, _k in emit_cols}
         total_matches = 0
+        facet_tallies: dict[str, np.ndarray] = {
+            fc: np.zeros(
+                256 if kind == "string" else len(bounds) + 1, dtype=np.int64
+            )
+            for fc, (kind, bounds) in cfacets.items()
+        }
         pending: list[pd.DataFrame] = []
         pending_block = None
 
@@ -708,55 +1130,39 @@ def _make_kernel(
                 if float(rows["block_bound"].iloc[0]) < thr - eps:
                     return
             base = block_id * block_size
-            # entries in row order = (term asc, field asc): this is the
-            # f32 score accumulation order (and the oracle SQL's)
-            entries: list[tuple] = []
-            groups: dict[str, list[tuple]] = {}
+            # rows grouped by posting term: realtime staged batches can
+            # add a second row per (term, field, block) covering a
+            # disjoint docid slice — every structure below handles
+            # multiple rows per key
+            recs: dict[str, list[dict]] = {}
+            has_gram_rows = bool(unit_parts)
             for _, r in rows.iterrows():
-                d = decode_docids(r["docids_vb"])
-                dl = np.frombuffer(r["dls"], dtype=np.uint8)
-                if is_ngram:
-                    # expand the n-gram posting into two pseudo-entries
-                    # carrying each partial term's full per-doc tf
-                    for tname, tfcol in zip(
-                        ngram_parts, ("tfs1_vb", "tfs2_vb")
-                    ):
-                        e = (
-                            tname,
-                            int(r["field"]),
-                            float(r["boost"]),
-                            d,
-                            decode_tfs(r[tfcol]),
-                            dl,
-                            None,
-                        )
-                        entries.append(e)
-                        groups.setdefault(tname, []).append(e)
-                    continue
-                t = decode_tfs(r["tfs_vb"])
-                e = (r["term"], int(r["field"]), float(r["boost"]), d, t, dl, r["pos_vb"])
-                entries.append(e)
-                groups.setdefault(r["term"], []).append(e)
-            if is_ngram:
-                # generic scoring accumulates in (term asc, field asc)
-                # order — restore it after the pairwise expansion
-                entries.sort(key=lambda e: (e[0], e[1]))
+                rec = {
+                    "field": int(r["field"]),
+                    "boost": float(r["boost"]),
+                    "d": decode_docids(r["docids_vb"]),
+                    "tf": decode_tfs(r["tfs_vb"]),
+                    "dl": np.frombuffer(r["dls"], dtype=np.uint8),
+                    "pos_vb": r["pos_vb"],
+                }
+                if has_gram_rows and NGRAM_SEP in r["term"]:
+                    parts_n = r["term"].count(NGRAM_SEP) + 1
+                    rec["partials"] = [
+                        decode_tfs(r[f"tfs{k + 1}_vb"]) for k in range(parts_n)
+                    ]
+                recs.setdefault(r["term"], []).append(rec)
 
             def union_docs(term: str) -> np.ndarray:
-                ds = [e[3] for e in groups[term]]
+                ds = [rec["d"] for rec in recs[term]]
                 if len(ds) == 1:
                     return ds[0]
                 return np.unique(np.concatenate(ds))
 
-            pos_names = [t for t in groups if t in pos_terms]
-            if not pos_names:
-                return
-
-            if qtype in ("intersection", "phrase"):
-                if len(pos_names) < len(pos_terms):
+            if qtype in ("intersection", "phrase", "ngram"):
+                if any(t not in recs for t in required_terms):
                     return
-                common = union_docs(pos_names[0])
-                for t in pos_names[1:]:
+                common = union_docs(required_terms[0])
+                for t in required_terms[1:]:
                     common = np.intersect1d(
                         common, union_docs(t), assume_unique=True
                     )
@@ -764,13 +1170,16 @@ def _make_kernel(
                         return
                 cand = common
             else:
+                present = [t for t in required_terms if t in recs]
+                if not present:
+                    return
                 cand = np.unique(
-                    np.concatenate([union_docs(t) for t in pos_names])
+                    np.concatenate([union_docs(t) for t in present])
                 )
 
             # NOT anti-probe (match in ANY field excludes)
             for t in not_set:
-                if t in groups:
+                if t in recs:
                     cand = cand[
                         ~np.isin(cand, union_docs(t), assume_unique=True)
                     ]
@@ -783,34 +1192,90 @@ def _make_kernel(
                 if cand.size == 0:
                     return
 
-            # facet filters via the block's facet byte array (reference
+            # facet filters via the block's facet arrays (reference
             # pushes facet predicates into the pruned scan the same
             # way, search.rs:2543-2726); filtering candidates keeps the
             # block bound admissible (bound ≥ any subset's max score)
-            for colname, allowed in facet_filters:
-                buf = rows[colname].iloc[0]
+            for colname, spec in facet_filters:
+                buf = rows[f"fb_{colname}"].iloc[0]
                 if buf is None:
                     return
-                fv = np.frombuffer(buf, dtype=np.uint8)
-                cand = cand[np.isin(fv[cand], allowed)]
+                if spec[0] == "numeric":
+                    fv = np.frombuffer(buf, dtype=np.float64)
+                    vals = fv[cand]
+                    cand = cand[(vals >= spec[1]) & (vals <= spec[2])]
+                else:
+                    fv = np.frombuffer(buf, dtype=np.uint8)
+                    cand = cand[np.isin(fv[cand], spec[1])]
                 if cand.size == 0:
                     return
 
-            # phrase position alignment (within a single field)
-            if qtype == "phrase" and len(phrase) > 1:
-                keep = _phrase_filter(groups, cand, phrase)
+            # geo radius filter over numeric lat/lon facet arrays
+            # (reference stores Point facets and filters/sorts by
+            # haversine distance, search.rs:2712-2724)
+            dists = None
+            if geo_cfg is not None:
+                lat_buf = rows[geo_cfg[0]].iloc[0]
+                lon_buf = rows[geo_cfg[1]].iloc[0]
+                if lat_buf is None or lon_buf is None:
+                    return
+                lat = np.frombuffer(lat_buf, dtype=np.float64)[cand]
+                lon = np.frombuffer(lon_buf, dtype=np.float64)[cand]
+                lat0, lon0, radius = geo_cfg[2], geo_cfg[3], geo_cfg[4]
+                a = (
+                    np.sin(np.radians(lat0 - lat) / 2.0) ** 2
+                    + np.cos(np.radians(lat))
+                    * math.cos(math.radians(lat0))
+                    * np.sin(np.radians(lon0 - lon) / 2.0) ** 2
+                )
+                d_km = 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(a))
+                keep = ~np.isnan(d_km) & (d_km <= radius)
                 cand = cand[keep]
+                dists = d_km[keep]
+                if cand.size == 0:
+                    return
+
+            # phrase position alignment (within a single field): units
+            # align on gram-start positions, raw phrases on every term
+            if align and len(align) > 1:
+                keep = _phrase_filter(recs, cand, align)
+                cand = cand[keep]
+                if dists is not None:
+                    dists = dists[keep]
                 if cand.size == 0:
                     return
 
             total_matches += int(cand.size)
+            for fc, (kind, bounds) in cfacets.items():
+                buf = rows[f"fb_{fc}"].iloc[0]
+                if buf is None:
+                    continue
+                if kind == "string":
+                    fv = np.frombuffer(buf, dtype=np.uint8)[cand]
+                    facet_tallies[fc] += np.bincount(fv, minlength=256)
+                else:
+                    fv = np.frombuffer(buf, dtype=np.float64)[cand]
+                    ok = ~np.isnan(fv) & (fv >= bounds[0])
+                    bins = np.searchsorted(bounds, fv[ok], side="right") - 1
+                    facet_tallies[fc] += np.bincount(
+                        bins, minlength=len(bounds) + 1
+                    )
             if count_only:
                 return
 
+            # score in (term asc, field asc) order — the f32
+            # accumulation order of the oracle SQL
+            entries: list[tuple] = []
+            for orig in pos_terms:
+                pterm, pidx = source_map.get(orig, (orig, None))
+                for rec in recs.get(pterm, []):
+                    tfs = rec["tf"] if pidx is None else rec["partials"][pidx]
+                    entries.append(
+                        (orig, rec["field"], rec["boost"], rec["d"], tfs, rec["dl"])
+                    )
+            entries.sort(key=lambda e: (e[0], e[1]))
             scores = np.zeros(cand.size, dtype=np.float32)
-            for term, _field, boost, d, tf, dl, _pv in entries:
-                if term not in pos_terms:
-                    continue
+            for term, _field, boost, d, tf, dl in entries:
                 idx = np.searchsorted(d, cand)
                 valid = (idx < d.size) & (d[np.minimum(idx, d.size - 1)] == cand)
                 ii = idx[valid]
@@ -821,9 +1286,28 @@ def _make_kernel(
             if emit_all:
                 all_docids.append(base + cand)
                 all_scores.append(scores)
-                for colname in emit_cols:
-                    fv = np.frombuffer(rows[colname].iloc[0], dtype=np.uint8)
-                    all_facets[colname].append(fv[cand].astype(np.int32))
+                if emit_dist:
+                    all_dists.append(
+                        dists
+                        if dists is not None
+                        else np.full(cand.size, np.nan)
+                    )
+                for colname, kind in emit_cols:
+                    buf = rows[colname].iloc[0]
+                    if kind == "numeric":
+                        if buf is None:
+                            vals = np.full(cand.size, np.nan)
+                        else:
+                            vals = np.frombuffer(buf, dtype=np.float64)[cand]
+                        all_facets[colname].append(vals.astype(np.float64))
+                    else:
+                        if buf is None:
+                            vals = np.full(cand.size, 255, dtype=np.int32)
+                        else:
+                            vals = np.frombuffer(buf, dtype=np.uint8)[
+                                cand
+                            ].astype(np.int32)
+                        all_facets[colname].append(vals)
             else:
                 merge_topk(base + cand, scores)
 
@@ -839,7 +1323,25 @@ def _make_kernel(
         if pending:
             process_block(pd.concat(pending))
 
-        if count_only:
+        if cfacets:
+            out_f, out_c, out_n = [], [], []
+            for fc, tally in facet_tallies.items():
+                kind = cfacets[fc][0]
+                nz = np.flatnonzero(tally)
+                for code in nz:
+                    if kind == "string" and code == 255:
+                        continue  # missing/null not a countable value
+                    out_f.append(fc)
+                    out_c.append(int(code))
+                    out_n.append(int(tally[code]))
+            yield pd.DataFrame(
+                {
+                    "facet": out_f,
+                    "code": pd.Series(out_c, dtype="int64"),
+                    "matches": pd.Series(out_n, dtype="int64"),
+                }
+            )
+        elif count_only:
             yield pd.DataFrame({"matches": pd.Series([total_matches], dtype="int64")})
         elif emit_all:
             out = {
@@ -856,12 +1358,27 @@ def _make_kernel(
                     dtype="float32",
                 ),
             }
-            for colname in emit_cols:
-                out[colname] = pd.Series(
-                    np.concatenate(all_facets[colname])
-                    if all_facets[colname]
-                    else np.empty(0, np.int32),
-                    dtype="int32",
+            for colname, kind in emit_cols:
+                if kind == "numeric":
+                    out[colname] = pd.Series(
+                        np.concatenate(all_facets[colname])
+                        if all_facets[colname]
+                        else np.empty(0, np.float64),
+                        dtype="float64",
+                    )
+                else:
+                    out[colname] = pd.Series(
+                        np.concatenate(all_facets[colname])
+                        if all_facets[colname]
+                        else np.empty(0, np.int32),
+                        dtype="int32",
+                    )
+            if emit_dist:
+                out["geo_dist"] = pd.Series(
+                    np.concatenate(all_dists)
+                    if all_dists
+                    else np.empty(0, np.float64),
+                    dtype="float64",
                 )
             yield pd.DataFrame(out)
         else:
@@ -876,18 +1393,19 @@ def _make_kernel(
 
 
 def _phrase_filter(
-    groups: dict[str, list[tuple]],
+    recs: dict[str, list[dict]],
     cand: np.ndarray,
     phrase: list[tuple[str, int]],
 ) -> np.ndarray:
-    """Boolean mask over cand: doc has the phrase terms position-aligned
-    (pos_i - offset_i equal across terms for some shared anchor,
-    reference add_result.rs:3152-3391) — within a single field.
+    """Boolean mask over cand: doc has the phrase units position-aligned
+    (pos_i - offset_i equal across units for some shared anchor,
+    reference add_result.rs:3152-3391) — within a single field. Units
+    may be gram postings (positions = gram-start) or single terms.
 
-    Fully vectorized: each term's (doc, field, position) triples become
+    Fully vectorized: each unit's (doc, field, position) triples become
     packed ``((doc << 4) | field) << 18 | (pos - offset)`` anchor keys;
     the phrase's anchors are the running ``isin`` intersection across
-    terms — no per-doc loop. Positions are < 2^17 (65,536 cap +
+    units — no per-doc loop. Positions are < 2^17 (65,536 cap +
     offsets), docids block-local, field ids < 16.
     """
     SHIFT = np.int64(18)
@@ -898,10 +1416,11 @@ def _phrase_filter(
     BIAS = np.int64(128)
 
     def term_keys(term: str, off: int) -> np.ndarray | None:
-        if term not in groups:
+        if term not in recs:
             return None
         parts = []
-        for _t, field, _b, d, tf, _dl, pos_vb in groups[term]:
+        for rec in recs[term]:
+            d, tf, pos_vb = rec["d"], rec["tf"], rec["pos_vb"]
             plists = decode_positions(pos_vb, tf)
             if not len(plists):
                 continue
@@ -911,7 +1430,7 @@ def _phrase_filter(
                 (
                     (
                         (docs_rep.astype(np.int64) << FSHIFT)
-                        | np.int64(field)
+                        | np.int64(rec["field"])
                     )
                     << SHIFT
                 )

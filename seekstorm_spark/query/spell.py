@@ -84,13 +84,49 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def damerau_levenshtein(a: str, b: str) -> int:
+    """Optimal-string-alignment Damerau-Levenshtein: an adjacent
+    transposition counts as ONE edit (the reference's SymSpell
+    distance; matches DuckDB ``damerau_levenshtein``)."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    rows = [list(range(len(b) + 1))]
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cost = min(
+                rows[i - 1][j] + 1,
+                cur[j - 1] + 1,
+                rows[i - 1][j - 1] + (ca != cb),
+            )
+            if (
+                i > 1
+                and j > 1
+                and ca == b[j - 2]
+                and a[i - 2] == cb
+            ):
+                cost = min(cost, rows[i - 2][j - 2] + 1)
+            cur.append(cost)
+        rows.append(cur)
+    return rows[-1][-1]
+
+
 def build_spell_dictionary(
     spark: SparkSession, store: IndexStore, max_edits: int = SPELL_MAX_EDITS
 ) -> None:
     """Distributed SymSpell dictionary: (dkey, term, df) rows, hash-
-    partitioned by dkey bucket so probes prune to a few files."""
-    ts = store.term_stats(spark).select("term", "df").filter(
-        (F.col("term") != "") & (~F.col("term").contains("\x1e"))
+    partitioned by dkey bucket so probes prune to a few files. The
+    term-stats table is log-structured after appends — sum df per
+    term before exploding."""
+    ts = (
+        store.term_stats(spark)
+        .filter((F.col("term") != "") & (~F.col("term").contains("\x1e")))
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
     )
 
     def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -131,7 +167,9 @@ def spell_correct(
 ) -> tuple[str, int, int] | None:
     """Best correction for ``word`` → (term, distance, df), ranked by
     (distance asc, df desc, term asc); None when nothing is within
-    ``max_edits``. Driver-side pyarrow probe — no Spark job."""
+    ``max_edits``. Distance is OSA Damerau-Levenshtein (adjacent
+    transposition = one edit, matching the reference SymSpell).
+    Driver-side pyarrow probe — no Spark job."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
@@ -153,7 +191,7 @@ def spell_correct(
         if term in seen:
             continue
         seen.add(term)
-        dist = levenshtein(word.lower(), term)
+        dist = damerau_levenshtein(word.lower(), term)
         if dist > max_edits:
             continue
         key = (dist, -int(df_), term)
@@ -171,8 +209,11 @@ def build_completion_dictionary(
     reference's completion dictionary, commit.rs:417-426)."""
     from pyspark.sql.window import Window
 
-    ts = store.term_stats(spark).select("term", "df").filter(
-        (F.col("term") != "") & (~F.col("term").contains("\x1e"))
+    ts = (
+        store.term_stats(spark)
+        .filter((F.col("term") != "") & (~F.col("term").contains("\x1e")))
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
     )
     prefixes = ts.select(
         F.explode(

@@ -5,27 +5,44 @@ The reference makes every indexed doc searchable immediately
 `/root/reference/seekstorm/src/realtime_search.rs:921-2095`) and
 auto-commits every 65,536 docs per shard (`index.rs:5513-5521`).
 
-Spark analog: a streaming source of documents → ``foreachBatch`` →
-each micro-batch is tokenized and appended to the postings table as
-new (term, block) rows for the batch's docid range; the query side
-already unions across blocks, so fresh batches are searchable as soon
-as their commit lands — the micro-batch boundary IS the level
-boundary. Stats (N, avgdl) are refreshed in the index meta at each
-batch; block-max bounds are stored avgdl-free (format v2) and
-computed at query time, so pruning stays admissible as avgdl drifts
-across appends. foreachBatch is at-least-once, so appends are made
-idempotent: staged writes promoted under deterministic per-batch file
-names + applied-batch ids recorded in meta (see append_batch).
+Spark analog — a two-phase append with a searchable staging area:
 
-Note: appended batches use block ranges disjoint from prior batches
-(docid base = running doc count rounded up to a block boundary), so
-no block is ever rewritten — the same append-only "no segment merges"
-design the reference claims for latency consistency (README.md:192).
+* ``stage_batch`` tokenizes one micro-batch and writes its postings,
+  doc_meta, per-batch term-stats DELTA, and facet blocks to a staging
+  dir. The staged batch IS the reference's uncommitted level-0:
+  ``query.engine.search(..., staged=[batch])`` unions the staged
+  postings/stats into the query, so a doc is searchable the moment
+  staging finishes — before any commit.
+* ``commit_batch`` promotes the staged files into the live tables
+  under deterministic per-batch names and writes meta last.
+* ``append_batch`` = stage + commit (the foreachBatch path).
+
+**Append cost is O(batch), not O(index)**: the term-stats table is
+log-structured — each commit appends the batch's own (tbucket, term)
+partial aggregates as new files in the touched ``tbucket=`` partitions
+(readers sum df per term across partials; the reference equivalently
+keeps per-level stats merged at query time). Nothing existing is ever
+rewritten, so append wall time is independent of index size.
+
+Appended batches use block ranges disjoint from prior batches (docid
+base = running doc count rounded up to a block boundary), so no block
+is ever rewritten — the same append-only "no segment merges" design
+the reference claims for latency consistency (README.md:192). Stats
+(N, avgdl) refresh in meta at each commit; block-max bounds are stored
+avgdl-free (format v3+) and computed at query time, so pruning stays
+admissible as avgdl drifts across appends.
+
+foreachBatch is at-least-once, so appends are idempotent: staged
+writes promoted under deterministic per-batch file names
+(``batch<tag>-<i>.parquet``) + applied-batch ids recorded in meta.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import shutil
+from dataclasses import dataclass
 from typing import Any
 
 import numpy as np
@@ -35,10 +52,61 @@ from pyspark.sql import functions as F
 from seekstorm_spark.codecs import ROARING_BLOCK_SIZE
 from seekstorm_spark.index.builder import (
     build_posting_blocks,
+    term_stats_aggregate,
     tokenize_to_term_rows,
 )
 from seekstorm_spark.index.store import IndexStore
 from seekstorm_spark.quantization import decode_lengths
+
+
+@dataclass
+class StagedBatch:
+    """A tokenized-but-uncommitted micro-batch (realtime level-0).
+
+    ``search(..., staged=[batch])`` makes it searchable pre-commit.
+    """
+
+    stage_path: str
+    tag: str
+    batch_id: int | None
+    batch_n: int
+    batch_pos_sum: int
+    next_docid: int
+
+    @property
+    def postings_path(self) -> str:
+        return os.path.join(self.stage_path, "postings")
+
+    @property
+    def term_stats_path(self) -> str:
+        return os.path.join(self.stage_path, "term_stats")
+
+    @property
+    def doc_meta_path(self) -> str:
+        return os.path.join(self.stage_path, "doc_meta")
+
+    @property
+    def facets_path(self) -> str:
+        return os.path.join(self.stage_path, "facets")
+
+    def save_manifest(self) -> None:
+        with open(os.path.join(self.stage_path, "stage_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "tag": self.tag,
+                    "batch_id": self.batch_id,
+                    "batch_n": self.batch_n,
+                    "batch_pos_sum": self.batch_pos_sum,
+                    "next_docid": self.next_docid,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, stage_path: str) -> "StagedBatch":
+        with open(os.path.join(stage_path, "stage_meta.json")) as f:
+            m = json.load(f)
+        return cls(stage_path=stage_path, **m)
 
 
 def _promote_staged(stage_dir: str, dest_dir: str, tag: str) -> None:
@@ -47,8 +115,6 @@ def _promote_staged(stage_dir: str, dest_dir: str, tag: str) -> None:
     re-stages and ``os.replace``s the SAME target names, so a crash
     between promotion and the meta commit never duplicates rows —
     the local-FS analog of an Iceberg append commit."""
-    import os
-
     os.makedirs(dest_dir, exist_ok=True)
     files = sorted(
         f for f in os.listdir(stage_dir) if f.endswith(".parquet")
@@ -60,52 +126,127 @@ def _promote_staged(stage_dir: str, dest_dir: str, tag: str) -> None:
         )
 
 
-def append_batch(
+def _promote_partitioned(stage_root: str, dest_root: str, tag: str, prefix: str) -> None:
+    for part in sorted(os.listdir(stage_root)):
+        if not part.startswith(prefix + "="):
+            continue
+        _promote_staged(
+            os.path.join(stage_root, part),
+            os.path.join(dest_root, part),
+            tag,
+        )
+
+
+def _stage_facet_blocks(
+    spark: SparkSession,
+    store: IndexStore,
+    docs: DataFrame,
+    stage: str,
+) -> None:
+    """Facet byte arrays for the batch's block range, encoded against
+    the index's EXISTING facet dictionaries (the sorted-dictionary ⇒
+    byte-order invariant forbids extending a dictionary in place, so a
+    batch value outside the dictionary is rejected before anything is
+    promoted). Fixes the silent-exclusion / result-sort crash on
+    faceted appends."""
+    from seekstorm_spark.index.builder import encode_facet_blocks
+
+    facet_meta = store.meta.get("facets") or {}
+    if not facet_meta:
+        return
+    missing = [c for c in facet_meta if c not in docs.columns]
+    if missing:
+        raise ValueError(
+            f"batch is missing facet columns {missing}; appends into a "
+            "faceted index must carry every indexed facet column"
+        )
+    # validate string-facet values against the frozen dictionaries
+    for fc, spec in facet_meta.items():
+        values = spec["values"] if isinstance(spec, dict) else spec
+        if values is None:  # numeric facet: any value encodes
+            continue
+        known = set(values)
+        new = [
+            r[0]
+            for r in docs.select(fc).distinct().collect()
+            if r[0] is not None and str(r[0]) not in known
+        ]
+        if new:
+            raise ValueError(
+                f"facet {fc!r}: batch carries values {sorted(map(str, new))[:5]} "
+                "not in the index dictionary; rebuild with a wider "
+                "dictionary (byte order == value order forbids in-place "
+                "dictionary growth)"
+            )
+    fb = encode_facet_blocks(
+        docs, facet_meta, int(store.meta.get("block_size", ROARING_BLOCK_SIZE))
+    )
+    (
+        fb.repartition(1, "facet")
+        .write.mode("overwrite")
+        .partitionBy("facet")
+        .parquet(os.path.join(stage, "facets"))
+    )
+
+
+def stage_batch(
     spark: SparkSession,
     store: IndexStore,
     batch_docs: DataFrame,
     text_col: str = "text",
     batch_id: int | None = None,
-) -> IndexStore:
-    """Index one micro-batch into an existing (possibly empty) index.
+    id_col: str | None = None,
+) -> StagedBatch | None:
+    """Tokenize + write one micro-batch to the staging area (realtime
+    level-0). Returns None when ``batch_id`` was already applied.
 
     Docids start at the next block boundary after the current doc
-    count, so the batch's (term, block) rows never collide with
-    committed blocks.
-
-    Idempotent under at-least-once replay: batch data is written to a
-    staging dir, promoted into the live tables under deterministic
-    per-batch file names (a replay overwrites rather than duplicates),
-    and the meta commit — which records the applied ``batch_id`` —
-    happens last. A batch whose id is already in
-    ``meta.applied_batches`` is skipped entirely.
+    count (so the batch's (term, block) rows never collide with
+    committed blocks) unless ``id_col`` provides caller-managed ids —
+    then blocks may be shared with committed ones and the query side
+    merges rows per block (both are sound; block-sharing is what the
+    realtime oracle row uses to keep docids == doc_id).
     """
-    import os
-    import shutil
-
     meta = dict(store.meta)
     if batch_id is not None and batch_id in (meta.get("applied_batches") or []):
-        return store
+        return None
     bs = int(meta.get("block_size", ROARING_BLOCK_SIZE))
     nd = int(meta.get("next_docid", 0))
-    base_docid = ((nd + bs - 1) // bs * bs) if nd % bs else nd
-    tag = str(batch_id) if batch_id is not None else f"d{base_docid}"
 
     from seekstorm_spark.index.builder import assign_docids
 
-    docs = assign_docids(
-        batch_docs, order_col=text_col, n_buckets=16
-    ).withColumn("docid", F.col("docid") + F.lit(base_docid))
+    if id_col is not None:
+        docs = batch_docs.withColumn("docid", F.col(id_col).cast("long"))
+        ids = docs.agg(
+            F.min("docid").alias("lo"), F.max("docid").alias("hi")
+        ).collect()[0]
+        base_docid = int(ids["lo"]) if ids["lo"] is not None else nd
+        next_docid = max(nd, (int(ids["hi"]) + 1) if ids["hi"] is not None else nd)
+    else:
+        base_docid = ((nd + bs - 1) // bs * bs) if nd % bs else nd
+        # order_col sorting happens per hash bucket on one task — fine
+        # for micro-batches; bulk loads should pass id_col or use the
+        # builder's partition-offset path (see assign_docids docstring)
+        docs = assign_docids(
+            batch_docs, order_col=text_col, n_buckets=16
+        ).withColumn("docid", F.col("docid") + F.lit(base_docid))
+        next_docid = None  # set after batch_n is known
+
+    tag = str(batch_id) if batch_id is not None else f"d{base_docid}"
+    stage = os.path.join(store.path, "_staging", f"batch_{tag}")
+    shutil.rmtree(stage, ignore_errors=True)
+
+    from seekstorm_spark.index.builder import synonym_map_from_groups
 
     term_rows = tokenize_to_term_rows(
         docs, text_col, meta.get("tokenizer", "unicode_alphanumeric"),
         frozenset(meta.get("stop_words") or []) or None,
         stemmer=meta.get("stemmer"),
         frequent_terms=frozenset(meta.get("frequent_terms") or []) or None,
+        synonym_map=synonym_map_from_groups(meta.get("synonyms") or [])
+        or None,
+        ngram_patterns=meta.get("ngram_patterns"),
     ).cache()
-
-    stage = os.path.join(store.path, "_staging", f"batch_{tag}")
-    shutil.rmtree(stage, ignore_errors=True)
 
     doc_meta = term_rows.filter(F.col("term") == "").select(
         "docid", "field", "dl_byte"
@@ -126,9 +267,8 @@ def append_batch(
             for (_f, b), c in hist.items()
         )
     )
-    n_docs = int(meta.get("n_docs", 0)) + batch_n
-    pos_sum = int(meta.get("positions_sum_normalized", 0)) + batch_pos_sum
-    avgdl = float(np.float32(pos_sum) / np.float32(n_docs)) if n_docs else 1.0
+    if next_docid is None:
+        next_docid = base_docid + batch_n
 
     n_buckets = int(meta.get("n_buckets", 32))
     blocks = build_posting_blocks(
@@ -142,56 +282,69 @@ def append_batch(
     )
     term_rows.unpersist()
 
-    # --- promote: deterministic renames, then derived tables, then meta
-    _promote_staged(
-        os.path.join(stage, "doc_meta"), store.doc_meta_path, tag
-    )
-    stage_postings = os.path.join(stage, "postings")
-    for part in sorted(os.listdir(stage_postings)):
-        if not part.startswith("tbucket="):
-            continue
-        _promote_staged(
-            os.path.join(stage_postings, part),
-            os.path.join(store.postings_path, part),
-            tag,
-        )
-    shutil.rmtree(stage, ignore_errors=True)
-
-    postings = spark.read.parquet(store.postings_path)
-    term_stats = postings.filter(F.col("term") != "").groupBy(
-        "tbucket", "term"
-    ).agg(
-        F.sum("df_block").cast("long").alias("df"),
-        F.sum("posting_count").cast("long").alias("cf_fields"),
-        F.count("*").cast("int").alias("n_blocks"),
-        F.max("max_tf").cast("int").alias("max_tf"),
-        F.min("min_dl_byte").cast("int").alias("min_dl_byte"),
-        (
-            F.sum(F.length("docids_vb"))
-            + F.sum(F.length("tfs_vb"))
-            + F.sum(F.length("dls"))
-            + F.sum(F.length("positions_vb"))
-        ).cast("long").alias("bytes"),
-    )
+    # per-batch term-stats DELTA from the staged postings only — the
+    # O(batch) replacement for re-aggregating the whole index; readers
+    # sum df per term across these log-structured partials
+    staged_postings = spark.read.parquet(os.path.join(stage, "postings"))
+    delta = term_stats_aggregate(staged_postings)
     (
-        term_stats.repartition(n_buckets, "tbucket")
+        delta.repartition(n_buckets, "tbucket")
         .write.mode("overwrite")
         .partitionBy("tbucket")
-        .parquet(store.term_stats_path)
+        .parquet(os.path.join(stage, "term_stats"))
     )
+
+    if meta.get("facets"):
+        _stage_facet_blocks(spark, store, docs, stage)
+
+    staged = StagedBatch(
+        stage_path=stage,
+        tag=tag,
+        batch_id=batch_id,
+        batch_n=batch_n,
+        batch_pos_sum=batch_pos_sum,
+        next_docid=next_docid,
+    )
+    staged.save_manifest()
+    return staged
+
+
+def commit_batch(
+    spark: SparkSession, store: IndexStore, staged: StagedBatch
+) -> IndexStore:
+    """Promote a staged batch into the live tables (deterministic
+    renames), then write meta (the commit point) last."""
+    meta = dict(store.meta)
+    tag = staged.tag
+    _promote_staged(staged.doc_meta_path, store.doc_meta_path, tag)
+    _promote_partitioned(
+        staged.postings_path, store.postings_path, tag, "tbucket"
+    )
+    _promote_partitioned(
+        staged.term_stats_path, store.term_stats_path, tag, "tbucket"
+    )
+    if os.path.exists(staged.facets_path):
+        _promote_partitioned(
+            staged.facets_path, store.facets_path, tag, "facet"
+        )
+    shutil.rmtree(staged.stage_path, ignore_errors=True)
 
     from seekstorm_spark.query.engine import invalidate_term_stats_cache
 
     invalidate_term_stats_cache(store.path)
+    n_docs = int(meta.get("n_docs", 0)) + staged.batch_n
+    pos_sum = int(meta.get("positions_sum_normalized", 0)) + staged.batch_pos_sum
     applied = list(meta.get("applied_batches") or [])
-    if batch_id is not None:
-        applied.append(int(batch_id))
+    if staged.batch_id is not None:
+        applied.append(int(staged.batch_id))
     meta.update(
         {
             "n_docs": n_docs,
             "positions_sum_normalized": pos_sum,
-            "avgdl": avgdl,
-            "next_docid": base_docid + batch_n,
+            "avgdl": float(np.float32(pos_sum) / np.float32(n_docs))
+            if n_docs
+            else 1.0,
+            "next_docid": max(int(meta.get("next_docid", 0)), staged.next_docid),
             "applied_batches": applied,
             "complete": True,
         }
@@ -199,6 +352,24 @@ def append_batch(
     store.meta = meta
     store.write_meta()
     return store
+
+
+def append_batch(
+    spark: SparkSession,
+    store: IndexStore,
+    batch_docs: DataFrame,
+    text_col: str = "text",
+    batch_id: int | None = None,
+    id_col: str | None = None,
+) -> IndexStore:
+    """Index one micro-batch into an existing (possibly empty) index:
+    ``stage_batch`` + ``commit_batch``. Idempotent under at-least-once
+    replay (applied-batch ids + deterministic promoted names); cost is
+    O(batch) — see module docstring."""
+    staged = stage_batch(spark, store, batch_docs, text_col, batch_id, id_col)
+    if staged is None:
+        return store
+    return commit_batch(spark, store, staged)
 
 
 def start_incremental_indexing(
@@ -215,8 +386,6 @@ def start_incremental_indexing(
     Returns the StreamingQuery. ``checkpoint_path`` provides
     exactly-once batch tracking across restarts.
     """
-    import os
-
     store = IndexStore(path=index_path)
     if os.path.exists(store.meta_path):
         store = IndexStore.open(index_path)

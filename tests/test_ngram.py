@@ -41,7 +41,8 @@ PHRASES = [
 def test_ngram_rewrite_engages(spark, stores):
     _plain, ngram = stores
     plan = _plan(spark, ngram, '"term00000 term00001"', "union")
-    assert plan.qtype == "ngram2" and plan.ngram_key is not None
+    assert plan.qtype == "ngram" and plan.units is not None
+    assert len(plan.units) == 1 and plan.unit_parts
 
 
 def test_phrase_results_identical_with_and_without_ngrams(spark, stores):
