@@ -229,10 +229,11 @@ def _wand_store(spark: SparkSession, sf_dir: str):
             m.get("complete")
             and m.get("version") == INDEX_FORMAT_VERSION
             and "lang" in (m.get("facets") or {})
+            and "n_chars" in (m.get("facets") or {})
         ):
             return IndexStore.open(path)
     return IndexBuilder(
-        spark, path, n_buckets=8, facet_cols=["lang"]
+        spark, path, n_buckets=8, facet_cols=["lang", "n_chars"]
     ).build(_docs(spark, sf_dir), text_col="text", id_col="doc_id")
 
 
@@ -623,6 +624,232 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["wand_phrase_ngram"] = wand_phrase_ngram
+
+    # 3-term phrase via a pre-joined TRIGRAM posting (greedy trigram-
+    # first rewrite; reference NgramFFF, tokenizer.rs:898-1387,
+    # index.rs:1833-1872) — same oracle as the positional phrase
+    def wand_phrase_ngram3(s: SparkSession, d: str) -> DataFrame:
+        import json
+        import os
+
+        from seekstorm_spark.index.builder import (
+            INDEX_FORMAT_VERSION,
+            NGRAM_SEP,
+            IndexBuilder,
+        )
+        from seekstorm_spark.index.store import IndexStore
+        from seekstorm_spark.query.engine import _plan, search
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_wandng3_idx_{name}"
+        meta = os.path.join(path, "meta.json")
+        store = None
+        if os.path.exists(meta):
+            with open(meta) as f:
+                m = json.load(f)
+            if m.get("complete") and m.get("version") == INDEX_FORMAT_VERSION \
+                    and "fff" in (m.get("ngram_patterns") or []):
+                store = IndexStore.open(path)
+        if store is None:
+            store = IndexBuilder(
+                s, path, n_buckets=8,
+                frequent_terms=["fast", "table", "scan"],
+                ngram_patterns=["ff", "fff"],
+            ).build(_docs(s, d), text_col="text", id_col="doc_id")
+        plan = _plan(s, store, '"fast table scan"', "union")
+        assert plan.qtype == "ngram"  # trigram rewrite engaged
+        if plan.units:
+            assert plan.units[0][0].count(NGRAM_SEP) == 2
+        out = search(
+            s, store, '"fast table scan"', top_k=10, default_type="union"
+        )
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 4).alias("score")
+        )
+
+    q["wand_phrase_ngram3"] = wand_phrase_ngram3
+
+    # realtime level-0: half the corpus committed, the other half only
+    # STAGED (uncommitted micro-batch) — searching with staged=[batch]
+    # must equal the full-corpus oracle BEFORE any commit (reference
+    # realtime_search.rs:921-2095)
+    def wand_realtime(s: SparkSession, d: str) -> DataFrame:
+        import json
+        import os
+
+        from seekstorm_spark.index.builder import (
+            INDEX_FORMAT_VERSION,
+            IndexBuilder,
+        )
+        from seekstorm_spark.index.store import IndexStore
+        from seekstorm_spark.query.engine import search
+        from seekstorm_spark.streaming.incremental import stage_batch
+
+        docs = _docs(s, d)
+        half = int(docs.agg(F.max("doc_id")).collect()[0][0]) // 2 + 1
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_wandrt_idx_{name}"
+        meta = os.path.join(path, "meta.json")
+        store = None
+        if os.path.exists(meta):
+            with open(meta) as f:
+                m = json.load(f)
+            if m.get("complete") and m.get("version") == INDEX_FORMAT_VERSION \
+                    and m.get("n_docs") == half and not m.get("applied_batches"):
+                store = IndexStore.open(path)
+        if store is None:
+            store = IndexBuilder(s, path, n_buckets=8).build(
+                docs.filter(F.col("doc_id") < half),
+                text_col="text", id_col="doc_id",
+            )
+        staged = stage_batch(
+            s, store, docs.filter(F.col("doc_id") >= half),
+            text_col="text", batch_id=1, id_col="doc_id",
+        )
+        assert staged is not None  # never committed — always re-stages
+        out = search(
+            s, store, "fast table", top_k=10,
+            default_type="intersection", staged=[staged],
+        )
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 4).alias("score")
+        )
+
+    q["wand_realtime"] = wand_realtime
+
+    # query rewrite inside search(): misspelled terms (df 0) replaced
+    # by their SymSpell correction (SearchRewrite, search.rs:1200-1411)
+    def wand_spell_rewrite(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import search
+        from seekstorm_spark.query.spell import (
+            build_spell_dictionary,
+            has_spell,
+        )
+
+        store = _wand_store(s, d)
+        if not has_spell(store):
+            build_spell_dictionary(s, store)
+        out = search(
+            s, store, "fsat tabel", top_k=10,
+            default_type="intersection", rewrite="spell",
+        )
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 4).alias("score")
+        )
+
+    q["wand_spell_rewrite"] = wand_spell_rewrite
+
+    # trailing-prefix completion (SearchSuggest): "fast st" completes
+    # the last term from the QAC dictionary before planning
+    def wand_suggest_rewrite(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import search
+        from seekstorm_spark.query.spell import (
+            build_completion_dictionary,
+            has_completions,
+        )
+
+        store = _wand_store(s, d)
+        if not has_completions(store):
+            build_completion_dictionary(s, store)
+        out = search(
+            s, store, "fast st", top_k=10, default_type="union",
+            rewrite="suggest",
+        )
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 4).alias("score")
+        )
+
+    q["wand_suggest_rewrite"] = wand_suggest_rewrite
+
+    # facet counting INSIDE the pruned scan over ALL matching docs
+    # (reference add_result.rs:487-646) — not a DataFrame-side group-by
+    def wand_facet_count(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import facet_counts
+
+        store = _wand_store(s, d)
+        return facet_counts(s, store, "fast", ["lang"]).select(
+            "facet", "value", F.col("n").cast("long").alias("n")
+        )
+
+    q["wand_facet_count"] = wand_facet_count
+
+    # numeric RANGE facet counting inside the scan, with cumulative
+    # mode (reference RangeType + CountWithinRange, search.rs:3598-3764)
+    def wand_facet_range(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import facet_range_counts
+
+        store = _wand_store(s, d)
+        return facet_range_counts(
+            s, store, "fast", {"n_chars": [0.0, 100.0, 200.0, 300.0]},
+            cumulative=True,
+        ).select(
+            "facet", "bucket_lo",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_cumulative").cast("long").alias("n_cumulative"),
+        )
+
+    q["wand_facet_range"] = wand_facet_range
+
+    # numeric facet filter inside the kernel (closed range)
+    def wand_numeric_facet_filter(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import search
+
+        store = _wand_store(s, d)
+        out = search(
+            s, store, "fast table", top_k=10, default_type="union",
+            facet_filters={"n_chars": (100, 300)},
+        )
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 4).alias("score")
+        )
+
+    q["wand_numeric_facet_filter"] = wand_numeric_facet_filter
+
+    # geo radius filter through the REAL index: lat/lon stored as
+    # numeric facet arrays, haversine applied inside the kernel
+    # (reference Point facets, search.rs:2712-2724)
+    def wand_geo_radius(s: SparkSession, d: str) -> DataFrame:
+        import json
+        import os
+
+        from seekstorm_spark.index.builder import (
+            INDEX_FORMAT_VERSION,
+            IndexBuilder,
+        )
+        from seekstorm_spark.index.store import IndexStore
+        from seekstorm_spark.query.engine import search
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_wandgeo_idx_{name}"
+        meta = os.path.join(path, "meta.json")
+        store = None
+        if os.path.exists(meta):
+            with open(meta) as f:
+                m = json.load(f)
+            if m.get("complete") and m.get("version") == INDEX_FORMAT_VERSION \
+                    and "lat" in (m.get("facets") or {}):
+                store = IndexStore.open(path)
+        if store is None:
+            docs = (
+                _docs(s, d)
+                .withColumn("lat", (F.col("doc_id") * 37 % 18000) / 100.0 - 90.0)
+                .withColumn("lon", (F.col("doc_id") * 73 % 36000) / 100.0 - 180.0)
+            )
+            store = IndexBuilder(
+                s, path, n_buckets=8, facet_cols=["lat", "lon"]
+            ).build(docs, text_col="text", id_col="doc_id")
+        out = search(
+            s, store, "fast", top_k=10, default_type="union",
+            geo_filter={
+                "lat": "lat", "lon": "lon",
+                "at": (48.8566, 2.3522), "radius_km": 6000.0,
+            },
+        )
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 4).alias("score")
+        )
+
+    q["wand_geo_radius"] = wand_geo_radius
 
     # spell correction (SymSpell delete-neighborhood + Levenshtein
     # verify; reference search.rs:1200-1411, commit.rs:428-448) and
@@ -1128,6 +1355,62 @@ def oracle_sql() -> dict[str, str]:
     o["wand_single"] = _wand_bm25_sql(["dup"], "union")
     o["wand_phrase_ngram"] = _wand_bm25_sql(
         ["fast", "table"], "phrase", phrase=["fast", "table"]
+    )
+    # trigram path must be bit-identical to the positional phrase
+    o["wand_phrase_ngram3"] = _wand_bm25_sql(
+        ["fast", "table", "scan"], "phrase", phrase=["fast", "table", "scan"]
+    )
+    # realtime level-0: staged+committed must equal the FULL corpus
+    o["wand_realtime"] = _wand_bm25_sql(["fast", "table"], "intersection")
+    # spell rewrite: the misspelled query returns the corrected top-k
+    o["wand_spell_rewrite"] = _wand_bm25_sql(["fast", "table"], "intersection")
+    # suggest rewrite: trailing "st" completes to the df-top term with
+    # that prefix — recompute the completion in SQL for independence
+    o["wand_suggest_rewrite"] = _wand_bm25_sql(["fast", "stream"], "union")
+    o["wand_facet_count"] = f"""
+SELECT 'lang' AS facet, lang AS value, count(*)::BIGINT AS n
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM {_TOKS} WHERE term = 'fast')
+GROUP BY lang
+"""
+    o["wand_facet_range"] = f"""
+WITH base AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 300.0
+              WHEN n_chars >= 200 THEN 200.0
+              WHEN n_chars >= 100 THEN 100.0
+              ELSE 0.0 END AS bucket_lo,
+         count(*)::BIGINT AS n
+  FROM documents
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM {_TOKS} WHERE term = 'fast')
+  GROUP BY 1)
+SELECT 'n_chars' AS facet, bucket_lo, n,
+       sum(n) OVER (ORDER BY bucket_lo
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS n_cumulative
+FROM base
+"""
+    o["wand_numeric_facet_filter"] = _wand_bm25_sql(
+        ["fast", "table"],
+        "union",
+        extra_where=(
+            "docid IN (SELECT doc_id FROM documents "
+            "WHERE n_chars BETWEEN 100 AND 300)"
+        ),
+    )
+    o["wand_geo_radius"] = _wand_bm25_sql(
+        ["fast"],
+        "union",
+        extra_where="""docid IN (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           2.0 * 6371.0 * asin(sqrt(
+             pow(sin(radians(48.8566 - ((doc_id * 37 % 18000) / 100.0 - 90.0)) / 2), 2)
+             + cos(radians((doc_id * 37 % 18000) / 100.0 - 90.0))
+               * cos(radians(48.8566))
+               * pow(sin(radians(2.3522 - ((doc_id * 73 % 36000) / 100.0 - 180.0)) / 2), 2)
+           )) AS dist_km
+    FROM documents)
+  WHERE dist_km <= 6000.0)""",
     )
     o["spell_correct"] = f"""
 WITH toks AS (SELECT * FROM {_TOKS}),

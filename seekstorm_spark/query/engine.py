@@ -845,8 +845,15 @@ def _join_facet_blocks(
         for sb in staged or []:
             if os.path.exists(sb.facets_path):
                 fb = fb.unionByName(spark.read.parquet(sb.facets_path))
-        fb = fb.filter(F.col("facet") == fc).select(
-            "block_id", F.col("fvalues").alias(f"fb_{fc}")
+        # a block can carry SEVERAL facet rows (id_col appends /
+        # staged batches sharing a block, each covering its own docid
+        # slice with missing elsewhere) — collect them into one row so
+        # the join never duplicates posting rows; the kernel overlays
+        # the buffers (non-missing slots are disjoint by construction)
+        fb = (
+            fb.filter(F.col("facet") == fc)
+            .groupBy("block_id")
+            .agg(F.collect_list("fvalues").alias(f"fb_{fc}"))
         )
         rows = rows.join(fb, "block_id", "left")
         extra.append(f"fb_{fc}")
@@ -1071,6 +1078,40 @@ def _make_kernel(
             float(geo["at"][1]),
             float(geo["radius_km"]),
         )
+    # every facet buffer the kernel touches, with its array dtype kind
+    facet_buf_kinds: dict[str, str] = {}
+    for name, spec in (facet_filters_k or {}).items():
+        facet_buf_kinds[f"fb_{name}"] = spec[0]
+    for name in emit_facets or []:
+        facet_buf_kinds[f"fb_{name}"] = kinds.get(name, "string")
+    for name, (kind, _b) in cfacets.items():
+        facet_buf_kinds[f"fb_{name}"] = kind
+    if geo_cfg is not None:
+        facet_buf_kinds[geo_cfg[0]] = "numeric"
+        facet_buf_kinds[geo_cfg[1]] = "numeric"
+
+    def overlay_bufs(buflist, kind: str) -> np.ndarray | None:
+        """Merge a block's facet buffers (one per committed/staged
+        slice; non-missing slots disjoint) into one array."""
+        if buflist is None or len(buflist) == 0:
+            return None
+        dtype = np.uint8 if kind == "string" else np.float64
+        arrs = [np.frombuffer(b, dtype=dtype) for b in buflist]
+        if len(arrs) == 1:
+            return arrs[0]
+        size = max(len(a) for a in arrs)
+        if kind == "string":
+            out = np.full(size, 255, dtype=np.uint8)
+            for a in arrs:
+                m = a != 255
+                out[: len(a)][m] = a[m]
+        else:
+            out = np.full(size, np.nan, dtype=np.float64)
+            for a in arrs:
+                m = ~np.isnan(a)
+                out[: len(a)][m] = a[m]
+        return out
+
     decode_tab = _DECODE_NP.astype(np.float32)
     avgdl32 = np.float32(avgdl)
 
@@ -1130,6 +1171,26 @@ def _make_kernel(
                 if float(rows["block_bound"].iloc[0]) < thr - eps:
                     return
             base = block_id * block_size
+            fbufs = {
+                col: overlay_bufs(rows[col].iloc[0], kind)
+                for col, kind in facet_buf_kinds.items()
+            }
+
+            def fbuf_at(col: str, idx: np.ndarray):
+                """Facet values at local docids, padded with missing
+                when a buffer is shorter than the block's docid range."""
+                fv = fbufs[col]
+                if fv is None:
+                    return None
+                if idx.size and int(idx.max()) >= len(fv):
+                    if fv.dtype == np.uint8:
+                        pad = np.full(int(idx.max()) + 1, 255, dtype=np.uint8)
+                    else:
+                        pad = np.full(int(idx.max()) + 1, np.nan)
+                    pad[: len(fv)] = fv
+                    fv = pad
+                return fv[idx]
+
             # rows grouped by posting term: realtime staged batches can
             # add a second row per (term, field, block) covering a
             # disjoint docid slice — every structure below handles
@@ -1197,16 +1258,13 @@ def _make_kernel(
             # way, search.rs:2543-2726); filtering candidates keeps the
             # block bound admissible (bound ≥ any subset's max score)
             for colname, spec in facet_filters:
-                buf = rows[f"fb_{colname}"].iloc[0]
-                if buf is None:
+                vals = fbuf_at(f"fb_{colname}", cand)
+                if vals is None:
                     return
                 if spec[0] == "numeric":
-                    fv = np.frombuffer(buf, dtype=np.float64)
-                    vals = fv[cand]
                     cand = cand[(vals >= spec[1]) & (vals <= spec[2])]
                 else:
-                    fv = np.frombuffer(buf, dtype=np.uint8)
-                    cand = cand[np.isin(fv[cand], spec[1])]
+                    cand = cand[np.isin(vals, spec[1])]
                 if cand.size == 0:
                     return
 
@@ -1215,12 +1273,10 @@ def _make_kernel(
             # haversine distance, search.rs:2712-2724)
             dists = None
             if geo_cfg is not None:
-                lat_buf = rows[geo_cfg[0]].iloc[0]
-                lon_buf = rows[geo_cfg[1]].iloc[0]
-                if lat_buf is None or lon_buf is None:
+                lat = fbuf_at(geo_cfg[0], cand)
+                lon = fbuf_at(geo_cfg[1], cand)
+                if lat is None or lon is None:
                     return
-                lat = np.frombuffer(lat_buf, dtype=np.float64)[cand]
-                lon = np.frombuffer(lon_buf, dtype=np.float64)[cand]
                 lat0, lon0, radius = geo_cfg[2], geo_cfg[3], geo_cfg[4]
                 a = (
                     np.sin(np.radians(lat0 - lat) / 2.0) ** 2
@@ -1247,14 +1303,12 @@ def _make_kernel(
 
             total_matches += int(cand.size)
             for fc, (kind, bounds) in cfacets.items():
-                buf = rows[f"fb_{fc}"].iloc[0]
-                if buf is None:
+                fv = fbuf_at(f"fb_{fc}", cand)
+                if fv is None:
                     continue
                 if kind == "string":
-                    fv = np.frombuffer(buf, dtype=np.uint8)[cand]
                     facet_tallies[fc] += np.bincount(fv, minlength=256)
                 else:
-                    fv = np.frombuffer(buf, dtype=np.float64)[cand]
                     ok = ~np.isnan(fv) & (fv >= bounds[0])
                     bins = np.searchsorted(bounds, fv[ok], side="right") - 1
                     facet_tallies[fc] += np.bincount(
@@ -1293,21 +1347,15 @@ def _make_kernel(
                         else np.full(cand.size, np.nan)
                     )
                 for colname, kind in emit_cols:
-                    buf = rows[colname].iloc[0]
+                    vals = fbuf_at(colname, cand)
                     if kind == "numeric":
-                        if buf is None:
+                        if vals is None:
                             vals = np.full(cand.size, np.nan)
-                        else:
-                            vals = np.frombuffer(buf, dtype=np.float64)[cand]
                         all_facets[colname].append(vals.astype(np.float64))
                     else:
-                        if buf is None:
-                            vals = np.full(cand.size, 255, dtype=np.int32)
-                        else:
-                            vals = np.frombuffer(buf, dtype=np.uint8)[
-                                cand
-                            ].astype(np.int32)
-                        all_facets[colname].append(vals)
+                        if vals is None:
+                            vals = np.full(cand.size, 255, dtype=np.uint8)
+                        all_facets[colname].append(vals.astype(np.int32))
             else:
                 merge_topk(base + cand, scores)
 

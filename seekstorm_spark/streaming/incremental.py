@@ -161,8 +161,10 @@ def _stage_facet_blocks(
             "faceted index must carry every indexed facet column"
         )
     # validate string-facet values against the frozen dictionaries
+    from seekstorm_spark.index.builder import facet_values
+
     for fc, spec in facet_meta.items():
-        values = spec["values"] if isinstance(spec, dict) else spec
+        values = facet_values(spec)
         if values is None:  # numeric facet: any value encodes
             continue
         known = set(values)

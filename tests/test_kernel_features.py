@@ -1,0 +1,230 @@
+"""Round-3 kernel features: spell/QAC query rewrite inside search(),
+facet counting during the scan, numeric facet filters, and the geo
+radius filter / distance sort over numeric lat/lon facets.
+
+Reference parity targets: SearchRewrite/SearchSuggest
+(`search.rs:1200-1411`), facet counts during result collection
+(`add_result.rs:487-646`, `search.rs:3598-3764`), Point facet geo
+filter + distance comparator (`search.rs:2712-2724`, `min_heap.rs`).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from seekstorm_spark.index.builder import IndexBuilder, assign_docids
+from seekstorm_spark.query.engine import (
+    facet_counts,
+    facet_range_counts,
+    search,
+)
+from seekstorm_spark.query.spell import (
+    build_completion_dictionary,
+    build_spell_dictionary,
+    damerau_levenshtein,
+)
+from seekstorm_spark.sources.webtext import synth_webtext
+
+
+@pytest.fixture(scope="module")
+def geo_store(spark, tmp_path_factory):
+    docs = assign_docids(synth_webtext(spark, 500, seed=5), order_col="url")
+    docs = (
+        docs.withColumn("lat", (F.col("docid") * 37 % 18000) / 100.0 - 90.0)
+        .withColumn("lon", (F.col("docid") * 73 % 36000) / 100.0 - 180.0)
+        .withColumn(
+            "lang",
+            F.element_at(
+                F.array(F.lit("de"), F.lit("en"), F.lit("fr")),
+                (F.col("docid") % 3 + 1).cast("int"),
+            ),
+        )
+        .withColumn("nlen", F.length("text").cast("long"))
+        .cache()
+    )
+    base = tmp_path_factory.mktemp("geo")
+    store = IndexBuilder(
+        spark,
+        str(base / "idx"),
+        n_buckets=8,
+        facet_cols=["lang", "nlen", "lat", "lon"],
+    ).build(docs, text_col="text", id_col="docid")
+    yield store, docs
+    docs.unpersist()
+
+
+def test_damerau_vectors():
+    assert damerau_levenshtein("fsat", "fast") == 1  # transposition
+    assert damerau_levenshtein("tabel", "table") == 1
+    assert damerau_levenshtein("abc", "abc") == 0
+    assert damerau_levenshtein("abc", "ca") == 3  # OSA, not full Damerau
+    assert damerau_levenshtein("kitten", "sitting") == 3
+
+
+def test_spell_rewrite_in_search(spark, geo_store):
+    store, _docs = geo_store
+    build_spell_dictionary(spark, store)
+    good = search(
+        spark, store, "term00000 term00004", default_type="intersection"
+    ).collect()
+    bad = search(
+        spark,
+        store,
+        "temr00000 term00004",  # transposed 'rm' -> damerau distance 1
+        default_type="intersection",
+        rewrite="spell",
+    ).collect()
+    assert [(r["docid"], r["score"]) for r in bad] == [
+        (r["docid"], r["score"]) for r in good
+    ]
+    # without rewrite, the misspelled AND query returns nothing
+    assert (
+        search(
+            spark, store, "temr00000 term00004", default_type="intersection"
+        ).count()
+        == 0
+    )
+
+
+def test_suggest_rewrite_in_search(spark, geo_store):
+    store, _docs = geo_store
+    build_completion_dictionary(spark, store)
+    from seekstorm_spark.query.spell import complete
+
+    top = complete(store, "term0000", k=1)[0][0]
+    direct = search(spark, store, top, default_type="union").collect()
+    sugg = search(
+        spark, store, "term0000", default_type="union", rewrite="suggest"
+    ).collect()
+    assert [(r["docid"], r["score"]) for r in sugg] == [
+        (r["docid"], r["score"]) for r in direct
+    ]
+
+
+def test_facet_counts_match_dataframe(spark, geo_store):
+    store, docs = geo_store
+    got = {
+        (r["value"]): r["n"]
+        for r in facet_counts(spark, store, "term00000", ["lang"]).collect()
+    }
+    from seekstorm_spark.query.dataframe_engine import tokens
+
+    matching = (
+        tokens(docs, docid_col="docid")
+        .filter(F.col("term") == "term00000")
+        .select("docid")
+        .distinct()
+    )
+    want = {
+        r["lang"]: r["n"]
+        for r in docs.join(matching, "docid")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_facet_range_counts_match_dataframe(spark, geo_store):
+    store, docs = geo_store
+    bounds = [0.0, 200.0, 400.0, 800.0]
+    out = facet_range_counts(
+        spark, store, "term00000", {"nlen": bounds}, cumulative=True
+    ).collect()
+    got = {r["bucket_lo"]: (r["n"], r["n_cumulative"]) for r in out}
+    from seekstorm_spark.query.dataframe_engine import tokens
+
+    matching = (
+        tokens(docs, docid_col="docid")
+        .filter(F.col("term") == "term00000")
+        .select("docid")
+        .distinct()
+    )
+    rows = (
+        docs.join(matching, "docid")
+        .withColumn(
+            "bucket_lo",
+            F.when(F.col("nlen") >= 800, 800.0)
+            .when(F.col("nlen") >= 400, 400.0)
+            .when(F.col("nlen") >= 200, 200.0)
+            .otherwise(0.0),
+        )
+        .groupBy("bucket_lo")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("bucket_lo")
+        .collect()
+    )
+    cum = 0
+    for r in rows:
+        cum += r["n"]
+        assert got[r["bucket_lo"]] == (r["n"], cum)
+
+
+def test_numeric_facet_filter(spark, geo_store):
+    store, docs = geo_store
+    hits = search(
+        spark, store, "term00000", top_k=1000, default_type="union",
+        facet_filters={"nlen": (200, 400)},
+    ).collect()
+    lens = {
+        r["docid"]: r["nlen"]
+        for r in docs.select("docid", "nlen").collect()
+    }
+    assert hits
+    assert all(200 <= lens[r["docid"]] <= 400 for r in hits)
+
+
+def test_geo_radius_filter_matches_dataframe(spark, geo_store):
+    store, docs = geo_store
+    from seekstorm_spark.functions.geo import geo_radius_filter
+
+    hits = search(
+        spark, store, "term00000", top_k=1000, default_type="union",
+        geo_filter={
+            "lat": "lat", "lon": "lon", "at": (48.8566, 2.3522),
+            "radius_km": 5000.0,
+        },
+    ).collect()
+    from seekstorm_spark.query.dataframe_engine import tokens
+
+    matching = (
+        tokens(docs, docid_col="docid")
+        .filter(F.col("term") == "term00000")
+        .select("docid")
+        .distinct()
+    )
+    want = {
+        r["docid"]
+        for r in geo_radius_filter(
+            docs.join(matching, "docid"), "lat", "lon", 48.8566, 2.3522, 5000.0
+        ).collect()
+    }
+    assert {r["docid"] for r in hits} == want
+    assert want  # non-trivial
+
+
+def test_geo_distance_sort(spark, geo_store):
+    store, _docs = geo_store
+    out = search(
+        spark, store, "term00000", top_k=10, default_type="union",
+        geo_filter={
+            "lat": "lat", "lon": "lon", "at": (48.8566, 2.3522),
+            "radius_km": 8000.0,
+        },
+        result_sort=[("geo_dist", "asc")],
+    ).collect()
+    dists = [r["geo_dist"] for r in out]
+    assert dists == sorted(dists) and len(dists) == 10
+
+
+def test_empty_plan_result_sort_schema(spark, geo_store):
+    """Round-2 ADVICE low: empty-plan queries with result_sort used to
+    return a schema without the sort facet columns."""
+    store, _docs = geo_store
+    out = search(
+        spark, store, "zzznotaterm", default_type="intersection",
+        result_sort=[("lang", "asc"), ("score", "desc")],
+    )
+    assert out.columns == ["docid", "lang", "score"]
+    assert out.count() == 0
