@@ -235,6 +235,9 @@ def tokenize_to_term_rows(
     cap, reference tokenizer.rs:584-894).
     """
     tokenizer_name = tokenizer
+    # stop_words: one global set, or per-field sets {field_col: set}
+    # (reference per-index stopword lists, index.rs:1238-1256; a field
+    # without an entry keeps every token)
     stops = stop_words
     stem_lang = stemmer
     freq = frequent_terms
@@ -257,6 +260,9 @@ def tokenize_to_term_rows(
         for pdf in batches:
             frames = []
             for fid, fcol in enumerate(field_cols):
+                stops_f = (
+                    stops.get(fcol) if isinstance(stops, dict) else stops
+                )
                 doc_ids: list[int] = []
                 counts: list[int] = []
                 dl_bytes: list[int] = []
@@ -278,8 +284,8 @@ def tokenize_to_term_rows(
                         tokenizer_name,
                         stem_lang,
                     )
-                    if stops:
-                        toks = [t for t in toks if t not in stops]
+                    if stops_f:
+                        toks = [t for t in toks if t not in stops_f]
                     if len(toks) > TOKEN_PER_FIELD_MAX:
                         toks = toks[:TOKEN_PER_FIELD_MAX]
                     doc_ids.append(int(docid))
@@ -1077,7 +1083,29 @@ class IndexBuilder:
             else [],
             "ngram_patterns": list(self.ngram_patterns),
             "synonyms": self.synonyms,
-            "stop_words": sorted(self.stop_words) if self.stop_words else [],
+            # per-field stopword sets (reference index.rs:1238-1256):
+            # the QUERY side drops only terms that are stopwords in
+            # EVERY field — a term kept by any field can still match
+            **(
+                {
+                    "stop_words": sorted(
+                        set.intersection(
+                            *[set(v) for v in self.stop_words.values()]
+                        )
+                        if len(self.stop_words) == len(fields)
+                        else set()
+                    ),
+                    "stop_words_by_field": {
+                        f: sorted(v) for f, v in self.stop_words.items()
+                    },
+                }
+                if isinstance(self.stop_words, dict)
+                else {
+                    "stop_words": sorted(self.stop_words)
+                    if self.stop_words
+                    else []
+                }
+            ),
             "n_docs": n_docs,
             "positions_sum_normalized": pos_sum,
             "avgdl": avgdl,

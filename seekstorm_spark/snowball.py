@@ -1,0 +1,650 @@
+"""Snowball stemmers for German, French and Spanish, implemented from
+the published algorithm descriptions (M.F. Porter's Snowball project,
+snowballstem.org — the same public algorithms rust-stemmers compiles).
+
+The reference engine stems index- and query-side terms through
+rust-stemmers for 38 languages when a stemmer is configured
+(`/root/reference/seekstorm/src/tokenizer.rs:576-592`,
+`index.rs:641-722`). This container has no stemmer package, so the
+highest-traffic European languages are implemented from the specs;
+``stemmer.stem(word, lang)`` dispatches en→Porter (stemmer.py) and
+de/fr/es here. Remaining Snowball languages pass through unchanged
+(documented gap behind the same hook).
+
+All three follow the shared Snowball skeleton: compute R1/R2 (and RV
+for the Romance languages), then apply ordered longest-match suffix
+steps with region conditions.
+"""
+
+from __future__ import annotations
+
+
+def _r1_r2(word: str, vowels: str) -> tuple[int, int]:
+    """Standard Snowball R1/R2 start offsets: R1 = after the first
+    non-vowel following a vowel; R2 = the same, computed inside R1."""
+
+    def after_vc(start: int) -> int:
+        i = start
+        n = len(word)
+        while i < n and word[i] not in vowels:
+            i += 1
+        while i < n and word[i] in vowels:
+            i += 1
+        # word[i] is the first non-vowel after a vowel (or end)
+        return min(i + 1, n) if i < n else n
+
+    r1 = after_vc(0)
+    r2 = after_vc(r1)
+    return r1, r2
+
+
+# ---------------------------------------------------------------------------
+# German
+# ---------------------------------------------------------------------------
+
+_DE_VOWELS = "aeiouyäöü"
+_DE_S_ENDING = frozenset("bdfghklmnrt")
+_DE_ST_ENDING = frozenset("bdfghklmnt")
+
+
+def german_stem(word: str) -> str:
+    w = word.replace("ß", "ss")
+    # u and y between vowels are consonants — mark with uppercase
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if (
+            chars[i] in "uy"
+            and chars[i - 1] in _DE_VOWELS
+            and chars[i + 1] in _DE_VOWELS
+        ):
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    r1, r2 = _r1_r2(w.lower(), _DE_VOWELS)
+    r1 = max(r1, 3)  # R1 begins no earlier than position 3
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # step 1 — longest of: em ern er | e en es | s
+    for suf in ("ern", "em", "er", "en", "es", "e", "s"):
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if suf in ("ern", "em", "er"):
+                if in_r1(pos):
+                    w = w[:pos]
+            elif suf in ("e", "en", "es"):
+                if in_r1(pos):
+                    w = w[:pos]
+                    if w.endswith("niss"):
+                        w = w[:-1]
+            else:  # s
+                if in_r1(pos) and pos > 0 and w[pos - 1] in _DE_S_ENDING:
+                    w = w[:pos]
+            break
+
+    # step 2 — longest of: est en er | st
+    for suf in ("est", "en", "er", "st"):
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if suf == "st":
+                if (
+                    in_r1(pos)
+                    and pos > 0
+                    and w[pos - 1] in _DE_ST_ENDING
+                    and pos - 1 >= 3
+                ):
+                    w = w[:pos]
+            else:
+                if in_r1(pos):
+                    w = w[:pos]
+            break
+
+    # step 3 — d-suffixes
+    for suf in ("isch", "lich", "heit", "keit", "end", "ung", "ig", "ik"):
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if suf in ("end", "ung"):
+                if in_r2(pos):
+                    w = w[:pos]
+                    if w.endswith("ig") and in_r2(len(w) - 2) and (
+                        len(w) < 3 or w[-3] != "e"
+                    ):
+                        w = w[:-2]
+            elif suf in ("ig", "ik", "isch"):
+                if in_r2(pos) and (pos == 0 or w[pos - 1] != "e"):
+                    w = w[:pos]
+            elif suf in ("lich", "heit"):
+                if in_r2(pos):
+                    w = w[:pos]
+                    for pre in ("er", "en"):
+                        if w.endswith(pre) and in_r1(len(w) - 2):
+                            w = w[:-2]
+                            break
+            else:  # keit
+                if in_r2(pos):
+                    w = w[:pos]
+                    if w.endswith("lich") and in_r2(len(w) - 4):
+                        w = w[:-4]
+                    elif w.endswith("ig") and in_r2(len(w) - 2):
+                        w = w[:-2]
+            break
+
+    w = w.lower()
+    return (
+        w.replace("ä", "a").replace("ö", "o").replace("ü", "u")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spanish
+# ---------------------------------------------------------------------------
+
+_ES_VOWELS = "aeiouáéíóúü"
+_ES_ACCENT = str.maketrans("áéíóú", "aeiou")
+
+
+def _es_rv(w: str) -> int:
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _ES_VOWELS:
+        # consonant at position 1: RV after the next vowel
+        i = 2
+        while i < n and w[i] not in _ES_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    if w[0] in _ES_VOWELS and w[1] in _ES_VOWELS:
+        # two vowels: RV after the next consonant
+        i = 2
+        while i < n and w[i] in _ES_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    # consonant-vowel: RV after the third letter
+    return 3
+
+
+_ES_PRON = (
+    "selas", "selos", "sela", "selo", "las", "les", "los", "nos",
+    "me", "se", "la", "le", "lo",
+)
+_ES_PRON_A = ("iéndo", "ándo", "ár", "ér", "ír")
+_ES_PRON_B = ("ando", "iendo", "ar", "er", "ir")
+
+_ES_STEP1_DELETE_R2 = (
+    "amientos", "imientos", "amiento", "imiento", "anzas", "ismos",
+    "ables", "ibles", "istas", "anza", "icos", "icas", "ismo", "able",
+    "ible", "ista", "osos", "osas", "ico", "ica", "oso", "osa",
+)
+_ES_STEP1_ADOR = (
+    "aciones", "adoras", "adores", "ancias", "adora", "ación", "antes",
+    "ancia", "ador", "ante",
+)
+_ES_STEP2B = (
+    "aríamos", "eríamos", "iríamos", "iéramos", "iésemos", "aríais",
+    "aseis", "eríais", "iríais", "ieseis", "asteis", "isteis", "ábamos",
+    "áramos", "ásemos", "arían", "arías", "aréis", "erían", "erías",
+    "eréis", "irían", "irías", "iréis", "ieran", "iesen", "ieron",
+    "iendo", "ieras", "ieses", "abais", "arais", "aseis", "íamos",
+    "arán", "arás", "aría", "erán", "erás", "ería", "irán", "irás",
+    "iría", "iera", "iese", "aste", "iste", "aban", "aran", "asen",
+    "aron", "ando", "abas", "adas", "idas", "aras", "ases", "íais",
+    "ados", "idos", "amos", "imos", "ará", "aré", "erá", "eré", "irá",
+    "iré", "aba", "ada", "ida", "ara", "ase", "ían", "ado", "ido",
+    "ías", "áis", "ía", "ad", "ed", "id", "an", "ió", "ar", "er", "ir",
+    "as", "ís",
+)
+_ES_STEP2B_GU = ("emos", "éis", "en", "es")
+
+
+def spanish_stem(word: str) -> str:
+    w = word
+    rv = _es_rv(w)
+    r1, r2 = _r1_r2(w, _ES_VOWELS)
+
+    def in_rv(pos: int) -> bool:
+        return pos >= rv
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # step 0: attached pronouns
+    for pron in _ES_PRON:
+        if not w.endswith(pron):
+            continue
+        stem_end = len(w) - len(pron)
+        head = w[:stem_end]
+        matched = False
+        for pre in _ES_PRON_A:
+            if head.endswith(pre) and in_rv(len(head) - len(pre)):
+                w = head.translate(_ES_ACCENT)
+                matched = True
+                break
+        if not matched:
+            for pre in _ES_PRON_B:
+                if head.endswith(pre) and in_rv(len(head) - len(pre)):
+                    w = head
+                    matched = True
+                    break
+        if not matched and head.endswith("yendo") and "uyendo" in head[-6:]:
+            w = head
+            matched = True
+        break  # longest pronoun only
+    rv = min(rv, len(w))
+
+    before1 = w
+    # step 1: standard suffixes (longest match)
+    step1_done = False
+    all_s1 = sorted(
+        set(_ES_STEP1_DELETE_R2)
+        | set(_ES_STEP1_ADOR)
+        | {
+            "logías", "logía", "uciones", "ución", "encias", "encia",
+            "amente", "mente", "idades", "idad", "ivas", "ivos", "iva",
+            "ivo",
+        },
+        key=len,
+        reverse=True,
+    )
+    for suf in all_s1:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf in _ES_STEP1_DELETE_R2:
+            if in_r2(pos):
+                w = w[:pos]
+                step1_done = True
+        elif suf in _ES_STEP1_ADOR:
+            if in_r2(pos):
+                w = w[:pos]
+                step1_done = True
+                if w.endswith("ic") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("logía", "logías"):
+            if in_r2(pos):
+                w = w[:pos] + "log"
+                step1_done = True
+        elif suf in ("ución", "uciones"):
+            if in_r2(pos):
+                w = w[:pos] + "u"
+                step1_done = True
+        elif suf in ("encia", "encias"):
+            if in_r2(pos):
+                w = w[:pos] + "ente"
+                step1_done = True
+        elif suf == "amente":
+            if in_r1(pos):
+                w = w[:pos]
+                step1_done = True
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if w.endswith(pre) and in_r2(len(w) - 2):
+                            w = w[:-2]
+                            break
+        elif suf == "mente":
+            if in_r2(pos):
+                w = w[:pos]
+                step1_done = True
+                for pre in ("ante", "able", "ible"):
+                    if w.endswith(pre) and in_r2(len(w) - 4):
+                        w = w[:-4]
+                        break
+        elif suf in ("idad", "idades"):
+            if in_r2(pos):
+                w = w[:pos]
+                step1_done = True
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                        w = w[: -len(pre)]
+                        break
+        elif suf in ("iva", "ivo", "ivas", "ivos"):
+            if in_r2(pos):
+                w = w[:pos]
+                step1_done = True
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        break
+    rv = min(rv, len(w))
+
+    # step 2a: verb suffixes beginning y (only if step 1 removed nothing)
+    if not step1_done:
+        for suf in (
+            "yeron", "yendo", "yamos", "yais", "yan", "yen", "yas",
+            "yes", "ya", "ye", "yo", "yó",
+        ):
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if in_rv(pos) and pos > 0 and w[pos - 1] == "u":
+                    w = w[:pos]
+                    step1_done = True  # a removal happened
+                break
+
+    # step 2b: other verb suffixes
+    if w == before1:
+        for suf in sorted(
+            set(_ES_STEP2B) | set(_ES_STEP2B_GU), key=len, reverse=True
+        ):
+            if not w.endswith(suf):
+                continue
+            pos = len(w) - len(suf)
+            if in_rv(pos):
+                w = w[:pos]
+                if suf in _ES_STEP2B_GU and w.endswith("gu"):
+                    w = w[:-1]
+            break
+    rv = min(rv, len(w))
+
+    # step 3: residual suffix
+    for suf in ("os", "a", "o", "á", "í", "ó", "e", "é"):
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if in_rv(pos):
+                w = w[:pos]
+                if suf in ("e", "é") and w.endswith("gu") and in_rv(len(w) - 1):
+                    w = w[:-1]
+            break
+
+    return w.translate(_ES_ACCENT)
+
+
+# ---------------------------------------------------------------------------
+# French
+# ---------------------------------------------------------------------------
+
+_FR_VOWELS = "aeiouyâàëéêèïîôûù"
+
+
+def _fr_mark(word: str) -> str:
+    chars = list(word)
+    n = len(chars)
+    for i, c in enumerate(chars):
+        if c in "iu" and 0 < i < n - 1:
+            if chars[i - 1] in _FR_VOWELS and chars[i + 1] in _FR_VOWELS:
+                chars[i] = c.upper()
+        if c == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+        if c == "y" and (
+            (i > 0 and chars[i - 1] in _FR_VOWELS)
+            or (i < n - 1 and chars[i + 1] in _FR_VOWELS)
+        ):
+            chars[i] = "Y"
+    return "".join(chars)
+
+
+def _fr_rv(w: str) -> int:
+    n = len(w)
+    lw = w.lower()
+    if n >= 2 and lw[0] in _FR_VOWELS and lw[1] in _FR_VOWELS:
+        return min(3, n)
+    if lw.startswith(("par", "col", "tap")):
+        return min(3, n)
+    # after the first vowel not at the beginning
+    for i in range(1, n):
+        if lw[i] in _FR_VOWELS:
+            return min(i + 1, n)
+    return n
+
+
+_FR_STEP1_R2_DELETE = (
+    "ances", "iqUes", "ismes", "ables", "istes", "ance", "iqUe",
+    "isme", "able", "iste", "eux",
+)
+_FR_STEP1_ATEUR = ("atrices", "ateurs", "ations", "atrice", "ateur", "ation")
+_FR_STEP2A = (
+    "issaIent", "issantes", "iraIent", "issante", "issants", "issions",
+    "irions", "issais", "issait", "issant", "issent", "issiez", "issons",
+    "irais", "irait", "irent", "iriez", "irons", "iront", "isses",
+    "issez", "îmes", "îtes", "irai", "iras", "irez", "isse", "ies",
+    "ira", "ît", "ie", "ir", "is", "it", "i",
+)
+_FR_STEP2B_RV = (
+    "eraIent", "erions", "èrent", "erais", "erait", "eriez", "erons",
+    "eront", "erai", "eras", "erez", "ées", "era", "iez", "ée", "és",
+    "er", "ez", "é",
+)
+_FR_STEP2B_E = (
+    "assions", "assent", "assiez", "aIent", "antes", "asses", "ants",
+    "asse", "âtes", "ante", "ais", "ait", "ant", "âmes", "as", "ât",
+    "ai", "a",
+)
+
+
+def french_stem(word: str) -> str:
+    w = _fr_mark(word)
+    lw = w.lower()
+    rv = _fr_rv(w)
+    r1, r2 = _r1_r2(lw, _FR_VOWELS)
+
+    def in_rv(pos: int) -> bool:
+        return pos >= rv
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    changed = False
+    did_mandatory_2a = False
+
+    # --- step 1: standard suffixes (longest match over the union) ---
+    s1 = sorted(
+        set(_FR_STEP1_R2_DELETE)
+        | set(_FR_STEP1_ATEUR)
+        | {
+            "issements", "issement", "logies", "logie", "usions",
+            "utions", "usion", "ution", "ences", "ence", "ements",
+            "ement", "ités", "ité", "ives", "ifs", "ive", "if", "eaux",
+            "aux", "euses", "euse", "amment", "emment", "ments", "ment",
+        },
+        key=len,
+        reverse=True,
+    )
+    for suf in s1:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf in _FR_STEP1_R2_DELETE:
+            if in_r2(pos):
+                w = w[:pos]
+                changed = True
+        elif suf in _FR_STEP1_ATEUR:
+            if in_r2(pos):
+                w = w[:pos]
+                changed = True
+                if w.endswith("ic"):
+                    if in_r2(len(w) - 2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif suf in ("logie", "logies"):
+            if in_r2(pos):
+                w = w[:pos] + "log"
+                changed = True
+        elif suf in ("usion", "ution", "usions", "utions"):
+            if in_r2(pos):
+                w = w[:pos] + "u"
+                changed = True
+        elif suf in ("ence", "ences"):
+            if in_r2(pos):
+                w = w[:pos] + "ent"
+                changed = True
+        elif suf in ("ement", "ements"):
+            if in_rv(pos):
+                w = w[:pos]
+                changed = True
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                elif w.endswith("eus"):
+                    p = len(w) - 3
+                    if in_r2(p):
+                        w = w[:p]
+                    elif in_r1(p):
+                        w = w[:p] + "eux"
+                elif w.endswith(("abl", "iqU")) and in_r2(len(w) - 3):
+                    w = w[:-3]
+                elif w.lower().endswith("ièr") and in_rv(len(w) - 3):
+                    w = w[:-3] + "i"
+        elif suf in ("ité", "ités"):
+            if in_r2(pos):
+                w = w[:pos]
+                changed = True
+                if w.endswith("abil"):
+                    if in_r2(len(w) - 4):
+                        w = w[:-4]
+                    else:
+                        w = w[:-4] + "abl"
+                elif w.endswith("ic"):
+                    if in_r2(len(w) - 2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+                elif w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("if", "ive", "ifs", "ives"):
+            if in_r2(pos):
+                w = w[:pos]
+                changed = True
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("ic"):
+                        if in_r2(len(w) - 2):
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+        elif suf == "eaux":
+            w = w[:pos] + "eau"
+            changed = True
+        elif suf == "aux":
+            if in_r1(pos):
+                w = w[:pos] + "al"
+                changed = True
+        elif suf in ("euse", "euses"):
+            if in_r2(pos):
+                w = w[:pos]
+                changed = True
+            elif in_r1(pos):
+                w = w[:pos] + "eux"
+                changed = True
+        elif suf in ("issement", "issements"):
+            if in_r1(pos) and pos > 0 and lw[pos - 1] not in _FR_VOWELS:
+                w = w[:pos]
+                changed = True
+        elif suf == "amment":
+            if in_rv(pos):
+                w = w[:pos] + "ant"
+                changed = True
+                did_mandatory_2a = True
+        elif suf == "emment":
+            if in_rv(pos):
+                w = w[:pos] + "ent"
+                changed = True
+                did_mandatory_2a = True
+        elif suf in ("ment", "ments"):
+            if pos > 0 and lw[pos - 1] in _FR_VOWELS and in_rv(pos - 1):
+                w = w[:pos]
+                changed = True
+                did_mandatory_2a = True
+        break
+    lw = w.lower()
+    rv = min(rv, len(w))
+
+    # --- step 2a: verb suffixes beginning i ---
+    step2_changed = False
+    if not changed or did_mandatory_2a:
+        for suf in _FR_STEP2A:
+            if not w.endswith(suf):
+                continue
+            pos = len(w) - len(suf)
+            if in_rv(pos) and pos > 0 and lw[pos - 1] not in _FR_VOWELS \
+                    and in_rv(pos - 1):
+                w = w[:pos]
+                step2_changed = True
+            break
+        # --- step 2b (only if 2a removed nothing) ---
+        if not step2_changed:
+            for suf in sorted(
+                set(_FR_STEP2B_RV) | set(_FR_STEP2B_E) | {"ions"},
+                key=len,
+                reverse=True,
+            ):
+                if not w.endswith(suf):
+                    continue
+                pos = len(w) - len(suf)
+                if suf == "ions":
+                    if in_r2(pos):
+                        w = w[:pos]
+                        step2_changed = True
+                elif suf in _FR_STEP2B_RV:
+                    if in_rv(pos):
+                        w = w[:pos]
+                        step2_changed = True
+                else:
+                    if in_rv(pos):
+                        w = w[:pos]
+                        step2_changed = True
+                        if w.endswith("e") and in_rv(len(w) - 1):
+                            w = w[:-1]
+                break
+        lw = w.lower()
+        rv = min(rv, len(w))
+
+    altered = changed or step2_changed
+    if altered:
+        # step 3
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # step 4
+        if w.endswith("s") and len(w) >= 2 and lw[-2] not in "aiouès":
+            w = w[:-1]
+            lw = w.lower()
+        for suf in ("Ière", "ière", "Ier", "ier", "ion", "e", "ë"):
+            if not w.endswith(suf):
+                continue
+            pos = len(w) - len(suf)
+            if suf == "ion":
+                if in_r2(pos) and pos > 0 and lw[pos - 1] in "st":
+                    w = w[:pos]
+            elif suf in ("ier", "ière", "Ier", "Ière"):
+                if in_rv(pos):
+                    w = w[:pos] + "i"
+            elif suf == "e":
+                if in_rv(pos):
+                    w = w[:pos]
+            else:  # ë
+                if w.lower().endswith("guë") and in_rv(len(w) - 1):
+                    w = w[:-1]
+            break
+
+    # step 5: undouble
+    for end in ("enn", "onn", "ett", "ell", "eill"):
+        if w.lower().endswith(end):
+            w = w[:-1]
+            break
+
+    # step 6: un-accent (é/è before final non-vowel run → e)
+    i = len(w) - 1
+    seen_nonvowel = False
+    while i >= 0:
+        if w[i].lower() in _FR_VOWELS:
+            break
+        seen_nonvowel = True
+        i -= 1
+    if seen_nonvowel and i >= 0 and w[i] in "éè":
+        w = w[:i] + "e" + w[i + 1 :]
+
+    return w.lower()

@@ -240,9 +240,16 @@ def stage_batch(
 
     from seekstorm_spark.index.builder import synonym_map_from_groups
 
+    by_field = meta.get("stop_words_by_field")
+    stops = (
+        {f: frozenset(v) for f, v in by_field.items()}
+        if by_field
+        else (frozenset(meta.get("stop_words") or []) or None)
+    )
     term_rows = tokenize_to_term_rows(
         docs, text_col, meta.get("tokenizer", "unicode_alphanumeric"),
-        frozenset(meta.get("stop_words") or []) or None,
+        stops,
+        fields=meta.get("fields"),
         stemmer=meta.get("stemmer"),
         frequent_terms=frozenset(meta.get("frequent_terms") or []) or None,
         synonym_map=synonym_map_from_groups(meta.get("synonyms") or [])

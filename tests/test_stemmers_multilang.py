@@ -1,0 +1,131 @@
+"""Snowball German/French/Spanish stemmers (from the published specs)
++ per-field stopword lists, end-to-end through index build and query.
+
+Reference: per-index stemmer config over 38 rust-stemmers languages
+(`index.rs:641-722`) and per-index stopword sets (`index.rs:1238-1256`).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from seekstorm_spark.index.builder import IndexBuilder
+from seekstorm_spark.query.engine import search
+from seekstorm_spark.snowball import french_stem, german_stem, spanish_stem
+from seekstorm_spark.stemmer import stem
+
+DE_VECTORS = {
+    "laufen": "lauf",
+    "katzen": "katz",
+    "bücher": "buch",
+    "häuser": "haus",
+    "kindern": "kind",
+    "schönheit": "schonheit",
+    "aufeinander": "aufeinand",
+    "kategorie": "kategori",
+    "verständnisse": "verstandnis",
+    "möglichkeit": "moglich",
+}
+
+ES_VECTORS = {
+    "gatos": "gat",
+    "corriendo": "corr",
+    "rápidamente": "rapid",
+    "comunicación": "comun",
+    "hablaron": "habl",
+    "universidades": "univers",
+    "tecnología": "tecnolog",
+    "cantando": "cant",
+    "librerías": "libr",
+}
+
+FR_VECTORS = {
+    "chevaux": "cheval",
+    "nationale": "national",
+    "rapidement": "rapid",
+    "continuellement": "continuel",
+    "chanterions": "chant",
+    "majestueux": "majestu",
+    "logiciels": "logiciel",
+    "parlaient": "parl",
+}
+
+
+@pytest.mark.parametrize("word,want", sorted(DE_VECTORS.items()))
+def test_german_vectors(word, want):
+    assert german_stem(word) == want
+
+
+@pytest.mark.parametrize("word,want", sorted(ES_VECTORS.items()))
+def test_spanish_vectors(word, want):
+    assert spanish_stem(word) == want
+
+
+@pytest.mark.parametrize("word,want", sorted(FR_VECTORS.items()))
+def test_french_vectors(word, want):
+    assert french_stem(word) == want
+
+
+def test_inflection_classes_collapse():
+    """Inflected forms of one lemma map to one stem — the property
+    retrieval actually needs."""
+    for lang, groups in {
+        "de": [["laufen", "laufe"], ["katze", "katzen"]],
+        "es": [["gato", "gatos", "gata", "gatas"], ["hablar", "hablaron", "hablando"]],
+        "fr": [["chanter", "chantez", "chanterions"], ["national", "nationale", "nationales"]],
+    }.items():
+        for grp in groups:
+            stems = {stem(w, lang) for w in grp}
+            assert len(stems) == 1, (lang, grp, stems)
+
+
+def test_dispatch_passthrough():
+    assert stem("running", "en") == "run"
+    assert stem("katzen", "de") == "katz"
+    assert stem("unknown", "xx") == "unknown"
+
+
+def test_stemmed_index_e2e_de(spark, tmp_path):
+    """German index: a query in one inflection finds docs using
+    another (index- and query-side stemming agree)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "die katzen laufen schnell"),
+            (1, "eine katze läuft"),
+            (2, "hunde bellen laut"),
+        ],
+        "doc_id long, text string",
+    )
+    store = IndexBuilder(
+        spark, str(tmp_path / "de"), n_buckets=4, stemmer="de"
+    ).build(docs, text_col="text", id_col="doc_id")
+    hits = {r["docid"] for r in search(spark, store, "katze").collect()}
+    assert hits == {0, 1}
+    hits = {r["docid"] for r in search(spark, store, "katzen").collect()}
+    assert hits == {0, 1}
+
+
+def test_per_field_stopwords(spark, tmp_path):
+    """Stopwords apply per FIELD: 'alpha' is stopped in body only, so
+    a query for it matches docs that carry it in the title."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha story", "alpha beta gamma"),
+            (1, "other title", "alpha delta"),
+            (2, "plain", "epsilon zeta"),
+        ],
+        "doc_id long, title string, body string",
+    )
+    store = IndexBuilder(
+        spark,
+        str(tmp_path / "pf"),
+        n_buckets=4,
+        fields=["title", "body"],
+        stop_words={"body": frozenset({"alpha"})},
+    ).build(docs, id_col="doc_id")
+    assert store.meta["stop_words_by_field"] == {"body": ["alpha"]}
+    # query-side keeps 'alpha' (it's not a stopword in every field)
+    hits = {r["docid"] for r in search(spark, store, "alpha").collect()}
+    assert hits == {0}  # body occurrences are not indexed; title's is
+    hits = {r["docid"] for r in search(spark, store, "delta").collect()}
+    assert hits == {1}
