@@ -34,11 +34,16 @@ BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "250000"))
 # one) and ~0.89 (quiet). The quantity of interest is the UNLOADED
 # scaling ratio; min-per-level over interleaved pairs is the standard
 # noise-rejection estimator, and extra pairs are added until the
-# estimate stabilizes above target or the cap is hit. All raw walls
-# ship in the JSON.
+# estimate STABILIZES (|Δ| < EFF_DELTA between consecutive pairs —
+# symmetric, independent of any pass target) or the cap is hit. All
+# raw walls and the estimate history ship in the JSON.
 BUILD_REPS = int(os.environ.get("BENCH_BUILD_REPS", "3"))
 MAX_BUILD_REPS = int(os.environ.get("BENCH_MAX_BUILD_REPS", "7"))
-EFF_TARGET = float(os.environ.get("BENCH_EFF_TARGET", "0.8"))
+# stopping is TARGET-INDEPENDENT (round-2 verdict: stopping the moment
+# the estimate crosses a pass threshold is optional-stopping bias):
+# extend rep pairs until the min-based estimate moves < EFF_DELTA
+# between consecutive pairs, in EITHER direction, cap MAX_BUILD_REPS
+EFF_DELTA = float(os.environ.get("BENCH_EFF_DELTA", "0.02"))
 QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
 # Scaling levels: N and 4N cores. This sandbox advertises 32 vCPUs but
 # they are SMT threads on ~16 physical cores — a pure-Python burn test
@@ -162,10 +167,18 @@ def bench_index_build(n_small: int, n_big: int) -> dict:
         return (min(walls["small"]) / min(walls["big"])) / ratio
 
     reps = 0
-    while reps < BUILD_REPS or (eff() < EFF_TARGET and reps < MAX_BUILD_REPS):
+    eff_history: list[float] = []
+    while True:
         walls["small"].append(_one_build(n_small, corpus))
         walls["big"].append(_one_build(n_big, corpus))
         reps += 1
+        eff_history.append(round(eff(), 3))
+        if reps >= MAX_BUILD_REPS:
+            break
+        if reps >= BUILD_REPS and abs(
+            eff_history[-1] - eff_history[-2]
+        ) < EFF_DELTA:
+            break
     out: dict = {}
     for level, n in (("small", n_small), ("big", n_big)):
         dt = min(walls[level])
@@ -177,6 +190,11 @@ def bench_index_build(n_small: int, n_big: int) -> dict:
         }
     out["index_path"] = f"/dev/shm/bench_idx_{n_big}"
     out["rep_pairs"] = reps
+    out["stop_rule"] = (
+        f"min {BUILD_REPS} pairs, extend until |d(eff)| < {EFF_DELTA} "
+        f"between consecutive pairs (cap {MAX_BUILD_REPS})"
+    )
+    out["eff_history"] = eff_history
     out["scaling_efficiency"] = round(eff(), 3)
     return out
 
@@ -256,6 +274,8 @@ def main() -> None:
             "small": build["small"],
             "big": build["big"],
             "rep_pairs": build["rep_pairs"],
+            "stop_rule": build["stop_rule"],
+            "eff_history": build["eff_history"],
             "scaling_efficiency": build["scaling_efficiency"],
         },
         "wand_query": wand,

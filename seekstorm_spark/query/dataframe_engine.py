@@ -82,18 +82,22 @@ def query_term_rows(
     terms: list[str],
     docid_col: str = "doc_id",
     text_col: str = "text",
+    with_positions: bool = False,
 ) -> DataFrame:
     """ONE tokenize pass per query: per doc, a sentinel row
     (term='', tf=0) carrying dl_raw, plus one (term, tf) row per
     matched query term — everything BM25 needs without re-tokenizing
-    the corpus for dl, df and tf separately."""
+    the corpus for dl, df and tf separately. ``with_positions`` adds
+    each matched term's token positions, so phrase adjacency can run
+    from the SAME pass (no second corpus tokenize)."""
     term_set = frozenset(terms)
 
     def _tok(batches):
-        from collections import Counter
+        from collections import defaultdict
 
         for pdf in batches:
             out_doc, out_term, out_dl, out_tf = [], [], [], []
+            out_pos: list[list[int] | None] = []
             for docid, text in zip(pdf[docid_col].values, pdf[text_col].values):
                 toks = tokenize_line(text or "")
                 did = int(docid)
@@ -101,24 +105,31 @@ def query_term_rows(
                 out_term.append("")
                 out_dl.append(len(toks))
                 out_tf.append(0)
-                cnt = Counter(t for t in toks if t in term_set)
-                for t, n in cnt.items():
+                out_pos.append(None)
+                hits: dict[str, list[int]] = defaultdict(list)
+                for i, t in enumerate(toks):
+                    if t in term_set:
+                        hits[t].append(i)
+                for t, plist in hits.items():
                     out_doc.append(did)
                     out_term.append(t)
                     out_dl.append(len(toks))
-                    out_tf.append(n)
-            yield pd.DataFrame(
-                {
-                    "docid": pd.Series(out_doc, dtype="int64"),
-                    "term": out_term,
-                    "dl_raw": pd.Series(out_dl, dtype="int64"),
-                    "tf": pd.Series(out_tf, dtype="int64"),
-                }
-            )
+                    out_tf.append(len(plist))
+                    out_pos.append(plist if with_positions else None)
+            frame = {
+                "docid": pd.Series(out_doc, dtype="int64"),
+                "term": out_term,
+                "dl_raw": pd.Series(out_dl, dtype="int64"),
+                "tf": pd.Series(out_tf, dtype="int64"),
+            }
+            if with_positions:
+                frame["positions"] = out_pos
+            yield pd.DataFrame(frame)
 
-    return docs.select(docid_col, text_col).mapInPandas(
-        _tok, schema="docid long, term string, dl_raw long, tf long"
-    )
+    schema = "docid long, term string, dl_raw long, tf long"
+    if with_positions:
+        schema += ", positions array<int>"
+    return docs.select(docid_col, text_col).mapInPandas(_tok, schema=schema)
 
 
 def bm25_scored(
@@ -250,9 +261,11 @@ def bm25f_scored(
         "left",
     ).select("docid", "field", "dl_q")
 
-    n_docs = docs.count()
-    avgdl = float(
-        dl_q.agg((F.sum("dl_q") / F.lit(float(n_docs))).alias("a")).collect()[0]["a"]
+    # corpus stats as a broadcast 1-row crossJoin — no per-query
+    # driver collects (same shape as the single-field twin)
+    stats = dl_q.agg(
+        F.countDistinct("docid").cast("double").alias("n_docs"),
+        (F.sum("dl_q") / F.countDistinct("docid")).alias("avgdl"),
     )
 
     # df over ANY field (matching is field-unrestricted for idf)
@@ -275,10 +288,11 @@ def bm25f_scored(
     scored = (
         tf_tbl.join(F.broadcast(df_tbl), "term")
         .join(dl_q, ["docid", "field"])
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
             F.log(
-                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5))
                 + F.lit(1.0)
             ),
@@ -293,7 +307,10 @@ def bm25f_scored(
                 / (
                     F.col("tf")
                     + F.lit(K)
-                    * (F.lit(1.0 - B) + F.lit(B) * F.col("dl_q") / F.lit(avgdl))
+                    * (
+                        F.lit(1.0 - B)
+                        + F.lit(B) * F.col("dl_q") / F.col("avgdl")
+                    )
                 )
             ),
         )
@@ -358,13 +375,86 @@ def bm25_phrase_topk(
 ) -> DataFrame:
     """Phrase top-k: adjacency-filtered candidates scored by the
     phrase's component terms (Bm25f + SingleTerm decomposition,
-    reference index.rs:3050-3198)."""
-    matches = phrase_docids(docs, phrase_terms, docid_col, text_col)
-    scored = bm25_scored(
-        spark, docs, phrase_terms, "intersection", None, docid_col, text_col
-    ).join(matches, "docid")
+    reference index.rs:3050-3198).
+
+    ONE corpus tokenize pass: ``query_term_rows`` carries each matched
+    term's positions, scoring and the positional adjacency check both
+    read it — the adjacency predicate is a JVM-side ``exists`` over
+    the per-term position arrays (no second scan, no self-join)."""
+    q = list(dict.fromkeys(phrase_terms))
+    rows = query_term_rows(docs, q, docid_col, text_col, with_positions=True)
+
+    quant = F.broadcast(quantization_table(spark))
+    dl = (
+        rows.filter(F.col("term") == "")
+        .join(
+            quant,
+            (F.col("dl_raw") >= quant.dl_lo) & (F.col("dl_raw") <= quant.dl_hi),
+            "left",
+        )
+        .select("docid", "dl_q")
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl_q") / F.count("*")).alias("avgdl"),
+    )
+    term_rows = rows.filter(F.col("term").isin(q))
+    df_tbl = term_rows.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        term_rows.join(F.broadcast(df_tbl), "term")
+        .join(
+            quant,
+            (F.col("dl_raw") >= quant.dl_lo) & (F.col("dl_raw") <= quant.dl_hi),
+            "left",
+        )
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (
+                F.col("tf")
+                * F.lit(K + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(K)
+                    * (
+                        F.lit(1.0 - B)
+                        + F.lit(B) * F.col("dl_q") / F.col("avgdl")
+                    )
+                )
+            ),
+        )
+    )
+    agg = scored.groupBy("docid").agg(
+        F.sum("contrib").alias("score"),
+        F.countDistinct("term").alias("nm"),
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "positions"))
+        ).alias("pos"),
+    ).filter(F.col("nm") == len(q))
+
+    # positional adjacency: some anchor p in t0's positions has
+    # p+i in ti's positions for every later phrase term
+    def _adjacent(p):
+        cond = None
+        for i, t in enumerate(phrase_terms[1:], start=1):
+            c = F.array_contains(F.col("pos")[F.lit(t)], p + i)
+            cond = c if cond is None else (cond & c)
+        return cond if cond is not None else F.lit(True)
+
+    matched = agg.filter(
+        F.exists(F.col("pos")[F.lit(phrase_terms[0])], _adjacent)
+    )
     return (
-        scored.withColumn("score_r", F.round(F.col("score"), 4))
+        matched.withColumn("score_r", F.round(F.col("score"), 4))
         .orderBy(F.col("score_r").desc(), F.col("docid").asc())
         .limit(top_k)
         .select("docid", F.col("score_r").alias("score"))
