@@ -872,21 +872,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spell_correct"] = spell_correct_q
 
-    def qac_suggest(s: SparkSession, d: str) -> DataFrame:
-        from seekstorm_spark.query.spell import (
-            build_completion_dictionary,
-            complete,
-            has_completions,
-        )
+    def _ensure_bigram_completions(s: SparkSession, d: str):
+        """Completion dictionary with tokenizer_lite MULTI-GRAMS
+        (reference tokenizer.rs:1393-1668) — built once per store."""
+        import os
+
+        from seekstorm_spark.query.spell import build_completion_dictionary
 
         store = _wand_store(s, d)
-        if not has_completions(store):
-            build_completion_dictionary(s, store)
+        marker = os.path.join(store.path, "completions", "_BIGRAMS")
+        if not os.path.exists(marker):
+            build_completion_dictionary(s, store, docs=_docs(s, d))
+            with open(marker, "w") as f:
+                f.write("1")
+        return store
+
+    def qac_suggest(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.spell import complete
+
+        store = _ensure_bigram_completions(s, d)
         sugg = complete(store, "st", k=5)
         rows = [(i + 1, t) for i, (t, _df) in enumerate(sugg)]
         return s.createDataFrame(rows, "rank long, term string")
 
     q["qac_suggest"] = qac_suggest
+
+    def qac_suggest_bigram(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.spell import complete
+
+        store = _ensure_bigram_completions(s, d)
+        sugg = complete(store, "fast t", k=5)
+        rows = [(i + 1, t) for i, (t, _df) in enumerate(sugg)]
+        return s.createDataFrame(rows, "rank long, term string")
+
+    q["qac_suggest_bigram"] = qac_suggest_bigram
 
     # index-time synonym expansion (multi-way fast<->stream; reference
     # Synonym struct index.rs:1077-1098, expansion index.rs:5869-5897)
@@ -1427,13 +1446,31 @@ SELECT w.word, r.term AS correction
 FROM words w LEFT JOIN rnk r ON r.word = w.word AND r.rn = 1
 ORDER BY w.word
 """
-    o["qac_suggest"] = f"""
+    # QAC dictionary = unigrams + tokenizer_lite bigrams ("a b"
+    # strings, df = docs containing the adjacency)
+    _qac_dict = f"""
 WITH toks AS (SELECT * FROM {_TOKS}),
-dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
-SELECT row_number() OVER (ORDER BY df DESC, term ASC) AS rank, term
+big AS (SELECT DISTINCT t0.doc_id, t0.term || ' ' || t1.term AS term
+        FROM toks t0 JOIN toks t1
+          ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1),
+uni AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+bdf AS (SELECT term, count(*) AS df FROM big GROUP BY 1),
+dict AS (SELECT * FROM uni UNION ALL SELECT * FROM bdf)
+"""
+    o["qac_suggest"] = (
+        _qac_dict
+        + """SELECT row_number() OVER (ORDER BY df DESC, term ASC) AS rank, term
 FROM dict WHERE term LIKE 'st%'
 ORDER BY df DESC, term ASC LIMIT 5
 """
+    )
+    o["qac_suggest_bigram"] = (
+        _qac_dict
+        + """SELECT row_number() OVER (ORDER BY df DESC, term ASC) AS rank, term
+FROM dict WHERE term LIKE 'fast t%'
+ORDER BY df DESC, term ASC LIMIT 5
+"""
+    )
 
     # synonym expansion: the effective token stream is the original
     # plus a swapped copy of every fast/stream occurrence

@@ -203,10 +203,20 @@ def spell_correct(
 
 
 def build_completion_dictionary(
-    spark: SparkSession, store: IndexStore, top_k: int = QAC_TOP_K
+    spark: SparkSession,
+    store: IndexStore,
+    top_k: int = QAC_TOP_K,
+    docs: DataFrame | None = None,
+    text_col: str = "text",
 ) -> None:
     """Prefix → top-k (term, df) suggestions, df desc / term asc (the
-    reference's completion dictionary, commit.rs:417-426)."""
+    reference's completion dictionary, commit.rs:417-426).
+
+    With ``docs``, suggestions also include MULTI-GRAMS: adjacent word
+    pairs tokenized operator-free (``tokenizer.tokenize_lite`` — the
+    reference indexes its QAC dictionary through tokenizer_lite,
+    tokenizer.rs:1393-1668), ranked by the number of docs containing
+    the adjacency — so the prefix "fast t" completes to "fast table"."""
     from pyspark.sql.window import Window
 
     ts = (
@@ -215,6 +225,34 @@ def build_completion_dictionary(
         .groupBy("term")
         .agg(F.sum("df").cast("long").alias("df"))
     )
+    if docs is not None:
+        tokenizer_name = store.meta.get("tokenizer", "unicode_alphanumeric")
+
+        def _bigrams(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from seekstorm_spark.tokenizer import tokenize_lite
+
+            for pdf in batches:
+                out: list[str] = []
+                for text in pdf[text_col].values:
+                    toks = tokenize_lite(
+                        text if isinstance(text, str) else "", tokenizer_name
+                    )
+                    # distinct per doc → count(*) is a document frequency
+                    out.extend(
+                        {
+                            toks[i] + " " + toks[i + 1]
+                            for i in range(len(toks) - 1)
+                        }
+                    )
+                yield pd.DataFrame({"term": out})
+
+        bigrams = (
+            docs.select(text_col)
+            .mapInPandas(_bigrams, schema="term string")
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("df"))
+        )
+        ts = ts.unionByName(bigrams)
     prefixes = ts.select(
         F.explode(
             F.transform(

@@ -109,6 +109,15 @@ def tokenize_line(
         toks = _RE_UNICODE_ALNUM.findall(text.lower())
     elif tokenizer == "unicode_alphanumeric_folded":
         toks = _RE_UNICODE_ALNUM.findall(fold_text(text))
+    elif tokenizer == "unicode_alphanumeric_zh":
+        # CJK runs dictionary-segmented (bundled frequency dictionary;
+        # reference UnicodeAlphanumericZH + word_segmentation.rs), the
+        # rest through the default tokenizer. Custom dictionaries go
+        # through word_segmentation.segment_udf instead.
+        from seekstorm_spark.word_segmentation import tokenize_mixed
+        from seekstorm_spark.zh_dictionary import BUILTIN_ZH_DICTIONARY
+
+        toks = tokenize_mixed(text, BUILTIN_ZH_DICTIONARY)
     elif tokenizer == "ascii_alphabetic":
         toks = _RE_ASCII_ALPHA.findall(ascii_lowercase(text))
     elif tokenizer == "whitespace":
@@ -148,6 +157,16 @@ def tokenize_doc(
         if position >= TOKEN_PER_FIELD_MAX:
             break
     return terms, position
+
+
+def tokenize_lite(
+    text: str, tokenizer: str = "unicode_alphanumeric"
+) -> list[str]:
+    """Operator-free tokenization for the QAC/spell pipelines
+    (reference tokenizer_lite, tokenizer.rs:1393-1668): ``+ - \"`` are
+    payload, never operators — a user typing ``+fast ta`` into a
+    suggest box is completing the words, not issuing operators."""
+    return tokenize_line(text.replace('"', " "), tokenizer)
 
 
 @dataclass
