@@ -1180,6 +1180,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle recomputes the same buckets in SQL)
     q["ann_lsh_topk"] = ann_lsh
 
+    # k-medoid IVF ANN (reference clustering.rs cells +
+    # vector_similarity.rs nprobe): medoid training is ITERATIVE, not
+    # SQL-expressible, so this row is rows-only (no oracle_sql entry);
+    # the recall/pruning/determinism gates live in tests/test_ivf.py
+    def ann_ivf(s: SparkSession, d: str) -> DataFrame:
+        import os
+
+        from seekstorm_spark.functions.simsearch import IvfIndex
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_ivf_idx_{name}"
+        if os.path.exists(os.path.join(path, "meta.json")):
+            idx = IvfIndex.open(path)
+        else:
+            idx = IvfIndex.build(
+                s, _emb(s, d).filter(F.col("vec_id") != 0), path, n_cells=8
+            )
+        return idx.search(s, ann_query_vec(s, d), k=10, n_probe=3)
+
+    q["ann_ivf_topk"] = ann_ivf
+
     # --- geo radius (reference geo_search.rs:128-144: Morton-range
     # prefilter + exact haversine post-filter). Coordinates derived
     # deterministically from doc_id on both sides. ---

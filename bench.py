@@ -54,15 +54,41 @@ QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
 SMALL_CORES = int(os.environ.get("BENCH_SMALL_CORES", "2"))
 BIG_CORES = SMALL_CORES * 4
 
+# (label, query, default_type, extra search kwargs). The ngram3 pair
+# measures the SAME 3-frequent-term phrase through the trigram posting
+# vs the positional path on the same index (greedy trigram-first
+# rewrite, reference index.rs:1833-1872).
 WAND_QUERIES = [
-    ("term00000 term00010", "intersection"),
-    ("term00003 term00007 term00012", "intersection"),
-    ("term00005 term00020", "union"),
-    ("term00001 term00002 term00040", "union"),
-    ('"term00000 term00001"', "union"),
-    ("term00042", "union"),
-    ("term00000 -term00017", "union"),
-    ("term00100 term00200", "intersection"),
+    ("int:term00000 term00010", "term00000 term00010", "intersection", {}),
+    (
+        "int:term00003 term00007 term00012",
+        "term00003 term00007 term00012",
+        "intersection",
+        {},
+    ),
+    ("uni:term00005 term00020", "term00005 term00020", "union", {}),
+    (
+        "uni:term00001 term00002 term00040",
+        "term00001 term00002 term00040",
+        "union",
+        {},
+    ),
+    ('uni:"term00000 term00001"', '"term00000 term00001"', "union", {}),
+    ("uni:term00042", "term00042", "union", {}),
+    ("uni:term00000 -term00017", "term00000 -term00017", "union", {}),
+    ("int:term00100 term00200", "term00100 term00200", "intersection", {}),
+    (
+        "phrase3:ngram",
+        '"term00000 term00001 term00002"',
+        "union",
+        {},
+    ),
+    (
+        "phrase3:positional",
+        '"term00000 term00001 term00002"',
+        "union",
+        {"ngram_rewrite": False},
+    ),
 ]
 
 
@@ -216,13 +242,15 @@ def bench_wand_queries(index_path: str, cores: int) -> dict:
         lat: dict[str, float] = {}
         # warm-up (JVM + parquet footers + Python workers)
         search(spark, store, "term00042", top_k=10).collect()
-        for q, dt_ in WAND_QUERIES:
+        for label, q, dt_, kw in WAND_QUERIES:
             times = []
             for _ in range(QUERY_REPS):
                 t0 = time.time()
-                search(spark, store, q, top_k=10, default_type=dt_).collect()
+                search(
+                    spark, store, q, top_k=10, default_type=dt_, **kw
+                ).collect()
                 times.append(time.time() - t0)
-            lat[f"{dt_[:3]}:{q}"] = round(min(times), 3)
+            lat[label] = round(min(times), 3)
         p50 = statistics.median(lat.values())
         return {"per_query_s": lat, "p50_s": round(p50, 3)}
     finally:

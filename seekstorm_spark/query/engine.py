@@ -261,6 +261,7 @@ def _plan(
     default_type: str,
     staged: list | None = None,
     rewrite: str | None = None,
+    ngram_rewrite: bool = True,
 ) -> QueryPlan:
     meta = store.meta
     stop_words = frozenset(meta.get("stop_words") or []) or None
@@ -317,7 +318,8 @@ def _plan(
     units = None
     unit_parts: dict[str, list[str]] = {}
     if (
-        pq.query_type == "phrase"
+        ngram_rewrite
+        and pq.query_type == "phrase"
         and patterns
         and len(phrase) >= 2
         and [off for _t, off in phrase] == list(range(len(phrase)))
@@ -470,6 +472,7 @@ def search(
     staged: list | None = None,
     rewrite: str | None = None,
     geo_filter: dict | None = None,
+    ngram_rewrite: bool = True,
 ) -> DataFrame:
     """Top-k BM25(F) search → DataFrame(docid[, sort facets…], score),
     score f32. ``prune=False`` disables the WAND threshold (used to
@@ -498,7 +501,10 @@ def search(
     )
     if want_dist and not geo_filter:
         raise ValueError("sorting by geo_dist requires geo_filter")
-    plan = _plan(spark, store, query, default_type, staged, rewrite)
+    plan = _plan(
+        spark, store, query, default_type, staged, rewrite,
+        ngram_rewrite=ngram_rewrite,
+    )
     if plan.missing_required or not plan.pos_terms:
         if result_sort:
             return _empty_result(spark, emit_facets, kinds, want_dist)

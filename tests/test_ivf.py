@@ -1,0 +1,60 @@
+"""k-medoid IVF ANN index (reference clustering.rs cells +
+vector_similarity.rs nprobe search): recall gate vs exact cosine,
+cell-partition pruning, deterministic training."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from seekstorm_spark.functions.simsearch import (
+    IvfIndex,
+    cosine_topk,
+    kmedoids_cosine,
+)
+
+
+def test_kmedoids_deterministic_and_clusters():
+    rng = np.random.default_rng(3)
+    # three well-separated direction clusters
+    centers = np.eye(3)
+    pts = np.concatenate(
+        [c + 0.05 * rng.standard_normal((50, 3)) for c in centers]
+    )
+    m1 = kmedoids_cosine(pts, 3)
+    m2 = kmedoids_cosine(pts, 3)
+    assert np.array_equal(m1, m2)  # no RNG anywhere
+    # each medoid aligns with one distinct center
+    owners = {int(np.argmax(centers @ m)) for m in m1}
+    assert owners == {0, 1, 2}
+
+
+def test_ivf_recall_and_partition_pruning(spark, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((500, 64))
+    q = rng.standard_normal(64)
+    for i in range(15):  # plant near-duplicates of the query
+        base[i] = q + 0.05 * rng.standard_normal(64)
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = [float(x) for x in q]
+
+    idx = IvfIndex.build(spark, df, str(tmp_path / "ivf"), n_cells=8)
+    exact = {r["vec_id"] for r in cosine_topk(df, qv, k=10).collect()}
+    approx_df = idx.search(spark, qv, k=10, n_probe=3)
+    approx = {r["vec_id"] for r in approx_df.collect()}
+    assert len(exact & approx) / 10 >= 0.9
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        approx_df.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cid" in plan
+
+    # reopen round-trips medoids exactly
+    idx2 = IvfIndex.open(str(tmp_path / "ivf"))
+    assert np.array_equal(idx.medoids, idx2.medoids)
+    again = {r["vec_id"] for r in idx2.search(spark, qv, k=10, n_probe=3).collect()}
+    assert again == approx
