@@ -851,6 +851,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_geo_radius"] = wand_geo_radius
 
+    # delete-by-query (reference delete_documents_by_query,
+    # api_endpoints.rs): matching docids stream into the delete set as
+    # a distributed write; subsequent searches exclude them. Own store
+    # (the delete set must not leak into the other wand rows); re-runs
+    # re-delete the same set — idempotent results.
+    def wand_delete_by_query(s: SparkSession, d: str) -> DataFrame:
+        import json
+        import os
+
+        from seekstorm_spark.index.builder import (
+            INDEX_FORMAT_VERSION,
+            IndexBuilder,
+        )
+        from seekstorm_spark.index.store import IndexStore
+        from seekstorm_spark.query.engine import delete_by_query, search
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_wanddel_idx_{name}"
+        meta = os.path.join(path, "meta.json")
+        store = None
+        if os.path.exists(meta):
+            with open(meta) as f:
+                m = json.load(f)
+            if m.get("complete") and m.get("version") == INDEX_FORMAT_VERSION:
+                store = IndexStore.open(path)
+        if store is None:
+            store = IndexBuilder(s, path, n_buckets=8).build(
+                _docs(s, d), text_col="text", id_col="doc_id"
+            )
+        delete_by_query(s, store, "dup", "union")
+        out = search(s, store, "fast table", top_k=10, default_type="union")
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 4).alias("score")
+        )
+
+    q["wand_delete_by_query"] = wand_delete_by_query
+
     # spell correction (SymSpell delete-neighborhood + Levenshtein
     # verify; reference search.rs:1200-1411, commit.rs:428-448) and
     # query autocomplete (completion dictionary, commit.rs:417-426)
@@ -1429,6 +1466,18 @@ SELECT 'n_chars' AS facet, bucket_lo, n,
          AS n_cumulative
 FROM base
 """
+    # delete-by-query: docs containing 'dup' are deleted, then scored
+    # search over the survivors. Stats (df/avgdl/N) stay the PRE-delete
+    # corpus values — lazy deletion filters results, not statistics
+    # (compaction is what recomputes stats).
+    o["wand_delete_by_query"] = _wand_bm25_sql(
+        ["fast", "table"],
+        "union",
+        extra_where=(
+            "docid NOT IN (SELECT DISTINCT doc_id FROM toks "
+            "WHERE term = 'dup')"
+        ),
+    )
     o["wand_numeric_facet_filter"] = _wand_bm25_sql(
         ["fast", "table"],
         "union",

@@ -797,6 +797,58 @@ def delete_documents(
     df = spark.createDataFrame([(int(d),) for d in docids], "docid long")
     mode = "append" if os.path.exists(store.deletes_path) else "overwrite"
     df.write.mode(mode).parquet(store.deletes_path)
+    invalidate_term_stats_cache(store.path)
+
+
+def match_docids(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    default_type: str = "union",
+    staged: list | None = None,
+) -> DataFrame:
+    """ALL matching docids as a DataFrame (no top-k, no sort) — the
+    distributed primitive behind delete-by-query and bulk exports.
+    Runs the kernel in emit-all mode with pruning off."""
+    staged = list(staged) if staged else None
+    plan = _plan(spark, store, query, default_type, staged)
+    if plan.missing_required or not plan.pos_terms:
+        return spark.createDataFrame([], "docid long")
+    boosts, allowed = _resolve_fields(store, None, None)
+    _n, avgdl = _effective_stats(store, staged)
+    rows = _annotated_postings(
+        spark, store, plan, boosts, allowed, staged=staged, avgdl=avgdl
+    )
+    kernel = _make_kernel(
+        plan, 0, False, avgdl, emit_all=True,
+        block_size=int(store.meta.get("block_size", ROARING_BLOCK_SIZE)),
+        deletes=_load_delete_set(spark, store),
+    )
+    return (
+        rows.sortWithinPartitions(
+            F.col("block_bound").desc(), "block_id", "term", "field"
+        )
+        .mapInPandas(kernel, schema=RESULT_SCHEMA)
+        .select("docid")
+    )
+
+
+def delete_by_query(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    default_type: str = "union",
+) -> None:
+    """Delete every doc matching ``query`` (reference
+    delete_documents_by_query, api_endpoints.rs): the matching docids
+    flow straight into the delete set as a distributed write — no
+    driver-side collect."""
+    import os
+
+    matches = match_docids(spark, store, query, default_type)
+    mode = "append" if os.path.exists(store.deletes_path) else "overwrite"
+    matches.write.mode(mode).parquet(store.deletes_path)
+    invalidate_term_stats_cache(store.path)
 
 
 def _load_delete_set(spark: SparkSession, store: IndexStore) -> np.ndarray:

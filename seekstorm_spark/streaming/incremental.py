@@ -198,6 +198,7 @@ def stage_batch(
     text_col: str = "text",
     batch_id: int | None = None,
     id_col: str | None = None,
+    min_next_docid: int | None = None,
 ) -> StagedBatch | None:
     """Tokenize + write one micro-batch to the staging area (realtime
     level-0). Returns None when ``batch_id`` was already applied.
@@ -213,10 +214,18 @@ def stage_batch(
     if batch_id is not None and batch_id in (meta.get("applied_batches") or []):
         return None
     bs = int(meta.get("block_size", ROARING_BLOCK_SIZE))
-    nd = int(meta.get("next_docid", 0))
+    # min_next_docid lets a caller chain MULTIPLE uncommitted staged
+    # batches (each next batch starts after the previous staged one)
+    nd = max(int(meta.get("next_docid", 0)), int(min_next_docid or 0))
 
     from seekstorm_spark.index.builder import assign_docids
 
+    if id_col is None and "docid" in batch_docs.columns:
+        raise ValueError(
+            "batch already carries a 'docid' column; pass id_col='docid' "
+            "to use it as the index docid, or drop/rename it so the "
+            "engine can assign block-aligned ids"
+        )
     if id_col is not None:
         docs = batch_docs.withColumn("docid", F.col(id_col).cast("long"))
         ids = docs.agg(
@@ -379,6 +388,95 @@ def append_batch(
     if staged is None:
         return store
     return commit_batch(spark, store, staged)
+
+
+def update_documents(
+    spark: SparkSession,
+    store: IndexStore,
+    batch_docs: DataFrame,
+    old_docids: list[int],
+    text_col: str = "text",
+    batch_id: int | None = None,
+) -> IndexStore:
+    """Update = delete the old versions + index the new contents at
+    fresh block-aligned docids (the reference's update_document is the
+    same delete + re-add, api_endpoints.rs; postings are immutable).
+    The old docids land in the delete set; ``compact`` reclaims them."""
+    from seekstorm_spark.query.engine import delete_documents
+
+    store = append_batch(spark, store, batch_docs, text_col, batch_id)
+    delete_documents(spark, store, old_docids)
+    return store
+
+
+class RealtimeIndexer:
+    """Reference-style realtime indexing session
+    (`realtime_search.rs:921-2095` + the 64k auto-commit,
+    `index.rs:5513-5521`): ``add_documents`` stages a batch that is
+    searchable IMMEDIATELY via :meth:`search`; staged batches chain
+    docid ranges and auto-commit once ``commit_every`` docs are
+    pending (or on an explicit :meth:`commit`)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: IndexStore,
+        text_col: str = "text",
+        commit_every: int = ROARING_BLOCK_SIZE,
+        id_col: str | None = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.text_col = text_col
+        self.id_col = id_col
+        self.commit_every = int(commit_every)
+        self.staged: list[StagedBatch] = []
+        self._pending = 0
+        applied = store.meta.get("applied_batches") or []
+        self._next_batch_id = (max(applied) + 1) if applied else 0
+
+    def add_documents(self, batch_docs: DataFrame) -> None:
+        staged = stage_batch(
+            self.spark,
+            self.store,
+            batch_docs,
+            self.text_col,
+            batch_id=self._next_batch_id,
+            id_col=self.id_col,
+            min_next_docid=self.staged[-1].next_docid if self.staged else None,
+        )
+        self._next_batch_id += 1
+        if staged is None:
+            return
+        self.staged.append(staged)
+        self._pending += staged.batch_n
+        if self._pending >= self.commit_every:
+            self.commit()
+
+    def search(self, query: str, **kwargs):
+        """Search committed levels PLUS every uncommitted staged batch
+        (realtime level-0)."""
+        from seekstorm_spark.query.engine import search
+
+        return search(
+            self.spark, self.store, query, staged=self.staged or None,
+            **kwargs,
+        )
+
+    def count(self, query: str, default_type: str = "union") -> int:
+        from seekstorm_spark.query.engine import count_matches
+
+        return count_matches(
+            self.spark, self.store, query, default_type,
+            staged=self.staged or None,
+        )
+
+    def commit(self) -> IndexStore:
+        for staged in self.staged:
+            self.store = commit_batch(self.spark, self.store, staged)
+        self.staged = []
+        self._pending = 0
+        return self.store
 
 
 def start_incremental_indexing(

@@ -188,3 +188,78 @@ def test_faceted_append_rejects_new_dictionary_values(spark, tmp_path):
         append_batch(spark, store, bad, batch_id=9, id_col="docid")
     # nothing promoted: original results intact
     assert store.meta.get("applied_batches") in (None, [],)
+
+
+def test_realtime_indexer_multi_batch_and_autocommit(spark, tmp_path):
+    """RealtimeIndexer: several uncommitted batches chain docid ranges,
+    are all searchable pre-commit, and auto-commit at the threshold."""
+    from seekstorm_spark.index.builder import IndexBuilder
+    from seekstorm_spark.streaming.incremental import RealtimeIndexer
+
+    docs = synth_webtext(spark, 300, seed=21)
+    from seekstorm_spark.index.builder import assign_docids
+
+    docs = assign_docids(docs, order_col="url").cache()
+    store = IndexBuilder(spark, str(tmp_path / "rt2"), n_buckets=8).build(
+        docs.filter(F.col("docid") < 100), text_col="text", id_col="docid"
+    )
+    rti = RealtimeIndexer(spark, store, commit_every=10_000)
+    rti.add_documents(
+        docs.filter((F.col("docid") >= 100) & (F.col("docid") < 200)).select(
+            "url", "text"
+        )
+    )
+    rti.add_documents(docs.filter(F.col("docid") >= 200).select("url", "text"))
+    assert len(rti.staged) == 2
+    # distinct staged batches occupy distinct block-aligned ranges
+    b0, b1 = rti.staged
+    assert b1.next_docid > b0.next_docid
+
+    full = IndexBuilder(spark, str(tmp_path / "full3"), n_buckets=8).build(
+        docs, text_col="text", id_col="docid"
+    )
+    q = "term00000 term00002"
+    pre = rti.count(q, "intersection")
+    want = count_matches(spark, full, q, "intersection")
+    assert pre == want
+
+    # low threshold forces auto-commit on the next add
+    rti.commit_every = 1
+    extra = synth_webtext(spark, 20, seed=99).select("url", "text")
+    rti.add_documents(extra)
+    assert rti.staged == []  # auto-committed
+    # committed store (no staged) now answers with the extra docs too
+    post = count_matches(spark, rti.store, q, "intersection")
+    assert want <= post <= want + 20 and rti.count(q, "intersection") == post
+
+
+def test_update_documents_and_delete_by_query(spark, tmp_path):
+    from seekstorm_spark.index.builder import IndexBuilder
+    from seekstorm_spark.query.engine import delete_by_query, search
+    from seekstorm_spark.streaming.incremental import update_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha delta"),
+            (2, "epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    store = IndexBuilder(spark, str(tmp_path / "upd"), n_buckets=4).build(
+        docs, text_col="text", id_col="doc_id"
+    )
+    # update doc 1: new content, old version deleted
+    new = spark.createDataFrame([("alpha omega",)], "text string")
+    update_documents(spark, store, new, old_docids=[1], batch_id=50)
+    hits = {r["docid"] for r in search(spark, store, "omega").collect()}
+    assert len(hits) == 1 and 1 not in hits
+    hits = {r["docid"] for r in search(spark, store, "delta").collect()}
+    assert hits == set()  # old version gone
+    hits = {r["docid"] for r in search(spark, store, "alpha").collect()}
+    assert 0 in hits and 1 not in hits and len(hits) == 2
+
+    # delete-by-query: every doc matching 'alpha' disappears
+    delete_by_query(spark, store, "alpha")
+    assert search(spark, store, "alpha").count() == 0
+    assert {r["docid"] for r in search(spark, store, "zeta").collect()} == {2}
