@@ -888,6 +888,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_delete_by_query"] = wand_delete_by_query
 
+    # StringSet (multi-value) facets in the kernel: per-block CSR
+    # arrays; filter = doc matches if ANY of its values is allowed;
+    # counting = one count per (matching doc, distinct value)
+    # (reference StringSet facet type, search.rs:2543-2726)
+    def _wandset_store(s: SparkSession, d: str):
+        import json
+        import os
+
+        from seekstorm_spark.index.builder import (
+            INDEX_FORMAT_VERSION,
+            IndexBuilder,
+        )
+        from seekstorm_spark.index.store import IndexStore
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_wandset_idx_{name}"
+        meta = os.path.join(path, "meta.json")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                m = json.load(f)
+            if m.get("complete") and m.get("version") == INDEX_FORMAT_VERSION \
+                    and (m.get("facets") or {}).get("tags", {}).get("type") == "string_set":
+                return IndexStore.open(path)
+        docs = _docs(s, d).withColumn(
+            "tags",
+            F.array(
+                F.concat(F.lit("t"), (F.col("doc_id") % 5).cast("string")),
+                F.concat(
+                    F.lit("t"), ((F.col("doc_id") * 7) % 5).cast("string")
+                ),
+            ),
+        )
+        return IndexBuilder(
+            s, path, n_buckets=8, facet_cols=["tags"]
+        ).build(docs, text_col="text", id_col="doc_id")
+
+    def wand_facet_set_filter(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import search
+
+        store = _wandset_store(s, d)
+        out = search(
+            s, store, "fast table", top_k=10, default_type="union",
+            facet_filters={"tags": ["t1"]},
+        )
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 4).alias("score")
+        )
+
+    q["wand_facet_set_filter"] = wand_facet_set_filter
+
+    def wand_facet_set_count(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import facet_counts
+
+        store = _wandset_store(s, d)
+        return facet_counts(s, store, "fast", ["tags"]).select(
+            "facet", "value", F.col("n").cast("long").alias("n")
+        )
+
+    q["wand_facet_set_count"] = wand_facet_set_count
+
     # spell correction (SymSpell delete-neighborhood + Levenshtein
     # verify; reference search.rs:1200-1411, commit.rs:428-448) and
     # query autocomplete (completion dictionary, commit.rs:417-426)
@@ -1478,6 +1538,24 @@ FROM base
             "WHERE term = 'dup')"
         ),
     )
+    o["wand_facet_set_filter"] = _wand_bm25_sql(
+        ["fast", "table"],
+        "union",
+        extra_where=(
+            "docid IN (SELECT doc_id FROM documents "
+            "WHERE doc_id % 5 = 1 OR (doc_id * 7) % 5 = 1)"
+        ),
+    )
+    o["wand_facet_set_count"] = f"""
+SELECT 'tags' AS facet, tag AS value, count(*)::BIGINT AS n
+FROM (
+  SELECT doc_id, unnest(list_distinct(
+           ['t' || (doc_id % 5)::VARCHAR,
+            't' || ((doc_id * 7) % 5)::VARCHAR])) AS tag
+  FROM documents
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM {_TOKS} WHERE term = 'fast'))
+GROUP BY tag
+"""
     o["wand_numeric_facet_filter"] = _wand_bm25_sql(
         ["fast", "table"],
         "union",

@@ -637,7 +637,7 @@ def build_posting_blocks(
     )
 
 
-FACET_MISSING = 255  # string-facet byte for null/unknown
+FACET_MISSING = 255  # u8 string-facet code for null/unknown
 
 
 def facet_values(spec) -> list[str] | None:
@@ -647,6 +647,67 @@ def facet_values(spec) -> list[str] | None:
     if isinstance(spec, dict):
         return spec.get("values")
     return list(spec)
+
+
+def facet_kind(spec) -> str:
+    """"string" | "string_set" | "numeric" for a facet spec."""
+    if isinstance(spec, dict):
+        return spec.get("type", "string")
+    return "string"
+
+
+def facet_code_dtype(n_values: int):
+    """Dictionary-code dtype by cardinality — u8 (≤255 values,
+    missing=255), u16 (String16, reference facet cardinality 2^16,
+    ARCHITECTURE.md), u32 (String32, 2^32). The missing sentinel is
+    the dtype's max value, reserved from the dictionary."""
+    if n_values <= 255:
+        return np.uint8
+    if n_values <= 65_535:
+        return np.uint16
+    return np.uint32
+
+
+def facet_missing_code(n_values: int) -> int:
+    return int(np.iinfo(facet_code_dtype(n_values)).max)
+
+
+def encode_string_set_block(lists: list, mapping: dict, size: int) -> bytes:
+    """Pack a block's multi-value facet (reference StringSet) as CSR:
+    ``[u32 size][u32 offsets (size+1)][codes dtype-by-cardinality]``.
+    A doc with no entry (or missing slot) simply has an empty span."""
+    dtype = facet_code_dtype(len(mapping))
+    counts = np.zeros(size, dtype=np.uint32)
+    codes_per_doc: list[list[int]] = [[] for _ in range(size)]
+    for local, values in lists:
+        if values is None:
+            continue
+        cs = sorted(
+            {mapping[str(v)] for v in values if str(v) in mapping}
+        )
+        codes_per_doc[local] = cs
+        counts[local] = len(cs)
+    offsets = np.zeros(size + 1, dtype=np.uint32)
+    np.cumsum(counts, out=offsets[1:])
+    flat = np.fromiter(
+        (c for cs in codes_per_doc for c in cs),
+        dtype=dtype,
+        count=int(offsets[-1]),
+    )
+    return (
+        np.uint32(size).tobytes() + offsets.tobytes() + flat.tobytes()
+    )
+
+
+def decode_string_set_block(buf: bytes, n_values: int):
+    """→ (offsets u32[size+1], codes). Inverse of
+    :func:`encode_string_set_block`."""
+    size = int(np.frombuffer(buf, dtype=np.uint32, count=1)[0])
+    offsets = np.frombuffer(buf, dtype=np.uint32, count=size + 1, offset=4)
+    codes = np.frombuffer(
+        buf, dtype=facet_code_dtype(n_values), offset=4 + 4 * (size + 1)
+    )
+    return offsets, codes
 
 
 def build_facet_dictionaries(
@@ -666,42 +727,63 @@ def build_facet_dictionaries(
     }
     meta: dict[str, dict] = {}
     string_cols = []
+    set_cols = []
     for fc in facet_cols:
         dtype = dict(docs_with_ids.dtypes)[fc]
         base = dtype.split("(")[0]
         if base in numeric_types:
             meta[fc] = {"type": "numeric"}
+        elif dtype.startswith("array"):
+            # multi-value facet (reference StringSet, search.rs:2543+)
+            meta[fc] = {"type": "string_set"}
+            set_cols.append(fc)
         else:
             meta[fc] = {"type": "string"}
             string_cols.append(fc)
-    if string_cols:
-        # one unioned distinct pass for ALL string dictionaries
-        kv = docs_with_ids.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(fc).alias("facet"),
-                            F.col(fc).cast("string").alias("value"),
+    if string_cols or set_cols:
+        # one unioned distinct pass for ALL dictionaries (single job)
+        parts = []
+        if string_cols:
+            parts.append(
+                docs_with_ids.select(
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(fc).alias("facet"),
+                                    F.col(fc).cast("string").alias("value"),
+                                )
+                                for fc in string_cols
+                            ]
                         )
-                        for fc in string_cols
-                    ]
-                )
-            ).alias("kv")
-        ).select("kv.facet", "kv.value")
-        rows = (
-            kv.filter(F.col("value").isNotNull())
-            .distinct()
-            .collect()
-        )
-        by_facet: dict[str, list[str]] = {fc: [] for fc in string_cols}
+                    ).alias("kv")
+                ).select("kv.facet", "kv.value")
+            )
+        for fc in set_cols:
+            parts.append(
+                docs_with_ids.select(
+                    F.lit(fc).alias("facet"),
+                    F.explode(F.col(fc)).alias("value"),
+                ).select("facet", F.col("value").cast("string").alias("value"))
+            )
+        kv = parts[0]
+        for p in parts[1:]:
+            kv = kv.unionByName(p)
+        rows = kv.filter(F.col("value").isNotNull()).distinct().collect()
+        by_facet: dict[str, list[str]] = {
+            fc: [] for fc in string_cols + set_cols
+        }
         for r in rows:
             by_facet[r["facet"]].append(r["value"])
         for fc, vals in by_facet.items():
-            if len(vals) > 255:
+            # dictionary must stay driver-sized (it's broadcast into
+            # the encode kernel and embedded in meta); the reference's
+            # String32 ceiling is 2^32 but a 10^6+ dictionary belongs
+            # in a numeric/hashed facet instead
+            if len(vals) > 1_000_000:
                 raise ValueError(
-                    f"facet {fc!r} has {len(vals)} distinct values (>255); "
-                    "use a numeric facet or a wider dictionary"
+                    f"facet {fc!r} has {len(vals)} distinct values; "
+                    "use a numeric facet for unbounded cardinality"
                 )
             meta[fc]["values"] = sorted(vals)
     return meta
@@ -722,9 +804,7 @@ def encode_facet_blocks(
         fc: {v: i for i, v in enumerate(facet_values(spec) or [])}
         for fc, spec in facet_meta.items()
     }
-    is_numeric = {
-        fc: facet_values(spec) is None for fc, spec in facet_meta.items()
-    }
+    kinds = {fc: facet_kind(spec) for fc, spec in facet_meta.items()}
 
     def _enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         block_id = int(key[0])
@@ -732,27 +812,38 @@ def encode_facet_blocks(
         size = int(local.max()) + 1
         out_facet, out_vals = [], []
         for fc in facet_cols:
-            if is_numeric[fc]:
+            kind = kinds[fc]
+            if kind == "numeric":
                 arr = np.full(size, np.nan, dtype=np.float64)
                 vals = pd.to_numeric(pdf[fc], errors="coerce").values.astype(
                     np.float64
                 )
                 arr[local] = vals
+                buf = arr.tobytes()
+            elif kind == "string_set":
+                buf = encode_string_set_block(
+                    list(zip(local.tolist(), pdf[fc].values)),
+                    mappings[fc],
+                    size,
+                )
             else:
                 mapping = mappings[fc]
-                arr = np.full(size, FACET_MISSING, dtype=np.uint8)
+                missing = facet_missing_code(len(mapping))
+                dtype = facet_code_dtype(len(mapping))
+                arr = np.full(size, missing, dtype=dtype)
                 codes = (
                     pdf[fc]
                     .map(
-                        lambda v: FACET_MISSING
+                        lambda v: missing
                         if v is None
-                        else mapping.get(str(v), FACET_MISSING)
+                        else mapping.get(str(v), missing)
                     )
-                    .values.astype(np.uint8)
+                    .values.astype(dtype)
                 )
                 arr[local] = codes
+                buf = arr.tobytes()
             out_facet.append(fc)
-            out_vals.append(arr.tobytes())
+            out_vals.append(buf)
         return pd.DataFrame(
             {
                 "facet": out_facet,

@@ -64,7 +64,14 @@ from seekstorm_spark.codecs import (
     decode_tfs,
 )
 from seekstorm_spark.hashing import term_bucket
-from seekstorm_spark.index.builder import NGRAM_SEP, facet_values
+from seekstorm_spark.index.builder import (
+    NGRAM_SEP,
+    decode_string_set_block,
+    facet_code_dtype,
+    facet_kind,
+    facet_missing_code,
+    facet_values,
+)
 from seekstorm_spark.index.store import IndexStore
 from seekstorm_spark.quantization import _DECODE_NP
 from seekstorm_spark.scoring import B, K, idf_f32
@@ -406,10 +413,7 @@ def _resolve_facets(
     dictionary written at build time; numeric facets filter on a
     closed [lo, hi] range over the raw per-block float64 array."""
     specs: dict = store.meta.get("facets") or {}
-    kinds = {
-        name: ("numeric" if facet_values(spec) is None else "string")
-        for name, spec in specs.items()
-    }
+    kinds = {name: facet_kind(spec) for name, spec in specs.items()}
     dicts = {name: facet_values(spec) for name, spec in specs.items()}
     filters_k: dict = {}
     for fname, values in (facet_filters or {}).items():
@@ -419,15 +423,26 @@ def _resolve_facets(
             lo, hi = values
             filters_k[fname] = ("numeric", float(lo), float(hi))
         else:
+            # string / string_set: value list → dictionary-code
+            # allow-list in the code dtype of this cardinality
             lookup = {v: i for i, v in enumerate(dicts[fname])}
             allowed = sorted(lookup[v] for v in values if v in lookup)
-            filters_k[fname] = ("string", np.asarray(allowed, dtype=np.uint8))
+            filters_k[fname] = (
+                kinds[fname],
+                np.asarray(allowed, dtype=facet_code_dtype(len(lookup))),
+                len(lookup),
+            )
     emit = []
     for key, _dir in result_sort or []:
         if key in ("score", "docid") or key == "geo_dist":
             continue
         if key not in specs:
             raise ValueError(f"unknown sort facet {key!r}; indexed: {list(specs)}")
+        if kinds[key] == "string_set":
+            raise ValueError(
+                f"facet {key!r} is multi-valued (string_set) — not a "
+                "sort key"
+            )
         emit.append(key)
     if geo_filter:
         for c in (geo_filter["lat"], geo_filter["lon"]):
@@ -531,6 +546,9 @@ def search(
         facet_filters_k=filters_k,
         emit_facets=emit_facets,
         facet_kinds=kinds,
+        facet_sizes={
+            n: len(v) for n, v in dicts.items() if v is not None
+        },
         emit_all=emit_all,
         geo=geo_filter,
         emit_dist=want_dist,
@@ -538,7 +556,7 @@ def search(
     schema = RESULT_SCHEMA
     for fc in emit_facets:
         schema += f", fb_{fc} " + (
-            "double" if kinds[fc] == "numeric" else "int"
+            "double" if kinds[fc] == "numeric" else "long"
         )
     if want_dist:
         schema += ", geo_dist double"
@@ -562,11 +580,15 @@ def search(
                 )
             else:
                 arr = F.array(*[F.lit(v) for v in dicts[fc]])
+                missing = facet_missing_code(len(dicts[fc]))
                 candidates = candidates.withColumn(
                     fc,
                     F.when(
-                        F.col(f"fb_{fc}") == 255, F.lit(None).cast("string")
-                    ).otherwise(F.element_at(arr, F.col(f"fb_{fc}") + 1)),
+                        F.col(f"fb_{fc}") == missing,
+                        F.lit(None).cast("string"),
+                    ).otherwise(
+                        F.element_at(arr, (F.col(f"fb_{fc}") + 1).cast("int"))
+                    ),
                 )
             out_cols.append(F.col(fc))
         if want_dist:
@@ -705,11 +727,13 @@ def _facet_count_run(
     staged = list(staged) if staged else None
     specs: dict = store.meta.get("facets") or {}
     count_spec: dict = {}
+    fsizes: dict[str, int] = {}
     for fc in string_facets or []:
         vals = facet_values(specs[fc]) if fc in specs else None
         if fc not in specs or vals is None:
             raise ValueError(f"{fc!r} is not an indexed string facet")
-        count_spec[fc] = ("string", None)
+        count_spec[fc] = (facet_kind(specs[fc]), None)
+        fsizes[fc] = len(vals)
     for fc, bounds in (range_facets or {}).items():
         if fc not in specs or facet_values(specs[fc]) is not None:
             raise ValueError(f"{fc!r} is not an indexed numeric facet")
@@ -734,6 +758,7 @@ def _facet_count_run(
         block_size=int(store.meta.get('block_size', ROARING_BLOCK_SIZE)),
         deletes=_load_delete_set(spark, store),
         count_facets=count_spec,
+        facet_sizes=fsizes,
     )
     agg = (
         rows.sortWithinPartitions(
@@ -1084,6 +1109,7 @@ def _make_kernel(
     facet_filters_k: dict | None = None,
     emit_facets: list[str] | None = None,
     facet_kinds: dict[str, str] | None = None,
+    facet_sizes: dict[str, int] | None = None,
     emit_all: bool = False,
     count_facets: dict | None = None,
     geo: dict | None = None,
@@ -1136,32 +1162,60 @@ def _make_kernel(
             float(geo["at"][1]),
             float(geo["radius_km"]),
         )
-    # every facet buffer the kernel touches, with its array dtype kind
-    facet_buf_kinds: dict[str, str] = {}
+    sizes = facet_sizes or {}
+    # every facet buffer the kernel touches: col → (kind, n_values)
+    facet_buf_kinds: dict[str, tuple[str, int]] = {}
     for name, spec in (facet_filters_k or {}).items():
-        facet_buf_kinds[f"fb_{name}"] = spec[0]
+        facet_buf_kinds[f"fb_{name}"] = (spec[0], sizes.get(name, 0))
     for name in emit_facets or []:
-        facet_buf_kinds[f"fb_{name}"] = kinds.get(name, "string")
+        facet_buf_kinds[f"fb_{name}"] = (
+            kinds.get(name, "string"),
+            sizes.get(name, 0),
+        )
     for name, (kind, _b) in cfacets.items():
-        facet_buf_kinds[f"fb_{name}"] = kind
+        facet_buf_kinds[f"fb_{name}"] = (kind, sizes.get(name, 0))
     if geo_cfg is not None:
-        facet_buf_kinds[geo_cfg[0]] = "numeric"
-        facet_buf_kinds[geo_cfg[1]] = "numeric"
+        facet_buf_kinds[geo_cfg[0]] = ("numeric", 0)
+        facet_buf_kinds[geo_cfg[1]] = ("numeric", 0)
 
-    def overlay_bufs(buflist, kind: str) -> np.ndarray | None:
+    def overlay_bufs(buflist, kind: str, n_values: int):
         """Merge a block's facet buffers (one per committed/staged
-        slice; non-missing slots disjoint) into one array."""
+        slice; non-missing slots disjoint) into one structure."""
         if buflist is None or len(buflist) == 0:
             return None
-        dtype = np.uint8 if kind == "string" else np.float64
+        if kind == "string_set":
+            parts = [decode_string_set_block(b, n_values) for b in buflist]
+            if len(parts) == 1:
+                return parts[0]
+            size = max(len(off) - 1 for off, _c in parts)
+            counts = np.zeros(size, dtype=np.int64)
+            per_doc: list[np.ndarray | None] = [None] * size
+            for off, codes in parts:
+                c = np.diff(off.astype(np.int64))
+                for i in np.flatnonzero(c):
+                    per_doc[i] = codes[off[i] : off[i + 1]]
+                    counts[i] = c[i]
+            offsets = np.zeros(size + 1, dtype=np.uint32)
+            np.cumsum(counts, out=offsets[1:])
+            flat = (
+                np.concatenate([p for p in per_doc if p is not None])
+                if counts.sum()
+                else np.empty(0, dtype=facet_code_dtype(n_values))
+            )
+            return offsets, flat
+        if kind == "string":
+            dtype = facet_code_dtype(n_values)
+            missing = facet_missing_code(n_values)
+        else:
+            dtype = np.float64
         arrs = [np.frombuffer(b, dtype=dtype) for b in buflist]
         if len(arrs) == 1:
             return arrs[0]
         size = max(len(a) for a in arrs)
         if kind == "string":
-            out = np.full(size, 255, dtype=np.uint8)
+            out = np.full(size, missing, dtype=dtype)
             for a in arrs:
-                m = a != 255
+                m = a != missing
                 out[: len(a)][m] = a[m]
         else:
             out = np.full(size, np.nan, dtype=np.float64)
@@ -1169,6 +1223,23 @@ def _make_kernel(
                 m = ~np.isnan(a)
                 out[: len(a)][m] = a[m]
         return out
+
+    def sset_gather(buf, cand: np.ndarray):
+        """(owner idx into cand, codes) for the candidates' multi-value
+        entries — vectorized CSR gather, no per-doc loop."""
+        offsets, codes = buf
+        n = len(offsets) - 1
+        starts = np.where(cand < n, offsets[np.minimum(cand, n - 1)], 0)
+        ends = np.where(cand < n, offsets[np.minimum(cand, n - 1) + 1], 0)
+        counts = (ends - starts).astype(np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, np.int64), codes[:0]
+        owner = np.repeat(np.arange(cand.size), counts)
+        seg = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        within = np.arange(total) - np.repeat(seg, counts)
+        flat = np.repeat(starts.astype(np.int64), counts) + within
+        return owner, codes[flat]
 
     decode_tab = _DECODE_NP.astype(np.float32)
     avgdl32 = np.float32(avgdl)
@@ -1195,7 +1266,10 @@ def _make_kernel(
         total_matches = 0
         facet_tallies: dict[str, np.ndarray] = {
             fc: np.zeros(
-                256 if kind == "string" else len(bounds) + 1, dtype=np.int64
+                sizes.get(fc, 0)
+                if kind in ("string", "string_set")
+                else len(bounds) + 1,
+                dtype=np.int64,
             )
             for fc, (kind, bounds) in cfacets.items()
         }
@@ -1230,8 +1304,8 @@ def _make_kernel(
                     return
             base = block_id * block_size
             fbufs = {
-                col: overlay_bufs(rows[col].iloc[0], kind)
-                for col, kind in facet_buf_kinds.items()
+                col: overlay_bufs(rows[col].iloc[0], kind, nv)
+                for col, (kind, nv) in facet_buf_kinds.items()
             }
 
             def fbuf_at(col: str, idx: np.ndarray):
@@ -1240,9 +1314,14 @@ def _make_kernel(
                 fv = fbufs[col]
                 if fv is None:
                     return None
+                kind, nv = facet_buf_kinds[col]
                 if idx.size and int(idx.max()) >= len(fv):
-                    if fv.dtype == np.uint8:
-                        pad = np.full(int(idx.max()) + 1, 255, dtype=np.uint8)
+                    if kind == "string":
+                        pad = np.full(
+                            int(idx.max()) + 1,
+                            facet_missing_code(nv),
+                            dtype=facet_code_dtype(nv),
+                        )
                     else:
                         pad = np.full(int(idx.max()) + 1, np.nan)
                     pad[: len(fv)] = fv
@@ -1316,13 +1395,23 @@ def _make_kernel(
             # way, search.rs:2543-2726); filtering candidates keeps the
             # block bound admissible (bound ≥ any subset's max score)
             for colname, spec in facet_filters:
-                vals = fbuf_at(f"fb_{colname}", cand)
-                if vals is None:
-                    return
-                if spec[0] == "numeric":
-                    cand = cand[(vals >= spec[1]) & (vals <= spec[2])]
+                if spec[0] == "string_set":
+                    buf = fbufs[f"fb_{colname}"]
+                    if buf is None:
+                        return
+                    owner, codes = sset_gather(buf, cand)
+                    hit = np.isin(codes, spec[1])
+                    keep = np.zeros(cand.size, dtype=bool)
+                    keep[owner[hit]] = True
+                    cand = cand[keep]
                 else:
-                    cand = cand[np.isin(vals, spec[1])]
+                    vals = fbuf_at(f"fb_{colname}", cand)
+                    if vals is None:
+                        return
+                    if spec[0] == "numeric":
+                        cand = cand[(vals >= spec[1]) & (vals <= spec[2])]
+                    else:
+                        cand = cand[np.isin(vals, spec[1])]
                 if cand.size == 0:
                     return
 
@@ -1361,11 +1450,26 @@ def _make_kernel(
 
             total_matches += int(cand.size)
             for fc, (kind, bounds) in cfacets.items():
+                nv = sizes.get(fc, 0)
+                if kind == "string_set":
+                    buf = fbufs[f"fb_{fc}"]
+                    if buf is None:
+                        continue
+                    # codes are per-doc DEDUPED at encode, so this is
+                    # one count per (doc, distinct value)
+                    _owner, codes = sset_gather(buf, cand)
+                    facet_tallies[fc] += np.bincount(
+                        codes.astype(np.int64), minlength=nv
+                    )[:nv]
+                    continue
                 fv = fbuf_at(f"fb_{fc}", cand)
                 if fv is None:
                     continue
                 if kind == "string":
-                    facet_tallies[fc] += np.bincount(fv, minlength=256)
+                    valid = fv < nv  # missing sentinel excluded
+                    facet_tallies[fc] += np.bincount(
+                        fv[valid].astype(np.int64), minlength=nv
+                    )[:nv]
                 else:
                     ok = ~np.isnan(fv) & (fv >= bounds[0])
                     bins = np.searchsorted(bounds, fv[ok], side="right") - 1
@@ -1412,8 +1516,11 @@ def _make_kernel(
                         all_facets[colname].append(vals.astype(np.float64))
                     else:
                         if vals is None:
-                            vals = np.full(cand.size, 255, dtype=np.uint8)
-                        all_facets[colname].append(vals.astype(np.int32))
+                            nv = facet_buf_kinds[colname][1]
+                            vals = np.full(
+                                cand.size, facet_missing_code(nv)
+                            )
+                        all_facets[colname].append(vals.astype(np.int64))
             else:
                 merge_topk(base + cand, scores)
 
@@ -1432,11 +1539,7 @@ def _make_kernel(
         if cfacets:
             out_f, out_c, out_n = [], [], []
             for fc, tally in facet_tallies.items():
-                kind = cfacets[fc][0]
-                nz = np.flatnonzero(tally)
-                for code in nz:
-                    if kind == "string" and code == 255:
-                        continue  # missing/null not a countable value
+                for code in np.flatnonzero(tally):
                     out_f.append(fc)
                     out_c.append(int(code))
                     out_n.append(int(tally[code]))
@@ -1476,8 +1579,8 @@ def _make_kernel(
                     out[colname] = pd.Series(
                         np.concatenate(all_facets[colname])
                         if all_facets[colname]
-                        else np.empty(0, np.int32),
-                        dtype="int32",
+                        else np.empty(0, np.int64),
+                        dtype="int64",
                     )
             if emit_dist:
                 out["geo_dist"] = pd.Series(

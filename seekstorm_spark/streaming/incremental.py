@@ -161,16 +161,21 @@ def _stage_facet_blocks(
             "faceted index must carry every indexed facet column"
         )
     # validate string-facet values against the frozen dictionaries
-    from seekstorm_spark.index.builder import facet_values
+    from seekstorm_spark.index.builder import facet_kind, facet_values
 
     for fc, spec in facet_meta.items():
         values = facet_values(spec)
         if values is None:  # numeric facet: any value encodes
             continue
         known = set(values)
+        col = (
+            docs.select(F.explode(F.col(fc)).alias(fc))
+            if facet_kind(spec) == "string_set"
+            else docs.select(fc)
+        )
         new = [
             r[0]
-            for r in docs.select(fc).distinct().collect()
+            for r in col.distinct().collect()
             if r[0] is not None and str(r[0]) not in known
         ]
         if new:

@@ -1,0 +1,150 @@
+"""StringSet (multi-value) facets + wide (>255-value) dictionaries in
+the indexed kernel (reference StringSet / String16 / String32 facet
+types, search.rs:2543-2726, ARCHITECTURE.md facet cardinality)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from seekstorm_spark.index.builder import IndexBuilder, assign_docids
+from seekstorm_spark.query.engine import facet_counts, search
+from seekstorm_spark.sources.webtext import synth_webtext
+
+
+@pytest.fixture(scope="module")
+def set_store(spark, tmp_path_factory):
+    docs = assign_docids(synth_webtext(spark, 400, seed=17), order_col="url")
+    docs = docs.withColumn(
+        "tags",
+        F.array(
+            F.concat(F.lit("t"), (F.col("docid") % 5).cast("string")),
+            F.concat(F.lit("t"), ((F.col("docid") * 7) % 5).cast("string")),
+        ),
+    ).withColumn(
+        # 300 distinct values → u16 dictionary codes (String16 class)
+        "widecat",
+        F.concat(
+            F.lit("c"),
+            F.lpad((F.col("docid") % 300).cast("string"), 3, "0"),
+        ),
+    ).cache()
+    base = tmp_path_factory.mktemp("sset")
+    store = IndexBuilder(
+        spark, str(base / "idx"), n_buckets=8, facet_cols=["tags", "widecat"]
+    ).build(docs, text_col="text", id_col="docid")
+    yield store, docs
+    docs.unpersist()
+
+
+def test_facet_meta_types(set_store):
+    store, _docs = set_store
+    assert store.meta["facets"]["tags"]["type"] == "string_set"
+    assert store.meta["facets"]["widecat"]["type"] == "string"
+    assert len(store.meta["facets"]["widecat"]["values"]) == 300
+
+
+def test_string_set_filter(spark, set_store):
+    store, docs = set_store
+    hits = {
+        r["docid"]
+        for r in search(
+            spark, store, "term00000", top_k=400, default_type="union",
+            facet_filters={"tags": ["t1"]},
+        ).collect()
+    }
+    from seekstorm_spark.query.dataframe_engine import tokens
+
+    matching = (
+        tokens(docs, docid_col="docid")
+        .filter(F.col("term") == "term00000")
+        .select("docid")
+        .distinct()
+    )
+    want = {
+        r["docid"]
+        for r in docs.join(matching, "docid")
+        .filter(F.array_contains("tags", "t1"))
+        .collect()
+    }
+    assert hits == want and want
+
+
+def test_string_set_counts(spark, set_store):
+    store, docs = set_store
+    got = {
+        r["value"]: r["n"]
+        for r in facet_counts(spark, store, "term00000", ["tags"]).collect()
+    }
+    from seekstorm_spark.query.dataframe_engine import tokens
+
+    matching = (
+        tokens(docs, docid_col="docid")
+        .filter(F.col("term") == "term00000")
+        .select("docid")
+        .distinct()
+    )
+    want = {
+        r["tag"]: r["n"]
+        for r in docs.join(matching, "docid")
+        .select("docid", F.explode(F.array_distinct("tags")).alias("tag"))
+        .groupBy("tag")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_wide_dictionary_filter_and_sort(spark, set_store):
+    store, docs = set_store
+    hits = search(
+        spark, store, "term00000", top_k=400, default_type="union",
+        facet_filters={"widecat": ["c001", "c007"]},
+    ).collect()
+    cats = {
+        r["docid"]: r["widecat"]
+        for r in docs.select("docid", "widecat").collect()
+    }
+    assert hits and all(cats[r["docid"]] in ("c001", "c007") for r in hits)
+    # u16 codes still sort in value order (sorted dictionary)
+    srt = search(
+        spark, store, "term00000", top_k=30, default_type="union",
+        result_sort=[("widecat", "asc"), ("score", "desc")],
+    ).collect()
+    vals = [r["widecat"] for r in srt]
+    assert vals == sorted(vals) and len(vals) == 30
+
+
+def test_string_set_sort_rejected(spark, set_store):
+    store, _docs = set_store
+    with pytest.raises(ValueError, match="multi-valued"):
+        search(
+            spark, store, "term00000", result_sort=[("tags", "asc")]
+        )
+
+
+def test_string_set_append_overlay(spark, tmp_path):
+    """Appended batch sharing a block: string_set buffers overlay."""
+    from seekstorm_spark.streaming.incremental import append_batch
+
+    docs = assign_docids(synth_webtext(spark, 120, seed=29), order_col="url")
+    docs = docs.withColumn(
+        "tags",
+        F.array(F.concat(F.lit("g"), (F.col("docid") % 3).cast("string"))),
+    ).cache()
+    store = IndexBuilder(
+        spark, str(tmp_path / "ss2"), n_buckets=4, facet_cols=["tags"]
+    ).build(docs.filter(F.col("docid") < 60), text_col="text", id_col="docid")
+    append_batch(
+        spark, store, docs.filter(F.col("docid") >= 60), batch_id=1,
+        id_col="docid",
+    )
+    hits = {
+        r["docid"]
+        for r in search(
+            spark, store, "term00000", top_k=200, default_type="union",
+            facet_filters={"tags": ["g1"]},
+        ).collect()
+    }
+    assert any(d >= 60 for d in hits) and all(d % 3 == 1 for d in hits)
+    docs.unpersist()
