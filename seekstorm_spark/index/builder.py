@@ -122,13 +122,18 @@ def assign_docids(
     n_buckets: int = 64,
     id_col: str | None = None,
 ) -> DataFrame:
-    """Add a contiguous ``docid`` column without a global sort.
+    """Add a contiguous ``docid`` column without a global sort barrier.
 
     Three strategies, all cluster-scalable:
     * ``id_col`` — trust an existing unique 0-based long id.
     * ``order_col`` — deterministic independent of input partitioning:
-      hash docs into buckets, prefix-sum the bucket counts (tiny
-      collect), rank within buckets. One shuffle.
+      hash-partition on the key (deterministic across jobs, unlike
+      range partitioning whose boundaries are re-sampled per
+      execution), SPARK-side sort within each partition (the spilling
+      sort — bounded per-task memory, unlike the former per-bucket
+      pandas sort that materialized N/n_buckets rows in one task),
+      then partition-offset numbering (tiny count collect + broadcast
+      prefix sums). Deterministic for unique keys.
     * neither — partition-offset assignment: count rows per input
       partition (map-side, near-zero shuffle), broadcast prefix sums,
       number rows in place. NO data shuffle — the bulk-load fast path;
@@ -137,53 +142,23 @@ def assign_docids(
     if id_col is not None:
         return docs.withColumn("docid", F.col(id_col).cast("long"))
 
-    if order_col is None:
-        with_pid = docs.withColumn("_pid", F.spark_partition_id())
-        counts = {
-            int(r["_pid"]): int(r["cnt"])
-            for r in with_pid.groupBy("_pid")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
-        offsets: dict[int, int] = {}
-        acc = 0
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
+    if order_col is not None:
+        docs = docs.repartition(
+            n_buckets, F.col(order_col)
+        ).sortWithinPartitions(order_col)
 
-        from pyspark.sql.types import LongType, StructField, StructType
-
-        out_schema = StructType(
-            list(docs.schema.fields) + [StructField("docid", LongType())]
-        )
-
-        def _assign_seq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            n = 0
-            base = None
-            for pdf in batches:
-                if base is None and len(pdf):
-                    base = offsets[int(pdf["_pid"].iloc[0])]
-                pdf = pdf.drop(columns=["_pid"])
-                pdf["docid"] = np.arange(n, n + len(pdf), dtype=np.int64) + (
-                    base or 0
-                )
-                n += len(pdf)
-                yield pdf
-
-        return with_pid.mapInPandas(_assign_seq, schema=out_schema)
-
-    docs = docs.withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_buckets)).cast("int")
-    )
+    with_pid = docs.withColumn("_pid", F.spark_partition_id())
     counts = {
-        r["_bucket"]: r["cnt"]
-        for r in docs.groupBy("_bucket").agg(F.count("*").alias("cnt")).collect()
+        int(r["_pid"]): int(r["cnt"])
+        for r in with_pid.groupBy("_pid")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
     }
     offsets: dict[int, int] = {}
     acc = 0
-    for b in range(n_buckets):
-        offsets[b] = acc
-        acc += counts.get(b, 0)
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
 
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -191,17 +166,20 @@ def assign_docids(
         list(docs.schema.fields) + [StructField("docid", LongType())]
     )
 
-    def _assign(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        b = int(key[0])
-        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
-        pdf["docid"] = np.arange(len(pdf), dtype=np.int64) + offsets[b]
-        return pdf
+    def _assign_seq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        base = None
+        for pdf in batches:
+            if base is None and len(pdf):
+                base = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["docid"] = np.arange(n, n + len(pdf), dtype=np.int64) + (
+                base or 0
+            )
+            n += len(pdf)
+            yield pdf
 
-    return (
-        docs.groupBy("_bucket")
-        .applyInPandas(_assign, schema=out_schema)
-        .drop("_bucket")
-    )
+    return with_pid.mapInPandas(_assign_seq, schema=out_schema)
 
 
 NGRAM_SEP = "\x1e"  # joins partial terms inside an n-gram key
