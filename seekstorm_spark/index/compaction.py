@@ -105,6 +105,42 @@ def _rewrite_block(
     return out_rows
 
 
+def compact_term_stats(spark: SparkSession, store: IndexStore) -> None:
+    """Collapse the log-structured term-stats partials that appends
+    accumulate (one partial row set per batch) back into one aggregate
+    row per term — without touching postings. Readers stay correct
+    either way (they sum df per term); this just caps probe fan-in for
+    long-running streams. O(term_stats), not O(postings)."""
+    n_buckets = int(store.meta.get("n_buckets", 32))
+    collapsed = (
+        store.term_stats(spark)
+        .groupBy("tbucket", "term")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.sum("cf_fields").cast("long").alias("cf_fields"),
+            F.sum("n_blocks").cast("int").alias("n_blocks"),
+            F.max("max_tf").cast("int").alias("max_tf"),
+            F.min("min_dl_byte").cast("int").alias("min_dl_byte"),
+            F.sum("bytes").cast("long").alias("bytes"),
+        )
+    )
+    tmp = store.term_stats_path + ".compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        collapsed.repartition(n_buckets, "tbucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(tmp)
+    )
+    shutil.rmtree(store.term_stats_path)
+    os.rename(tmp, store.term_stats_path)
+
+    from seekstorm_spark.query.engine import invalidate_term_stats_cache
+
+    invalidate_term_stats_cache(store.path)
+
+
 def compact(spark: SparkSession, store: IndexStore) -> IndexStore:
     """Rewrite the index without its deleted docs and reset the delete
     set. No-op when nothing is deleted. Not crash-atomic on the local

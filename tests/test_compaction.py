@@ -118,3 +118,32 @@ def test_compact_noop_without_deletes(spark, docs, tmp_path):
     compact(spark, store)
     after = search(spark, store, "term00000", top_k=5).collect()
     assert [tuple(r) for r in before] == [tuple(r) for r in after]
+
+
+def test_compact_term_stats_collapses_partials(spark, docs, tmp_path):
+    """Append partials collapse to one row per (tbucket, term) with
+    identical probe results."""
+    from seekstorm_spark.index.compaction import compact_term_stats
+    from seekstorm_spark.query.engine import _probe_term_stats
+    from seekstorm_spark.streaming.incremental import append_batch
+
+    store = IndexBuilder(spark, str(tmp_path / "ts"), n_buckets=4).build(
+        docs.filter(F.col("docid") < 150), text_col="text", id_col="docid"
+    )
+    append_batch(
+        spark, store,
+        docs.filter((F.col("docid") >= 150) & (F.col("docid") < 250)),
+        batch_id=1, id_col="docid",
+    )
+    probe_terms = ["term00000", "term00001", "term00042"]
+    before = _probe_term_stats(store, probe_terms)
+    ts = store.term_stats(spark)
+    assert ts.groupBy("tbucket", "term").count().filter("count > 1").count() > 0
+
+    compact_term_stats(spark, store)
+    ts2 = store.term_stats(spark)
+    assert ts2.groupBy("tbucket", "term").count().filter("count > 1").count() == 0
+    assert _probe_term_stats(store, probe_terms) == before
+    # searches unchanged
+    a = search(spark, store, "term00000 term00001", top_k=5).collect()
+    assert len(a) == 5
