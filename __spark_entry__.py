@@ -47,11 +47,19 @@ from seekstorm_spark.scoring import B, K
 # shared SQL fragments (DuckDB oracle side)
 # ---------------------------------------------------------------------------
 
-_TOKS = (
-    "(SELECT doc_id, unnest(string_split(text, ' ')) AS term, "
-    "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos "
-    "FROM documents)"
-)
+def _toks_from(src: str) -> str:
+    return (
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS term, "
+        "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos "
+        f"FROM {src})"
+    )
+
+
+_TOKS = _toks_from("documents")
+
+# update-document row: old docid, re-added docid, re-added text —
+# shared between the Spark query and its DuckDB oracle
+_UPD_OLD, _UPD_NEW, _UPD_TEXT = 7, 10_000_000, "fast fast fast table zzupd"
 
 _K1 = repr(K + 1.0)  # identical float64 literals on both sides
 _KK = repr(float(K))
@@ -395,8 +403,15 @@ def _wand_bm25_sql(
     extra_where: str = "",
     final_select: str | None = None,
     toks_src: str | None = None,
+    docs_src: str = "documents",
 ) -> str:
-    """f32-exact BM25 top-k matching the indexed WAND kernel."""
+    """f32-exact BM25 top-k matching the indexed WAND kernel.
+
+    ``docs_src`` replaces the corpus itself (stats N/avgdl AND term
+    dfs included) — a subquery mirrors a compacted index (survivors
+    only, stats recomputed) or an updated corpus (UNION ALL of the
+    re-added version; the lazily-deleted old doc stays in the stats,
+    exclude it from results via ``extra_where``)."""
     uniq = sorted(set(terms))
     in_terms = _in_list(uniq)
     filters = []
@@ -432,13 +447,13 @@ def _wand_bm25_sql(
     return f"""
 WITH {_QUANT_CTE},
 dl AS (SELECT doc_id, len(list_filter(string_split(text, ' '),
-                                      x -> x <> '')) AS dl_raw FROM documents),
+                                      x -> x <> '')) AS dl_raw FROM {docs_src}),
 dlq AS (SELECT doc_id, dl_q FROM dl JOIN quant
         ON dl_raw BETWEEN dl_lo AND dl_hi),
-stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+stats AS (SELECT (SELECT count(*) FROM {docs_src}) AS n,
                  ((SELECT sum(dl_q) FROM dlq){_F}
-                  / (SELECT count(*) FROM documents){_F}) AS avgdl),
-toks AS (SELECT * FROM {toks_src or _TOKS}),
+                  / (SELECT count(*) FROM {docs_src}){_F}) AS avgdl),
+toks AS (SELECT * FROM {toks_src or _toks_from(docs_src)}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
        WHERE term IN ({in_terms}) GROUP BY 1, 2),
 dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
@@ -808,7 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # geo radius filter through the REAL index: lat/lon stored as
     # numeric facet arrays, haversine applied inside the kernel
     # (reference Point facets, search.rs:2712-2724)
-    def wand_geo_radius(s: SparkSession, d: str) -> DataFrame:
+    def _wandgeo_store(s: SparkSession, d: str):
         import json
         import os
 
@@ -817,39 +832,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             IndexBuilder,
         )
         from seekstorm_spark.index.store import IndexStore
-        from seekstorm_spark.query.engine import search
 
         name = os.path.basename(d.rstrip("/")) or "sf"
         path = f"/tmp/seekstorm_wandgeo_idx_{name}"
         meta = os.path.join(path, "meta.json")
-        store = None
         if os.path.exists(meta):
             with open(meta) as f:
                 m = json.load(f)
             if m.get("complete") and m.get("version") == INDEX_FORMAT_VERSION \
                     and "lat" in (m.get("facets") or {}):
-                store = IndexStore.open(path)
-        if store is None:
-            docs = (
-                _docs(s, d)
-                .withColumn("lat", (F.col("doc_id") * 37 % 18000) / 100.0 - 90.0)
-                .withColumn("lon", (F.col("doc_id") * 73 % 36000) / 100.0 - 180.0)
-            )
-            store = IndexBuilder(
-                s, path, n_buckets=8, facet_cols=["lat", "lon"]
-            ).build(docs, text_col="text", id_col="doc_id")
+                return IndexStore.open(path)
+        docs = (
+            _docs(s, d)
+            .withColumn("lat", (F.col("doc_id") * 37 % 18000) / 100.0 - 90.0)
+            .withColumn("lon", (F.col("doc_id") * 73 % 36000) / 100.0 - 180.0)
+        )
+        return IndexBuilder(
+            s, path, n_buckets=8, facet_cols=["lat", "lon"]
+        ).build(docs, text_col="text", id_col="doc_id")
+
+    _GEO_FILTER = {
+        "lat": "lat", "lon": "lon",
+        "at": (48.8566, 2.3522), "radius_km": 6000.0,
+    }
+
+    def wand_geo_radius(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import search
+
         out = search(
-            s, store, "fast", top_k=10, default_type="union",
-            geo_filter={
-                "lat": "lat", "lon": "lon",
-                "at": (48.8566, 2.3522), "radius_km": 6000.0,
-            },
+            s, _wandgeo_store(s, d), "fast", top_k=10,
+            default_type="union", geo_filter=dict(_GEO_FILTER),
         )
         return out.select(
             "docid", F.round(F.col("score").cast("double"), 4).alias("score")
         )
 
     q["wand_geo_radius"] = wand_geo_radius
+
+    # distance result-sort (reference Point facet ResultSort,
+    # min_heap.rs Point comparator): nearest matches first, distance
+    # values emitted by the kernel and checked against DuckDB trig
+    def wand_geo_sort(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import search
+
+        out = search(
+            s, _wandgeo_store(s, d), "fast", top_k=10,
+            default_type="union", geo_filter=dict(_GEO_FILTER),
+            result_sort=[("geo_dist", "asc")],
+        )
+        return out.select(
+            "docid", F.round(F.col("geo_dist"), 4).alias("geo_dist")
+        )
+
+    q["wand_geo_sort"] = wand_geo_sort
 
     # delete-by-query (reference delete_documents_by_query,
     # api_endpoints.rs): matching docids stream into the delete set as
@@ -887,6 +922,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["wand_delete_by_query"] = wand_delete_by_query
+
+    # compaction: delete-by-query then compact() — postings rewritten
+    # minus the deleted docs, stats (N/avgdl/df) RECOMPUTED from the
+    # survivors (reference level rewrite, commit.rs:203-258). The
+    # oracle scores a corpus that never contained the deleted docs.
+    def wand_compacted(s: SparkSession, d: str) -> DataFrame:
+        import json
+        import os
+
+        from seekstorm_spark.index.builder import (
+            INDEX_FORMAT_VERSION,
+            IndexBuilder,
+        )
+        from seekstorm_spark.index.compaction import compact
+        from seekstorm_spark.index.store import IndexStore
+        from seekstorm_spark.query.engine import delete_by_query, search
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_wandcmp_idx_{name}"
+        meta = os.path.join(path, "meta.json")
+        marker = os.path.join(path, "COMPACTED_R3")
+        store = None
+        if os.path.exists(meta) and os.path.exists(marker):
+            with open(meta) as f:
+                m = json.load(f)
+            if m.get("complete") and m.get("version") == INDEX_FORMAT_VERSION:
+                store = IndexStore.open(path)
+        if store is None:
+            store = IndexBuilder(s, path, n_buckets=8).build(
+                _docs(s, d), text_col="text", id_col="doc_id"
+            )
+            delete_by_query(s, store, "dup", "union")
+            store = compact(s, store)
+            with open(marker, "w") as f:
+                f.write("1")
+        out = search(s, store, "fast table", top_k=10, default_type="union")
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 4).alias("score")
+        )
+
+    q["wand_compacted"] = wand_compacted
+
+    # update-document (reference update = delete + re-add,
+    # api_endpoints.rs): doc 7 gets new text at a fresh docid; the old
+    # version is lazily deleted, so stats still count it — the oracle
+    # corpus is documents UNION ALL the new version, results exclude
+    # the old docid.
+    def wand_update_doc(s: SparkSession, d: str) -> DataFrame:
+        import json
+        import os
+
+        from seekstorm_spark.index.builder import (
+            INDEX_FORMAT_VERSION,
+            IndexBuilder,
+        )
+        from seekstorm_spark.index.store import IndexStore
+        from seekstorm_spark.query.engine import search
+        from seekstorm_spark.streaming.incremental import update_documents
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_wandupd_idx_{name}"
+        meta = os.path.join(path, "meta.json")
+        marker = os.path.join(path, "UPDATED_R3")
+        store = None
+        if os.path.exists(meta) and os.path.exists(marker):
+            with open(meta) as f:
+                m = json.load(f)
+            if m.get("complete") and m.get("version") == INDEX_FORMAT_VERSION:
+                store = IndexStore.open(path)
+        if store is None:
+            store = IndexBuilder(s, path, n_buckets=8).build(
+                _docs(s, d), text_col="text", id_col="doc_id"
+            )
+            new_version = s.createDataFrame(
+                [(_UPD_NEW, _UPD_TEXT)], "doc_id long, text string"
+            )
+            store = update_documents(
+                s, store, new_version, old_docids=[_UPD_OLD],
+                batch_id=1, id_col="doc_id",
+            )
+            with open(marker, "w") as f:
+                f.write("1")
+        out = search(s, store, "fast table", top_k=10, default_type="union")
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 4).alias("score")
+        )
+
+    q["wand_update_doc"] = wand_update_doc
 
     # StringSet (multi-value) facets in the kernel: per-block CSR
     # arrays; filter = doc matches if ANY of its values is allowed;
@@ -1578,6 +1701,49 @@ GROUP BY tag
            )) AS dist_km
     FROM documents)
   WHERE dist_km <= 6000.0)""",
+    )
+    # distance result-sort: same haversine (all float64, identical
+    # operation order to the kernel), nearest first, docid tiebreak
+    o["wand_geo_sort"] = f"""
+WITH toks AS (SELECT * FROM {_TOKS}),
+geo AS (
+  SELECT doc_id,
+         2.0 * 6371.0 * asin(sqrt(
+           pow(sin(radians(48.8566 - lat) / 2), 2)
+           + cos(radians(lat)) * cos(radians(48.8566))
+             * pow(sin(radians(2.3522 - lon) / 2), 2))) AS dist_km
+  FROM (SELECT doc_id,
+               (doc_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+               (doc_id * 73 % 36000) / 100.0 - 180.0 AS lon
+        FROM documents))
+SELECT doc_id AS docid, round(dist_km, 4) AS geo_dist
+FROM geo
+WHERE dist_km <= 6000.0
+  AND doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'fast')
+ORDER BY dist_km ASC, doc_id ASC LIMIT 10
+"""
+    # compacted index ≡ fresh build over the survivors (stats included)
+    o["wand_compacted"] = _wand_bm25_sql(
+        ["fast", "table"],
+        "union",
+        docs_src=(
+            "(SELECT doc_id, text FROM documents WHERE doc_id NOT IN "
+            "(SELECT DISTINCT doc_id FROM "
+            "(SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+            "FROM documents) WHERE term = 'dup'))"
+        ),
+    )
+    # update-document: stats over documents + the re-added version
+    # (the old doc is lazily deleted — still counted), results minus
+    # the old docid
+    o["wand_update_doc"] = _wand_bm25_sql(
+        ["fast", "table"],
+        "union",
+        docs_src=(
+            "(SELECT doc_id, text FROM documents UNION ALL "
+            f"SELECT {_UPD_NEW} AS doc_id, '{_UPD_TEXT}' AS text)"
+        ),
+        extra_where=f"docid <> {_UPD_OLD}",
     )
     o["spell_correct"] = f"""
 WITH toks AS (SELECT * FROM {_TOKS}),

@@ -402,14 +402,19 @@ def update_documents(
     old_docids: list[int],
     text_col: str = "text",
     batch_id: int | None = None,
+    id_col: str | None = None,
 ) -> IndexStore:
     """Update = delete the old versions + index the new contents at
     fresh block-aligned docids (the reference's update_document is the
     same delete + re-add, api_endpoints.rs; postings are immutable).
-    The old docids land in the delete set; ``compact`` reclaims them."""
+    The old docids land in the delete set; ``compact`` reclaims them.
+    ``id_col`` forwards to :func:`append_batch` for caller-managed
+    docids on the re-added versions."""
     from seekstorm_spark.query.engine import delete_documents
 
-    store = append_batch(spark, store, batch_docs, text_col, batch_id)
+    store = append_batch(
+        spark, store, batch_docs, text_col, batch_id, id_col=id_col
+    )
     delete_documents(spark, store, old_docids)
     return store
 
