@@ -61,6 +61,23 @@ _TOKS = _toks_from("documents")
 # shared between the Spark query and its DuckDB oracle
 _UPD_OLD, _UPD_NEW, _UPD_TEXT = 7, 10_000_000, "fast fast fast table zzupd"
 
+# batched multi-query row: the query strings and their oracle specs
+# (terms, qtype, not_terms, phrase) must stay in lockstep
+_MQ_QUERIES = (
+    "fast table",
+    "+fast +table",
+    "fast -dup",
+    "dup",
+    '"fast table"',
+)
+_MQ_SPECS = (
+    (["fast", "table"], "union", None, None),
+    (["fast", "table"], "intersection", None, None),
+    (["fast"], "union", ["dup"], None),
+    (["dup"], "union", None, None),
+    (["fast", "table"], "phrase", None, ["fast", "table"]),
+)
+
 _K1 = repr(K + 1.0)  # identical float64 literals on both sides
 _KK = repr(float(K))
 _B1 = repr(1.0 - B)
@@ -1011,6 +1028,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_update_doc"] = wand_update_doc
 
+    # batched multi-query: N queries fused into ONE Spark action
+    # (shared union-of-terms scan, one exchange, one kernel with
+    # per-query top-k heaps + WAND thresholds; phrase queries ride
+    # as exact fallback branches in the same action) — the serving
+    # throughput path (reference multi-threaded QPS bench)
+    def wand_multi_query(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import search_many
+
+        store = _wand_store(s, d)
+        out = search_many(
+            s, store, list(_MQ_QUERIES), top_k=10, default_type="union"
+        )
+        return out.select(
+            "query_id", "docid",
+            F.round(F.col("score").cast("double"), 4).alias("score"),
+        )
+
+    q["wand_multi_query"] = wand_multi_query
+
     # StringSet (multi-value) facets in the kernel: per-block CSR
     # arrays; filter = doc matches if ANY of its values is allowed;
     # counting = one count per (matching doc, distinct value)
@@ -1722,6 +1758,14 @@ WHERE dist_km <= 6000.0
   AND doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'fast')
 ORDER BY dist_km ASC, doc_id ASC LIMIT 10
 """
+    # batched multi-query: each query's oracle is its single-query
+    # wand SQL, tagged with its position
+    o["wand_multi_query"] = "\nUNION ALL\n".join(
+        f"SELECT {i} AS query_id, * FROM ("
+        + _wand_bm25_sql(terms, qtype, not_terms=nots, phrase=phr)
+        + ")"
+        for i, (terms, qtype, nots, phr) in enumerate(_MQ_SPECS)
+    )
     # compacted index ≡ fresh build over the survivors (stats included)
     o["wand_compacted"] = _wand_bm25_sql(
         ["fast", "table"],

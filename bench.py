@@ -252,7 +252,39 @@ def bench_wand_queries(index_path: str, cores: int) -> dict:
                 times.append(time.time() - t0)
             lat[label] = round(min(times), 3)
         p50 = statistics.median(lat.values())
-        return {"per_query_s": lat, "p50_s": round(p50, 3)}
+
+        # batched serving throughput: the same queries through ONE
+        # Spark action (fused scan + kernel, per-query heaps) vs their
+        # summed sequential walls
+        from seekstorm_spark.query.engine import search_many
+
+        batch = [
+            (label, q, dt_) for label, q, dt_, kw in WAND_QUERIES if not kw
+        ]
+        # search_many takes one default_type; rewrite +/- prefixes so
+        # intersection entries keep their semantics under "union"
+        batch_qs = [
+            " ".join(
+                ("+" + t) if dt_ == "intersection" and not t.startswith(("+", "-", '"'))
+                else t
+                for t in q.split()
+            ) if not q.startswith('"') else q
+            for _label, q, dt_ in batch
+        ]
+        walls = []
+        for _ in range(QUERY_REPS):
+            t0 = time.time()
+            search_many(spark, store, batch_qs, top_k=10).collect()
+            walls.append(time.time() - t0)
+        batch_wall = min(walls)
+        seq_wall = sum(lat[label] for label, _q, _dt in batch)
+        batched = {
+            "n_queries": len(batch_qs),
+            "wall_s": round(batch_wall, 3),
+            "qps": round(len(batch_qs) / batch_wall, 1),
+            "speedup_vs_sequential": round(seq_wall / batch_wall, 2),
+        }
+        return {"per_query_s": lat, "p50_s": round(p50, 3), "batched": batched}
     finally:
         spark.stop()
 

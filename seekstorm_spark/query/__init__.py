@@ -1,1 +1,5 @@
-from seekstorm_spark.query.engine import count_matches, search  # noqa: F401
+from seekstorm_spark.query.engine import (  # noqa: F401
+    count_matches,
+    search,
+    search_many,
+)

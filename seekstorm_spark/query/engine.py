@@ -607,6 +607,345 @@ def search(
     return out.limit(top_k)
 
 
+def search_many(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: list[str],
+    top_k: int = 10,
+    default_type: str = "union",
+    prune: bool = True,
+    fields: list[tuple[str, float]] | None = None,
+    field_filter: list[str] | None = None,
+    staged: list | None = None,
+) -> DataFrame:
+    """Execute N queries in ONE Spark action → DataFrame(query_id,
+    docid, score); ``query_id`` is the position in ``queries``.
+
+    Throughput-bound serving pays Spark's per-action floor (driver
+    scheduling + plan optimization + one exchange per query, ~0.5 s
+    on this box) per ``search`` call. Here term/intersection/NOT
+    queries FUSE into one pipeline: a single scan over the union of
+    all queries' (tbucket, term) postings, one exchange by block_id,
+    and one kernel that decodes each posting row once and scores
+    every query against it (per-query top-k heaps + per-query
+    block-max thresholds, so pruning stays per query). Queries the
+    fused kernel doesn't cover (phrase/n-gram, staged level-0) fall
+    back to their exact single-query plans as extra union branches in
+    the SAME action. Per-query results are bit-identical to
+    :func:`search` — same f32 accumulation order, same tiebreaks.
+    The reference serves concurrent queries the same way — shared
+    index, per-query execution state (its multi-threaded QPS bench).
+    """
+    from functools import reduce
+
+    plans = [
+        _plan(spark, store, qstr, default_type, staged) for qstr in queries
+    ]
+    boosts, allowed = _resolve_fields(store, fields, field_filter)
+    n_docs, avgdl = _effective_stats(store, staged)
+
+    fused: list[tuple[int, QueryPlan]] = []
+    fallback: list[int] = []
+    for i, plan in enumerate(plans):
+        if plan.missing_required or not plan.pos_terms:
+            continue  # no results by construction
+        if plan.qtype in ("union", "intersection") and plan.units is None \
+                and not staged:
+            fused.append((i, plan))
+        else:
+            fallback.append(i)
+
+    outs: list[DataFrame] = []
+    if fused:
+        partials = _search_many_fused(
+            spark, store, fused, top_k, prune, boosts, allowed, avgdl
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("docid").asc()
+        )
+        outs.append(
+            partials.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top_k)
+            .select("query_id", "docid", "score")
+        )
+    for i in fallback:
+        out = search(
+            spark, store, queries[i], top_k=top_k,
+            default_type=default_type, prune=prune, fields=fields,
+            field_filter=field_filter, staged=staged,
+        )
+        outs.append(
+            out.select(
+                F.lit(int(i)).alias("query_id"),
+                F.col("docid"),
+                F.col("score"),
+            )
+        )
+    if not outs:
+        return spark.createDataFrame([], "query_id int, " + RESULT_SCHEMA)
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def _search_many_fused(
+    spark: SparkSession,
+    store: IndexStore,
+    idx_plans: list[tuple[int, QueryPlan]],
+    top_k: int,
+    prune: bool,
+    boosts: dict[int, float],
+    allowed: list[int] | None,
+    avgdl: float,
+) -> DataFrame:
+    """One scan + one exchange + one kernel for N term queries →
+    per-partition top-k candidates (query_id, docid, score); the
+    caller takes the global per-query top-k."""
+    terms = sorted(
+        {t for _i, p in idx_plans for t in (*p.pos_terms, *p.not_terms)}
+    )
+    n_buckets = store.n_buckets
+    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+    postings = _cached_postings(spark, store).filter(
+        F.col("tbucket").isin(buckets) & F.col("term").isin(terms)
+    ).select(
+        "term", "field", "block_id", "max_tf", "min_dl_byte",
+        "docids_vb", "tfs_vb", "dls",
+    )
+    if allowed is not None:
+        postings = postings.filter(
+            F.col("field").isin([int(i) for i in allowed])
+        )
+    rows = postings.repartition("block_id").sortWithinPartitions(
+        "block_id", "term", "field"
+    )
+    kernel = _make_multi_kernel(
+        idx_plans, top_k, prune, avgdl, boosts,
+        block_size=int(store.meta.get("block_size", ROARING_BLOCK_SIZE)),
+        deletes=_load_delete_set(spark, store),
+    )
+    return rows.mapInPandas(kernel, schema="query_id int, " + RESULT_SCHEMA)
+
+
+def _make_multi_kernel(
+    idx_plans: list[tuple[int, QueryPlan]],
+    top_k: int,
+    prune: bool,
+    avgdl: float,
+    boosts: dict[int, float],
+    block_size: int = ROARING_BLOCK_SIZE,
+    deletes: np.ndarray | None = None,
+):
+    """Batched kernel: decode each posting row ONCE, score every
+    query against the shared decode. Per-query state (top-k heap,
+    WAND threshold, candidate algebra) mirrors ``_make_kernel``
+    op-for-op so each query's results are bit-identical to its
+    single-query run."""
+    delete_set = deletes if deletes is not None else np.empty(0, dtype=np.int64)
+    qinfo = [
+        (
+            qi,
+            p.qtype,
+            dict(p.pos_terms),
+            sorted(p.pos_terms),
+            set(p.not_terms),
+        )
+        for qi, p in idx_plans
+    ]
+    decode_tab = _DECODE_NP.astype(np.float32)
+    avgdl32 = np.float32(avgdl)
+    # float64 upper-bound factors, identical math to the block_bound
+    # column expression in _annotated_postings (format v3+: computed
+    # at query time from current avgdl)
+    dlq_tab = _DECODE_NP.astype(np.float64)
+
+    def term_scores(idf: float, tfs: np.ndarray, dl_bytes: np.ndarray) -> np.ndarray:
+        tf32 = tfs.astype(np.float32)
+        dlq = decode_tab[dl_bytes.astype(np.int64)]
+        comp = tf32 * np.float32(K + 1.0) / (
+            tf32
+            + np.float32(K)
+            * (np.float32(1.0) - np.float32(B) + np.float32(B) * dlq / avgdl32)
+        )
+        return np.float32(idf) * comp
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best_d = {qi: np.empty(0, dtype=np.int64) for qi, *_ in qinfo}
+        best_s = {qi: np.empty(0, dtype=np.float32) for qi, *_ in qinfo}
+
+        def threshold(qi: int) -> float:
+            if not prune or len(best_s[qi]) < top_k:
+                return -np.inf
+            return float(best_s[qi].min())
+
+        def merge_topk(qi: int, docids: np.ndarray, scores: np.ndarray) -> None:
+            d = np.concatenate([best_d[qi], docids])
+            s = np.concatenate([best_s[qi], scores])
+            order = np.lexsort((d, -s.astype(np.float64)))[:top_k]
+            best_d[qi], best_s[qi] = d[order], s[order]
+
+        def process_block(rows: pd.DataFrame) -> None:
+            block_id = int(rows["block_id"].iloc[0])
+            base = block_id * block_size
+            # shared per-block bound pieces: one f64 ub per posting row
+            row_ub: dict[str, list[tuple[int, float, float]]] = {}
+            raw = []
+            for _, r in rows.iterrows():
+                tf = float(r["max_tf"])
+                mdlq = dlq_tab[int(r["min_dl_byte"])]
+                comp_ub = (tf * (K + 1.0)) / (
+                    tf + K * ((1.0 - B) + B * mdlq / float(avgdl))
+                )
+                fld = int(r["field"])
+                row_ub.setdefault(r["term"], []).append(
+                    (fld, float(boosts.get(fld, 1.0)), comp_ub)
+                )
+                raw.append(r)
+
+            decoded: dict[str, list[dict]] = {}
+
+            def recs_for(term: str) -> list[dict]:
+                # decode lazily and ONCE per row, shared by all queries
+                got = decoded.get(term)
+                if got is None:
+                    got = []
+                    for r in raw:
+                        if r["term"] != term:
+                            continue
+                        got.append(
+                            {
+                                "field": int(r["field"]),
+                                "boost": float(
+                                    boosts.get(int(r["field"]), 1.0)
+                                ),
+                                "d": decode_docids(r["docids_vb"]),
+                                "tf": decode_tfs(r["tfs_vb"]),
+                                "dl": np.frombuffer(r["dls"], dtype=np.uint8),
+                            }
+                        )
+                    decoded[term] = got
+                return got
+
+            union_cache: dict[str, np.ndarray] = {}
+
+            def union_docs(term: str) -> np.ndarray:
+                got = union_cache.get(term)
+                if got is None:
+                    ds = [rec["d"] for rec in recs_for(term)]
+                    got = ds[0] if len(ds) == 1 else np.unique(np.concatenate(ds))
+                    union_cache[term] = got
+                return got
+
+            present = set(row_ub)
+            for qi, qtype, pos_terms, pos_sorted, not_set in qinfo:
+                q_present = [t for t in pos_sorted if t in present]
+                if qtype == "intersection":
+                    if len(q_present) != len(pos_sorted):
+                        continue
+                elif not q_present:
+                    continue
+                if prune:
+                    bound = 0.0
+                    for t in q_present:
+                        idf = pos_terms[t]
+                        for _fld, boost, comp_ub in row_ub[t]:
+                            bound += boost * (idf * comp_ub)
+                    thr = threshold(qi)
+                    eps = 1e-6 + 1e-5 * abs(thr) if np.isfinite(thr) else 0.0
+                    if bound < thr - eps:
+                        continue
+                if qtype == "intersection":
+                    cand = union_docs(pos_sorted[0])
+                    for t in pos_sorted[1:]:
+                        cand = np.intersect1d(
+                            cand, union_docs(t), assume_unique=True
+                        )
+                        if cand.size == 0:
+                            break
+                    if cand.size == 0:
+                        continue
+                else:
+                    cand = (
+                        union_docs(q_present[0])
+                        if len(q_present) == 1
+                        else np.unique(
+                            np.concatenate([union_docs(t) for t in q_present])
+                        )
+                    )
+                for t in not_set:
+                    if t in present:
+                        cand = cand[
+                            ~np.isin(cand, union_docs(t), assume_unique=True)
+                        ]
+                if cand.size == 0:
+                    continue
+                if delete_set.size:
+                    cand = cand[
+                        ~np.isin(base + cand, delete_set, assume_unique=True)
+                    ]
+                    if cand.size == 0:
+                        continue
+                # f32 accumulation in (term asc, field asc) order —
+                # identical to _make_kernel's entries loop
+                entries = []
+                for t in pos_sorted:
+                    for rec in recs_for(t):
+                        entries.append(
+                            (t, rec["field"], rec["boost"], rec["d"],
+                             rec["tf"], rec["dl"])
+                        )
+                entries.sort(key=lambda e: (e[0], e[1]))
+                scores = np.zeros(cand.size, dtype=np.float32)
+                for t, _fld, boost, d, tf, dl in entries:
+                    idx = np.searchsorted(d, cand)
+                    valid = (idx < d.size) & (
+                        d[np.minimum(idx, d.size - 1)] == cand
+                    )
+                    ii = idx[valid]
+                    scores[valid] += np.float32(boost) * term_scores(
+                        pos_terms[t], tf[ii], dl[ii]
+                    )
+                merge_topk(qi, base + cand, scores)
+
+        pending: list[pd.DataFrame] = []
+        pending_block = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for block_id, grp in pdf.groupby("block_id", sort=False):
+                if pending_block is not None and block_id != pending_block:
+                    process_block(pd.concat(pending))
+                    pending = []
+                pending_block = block_id
+                pending.append(grp)
+        if pending:
+            process_block(pd.concat(pending))
+
+        qids = []
+        ds = []
+        ss = []
+        for qi, *_ in qinfo:
+            qids.append(np.full(best_d[qi].size, qi, dtype=np.int32))
+            ds.append(best_d[qi])
+            ss.append(best_s[qi])
+        yield pd.DataFrame(
+            {
+                "query_id": pd.Series(
+                    np.concatenate(qids) if qids else np.empty(0, np.int32),
+                    dtype="int32",
+                ),
+                "docid": pd.Series(
+                    np.concatenate(ds) if ds else np.empty(0, np.int64),
+                    dtype="int64",
+                ),
+                "score": pd.Series(
+                    np.concatenate(ss) if ss else np.empty(0, np.float32),
+                    dtype="float32",
+                ),
+            }
+        )
+
+    return kernel
+
+
 def count_matches(
     spark: SparkSession,
     store: IndexStore,

@@ -1,0 +1,128 @@
+"""Batched multi-query execution: ``search_many`` runs N queries in
+one Spark action (fused scan + one exchange + one kernel for term
+queries, exact per-query fallback branches for phrase/staged) and
+must be BIT-IDENTICAL per query to ``search``."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from seekstorm_spark.index.builder import IndexBuilder
+from seekstorm_spark.query.engine import (
+    delete_documents,
+    search,
+    search_many,
+)
+from seekstorm_spark.sources.webtext import synth_webtext
+
+QUERIES = [
+    "term00000 term00001",            # union
+    "+term00000 +term00001",          # intersection
+    "term00002 term00007 term00011",  # 3-term union
+    "term00000 -term00001",           # NOT
+    '"term00000 term00001"',          # phrase → fallback branch
+    "term00042",                      # single term
+    "zzzmissing term00000",           # partial-missing union
+    "+zzzmissing +term00000",         # missing AND term → empty
+    "term00000 term00000 term00003",  # duplicate term dedup
+    "@@@",                            # garbage → empty
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    docs = synth_webtext(spark, 500, seed=42)
+    path = str(tmp_path_factory.mktemp("many") / "idx")
+    store = IndexBuilder(spark, path, n_buckets=4).build(
+        docs, text_col="text", order_col="url"
+    )
+    return store
+
+
+def _rows(df):
+    return [(r["docid"], r["score"]) for r in df.collect()]
+
+
+def _batched_rows(batched, i):
+    got = [(r["docid"], r["score"]) for r in batched if r["query_id"] == i]
+    return sorted(got, key=lambda x: (-x[1], x[0]))
+
+
+def test_search_many_identical_to_search(spark, built):
+    batched = search_many(spark, built, QUERIES, top_k=10).collect()
+    for i, q in enumerate(QUERIES):
+        single = _rows(search(spark, built, q, top_k=10))
+        assert _batched_rows(batched, i) == single, q
+
+
+def test_search_many_respects_deletes(spark, built):
+    victims = [r["docid"] for r in
+               search(spark, built, "term00000", top_k=3).collect()]
+    delete_documents(spark, built, victims)
+    try:
+        batched = search_many(spark, built, QUERIES[:4], top_k=10).collect()
+        for i, q in enumerate(QUERIES[:4]):
+            single = _rows(search(spark, built, q, top_k=10))
+            assert _batched_rows(batched, i) == single, q
+            assert not (set(victims)
+                        & {d for d, _s in _batched_rows(batched, i)})
+    finally:
+        import shutil
+
+        shutil.rmtree(built.deletes_path, ignore_errors=True)
+        from seekstorm_spark.query.engine import invalidate_term_stats_cache
+
+        invalidate_term_stats_cache(built.path)
+
+
+def test_search_many_multi_row_blocks(spark, built, tmp_path):
+    """After an id_col append, a block can hold multiple rows per
+    (term, field) — the fused kernel must merge them like the
+    single-query kernel does."""
+    from seekstorm_spark.streaming.incremental import append_batch
+
+    path = str(tmp_path / "appended")
+    store = IndexBuilder(spark, path, n_buckets=4).build(
+        synth_webtext(spark, 150, seed=42), text_col="text",
+        order_col="url",
+    )
+    # explicit ids 200..349 share block 0 with the committed 0..149
+    extra = synth_webtext(spark, 150, seed=77).withColumn(
+        "doc_id", F.monotonically_increasing_id() + F.lit(200)
+    )
+    append_batch(spark, store, extra, batch_id=1, id_col="doc_id")
+    qs = QUERIES[:6]
+    batched = search_many(spark, store, qs, top_k=10).collect()
+    for i, q in enumerate(qs):
+        single = _rows(search(spark, store, q, top_k=10))
+        assert _batched_rows(batched, i) == single, q
+
+
+def test_search_many_staged_falls_back(spark, built, tmp_path):
+    """Staged level-0 batches route every query through the exact
+    single-query plan (fallback branches) — results must include
+    staged docs."""
+    from seekstorm_spark.streaming.incremental import stage_batch
+
+    docs = synth_webtext(spark, 300, seed=42)
+    path = str(tmp_path / "staged")
+    store = IndexBuilder(spark, path, n_buckets=4).build(
+        docs, text_col="text", order_col="url"
+    )
+    staged = stage_batch(
+        spark, store, synth_webtext(spark, 50, seed=99), batch_id=7
+    )
+    qs = ["term00000 term00001", "+term00000 +term00001"]
+    batched = search_many(
+        spark, store, qs, top_k=10, staged=[staged]
+    ).collect()
+    for i, q in enumerate(qs):
+        single = _rows(search(spark, store, q, top_k=10, staged=[staged]))
+        assert _batched_rows(batched, i) == single, q
+
+
+def test_search_many_empty_inputs(spark, built):
+    assert search_many(spark, built, [], top_k=5).count() == 0
+    out = search_many(spark, built, ["zzz", "@@@"], top_k=5)
+    assert out.count() == 0
