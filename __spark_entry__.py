@@ -1563,6 +1563,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["highlight_kwic"] = highlight_kwic
 
+    # phrase-span KWIC: the whole phrase occurrence is ONE <b> span
+    # (reference highlighter.rs:229-322)
+    def highlight_kwic_phrase(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.highlight import highlight_phrase
+
+        docs = _docs(s, d)
+        top = bm25_phrase_topk(s, docs, ["fast", "table"], top_k=5)
+        return top.join(docs, top.docid == docs.doc_id).select(
+            "doc_id",
+            highlight_phrase(F.col("text"), ["fast", "table"], 30).alias(
+                "kwic"
+            ),
+        )
+
+    q["highlight_kwic_phrase"] = highlight_kwic_phrase
+
     # --- hybrid RRF fusion (reference search.rs:1962-2035) ---
     def hybrid_rrf(s: SparkSession, d: str) -> DataFrame:
         from seekstorm_spark.functions.fusion import rrf_fuse
@@ -2179,6 +2195,21 @@ SELECT d.doc_id,
                                      '^(.*?)\\bfast\\b', 1)) + 1 - 30, 1),
                      {2 * 30 + len("fast")}),
            '\\bfast\\b', '<b>fast</b>', 'g')
+       ELSE '' END AS kwic
+FROM top t JOIN documents d ON d.doc_id = t.docid
+"""
+    _PHR_PAT = r"\bfast\s+table\b"
+    o["highlight_kwic_phrase"] = f"""
+WITH top AS ({_bm25_sql(["fast", "table"], "intersection",
+                        phrase=["fast", "table"], top_k=5)})
+SELECT d.doc_id,
+       CASE WHEN regexp_matches(d.text, '{_PHR_PAT}') THEN
+         regexp_replace(
+           substring(d.text,
+                     greatest(length(regexp_extract(d.text,
+                                     '^(.*?){_PHR_PAT}', 1)) + 1 - 30, 1),
+                     {2 * 30 + len("fast table")}),
+           '{_PHR_PAT}', '<b>\\0</b>', 'g')
        ELSE '' END AS kwic
 FROM top t JOIN documents d ON d.doc_id = t.docid
 """

@@ -40,3 +40,31 @@ def highlight_first(
     frag = F.substring(text, start, F.lit(2 * width + len(term)))
     highlighted = F.regexp_replace(frag, pat, f"<b>{term}</b>")
     return F.when(found, highlighted).otherwise(F.lit(""))
+
+
+def highlight_phrase(
+    text: Column, terms: list[str], width: int = 30
+) -> Column:
+    """KWIC fragment around the first occurrence of the full PHRASE,
+    with each whole phrase occurrence inside the fragment wrapped in
+    ONE ``<b>…</b>`` span (the reference highlights phrase matches as
+    a single span, highlighter.rs:229-322; per-term highlighting
+    would bold "fast" and "table" separately even when they match as
+    a phrase).
+
+    Adjacent terms may be separated by any run of whitespace
+    (``\\s+``); the matched text is re-emitted verbatim via the
+    whole-match group, so the original spacing survives inside the
+    bold span. Empty string when the phrase is absent.
+    """
+    if not terms:
+        return F.lit("")
+    pat = r"\b" + r"\s+".join(re.escape(t) for t in terms) + r"\b"
+    nominal = len(" ".join(terms))
+    prefix = F.regexp_extract(text, rf"^(.*?){pat}", 1)
+    found = text.rlike(pat)
+    pos = F.length(prefix) + F.lit(1)
+    start = F.greatest(pos - F.lit(width), F.lit(1))
+    frag = F.substring(text, start, F.lit(2 * width + nominal))
+    highlighted = F.regexp_replace(frag, pat, "<b>$0</b>")
+    return F.when(found, highlighted).otherwise(F.lit(""))

@@ -425,7 +425,12 @@ class RealtimeIndexer:
     `index.rs:5513-5521`): ``add_documents`` stages a batch that is
     searchable IMMEDIATELY via :meth:`search`; staged batches chain
     docid ranges and auto-commit once ``commit_every`` docs are
-    pending (or on an explicit :meth:`commit`)."""
+    pending OR ``commit_interval_s`` seconds have passed since the
+    last commit (whichever fires first; both checked at
+    ``add_documents`` time), or on an explicit :meth:`commit`.
+    Staging is what makes docs searchable, so the time trigger bounds
+    only the UNCOMMITTED (crash-replayable) window, not visibility
+    latency."""
 
     def __init__(
         self,
@@ -434,12 +439,19 @@ class RealtimeIndexer:
         text_col: str = "text",
         commit_every: int = ROARING_BLOCK_SIZE,
         id_col: str | None = None,
+        commit_interval_s: float | None = None,
     ):
+        import time
+
         self.spark = spark
         self.store = store
         self.text_col = text_col
         self.id_col = id_col
         self.commit_every = int(commit_every)
+        self.commit_interval_s = (
+            float(commit_interval_s) if commit_interval_s is not None else None
+        )
+        self._last_commit = time.monotonic()
         self.staged: list[StagedBatch] = []
         self._pending = 0
         applied = store.meta.get("applied_batches") or []
@@ -460,7 +472,13 @@ class RealtimeIndexer:
             return
         self.staged.append(staged)
         self._pending += staged.batch_n
-        if self._pending >= self.commit_every:
+        import time
+
+        due = (
+            self.commit_interval_s is not None
+            and time.monotonic() - self._last_commit >= self.commit_interval_s
+        )
+        if self._pending >= self.commit_every or due:
             self.commit()
 
     def search(self, query: str, **kwargs):
@@ -482,10 +500,13 @@ class RealtimeIndexer:
         )
 
     def commit(self) -> IndexStore:
+        import time
+
         for staged in self.staged:
             self.store = commit_batch(self.spark, self.store, staged)
         self.staged = []
         self._pending = 0
+        self._last_commit = time.monotonic()
         return self.store
 
 

@@ -233,6 +233,28 @@ def test_realtime_indexer_multi_batch_and_autocommit(spark, tmp_path):
     assert want <= post <= want + 20 and rti.count(q, "intersection") == post
 
 
+def test_realtime_indexer_time_based_autocommit(spark, tmp_path):
+    """commit_interval_s=0 forces a commit on every add; None (the
+    default) leaves batches staged below the doc threshold."""
+    from seekstorm_spark.index.builder import IndexBuilder
+    from seekstorm_spark.streaming.incremental import RealtimeIndexer
+
+    docs = synth_webtext(spark, 60, seed=33)
+    store = IndexBuilder(spark, str(tmp_path / "rtt"), n_buckets=4).build(
+        docs, text_col="text", order_col="url"
+    )
+    rti = RealtimeIndexer(
+        spark, store, commit_every=10_000, commit_interval_s=0.0
+    )
+    rti.add_documents(synth_webtext(spark, 20, seed=44).select("url", "text"))
+    assert rti.staged == []  # time trigger fired immediately
+
+    rti2 = RealtimeIndexer(spark, rti.store, commit_every=10_000)
+    rti2.add_documents(synth_webtext(spark, 20, seed=55).select("url", "text"))
+    assert len(rti2.staged) == 1  # no time trigger, below doc threshold
+    rti2.commit()
+
+
 def test_update_documents_and_delete_by_query(spark, tmp_path):
     from seekstorm_spark.index.builder import IndexBuilder
     from seekstorm_spark.query.engine import delete_by_query, search
