@@ -82,15 +82,14 @@ def _window_range(lat_lo: float, lat_hi: float, lon_lo: float, lon_hi: float) ->
     return min(codes), max(codes)
 
 
-def morton_ranges_for_radius(
+def geo_boxes_for_radius(
     lat: float, lon: float, radius_km: float
-) -> list[tuple[int, int]]:
-    """Conservative Morton [lo, hi] ranges covering the radius — the
-    coarse pre-filter before the exact distance check
-    (geo_search.rs:128-144). A degree of latitude ≈ 111.32 km.
+) -> list[tuple[float, float, float, float]]:
+    """Conservative lat/lon boxes (lat_lo, lat_hi, lon_lo, lon_hi)
+    covering the radius. A degree of latitude ≈ 111.32 km.
 
     Latitude is clamped to ±90; a longitude window crossing the
-    antimeridian is SPLIT into two ranges (one per side) so the wrapped
+    antimeridian is SPLIT into two boxes (one per side) so the wrapped
     portion is never silently dropped; a window touching a pole falls
     back to all longitudes at the polar latitudes (every meridian
     converges there).
@@ -104,22 +103,37 @@ def morton_ranges_for_radius(
         math.cos(math.radians(lat_lo)), math.cos(math.radians(lat_hi))
     )
     if touches_pole or min_cos < 1e-9:
-        return [_window_range(lat_lo, lat_hi, -180.0, 180.0)]
+        return [(lat_lo, lat_hi, -180.0, 180.0)]
     dlon = radius_km / (111.32 * min_cos)
     if dlon >= 180.0:
-        return [_window_range(lat_lo, lat_hi, -180.0, 180.0)]
+        return [(lat_lo, lat_hi, -180.0, 180.0)]
     lon_lo, lon_hi = lon - dlon, lon + dlon
     if lon_lo < -180.0:  # wraps west → [lon_lo+360, 180] ∪ [-180, lon_hi]
         return [
-            _window_range(lat_lo, lat_hi, lon_lo + 360.0, 180.0),
-            _window_range(lat_lo, lat_hi, -180.0, lon_hi),
+            (lat_lo, lat_hi, lon_lo + 360.0, 180.0),
+            (lat_lo, lat_hi, -180.0, lon_hi),
         ]
     if lon_hi > 180.0:  # wraps east
         return [
-            _window_range(lat_lo, lat_hi, lon_lo, 180.0),
-            _window_range(lat_lo, lat_hi, -180.0, lon_hi - 360.0),
+            (lat_lo, lat_hi, lon_lo, 180.0),
+            (lat_lo, lat_hi, -180.0, lon_hi - 360.0),
         ]
-    return [_window_range(lat_lo, lat_hi, lon_lo, lon_hi)]
+    return [(lat_lo, lat_hi, lon_lo, lon_hi)]
+
+
+def morton_ranges_for_radius(
+    lat: float, lon: float, radius_km: float
+) -> list[tuple[int, int]]:
+    """Conservative Morton [lo, hi] ranges covering the radius — the
+    coarse pre-filter before the exact distance check
+    (geo_search.rs:128-144); the boxes come from
+    :func:`geo_boxes_for_radius` (clamped, antimeridian-split)."""
+    return [
+        _window_range(lat_lo, lat_hi, lon_lo, lon_hi)
+        for lat_lo, lat_hi, lon_lo, lon_hi in geo_boxes_for_radius(
+            lat, lon, radius_km
+        )
+    ]
 
 
 def morton_range_for_radius(

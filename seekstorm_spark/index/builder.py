@@ -85,7 +85,10 @@ POSTING_SCHEMA = (
 # metadata ({"type": "string"|"numeric"}), and a LOG-STRUCTURED
 # term_stats table: incremental appends add per-batch partial
 # aggregates as new files, readers sum df per term across partials.
-INDEX_FORMAT_VERSION = 4
+# v5 adds per-block vmin/vmax zone bounds on numeric facet rows
+# (block skipping for range/geo filters); readers tolerate their
+# absence, so v4 tables stay readable — the bump just retires caches.
+INDEX_FORMAT_VERSION = 5
 
 # reference NgramSet (index.rs:1834-1852): which adjacent-term shapes
 # get pre-joined postings; f = frequent (in frequent_terms), r = rare.
@@ -776,7 +779,10 @@ def encode_facet_blocks(
     distributed analog of the reference's in-RAM per-doc facet array
     (index.rs facet_index). One row per (facet, block): string facets
     are uint8 dictionary codes, numeric facets raw float64 (NaN =
-    missing)."""
+    missing). Numeric rows also carry the block's value min/max —
+    block-level zone bounds that let range/geo queries skip whole
+    blocks before decoding (the reference skips via its per-segment
+    facet stats); NaN bounds mean "no value in this block"."""
     facet_cols = list(facet_meta)
     mappings = {
         fc: {v: i for i, v in enumerate(facet_values(spec) or [])}
@@ -789,14 +795,20 @@ def encode_facet_blocks(
         local = pdf["docid"].values.astype(np.int64) - block_id * block_size
         size = int(local.max()) + 1
         out_facet, out_vals = [], []
+        out_vmin: list[float] = []
+        out_vmax: list[float] = []
         for fc in facet_cols:
             kind = kinds[fc]
+            vmin = vmax = np.nan
             if kind == "numeric":
                 arr = np.full(size, np.nan, dtype=np.float64)
                 vals = pd.to_numeric(pdf[fc], errors="coerce").values.astype(
                     np.float64
                 )
                 arr[local] = vals
+                if not np.isnan(vals).all():
+                    vmin = float(np.nanmin(vals))
+                    vmax = float(np.nanmax(vals))
                 buf = arr.tobytes()
             elif kind == "string_set":
                 buf = encode_string_set_block(
@@ -822,6 +834,8 @@ def encode_facet_blocks(
                 buf = arr.tobytes()
             out_facet.append(fc)
             out_vals.append(buf)
+            out_vmin.append(vmin)
+            out_vmax.append(vmax)
         return pd.DataFrame(
             {
                 "facet": out_facet,
@@ -829,6 +843,8 @@ def encode_facet_blocks(
                     np.full(len(out_facet), block_id), dtype="int32"
                 ),
                 "fvalues": out_vals,
+                "vmin": pd.Series(out_vmin, dtype="float64"),
+                "vmax": pd.Series(out_vmax, dtype="float64"),
             }
         )
 
@@ -839,7 +855,9 @@ def encode_facet_blocks(
         )
         .groupBy("block_id")
         .applyInPandas(
-            _enc, schema="facet string, block_id int, fvalues binary"
+            _enc,
+            schema="facet string, block_id int, fvalues binary, "
+            "vmin double, vmax double",
         )
     )
 

@@ -527,14 +527,36 @@ def search(
 
     boosts, allowed = _resolve_fields(store, fields, field_filter)
     need_facets = sorted(set(filters_k) | set(emit_facets))
+    block_bounds = None
     if geo_filter:
         need_facets = sorted(
             set(need_facets) | {geo_filter["lat"], geo_filter["lon"]}
         )
+        # block-level zone skipping: blocks whose stored lat/lon
+        # min/max fall outside the radius' conservative boxes drop
+        # before any posting decode (clamped + antimeridian-split, so
+        # the skip is lossless)
+        from seekstorm_spark.functions.geo import geo_boxes_for_radius
+
+        boxes = geo_boxes_for_radius(
+            float(geo_filter["at"][0]), float(geo_filter["at"][1]),
+            float(geo_filter["radius_km"]),
+        )
+        block_bounds = {
+            geo_filter["lat"]: [(b[0], b[1]) for b in boxes],
+            geo_filter["lon"]: [(b[2], b[3]) for b in boxes],
+        }
+    # numeric range facet filters get the same zone-map skip
+    for name, spec in (filters_k or {}).items():
+        if spec[0] == "numeric":
+            block_bounds = block_bounds or {}
+            block_bounds.setdefault(name, []).append(
+                (float(spec[1]), float(spec[2]))
+            )
     n_docs, avgdl = _effective_stats(store, staged)
     rows = _annotated_postings(
         spark, store, plan, boosts, allowed, facet_cols=need_facets,
-        staged=staged, avgdl=avgdl,
+        staged=staged, avgdl=avgdl, block_bounds=block_bounds,
     )
     need_k = top_k + offset
     emit_all = bool(result_sort)
@@ -1254,11 +1276,20 @@ def _join_facet_blocks(
     rows: DataFrame,
     facet_cols: list[str],
     staged: list | None = None,
+    block_bounds: dict[str, list[tuple[float, float]]] | None = None,
 ) -> tuple[DataFrame, list]:
     """Left-join per-block facet arrays onto the posting rows (rows
     are hash-partitioned by block_id already, so only the small facet
     side exchanges). Staged batches' facet blocks union in for
-    realtime level-0. Returns (rows, extra select columns)."""
+    realtime level-0. Returns (rows, extra select columns).
+
+    ``block_bounds`` maps a numeric facet to allowed [lo, hi] value
+    intervals: blocks whose stored per-block min/max (format v4 zone
+    bounds) provably fall outside EVERY interval are dropped here —
+    before any posting decode — mirroring the reference's segment-
+    level facet skip. Blocks with unknown bounds (pre-v4 files, or a
+    slice union where no slice has values) are kept; correctness
+    never depends on the skip."""
     import os
 
     extra = []
@@ -1266,18 +1297,46 @@ def _join_facet_blocks(
         fb = store.facet_blocks(spark)
         for sb in staged or []:
             if os.path.exists(sb.facets_path):
-                fb = fb.unionByName(spark.read.parquet(sb.facets_path))
+                fb = fb.unionByName(
+                    spark.read.parquet(sb.facets_path),
+                    allowMissingColumns=True,
+                )
         # a block can carry SEVERAL facet rows (id_col appends /
         # staged batches sharing a block, each covering its own docid
         # slice with missing elsewhere) — collect them into one row so
         # the join never duplicates posting rows; the kernel overlays
         # the buffers (non-missing slots are disjoint by construction)
-        fb = (
-            fb.filter(F.col("facet") == fc)
-            .groupBy("block_id")
-            .agg(F.collect_list("fvalues").alias(f"fb_{fc}"))
-        )
+        fb = fb.filter(F.col("facet") == fc)
+        intervals = (block_bounds or {}).get(fc)
+        has_bounds = intervals and {"vmin", "vmax"} <= set(fb.columns)
+        if has_bounds:
+            # NaN bounds mean "this slice has no values" — null them so
+            # the min/max over slices ignores them (Spark sorts NaN as
+            # the LARGEST double, which would poison max otherwise)
+            fb = fb.groupBy("block_id").agg(
+                F.collect_list("fvalues").alias(f"fb_{fc}"),
+                F.min(
+                    F.when(~F.isnan(F.col("vmin")), F.col("vmin"))
+                ).alias("_bmin"),
+                F.max(
+                    F.when(~F.isnan(F.col("vmax")), F.col("vmax"))
+                ).alias("_bmax"),
+            )
+        else:
+            fb = fb.groupBy("block_id").agg(
+                F.collect_list("fvalues").alias(f"fb_{fc}")
+            )
         rows = rows.join(fb, "block_id", "left")
+        if has_bounds:
+            overlap = F.lit(False)
+            for lo, hi in intervals:
+                overlap = overlap | (
+                    (F.col("_bmin") <= F.lit(float(hi)))
+                    & (F.col("_bmax") >= F.lit(float(lo)))
+                )
+            rows = rows.filter(
+                F.col("_bmin").isNull() | overlap
+            ).drop("_bmin", "_bmax")
         extra.append(f"fb_{fc}")
     return rows, extra
 
@@ -1291,6 +1350,7 @@ def _annotated_postings(
     facet_cols: list[str] | None = None,
     staged: list | None = None,
     avgdl: float | None = None,
+    block_bounds: dict[str, list[tuple[float, float]]] | None = None,
 ) -> DataFrame:
     if avgdl is None:
         avgdl = store.avgdl
@@ -1415,7 +1475,8 @@ def _annotated_postings(
         rows = rows.withColumn("block_bound", F.col("bound_contrib"))
         if facet_cols:
             rows, extra = _join_facet_blocks(
-                spark, store, rows, facet_cols, staged
+                spark, store, rows, facet_cols, staged,
+                block_bounds=block_bounds,
             )
             return rows.select(*base_cols, *extra)
         return rows.select(*base_cols)
@@ -1432,7 +1493,10 @@ def _annotated_postings(
             ),
         ).filter(F.col("pos_in_block") >= len(required))
     if facet_cols:
-        rows, extra = _join_facet_blocks(spark, store, rows, facet_cols, staged)
+        rows, extra = _join_facet_blocks(
+            spark, store, rows, facet_cols, staged,
+            block_bounds=block_bounds,
+        )
         return rows.select(*base_cols, *extra)
     return rows.select(*base_cols)
 

@@ -52,3 +52,84 @@ def test_morton_range_covers_radius():
     inside = haversine_km(pts_lat, pts_lon, lat, lon) <= r
     codes = morton_encode(pts_lat, pts_lon)
     assert np.all((codes[inside] >= lo) & (codes[inside] <= hi))
+
+
+def test_geo_block_skipping_lossless(spark, tmp_path):
+    """Format-v4 zone bounds: blocks whose lat/lon min/max fall
+    outside the radius boxes drop BEFORE posting decode, and results
+    are identical to a brute-force haversine over the corpus."""
+    from pyspark.sql import functions as F
+
+    from seekstorm_spark.index.builder import IndexBuilder
+    from seekstorm_spark.query.engine import (
+        _annotated_postings,
+        _plan,
+        search,
+    )
+    from seekstorm_spark.sources.webtext import synth_webtext
+
+    from pyspark.sql import Window
+
+    bs = 65536
+    rn = F.row_number().over(Window.orderBy("url")) - 1
+    # block 0 near Paris, block 1 in the south Pacific
+    near = (
+        synth_webtext(spark, 80, seed=1)
+        .withColumn("doc_id", rn.cast("long"))
+        .withColumn("lat", F.lit(48.0) + F.col("doc_id") / 100.0)
+        .withColumn("lon", F.lit(2.0) + F.col("doc_id") / 100.0)
+    )
+    far = (
+        synth_webtext(spark, 80, seed=2)
+        .withColumn("doc_id", rn.cast("long") + F.lit(bs))
+        .withColumn("lat", F.lit(-40.0))
+        .withColumn("lon", F.lit(-140.0))
+    )
+    docs = near.unionByName(far)
+    store = IndexBuilder(
+        spark, str(tmp_path / "geoskip"), n_buckets=4,
+        facet_cols=["lat", "lon"],
+    ).build(docs, text_col="text", id_col="doc_id")
+
+    gf = {"lat": "lat", "lon": "lon", "at": (48.8566, 2.3522),
+          "radius_km": 500.0}
+    boxes = [(47.0, 50.0)]  # lat interval containing only block 0
+    plan = _plan(spark, store, "term00000", "union")
+    with_skip = _annotated_postings(
+        spark, store, plan, facet_cols=["lat", "lon"],
+        block_bounds={"lat": boxes},
+    )
+    no_skip = _annotated_postings(
+        spark, store, plan, facet_cols=["lat", "lon"]
+    )
+    blocks_with = {r["block_id"] for r in
+                   with_skip.select("block_id").distinct().collect()}
+    blocks_without = {r["block_id"] for r in
+                      no_skip.select("block_id").distinct().collect()}
+    assert blocks_without == {0, 1}
+    assert blocks_with == {0}  # far block skipped pre-decode
+
+    # end-to-end: skip-enabled search == brute-force haversine rerank
+    got = search(
+        spark, store, "term00000 term00001", top_k=10,
+        default_type="union", geo_filter=gf,
+    ).collect()
+    from seekstorm_spark.functions.geo import haversine_km
+    import numpy as np
+
+    rows = docs.select("doc_id", "lat", "lon").collect()
+    coords = {r["doc_id"]: (r["lat"], r["lon"]) for r in rows}
+    for r in got:
+        la, lo = coords[r["docid"]]
+        d = haversine_km(np.array([la]), np.array([lo]), 48.8566, 2.3522)
+        assert d[0] <= 500.0
+    baseline = search(
+        spark, store, "term00000 term00001", top_k=10,
+        default_type="union",
+    ).collect()
+    want = [r["docid"] for r in baseline
+            if haversine_km(
+                np.array([coords[r["docid"]][0]]),
+                np.array([coords[r["docid"]][1]]), 48.8566, 2.3522,
+            )[0] <= 500.0]
+    assert [r["docid"] for r in got[: len(want)]] == want
