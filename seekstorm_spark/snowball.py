@@ -648,3 +648,152 @@ def french_stem(word: str) -> str:
         w = w[:i] + "e" + w[i + 1 :]
 
     return w.lower()
+
+
+# ---------------------------------------------------------------------------
+# Scandinavian trio (Swedish / Norwegian / Danish) — the simplest
+# Snowball algorithms: R1 (start ≥ 3) + one longest-match suffix step,
+# a consonant-pair trim, and a small cleanup step. Implemented from
+# the published descriptions at snowballstem.org. Snowball `setlimit
+# tomark p1` semantics: a suffix only matches when it lies ENTIRELY
+# inside R1.
+# ---------------------------------------------------------------------------
+
+_SV_VOWELS = "aeiouyäåö"
+_NO_VOWELS = "aeiouyæåø"
+_DA_VOWELS = "aeiouyæåø"
+
+
+def _scand_r1(word: str, vowels: str) -> int:
+    r1, _r2 = _r1_r2(word, vowels)
+    return max(r1, 3)
+
+
+def _longest_in_r1(word: str, r1: int, suffixes: tuple[str, ...]) -> str | None:
+    best = None
+    for suf in suffixes:
+        if (
+            word.endswith(suf)
+            and len(word) - len(suf) >= r1
+            and (best is None or len(suf) > len(best))
+        ):
+            best = suf
+    return best
+
+
+_SV_STEP1 = (
+    "a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+    "arne", "are", "aste", "en", "anden", "aren", "heten", "ern", "ar",
+    "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es", "ades",
+    "andes", "ens", "arens", "hetens", "erns", "at", "andet", "het",
+    "ast", "s",
+)
+_SV_S_ENDING = frozenset("bcdfghjklmnoprtvy")
+_SV_PAIRS = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+
+
+def swedish_stem(word: str) -> str:
+    w = word.lower()
+    r1 = _scand_r1(w, _SV_VOWELS)
+    # step 1: longest in-R1 suffix — 's' only after a valid s-ending
+    suf = _longest_in_r1(w, r1, _SV_STEP1)
+    if suf == "s":
+        if len(w) >= 2 and w[-2] in _SV_S_ENDING:
+            w = w[:-1]
+    elif suf is not None:
+        w = w[: len(w) - len(suf)]
+    # step 2: trim the final letter of an in-R1 consonant pair
+    if len(w) - 2 >= r1 and w.endswith(_SV_PAIRS):
+        w = w[:-1]
+    # step 3
+    suf = _longest_in_r1(w, r1, ("lig", "ig", "els", "löst", "fullt"))
+    if suf in ("lig", "ig", "els"):
+        w = w[: len(w) - len(suf)]
+    elif suf == "löst":
+        w = w[:-1]  # löst → lös
+    elif suf == "fullt":
+        w = w[:-1]  # fullt → full
+    return w
+
+
+_NO_STEP1 = (
+    "a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+    "heten", "ar", "er", "heter", "as", "es", "edes", "endes", "enes",
+    "hetenes", "ens", "hetens", "ers", "ets", "et", "het", "ast", "s",
+    "erte", "ert",
+)
+_NO_S_ENDING = frozenset("bcdfghjlmnoprtvyz")
+_NO_STEP3 = (
+    "leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov",
+    "slov", "hetslov",
+)
+
+
+def norwegian_stem(word: str) -> str:
+    w = word.lower()
+    r1 = _scand_r1(w, _NO_VOWELS)
+    suf = _longest_in_r1(w, r1, _NO_STEP1)
+    if suf == "s":
+        # valid s-ending: the set, or k not preceded by a vowel
+        prev = w[-2] if len(w) >= 2 else ""
+        ok = prev in _NO_S_ENDING or (
+            prev == "k" and (len(w) < 3 or w[-3] not in _NO_VOWELS)
+        )
+        if ok:
+            w = w[:-1]
+    elif suf in ("erte", "ert"):
+        w = w[: len(w) - len(suf)] + "er"
+    elif suf is not None:
+        w = w[: len(w) - len(suf)]
+    if len(w) - 2 >= r1 and w.endswith(("dt", "vt")):
+        w = w[:-1]
+    suf = _longest_in_r1(w, r1, _NO_STEP3)
+    if suf is not None:
+        w = w[: len(w) - len(suf)]
+    return w
+
+
+_DA_STEP1 = (
+    "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+    "erne", "ere", "en", "heden", "eren", "er", "heder", "erer",
+    "heds", "es", "endes", "erendes", "enes", "ernes", "eres", "ens",
+    "hedens", "erens", "ers", "ets", "erets", "et", "eret", "s",
+)
+_DA_S_ENDING = frozenset("abcdfghjklmnoprtvyzå")
+_DA_PAIRS = ("gd", "dt", "gt", "kt")
+
+
+def danish_stem(word: str) -> str:
+    w = word.lower()
+    r1 = _scand_r1(w, _DA_VOWELS)
+    suf = _longest_in_r1(w, r1, _DA_STEP1)
+    if suf == "s":
+        if len(w) >= 2 and w[-2] in _DA_S_ENDING:
+            w = w[:-1]
+    elif suf is not None:
+        w = w[: len(w) - len(suf)]
+
+    def consonant_pair(v: str) -> str:
+        if len(v) - 2 >= r1 and v.endswith(_DA_PAIRS):
+            return v[:-1]
+        return v
+
+    w = consonant_pair(w)
+    # step 3: igst loses its st unconditionally, then the in-R1 among
+    if w.endswith("igst"):
+        w = w[:-2]
+    suf = _longest_in_r1(w, r1, ("ig", "lig", "elig", "els", "løst"))
+    if suf == "løst":
+        w = w[:-1]
+    elif suf is not None:
+        w = w[: len(w) - len(suf)]
+        w = consonant_pair(w)
+    # step 4 (undouble): trim an in-R1 final double consonant
+    if (
+        len(w) >= 2
+        and w[-1] == w[-2]
+        and w[-1] not in _DA_VOWELS
+        and len(w) - 2 >= r1
+    ):
+        w = w[:-1]
+    return w

@@ -162,23 +162,25 @@ def porter_stem(w: str) -> str:
 
 
 def stem(word: str, lang: str = "en") -> str:
-    """Stem ``word``: ``en`` → Porter (here), ``de``/``fr``/``es`` →
-    Snowball (snowball.py, implemented from the published specs).
-    Other Snowball languages pass through unchanged (documented gap —
-    the reference ships 38 rust-stemmers languages behind this same
-    per-index hook, index.rs:641-722). For a multilingual corpus,
-    route each language partition through its own index (the corpus
-    schema's ``lang`` column is the natural partition key)."""
+    """Stem ``word``: ``en`` → Porter (here); ``de``/``fr``/``es`` and
+    ``sv``/``no``/``da`` → Snowball (snowball.py, implemented from the
+    published specs). Other Snowball languages pass through unchanged
+    (documented gap — the reference ships 38 rust-stemmers languages
+    behind this same per-index hook, index.rs:641-722). For a
+    multilingual corpus, route each language partition through its own
+    index (the corpus schema's ``lang`` column is the natural
+    partition key)."""
     if lang == "en":
         return porter_stem(word)
-    if lang in ("de", "fr", "es"):
-        from seekstorm_spark.snowball import (
-            french_stem,
-            german_stem,
-            spanish_stem,
-        )
+    if lang in ("de", "fr", "es", "sv", "no", "da"):
+        from seekstorm_spark import snowball as sb
 
-        return {"de": german_stem, "fr": french_stem, "es": spanish_stem}[
-            lang
-        ](word)
+        return {
+            "de": sb.german_stem,
+            "fr": sb.french_stem,
+            "es": sb.spanish_stem,
+            "sv": sb.swedish_stem,
+            "no": sb.norwegian_stem,
+            "da": sb.danish_stem,
+        }[lang](word)
     return word

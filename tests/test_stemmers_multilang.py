@@ -129,3 +129,85 @@ def test_per_field_stopwords(spark, tmp_path):
     assert hits == {0}  # body occurrences are not indexed; title's is
     hits = {r["docid"] for r in search(spark, store, "delta").collect()}
     assert hits == {1}
+
+
+SV_VECTORS = {
+    "jackor": "jack",
+    "flickorna": "flick",
+    "klubben": "klubb",
+    "starkast": "stark",
+    "vänligt": "vän",
+    "hemskheterna": "hemsk",
+    "skridskor": "skridsk",
+    "stärkaste": "stärk",
+}
+
+NO_VECTORS = {
+    "bilens": "bil",
+    "huset": "hus",
+    "bøkene": "bøk",
+    "trygghetens": "trygg",
+    "opererte": "operer",
+    "billigere": "billiger",
+}
+
+DA_VECTORS = {
+    "bogen": "bog",
+    "husene": "hus",
+    "venligst": "ven",
+    "hallen": "hall",
+    "forløst": "forløs",
+    "hundens": "hund",
+    "kagerne": "kag",
+}
+
+
+@pytest.mark.parametrize("word,want", sorted(SV_VECTORS.items()))
+def test_swedish_vectors(word, want):
+    from seekstorm_spark.snowball import swedish_stem
+
+    assert swedish_stem(word) == want
+
+
+@pytest.mark.parametrize("word,want", sorted(NO_VECTORS.items()))
+def test_norwegian_vectors(word, want):
+    from seekstorm_spark.snowball import norwegian_stem
+
+    assert norwegian_stem(word) == want
+
+
+@pytest.mark.parametrize("word,want", sorted(DA_VECTORS.items()))
+def test_danish_vectors(word, want):
+    from seekstorm_spark.snowball import danish_stem
+
+    assert danish_stem(word) == want
+
+
+def test_scandinavian_inflection_classes_collapse():
+    for lang, groups in {
+        "sv": [["flicka", "flickor", "flickorna"]],
+        "no": [["bok", "boken"], ["hus", "huset", "husene"]],
+        "da": [["hus", "huset", "husene"], ["kage", "kagen", "kagerne"]],
+    }.items():
+        for grp in groups:
+            stems = {stem(w, lang) for w in grp}
+            assert len(stems) == 1, (lang, grp, stems)
+
+
+def test_stemmed_index_e2e_sv(spark, tmp_path):
+    """Swedish index: inflected query finds base-form docs."""
+    docs = spark.createDataFrame(
+        [
+            (0, "flickorna springer snabbt"),
+            (1, "en flicka springer"),
+            (2, "hundar skäller"),
+        ],
+        "doc_id long, text string",
+    )
+    store = IndexBuilder(
+        spark, str(tmp_path / "sv"), n_buckets=4, stemmer="sv"
+    ).build(docs, text_col="text", id_col="doc_id")
+    hits = {r["docid"] for r in search(spark, store, "flicka").collect()}
+    assert hits == {0, 1}
+    hits = {r["docid"] for r in search(spark, store, "flickorna").collect()}
+    assert hits == {0, 1}
