@@ -364,3 +364,102 @@ class IvfIndex:
         probes = [int(c) for c in np.argsort(-sims)[:n_probe]]
         cand = self.vectors(spark).filter(F.col("cid").isin(probes))
         return cosine_topk(cand, query, k, "vec_id", "embedding")
+
+    def append(
+        self,
+        spark,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Assign new vectors to the FROZEN cells and append them into
+        the ``cid=`` partitions (an IVF list insert — the reference
+        adds vectors to existing clusters the same way; no retraining
+        per batch). Appended batches count toward ``appended_since_
+        train`` in meta so callers can trigger :meth:`refresh` once
+        drift accumulates (e.g. appended > 0.5 × trained-over count);
+        recall on appended data degrades only as the corpus
+        distribution moves away from the trained medoids, never
+        because a vector is missing — assignment is exact
+        nearest-medoid, so every appended vector is findable at the
+        same n_probe guarantees as built ones."""
+        import json
+        import os
+
+        med = self.medoids
+
+        @pandas_udf(IntegerType())
+        def cell(vecs: pd.Series) -> pd.Series:
+            mat = _normalize_rows(np.stack(vecs.values).astype(np.float64))
+            return pd.Series(np.argmax(mat @ med.T, axis=1).astype(np.int32))
+
+        n = df.count()
+        (
+            df.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                cell(F.col(vec_col)).alias("cid"),
+            )
+            .repartition("cid")
+            .write.mode("append")
+            .partitionBy("cid")
+            .parquet(os.path.join(self.path, "vectors"))
+        )
+        self.meta["appended_since_train"] = int(
+            self.meta.get("appended_since_train", 0)
+        ) + int(n)
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump(self.meta, f)
+
+    def refresh(self, spark, n_iter: int = 12) -> "IvfIndex":
+        """Retrain the medoids from a deterministic sample of the
+        CURRENT stored vectors (base + appends) and reassign every
+        vector — the IVF re-clustering pass that restores cell balance
+        after the corpus distribution drifts. One scan + one
+        partitioned rewrite, swapped in atomically; resets
+        ``appended_since_train``."""
+        import json
+        import os
+        import shutil
+
+        sample_rows = (
+            self.vectors(spark)
+            .select("vec_id", "embedding")
+            .orderBy(F.col("vec_id").asc())
+            .limit(int(self.meta.get("sample_size", 2048)))
+            .collect()
+        )
+        sample = np.asarray(
+            [list(r[1]) for r in sample_rows], dtype=np.float64
+        )
+        medoids = kmedoids_cosine(
+            sample, int(self.meta["n_cells"]), n_iter
+        )
+        med = medoids
+
+        @pandas_udf(IntegerType())
+        def cell(vecs: pd.Series) -> pd.Series:
+            mat = _normalize_rows(np.stack(vecs.values).astype(np.float64))
+            return pd.Series(np.argmax(mat @ med.T, axis=1).astype(np.int32))
+
+        vec_dir = os.path.join(self.path, "vectors")
+        tmp = vec_dir + ".retrain"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            self.vectors(spark)
+            .select(
+                "vec_id", "embedding", cell(F.col("embedding")).alias("cid")
+            )
+            .repartition("cid")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(tmp)
+        )
+        shutil.rmtree(vec_dir)
+        os.rename(tmp, vec_dir)
+        self.medoids = medoids
+        self.meta["appended_since_train"] = 0
+        np.save(os.path.join(self.path, "medoids.npy"), medoids)
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump(self.meta, f)
+        return self

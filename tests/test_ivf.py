@@ -58,3 +58,47 @@ def test_ivf_recall_and_partition_pruning(spark, tmp_path):
     assert np.array_equal(idx.medoids, idx2.medoids)
     again = {r["vec_id"] for r in idx2.search(spark, qv, k=10, n_probe=3).collect()}
     assert again == approx
+
+
+def test_ivf_append_and_refresh(spark, tmp_path):
+    """Appends assign to frozen cells (appended vectors findable at
+    the same n_probe); refresh retrains medoids over base+appends,
+    rewrites partitions, and resets the drift counter."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((300, 32))
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = IvfIndex.build(
+        spark, df, str(tmp_path / "ivf_app"), n_cells=8, sample_size=300
+    )
+
+    # append near-duplicates of a fresh query direction
+    q = rng.standard_normal(32)
+    extra = np.stack([q + 0.05 * rng.standard_normal(32) for _ in range(10)])
+    erows = [(1000 + i, [float(x) for x in extra[i]]) for i in range(10)]
+    edf = spark.createDataFrame(erows, "vec_id long, embedding array<float>")
+    idx.append(spark, edf)
+    assert idx.meta["appended_since_train"] == 10
+    assert idx.vectors(spark).count() == 310
+
+    got = {r["vec_id"] for r in
+           idx.search(spark, [float(x) for x in q], k=10, n_probe=3).collect()}
+    # the planted appends dominate the top-k: assignment is exact
+    # nearest-medoid, so appended vectors are findable pre-refresh
+    assert len(got & set(range(1000, 1010))) >= 8
+
+    # refresh: retrained medoids, same corpus, counter reset
+    reopened = IvfIndex.open(str(tmp_path / "ivf_app"))
+    assert reopened.meta["appended_since_train"] == 10
+    idx.refresh(spark)
+    assert idx.meta["appended_since_train"] == 0
+    assert idx.vectors(spark).count() == 310
+    got2 = {r["vec_id"] for r in
+            idx.search(spark, [float(x) for x in q], k=10, n_probe=3).collect()}
+    assert len(got2 & set(range(1000, 1010))) >= 8
+    # exact top-10 by brute force agrees on the planted set
+    allv = spark.createDataFrame(rows + erows,
+                                 "vec_id long, embedding array<float>")
+    brute = {r["vec_id"] for r in
+             cosine_topk(allv, [float(x) for x in q], 10).collect()}
+    assert len(got2 & brute) >= 8
