@@ -671,10 +671,11 @@ def search_many(
     for i, plan in enumerate(plans):
         if plan.missing_required or not plan.pos_terms:
             continue  # no results by construction
-        if plan.qtype in ("union", "intersection") and plan.units is None \
-                and not staged:
+        if not staged:
             fused.append((i, plan))
         else:
+            # staged level-0 unions per-query staged readers — run the
+            # exact single-query plan as a branch in the same action
             fallback.append(i)
 
     outs: list[DataFrame] = []
@@ -708,6 +709,16 @@ def search_many(
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 
+def _fused_scan_terms(plan: QueryPlan) -> set[str]:
+    """Posting terms one query's evaluation touches — mirrors the
+    term set _annotated_postings scans for a single query."""
+    return (
+        set(plan.required_posting_terms())
+        | (set(plan.pos_terms) if plan.units is None else set())
+        | set(plan.not_terms)
+    )
+
+
 def _search_many_fused(
     spark: SparkSession,
     store: IndexStore,
@@ -718,20 +729,32 @@ def _search_many_fused(
     allowed: list[int] | None,
     avgdl: float,
 ) -> DataFrame:
-    """One scan + one exchange + one kernel for N term queries →
-    per-partition top-k candidates (query_id, docid, score); the
-    caller takes the global per-query top-k."""
-    terms = sorted(
-        {t for _i, p in idx_plans for t in (*p.pos_terms, *p.not_terms)}
-    )
+    """One scan + one exchange + one kernel for N queries (union /
+    intersection / NOT / phrase / n-gram) → per-partition top-k
+    candidates (query_id, docid, score); the caller takes the global
+    per-query top-k."""
+    terms = sorted({t for _i, p in idx_plans for t in _fused_scan_terms(p)})
+    has_gram = any(NGRAM_SEP in t for t in terms)
+    need_pos = any(p.qtype == "phrase" for _i, p in idx_plans)
     n_buckets = store.n_buckets
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
-    postings = _cached_postings(spark, store).filter(
-        F.col("tbucket").isin(buckets) & F.col("term").isin(terms)
-    ).select(
+    cols = [
         "term", "field", "block_id", "max_tf", "min_dl_byte",
         "docids_vb", "tfs_vb", "dls",
-    )
+    ]
+    if has_gram:
+        cols += [
+            "tfs1_vb", "tfs2_vb", "tfs3_vb", "max_tf1", "max_tf2", "max_tf3",
+        ]
+    if need_pos:
+        cols.append("positions_vb")
+    postings = _cached_postings(spark, store).filter(
+        F.col("tbucket").isin(buckets) & F.col("term").isin(terms)
+    ).select(*cols)
+    if need_pos:
+        postings = postings.withColumnRenamed("positions_vb", "pos_vb")
+    else:
+        postings = postings.withColumn("pos_vb", F.lit(None).cast("binary"))
     if allowed is not None:
         postings = postings.filter(
             F.col("field").isin([int(i) for i in allowed])
@@ -743,6 +766,7 @@ def _search_many_fused(
         idx_plans, top_k, prune, avgdl, boosts,
         block_size=int(store.meta.get("block_size", ROARING_BLOCK_SIZE)),
         deletes=_load_delete_set(spark, store),
+        has_gram=has_gram,
     )
     return rows.mapInPandas(kernel, schema="query_id int, " + RESULT_SCHEMA)
 
@@ -755,20 +779,49 @@ def _make_multi_kernel(
     boosts: dict[int, float],
     block_size: int = ROARING_BLOCK_SIZE,
     deletes: np.ndarray | None = None,
+    has_gram: bool = False,
 ):
     """Batched kernel: decode each posting row ONCE, score every
     query against the shared decode. Per-query state (top-k heap,
-    WAND threshold, candidate algebra) mirrors ``_make_kernel``
-    op-for-op so each query's results are bit-identical to its
-    single-query run."""
+    WAND threshold, candidate algebra, gram source map, phrase
+    alignment) mirrors ``_make_kernel`` op-for-op so each query's
+    results are bit-identical to its single-query run."""
     delete_set = deletes if deletes is not None else np.empty(0, dtype=np.int64)
+
+    def _source_map(p: QueryPlan) -> dict[str, tuple[str, int | None]]:
+        sm: dict[str, tuple[str, int | None]] = {}
+        if p.units is not None:
+            for u, _off in p.units:
+                parts = p.unit_parts.get(u)
+                if parts is None:
+                    sm.setdefault(u, (u, None))
+                else:
+                    for k, part in enumerate(parts):
+                        sm.setdefault(part, (u, k))
+            for t in p.pos_terms:
+                sm.setdefault(t, (t, None))
+        else:
+            sm = {t: (t, None) for t in p.pos_terms}
+        return sm
+
+    def _align(p: QueryPlan) -> list[tuple[str, int]]:
+        if p.qtype == "phrase" and p.units is not None:
+            return list(p.units)
+        if p.qtype == "phrase":
+            return list(p.phrase)
+        return []
+
     qinfo = [
         (
             qi,
             p.qtype,
             dict(p.pos_terms),
-            sorted(p.pos_terms),
+            p.required_posting_terms(),
             set(p.not_terms),
+            _source_map(p),
+            _align(p),
+            dict(p.unit_parts or {}),
+            sorted(_fused_scan_terms(p) - set(p.not_terms)),
         )
         for qi, p in idx_plans
     ]
@@ -808,17 +861,32 @@ def _make_multi_kernel(
             block_id = int(rows["block_id"].iloc[0])
             base = block_id * block_size
             # shared per-block bound pieces: one f64 ub per posting row
-            row_ub: dict[str, list[tuple[int, float, float]]] = {}
+            # (gram rows also carry per-partial-term ubs for the gram
+            # bound = Σ parts' idf·comp_ub, as in _annotated_postings)
+            row_ub: dict[str, list[tuple[int, float, float, list[float] | None]]] = {}
             raw = []
             for _, r in rows.iterrows():
-                tf = float(r["max_tf"])
-                mdlq = dlq_tab[int(r["min_dl_byte"])]
-                comp_ub = (tf * (K + 1.0)) / (
-                    tf + K * ((1.0 - B) + B * mdlq / float(avgdl))
-                )
+                def comp_ub_of(tf: float) -> float:
+                    mdlq = dlq_tab[int(r["min_dl_byte"])]
+                    return (tf * (K + 1.0)) / (
+                        tf + K * ((1.0 - B) + B * mdlq / float(avgdl))
+                    )
+
                 fld = int(r["field"])
+                partial_ubs = None
+                if has_gram and NGRAM_SEP in r["term"]:
+                    n_parts = r["term"].count(NGRAM_SEP) + 1
+                    partial_ubs = [
+                        comp_ub_of(float(r[f"max_tf{k + 1}"]))
+                        for k in range(n_parts)
+                    ]
                 row_ub.setdefault(r["term"], []).append(
-                    (fld, float(boosts.get(fld, 1.0)), comp_ub)
+                    (
+                        fld,
+                        float(boosts.get(fld, 1.0)),
+                        comp_ub_of(float(r["max_tf"])),
+                        partial_ubs,
+                    )
                 )
                 raw.append(r)
 
@@ -832,17 +900,21 @@ def _make_multi_kernel(
                     for r in raw:
                         if r["term"] != term:
                             continue
-                        got.append(
-                            {
-                                "field": int(r["field"]),
-                                "boost": float(
-                                    boosts.get(int(r["field"]), 1.0)
-                                ),
-                                "d": decode_docids(r["docids_vb"]),
-                                "tf": decode_tfs(r["tfs_vb"]),
-                                "dl": np.frombuffer(r["dls"], dtype=np.uint8),
-                            }
-                        )
+                        rec = {
+                            "field": int(r["field"]),
+                            "boost": float(boosts.get(int(r["field"]), 1.0)),
+                            "d": decode_docids(r["docids_vb"]),
+                            "tf": decode_tfs(r["tfs_vb"]),
+                            "dl": np.frombuffer(r["dls"], dtype=np.uint8),
+                            "pos_vb": r["pos_vb"],
+                        }
+                        if has_gram and NGRAM_SEP in term:
+                            n_parts = term.count(NGRAM_SEP) + 1
+                            rec["partials"] = [
+                                decode_tfs(r[f"tfs{k + 1}_vb"])
+                                for k in range(n_parts)
+                            ]
+                        got.append(rec)
                     decoded[term] = got
                 return got
 
@@ -856,27 +928,51 @@ def _make_multi_kernel(
                     union_cache[term] = got
                 return got
 
+            class _LazyRecs(dict):
+                """dict view over recs_for for _phrase_filter."""
+
+                def __contains__(self, term):
+                    return term in row_ub
+
+                def __getitem__(self, term):
+                    return recs_for(term)
+
+            lazy_recs = _LazyRecs()
+
             present = set(row_ub)
-            for qi, qtype, pos_terms, pos_sorted, not_set in qinfo:
-                q_present = [t for t in pos_sorted if t in present]
-                if qtype == "intersection":
-                    if len(q_present) != len(pos_sorted):
+            for (qi, qtype, pos_terms, required_terms, not_set,
+                 source_map, align, unit_parts_q, bound_terms) in qinfo:
+                if qtype in ("intersection", "phrase", "ngram"):
+                    if any(t not in present for t in required_terms):
                         continue
-                elif not q_present:
-                    continue
+                    q_present = required_terms
+                else:
+                    q_present = [t for t in required_terms if t in present]
+                    if not q_present:
+                        continue
                 if prune:
                     bound = 0.0
-                    for t in q_present:
-                        idf = pos_terms[t]
-                        for _fld, boost, comp_ub in row_ub[t]:
-                            bound += boost * (idf * comp_ub)
+                    for t in bound_terms:
+                        if t not in present:
+                            continue
+                        parts = unit_parts_q.get(t)
+                        for _fld, boost, comp_ub, partial_ubs in row_ub[t]:
+                            if parts is not None and partial_ubs is not None:
+                                g = 0.0
+                                for k, part in enumerate(parts):
+                                    g += float(
+                                        pos_terms.get(part, 0.0)
+                                    ) * partial_ubs[k]
+                                bound += boost * g
+                            elif t in pos_terms:
+                                bound += boost * (pos_terms[t] * comp_ub)
                     thr = threshold(qi)
                     eps = 1e-6 + 1e-5 * abs(thr) if np.isfinite(thr) else 0.0
                     if bound < thr - eps:
                         continue
-                if qtype == "intersection":
-                    cand = union_docs(pos_sorted[0])
-                    for t in pos_sorted[1:]:
+                if qtype in ("intersection", "phrase", "ngram"):
+                    cand = union_docs(required_terms[0])
+                    for t in required_terms[1:]:
                         cand = np.intersect1d(
                             cand, union_docs(t), assume_unique=True
                         )
@@ -905,14 +1001,25 @@ def _make_multi_kernel(
                     ]
                     if cand.size == 0:
                         continue
-                # f32 accumulation in (term asc, field asc) order —
-                # identical to _make_kernel's entries loop
+                if align and len(align) > 1:
+                    keep = _phrase_filter(lazy_recs, cand, align)
+                    cand = cand[keep]
+                    if cand.size == 0:
+                        continue
+                # f32 accumulation in (term asc, field asc) order over
+                # ORIGINAL terms — identical to _make_kernel's entries
+                # loop (gram partials score their source terms)
                 entries = []
-                for t in pos_sorted:
-                    for rec in recs_for(t):
+                for orig in pos_terms:
+                    pterm, pidx = source_map.get(orig, (orig, None))
+                    for rec in recs_for(pterm) if pterm in present else []:
+                        tfs = (
+                            rec["tf"] if pidx is None
+                            else rec["partials"][pidx]
+                        )
                         entries.append(
-                            (t, rec["field"], rec["boost"], rec["d"],
-                             rec["tf"], rec["dl"])
+                            (orig, rec["field"], rec["boost"], rec["d"],
+                             tfs, rec["dl"])
                         )
                 entries.sort(key=lambda e: (e[0], e[1]))
                 scores = np.zeros(cand.size, dtype=np.float32)

@@ -1,7 +1,8 @@
 """Batched multi-query execution: ``search_many`` runs N queries in
-one Spark action (fused scan + one exchange + one kernel for term
-queries, exact per-query fallback branches for phrase/staged) and
-must be BIT-IDENTICAL per query to ``search``."""
+one Spark action (fused scan + one exchange + one kernel covering
+union/intersection/NOT/phrase/n-gram; staged level-0 queries ride as
+exact per-query fallback branches) and must be BIT-IDENTICAL per
+query to ``search``."""
 
 from __future__ import annotations
 
@@ -21,7 +22,7 @@ QUERIES = [
     "+term00000 +term00001",          # intersection
     "term00002 term00007 term00011",  # 3-term union
     "term00000 -term00001",           # NOT
-    '"term00000 term00001"',          # phrase → fallback branch
+    '"term00000 term00001"',          # phrase (fused positional join)
     "term00042",                      # single term
     "zzzmissing term00000",           # partial-missing union
     "+zzzmissing +term00000",         # missing AND term → empty
@@ -126,3 +127,27 @@ def test_search_many_empty_inputs(spark, built):
     assert search_many(spark, built, [], top_k=5).count() == 0
     out = search_many(spark, built, ["zzz", "@@@"], top_k=5)
     assert out.count() == 0
+
+
+def test_search_many_ngram_index(spark, tmp_path):
+    """Fused batch over an n-gram index: gram-rewritten phrases
+    (single covering bigram/trigram AND multi-unit) stay bit-identical
+    to their single-query runs."""
+    docs = synth_webtext(spark, 400, seed=42)
+    store = IndexBuilder(
+        spark, str(tmp_path / "ng"), n_buckets=4,
+        frequent_terms=["term00000", "term00001", "term00002",
+                        "term00003"],
+    ).build(docs, text_col="text", order_col="url")
+    qs = [
+        '"term00000 term00001"',            # covering bigram (ngram)
+        '"term00000 term00001 term00002"',  # covering trigram
+        '"term00000 term00001 term00042"',  # gram unit + single term
+        '"term00042 term00007"',            # rare pair → positional
+        "term00000 term00042",              # plain union alongside
+        "+term00001 +term00042",            # intersection alongside
+    ]
+    batched = search_many(spark, store, qs, top_k=10).collect()
+    for i, q in enumerate(qs):
+        single = _rows(search(spark, store, q, top_k=10))
+        assert _batched_rows(batched, i) == single, q
