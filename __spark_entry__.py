@@ -1416,6 +1416,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d).filter(F.col("vec_id") != 0), ann_query_vec(s, d), k=10
     )
 
+    # Dot and Euclidean similarities (reference
+    # vector_similarity.rs:15-41 similarity enum)
+    def ann_dot_topk(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.simsearch import dot_topk
+
+        return dot_topk(
+            _emb(s, d).filter(F.col("vec_id") != 0), ann_query_vec(s, d),
+            k=10,
+        )
+
+    q["ann_dot_topk"] = ann_dot_topk
+
+    def ann_euclidean_topk(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.simsearch import euclidean_topk
+
+        return euclidean_topk(
+            _emb(s, d).filter(F.col("vec_id") != 0), ann_query_vec(s, d),
+            k=10,
+        )
+
+    q["ann_euclidean_topk"] = ann_euclidean_topk
+
+    # 8-bit scalar quantization + search over the codes (reference SQ
+    # path used in its SIFT/GIST benchmarks): per-vector scale =
+    # max|x|/127, similarity computed on the i8 codes (scale cancels
+    # in cosine)
+    def ann_quantized_cosine(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.simsearch import (
+            quantize_i8,
+            quantized_cosine_topk,
+        )
+
+        qv = ann_query_vec(s, d)
+        codes = quantize_i8(_emb(s, d).filter(F.col("vec_id") != 0))
+        return quantized_cosine_topk(codes, qv, k=10)
+
+    q["ann_quantized_cosine"] = ann_quantized_cosine
+
     def ann_lsh(s: SparkSession, d: str) -> DataFrame:
         import os
 
@@ -2046,6 +2084,49 @@ scored AS (
               * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
          4) AS cos_sim
   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+SELECT vec_id, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+    o["ann_dot_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)), 4) AS dot
+FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+ORDER BY dot DESC, vec_id ASC LIMIT 10
+"""
+    o["ann_euclidean_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         i -> (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)
+              * (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)))), 4) AS dist
+FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+ORDER BY dist ASC, vec_id ASC LIMIT 10
+"""
+    # i8 SQ: scale = max|x|/127 per vector, codes = round(x/scale);
+    # cosine over the integer codes (the scale cancels)
+    o["ann_quantized_cosine"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+codes AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CASE WHEN s = 0 THEN 0.0
+                     ELSE round(x::DOUBLE / s, 0) END) AS c
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(x::DOUBLE))) / 127.0 AS s
+        FROM embeddings WHERE vec_id <> 0)),
+scored AS (
+  SELECT codes.vec_id,
+         round(
+           list_sum(list_transform(range(1, len(codes.c) + 1),
+             i -> codes.c[i] * q.qv[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(codes.c, x -> x * x)))
+              * sqrt(list_sum(list_transform(q.qv,
+                     x -> x::DOUBLE * x::DOUBLE)))),
+         4) AS cos_sim
+  FROM codes CROSS JOIN q)
 SELECT vec_id, cos_sim FROM scored
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """

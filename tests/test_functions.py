@@ -348,3 +348,70 @@ def test_json_flatten_values(spark):
     )
     got = [r[0] for r in df.select(json_flatten_values(F.col("j"))).collect()]
     assert got == ["x y z", "", ""]
+
+
+def test_dot_and_euclidean_topk(spark):
+    from seekstorm_spark.functions.simsearch import (
+        dot_topk,
+        euclidean_topk,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [1.0, 0.0, 0.0]
+    dots = [(r["vec_id"], r["dot"]) for r in dot_topk(df, q, k=4).collect()]
+    assert dots == [(2, 2.0), (1, 1.0), (3, 0.0), (4, -1.0)]
+    dists = [
+        (r["vec_id"], r["dist"])
+        for r in euclidean_topk(df, q, k=4).collect()
+    ]
+    assert dists[0] == (1, 0.0) and dists[1] == (2, 1.0)
+    assert dists[3][0] == 4  # farthest
+
+
+def test_quantize_i8_roundtrip_and_search(spark):
+    """i8 SQ: codes stay in [-127, 127], scale reconstructs values to
+    within scale/2, and quantized cosine top-k ≈ exact top-k."""
+    import numpy as np
+
+    from seekstorm_spark.functions.simsearch import (
+        cosine_topk,
+        quantize_i8,
+        quantized_cosine_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((200, 16))
+    rows = [(int(i), [float(x) for x in mat[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes = quantize_i8(df)
+    got = codes.collect()
+    assert len(got) == 200
+    for r in got[:20]:
+        c = np.array(r["codes"], dtype=np.int64)
+        assert np.abs(c).max() <= 127
+        recon = c * r["scale"]
+        orig = np.array(
+            [x for x in mat[r["vec_id"]]], dtype=np.float32
+        ).astype(np.float64)
+        assert np.abs(recon - orig).max() <= r["scale"] / 2 + 1e-12
+
+    q = [float(x) for x in mat[0]]
+    exact = [r["vec_id"] for r in cosine_topk(
+        df.filter(F.col("vec_id") != 0), q, k=10).collect()]
+    approx = [r["vec_id"] for r in quantized_cosine_topk(
+        codes.filter(F.col("vec_id") != 0), q, k=10).collect()]
+    # 8-bit quantization preserves the neighborhood: ≥8/10 overlap
+    assert len(set(exact) & set(approx)) >= 8
+
+    # zero vector quantizes to all-zero codes without dividing by zero
+    zdf = spark.createDataFrame(
+        [(99, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    zr = quantize_i8(zdf).collect()[0]
+    assert list(zr["codes"]) == [0, 0, 0] and zr["scale"] == 0.0
