@@ -2289,7 +2289,8 @@ SELECT d.doc_id,
            substring(d.text,
                      greatest(length(regexp_extract(d.text,
                                      '^(.*?){_PHR_PAT}', 1)) + 1 - 30, 1),
-                     {2 * 30 + len("fast table")}),
+                     {2 * 30} + length(regexp_extract(d.text,
+                                       '{_PHR_PAT}', 0))),
            '{_PHR_PAT}', '<b>\\0</b>', 'g')
        ELSE '' END AS kwic
 FROM top t JOIN documents d ON d.doc_id = t.docid

@@ -86,7 +86,13 @@ def geo_boxes_for_radius(
     lat: float, lon: float, radius_km: float
 ) -> list[tuple[float, float, float, float]]:
     """Conservative lat/lon boxes (lat_lo, lat_hi, lon_lo, lon_hi)
-    covering the radius. A degree of latitude ≈ 111.32 km.
+    covering the radius.
+
+    The degree constant derives from the SAME sphere the haversine
+    uses (π·R/180 ≈ 111.195 km/deg for R = 6371; the older hand
+    constant 111.32 km/deg made boxes ~0.11% too SMALL, which would
+    let zone-map skipping drop true matches at the radius fringe),
+    padded by 0.5% so the box strictly contains the circle.
 
     Latitude is clamped to ±90; a longitude window crossing the
     antimeridian is SPLIT into two boxes (one per side) so the wrapped
@@ -94,7 +100,9 @@ def geo_boxes_for_radius(
     back to all longitudes at the polar latitudes (every meridian
     converges there).
     """
-    dlat = radius_km / 111.32
+    km_per_deg = math.pi * EARTH_RADIUS_KM / 180.0
+    pad = 1.005
+    dlat = pad * radius_km / km_per_deg
     lat_lo = max(lat - dlat, -90.0)
     lat_hi = min(lat + dlat, 90.0)
     touches_pole = (lat - dlat < -90.0) or (lat + dlat > 90.0)
@@ -104,7 +112,7 @@ def geo_boxes_for_radius(
     )
     if touches_pole or min_cos < 1e-9:
         return [(lat_lo, lat_hi, -180.0, 180.0)]
-    dlon = radius_km / (111.32 * min_cos)
+    dlon = pad * radius_km / (km_per_deg * min_cos)
     if dlon >= 180.0:
         return [(lat_lo, lat_hi, -180.0, 180.0)]
     lon_lo, lon_hi = lon - dlon, lon + dlon

@@ -60,11 +60,13 @@ def highlight_phrase(
     if not terms:
         return F.lit("")
     pat = r"\b" + r"\s+".join(re.escape(t) for t in terms) + r"\b"
-    nominal = len(" ".join(terms))
     prefix = F.regexp_extract(text, rf"^(.*?){pat}", 1)
     found = text.rlike(pat)
     pos = F.length(prefix) + F.lit(1)
     start = F.greatest(pos - F.lit(width), F.lit(1))
-    frag = F.substring(text, start, F.lit(2 * width + nominal))
+    # budget the fragment by the FIRST match's actual length (the \s+
+    # runs between terms vary), so the matched span always fits
+    m_len = F.length(F.regexp_extract(text, pat, 0))
+    frag = F.substring(text, start, F.lit(2 * width) + m_len)
     highlighted = F.regexp_replace(frag, pat, "<b>$0</b>")
     return F.when(found, highlighted).otherwise(F.lit(""))

@@ -507,18 +507,24 @@ class IvfIndex:
             mat = _normalize_rows(np.stack(vecs.values).astype(np.float64))
             return pd.Series(np.argmax(mat @ med.T, axis=1).astype(np.int32))
 
-        n = df.count()
-        (
-            df.select(
-                F.col(id_col).alias("vec_id"),
-                F.col(vec_col).alias("embedding"),
-                cell(F.col(vec_col)).alias("cid"),
+        # persist so the count and the write see the SAME rows (and
+        # the plan isn't evaluated twice) even for nondeterministic
+        # inputs
+        assigned = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            cell(F.col(vec_col)).alias("cid"),
+        ).persist()
+        try:
+            n = assigned.count()
+            (
+                assigned.repartition("cid")
+                .write.mode("append")
+                .partitionBy("cid")
+                .parquet(os.path.join(self.path, "vectors"))
             )
-            .repartition("cid")
-            .write.mode("append")
-            .partitionBy("cid")
-            .parquet(os.path.join(self.path, "vectors"))
-        )
+        finally:
+            assigned.unpersist()
         self.meta["appended_since_train"] = int(
             self.meta.get("appended_since_train", 0)
         ) + int(n)
@@ -526,12 +532,18 @@ class IvfIndex:
             json.dump(self.meta, f)
 
     def refresh(self, spark, n_iter: int = 12) -> "IvfIndex":
-        """Retrain the medoids from a deterministic sample of the
-        CURRENT stored vectors (base + appends) and reassign every
+        """Retrain the medoids from a deterministic UNBIASED sample of
+        the CURRENT stored vectors (base + appends) and reassign every
         vector — the IVF re-clustering pass that restores cell balance
-        after the corpus distribution drifts. One scan + one
-        partitioned rewrite, swapped in atomically; resets
-        ``appended_since_train``."""
+        after the corpus distribution drifts. The sample orders by
+        xxhash64(vec_id): deterministic (no RNG) yet id-uniform, so
+        appended vectors — the drifted data refresh exists to adapt
+        to — are sampled proportionally (an orderBy(vec_id) sample
+        would contain only the oldest base vectors). One scan + one
+        partitioned rewrite; the rmtree+rename swap is NOT crash-
+        atomic on a local FS (same caveat as index compaction — a
+        table-format deployment would commit a new snapshot instead).
+        Resets ``appended_since_train``."""
         import json
         import os
         import shutil
@@ -539,7 +551,7 @@ class IvfIndex:
         sample_rows = (
             self.vectors(spark)
             .select("vec_id", "embedding")
-            .orderBy(F.col("vec_id").asc())
+            .orderBy(F.xxhash64("vec_id").asc(), F.col("vec_id").asc())
             .limit(int(self.meta.get("sample_size", 2048)))
             .collect()
         )

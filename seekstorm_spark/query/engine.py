@@ -645,19 +645,19 @@ def search_many(
 
     Throughput-bound serving pays Spark's per-action floor (driver
     scheduling + plan optimization + one exchange per query, ~0.5 s
-    on this box) per ``search`` call. Here term/intersection/NOT
-    queries FUSE into one pipeline: a single scan over the union of
-    all queries' (tbucket, term) postings, one exchange by block_id,
-    and one kernel that decodes each posting row once and scores
-    every query against it (per-query top-k heaps + per-query
-    block-max thresholds, so pruning stays per query). Queries the
-    fused kernel doesn't cover (phrase/n-gram, staged level-0) fall
-    back to their exact single-query plans as extra union branches in
-    the SAME action. Per-query results are bit-identical to
-    :func:`search` — same f32 accumulation order, same tiebreaks.
-    The reference serves concurrent queries the same way — shared
-    index, per-query execution state (its multi-threaded QPS bench).
-    """
+    on this box) per ``search`` call. Here every query shape —
+    union / intersection / NOT / phrase / n-gram — FUSES into one
+    pipeline: a single scan over the union of all queries' (tbucket,
+    term) postings, one exchange by block_id, and one kernel that
+    decodes each posting row once and scores every query against it
+    (per-query top-k heaps + block-max thresholds, gram source maps,
+    and phrase alignment, so pruning and rewrites stay per query).
+    Only staged level-0 queries fall back to their exact single-query
+    plans as extra union branches in the SAME action. Per-query
+    results are bit-identical to :func:`search` — same f32
+    accumulation order, same tiebreaks. The reference serves
+    concurrent queries the same way — shared index, per-query
+    execution state (its multi-threaded QPS bench)."""
     from functools import reduce
 
     plans = [

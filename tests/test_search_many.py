@@ -89,8 +89,15 @@ def test_search_many_multi_row_blocks(spark, built, tmp_path):
         order_col="url",
     )
     # explicit ids 200..349 share block 0 with the committed 0..149
+    # (row_number, not monotonically_increasing_id — the latter embeds
+    # partition bits and would scatter most rows into distant blocks)
+    from pyspark.sql import Window
+
     extra = synth_webtext(spark, 150, seed=77).withColumn(
-        "doc_id", F.monotonically_increasing_id() + F.lit(200)
+        "doc_id",
+        (F.row_number().over(Window.orderBy("url")) + F.lit(199)).cast(
+            "long"
+        ),
     )
     append_batch(spark, store, extra, batch_id=1, id_col="doc_id")
     qs = QUERIES[:6]
