@@ -1254,6 +1254,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_count_and"] = wand_count_and
 
+    # batched counts: N queries, one fused kernel action (df
+    # shortcuts answer driver-side with zero jobs)
+    def wand_multi_count(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import count_matches_many
+
+        store = _wand_store(s, d)
+        ns = count_matches_many(s, store, list(_MQ_QUERIES))
+        return s.createDataFrame(
+            [(i, int(n)) for i, n in enumerate(ns)],
+            "query_id int, matches long",
+        )
+
+    q["wand_multi_count"] = wand_multi_count
+
     q["count_and"] = lambda s, d: _match_count_df(
         s, _docs(s, d), ["fast", "table"], "intersection"
     )
@@ -1914,6 +1928,12 @@ ORDER BY df DESC, term ASC LIMIT 5
         ["fast", "src3"], [1.0, 2.0], field_filter=1
     )
     o["wand_count_and"] = _match_count_sql(["fast", "table"], "intersection")
+    o["wand_multi_count"] = "\nUNION ALL\n".join(
+        f"SELECT {i} AS query_id, * FROM ("
+        + _match_count_sql(terms, qtype, not_terms=nots, phrase=phr)
+        + ")"
+        for i, (terms, qtype, nots, phr) in enumerate(_MQ_SPECS)
+    )
     o["count_and"] = _match_count_sql(["fast", "table"], "intersection")
     o["count_or"] = _match_count_sql(["fast", "table"], "union")
     o["count_phrase"] = _match_count_sql(

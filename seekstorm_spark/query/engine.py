@@ -709,6 +709,71 @@ def search_many(
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 
+def count_matches_many(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: list[str],
+    default_type: str = "union",
+    field_filter: list[str] | None = None,
+    staged: list | None = None,
+) -> list[int]:
+    """Exact match counts for N queries — zero or ONE Spark action.
+
+    Per-query df shortcuts answer driver-side (single terms and
+    covering grams read their stored df from the pyarrow stat probe,
+    as in :func:`count_matches`); everything else shares one fused
+    scan + kernel in count mode. ``staged`` level-0 falls back to
+    per-query :func:`count_matches` calls."""
+    staged = list(staged) if staged else None
+    plans = [
+        _plan(spark, store, qstr, default_type, staged) for qstr in queries
+    ]
+    boosts, allowed = _resolve_fields(store, None, field_filter)
+    _n, avgdl = _effective_stats(store, staged)
+    import os
+
+    has_deletes = os.path.exists(store.deletes_path)
+    counts = dict.fromkeys(range(len(queries)), 0)
+    kernel_plans: list[tuple[int, QueryPlan]] = []
+    for i, plan in enumerate(plans):
+        if plan.missing_required or not plan.pos_terms:
+            continue
+        if staged:
+            counts[i] = count_matches(
+                spark, store, queries[i], default_type, field_filter,
+                staged,
+            )
+            continue
+        if (
+            len(plan.pos_terms) == 1
+            and not plan.not_terms
+            and plan.qtype not in ("phrase", "ngram")
+            and field_filter is None
+            and not has_deletes
+        ):
+            term = next(iter(plan.pos_terms))
+            counts[i] = int(_probe_term_stats(store, [term]).get(term, 0))
+            continue
+        if plan.qtype == "ngram" and field_filter is None and not has_deletes:
+            gram = plan.units[0][0]
+            counts[i] = int(_probe_term_stats(store, [gram]).get(gram, 0))
+            continue
+        kernel_plans.append((i, plan))
+    if kernel_plans:
+        out = (
+            _search_many_fused(
+                spark, store, kernel_plans, 0, False, boosts, allowed,
+                avgdl, count_only=True,
+            )
+            .groupBy("query_id")
+            .agg(F.sum("matches").alias("m"))
+            .collect()
+        )
+        for r in out:
+            counts[int(r["query_id"])] = int(r["m"] or 0)
+    return [counts[i] for i in range(len(queries))]
+
+
 def _fused_scan_terms(plan: QueryPlan) -> set[str]:
     """Posting terms one query's evaluation touches — mirrors the
     term set _annotated_postings scans for a single query."""
@@ -728,11 +793,13 @@ def _search_many_fused(
     boosts: dict[int, float],
     allowed: list[int] | None,
     avgdl: float,
+    count_only: bool = False,
 ) -> DataFrame:
     """One scan + one exchange + one kernel for N queries (union /
     intersection / NOT / phrase / n-gram) → per-partition top-k
     candidates (query_id, docid, score); the caller takes the global
-    per-query top-k."""
+    per-query top-k. ``count_only`` emits per-partition (query_id,
+    matches) tallies instead (pruning off — counts are exact)."""
     terms = sorted({t for _i, p in idx_plans for t in _fused_scan_terms(p)})
     has_gram = any(NGRAM_SEP in t for t in terms)
     need_pos = any(p.qtype == "phrase" for _i, p in idx_plans)
@@ -763,12 +830,18 @@ def _search_many_fused(
         "block_id", "term", "field"
     )
     kernel = _make_multi_kernel(
-        idx_plans, top_k, prune, avgdl, boosts,
+        idx_plans, top_k, prune and not count_only, avgdl, boosts,
         block_size=int(store.meta.get("block_size", ROARING_BLOCK_SIZE)),
         deletes=_load_delete_set(spark, store),
         has_gram=has_gram,
+        count_only=count_only,
     )
-    return rows.mapInPandas(kernel, schema="query_id int, " + RESULT_SCHEMA)
+    schema = (
+        "query_id int, matches long"
+        if count_only
+        else "query_id int, " + RESULT_SCHEMA
+    )
+    return rows.mapInPandas(kernel, schema=schema)
 
 
 def _make_multi_kernel(
@@ -780,12 +853,14 @@ def _make_multi_kernel(
     block_size: int = ROARING_BLOCK_SIZE,
     deletes: np.ndarray | None = None,
     has_gram: bool = False,
+    count_only: bool = False,
 ):
     """Batched kernel: decode each posting row ONCE, score every
     query against the shared decode. Per-query state (top-k heap,
     WAND threshold, candidate algebra, gram source map, phrase
     alignment) mirrors ``_make_kernel`` op-for-op so each query's
-    results are bit-identical to its single-query run."""
+    results are bit-identical to its single-query run. ``count_only``
+    tallies matches per query instead of scoring."""
     delete_set = deletes if deletes is not None else np.empty(0, dtype=np.int64)
 
     def _source_map(p: QueryPlan) -> dict[str, tuple[str, int | None]]:
@@ -845,6 +920,7 @@ def _make_multi_kernel(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         best_d = {qi: np.empty(0, dtype=np.int64) for qi, *_ in qinfo}
         best_s = {qi: np.empty(0, dtype=np.float32) for qi, *_ in qinfo}
+        match_counts = dict.fromkeys((qi for qi, *_ in qinfo), 0)
 
         def threshold(qi: int) -> float:
             if not prune or len(best_s[qi]) < top_k:
@@ -1006,6 +1082,9 @@ def _make_multi_kernel(
                     cand = cand[keep]
                     if cand.size == 0:
                         continue
+                if count_only:
+                    match_counts[qi] += int(cand.size)
+                    continue
                 # f32 accumulation in (term asc, field asc) order over
                 # ORIGINAL terms — identical to _make_kernel's entries
                 # loop (gram partials score their source terms)
@@ -1047,6 +1126,19 @@ def _make_multi_kernel(
                 pending.append(grp)
         if pending:
             process_block(pd.concat(pending))
+
+        if count_only:
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(
+                        list(match_counts.keys()), dtype="int32"
+                    ),
+                    "matches": pd.Series(
+                        list(match_counts.values()), dtype="int64"
+                    ),
+                }
+            )
+            return
 
         qids = []
         ds = []

@@ -158,3 +158,21 @@ def test_search_many_ngram_index(spark, tmp_path):
     for i, q in enumerate(qs):
         single = _rows(search(spark, store, q, top_k=10))
         assert _batched_rows(batched, i) == single, q
+
+
+def test_count_matches_many_identical_to_count(spark, built):
+    from seekstorm_spark.query.engine import count_matches, count_matches_many
+
+    qs = [
+        "term00000 term00001",
+        "+term00000 +term00001",
+        "term00000 -term00001",
+        "term00042",                      # df shortcut path
+        '"term00000 term00001"',          # phrase count
+        "+zzzmissing +term00000",         # empty
+        "@@@",
+    ]
+    got = count_matches_many(spark, built, qs)
+    want = [count_matches(spark, built, q) for q in qs]
+    assert got == want
+    assert got[5] == 0 and got[6] == 0 and got[3] > 0
