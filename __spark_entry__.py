@@ -1028,6 +1028,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_update_doc"] = wand_update_doc
 
+    # CSV ingest round-trip: documents → CSV (Spark writer, RFC4180
+    # quoting) → spark.read.csv with an explicit schema → aggregate;
+    # the oracle computes the same aggregate from the parquet source,
+    # so any parse/quote/type loss in the CSV path breaks the hashes
+    def ingest_csv(s: SparkSession, d: str) -> DataFrame:
+        import os
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_csv_{name}"
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (
+                _docs(s, d)
+                .select("doc_id", "lang", "n_chars", "text")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .option("header", True)
+                .csv(path)
+            )
+        df = (
+            s.read.option("header", True)
+            .schema("doc_id long, lang string, n_chars long, text string")
+            .csv(path)
+        )
+        return df.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.length("text")).cast("long").alias("total_text_len"),
+        )
+
+    q["ingest_csv"] = ingest_csv
+
     # batched multi-query: N queries fused into ONE Spark action
     # (shared union-of-terms scan, one exchange, one kernel with
     # per-query top-k heaps + WAND thresholds; phrase queries ride
@@ -1825,6 +1856,11 @@ FROM geo
 WHERE dist_km <= 6000.0
   AND doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'fast')
 ORDER BY dist_km ASC, doc_id ASC LIMIT 10
+"""
+    o["ingest_csv"] = """
+SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS total_chars,
+       sum(length(text))::BIGINT AS total_text_len
+FROM documents GROUP BY lang
 """
     # batched multi-query: each query's oracle is its single-query
     # wand SQL, tagged with its position
