@@ -903,6 +903,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_geo_sort"] = wand_geo_sort
 
+    # Point facet (reference Point type, search.rs:2712-2724): ONE
+    # [lat, lon] facet column → one interleaved per-block buffer;
+    # filter + distance sort must equal the lat/lon-pair form (same
+    # oracle SQL as wand_geo_sort)
+    def wand_geo_point(s: SparkSession, d: str) -> DataFrame:
+        import json
+        import os
+
+        from seekstorm_spark.index.builder import (
+            INDEX_FORMAT_VERSION,
+            IndexBuilder,
+        )
+        from seekstorm_spark.index.store import IndexStore
+        from seekstorm_spark.query.engine import search
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_wandpt_idx_{name}"
+        meta = os.path.join(path, "meta.json")
+        store = None
+        if os.path.exists(meta):
+            with open(meta) as f:
+                m = json.load(f)
+            if m.get("complete") and m.get("version") == INDEX_FORMAT_VERSION \
+                    and (m.get("facets") or {}).get("location", {}).get("type") == "point":
+                store = IndexStore.open(path)
+        if store is None:
+            docs = _docs(s, d).withColumn(
+                "location",
+                F.array(
+                    (F.col("doc_id") * 37 % 18000) / 100.0 - 90.0,
+                    (F.col("doc_id") * 73 % 36000) / 100.0 - 180.0,
+                ),
+            )
+            store = IndexBuilder(
+                s, path, n_buckets=8, facet_cols=["location"]
+            ).build(docs, text_col="text", id_col="doc_id")
+        out = search(
+            s, store, "fast", top_k=10, default_type="union",
+            geo_filter={
+                "point": "location",
+                "at": _GEO_FILTER["at"],
+                "radius_km": _GEO_FILTER["radius_km"],
+            },
+            result_sort=[("geo_dist", "asc")],
+        )
+        return out.select(
+            "docid", F.round(F.col("geo_dist"), 4).alias("geo_dist")
+        )
+
+    q["wand_geo_point"] = wand_geo_point
+
     # delete-by-query (reference delete_documents_by_query,
     # api_endpoints.rs): matching docids stream into the delete set as
     # a distributed write; subsequent searches exclude them. Own store
@@ -1870,6 +1921,8 @@ FROM documents GROUP BY lang
         + ")"
         for i, (terms, qtype, nots, phr) in enumerate(_MQ_SPECS)
     )
+    # Point facet: same distances/order as the lat/lon pair form
+    o["wand_geo_point"] = o["wand_geo_sort"]
     # compacted index ≡ fresh build over the survivors (stats included)
     o["wand_compacted"] = _wand_bm25_sql(
         ["fast", "table"],

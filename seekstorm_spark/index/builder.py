@@ -701,7 +701,10 @@ def build_facet_dictionaries(
     byte are value-correct; 255 = missing). Numeric facets store raw
     float64 values per block (range filters/counts at query time, the
     reference's numeric RangeType facets, search.rs:3598-3764) and
-    need no dictionary.
+    need no dictionary. A numeric ARRAY column is a Point facet
+    ([lat, lon] per doc — the reference's Point facet type,
+    search.rs:2712-2724): one interleaved f64 buffer per block instead
+    of two separate numeric facets.
     """
     numeric_types = {
         "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
@@ -714,10 +717,15 @@ def build_facet_dictionaries(
         base = dtype.split("(")[0]
         if base in numeric_types:
             meta[fc] = {"type": "numeric"}
-        elif dtype.startswith("array"):
-            # multi-value facet (reference StringSet, search.rs:2543+)
-            meta[fc] = {"type": "string_set"}
-            set_cols.append(fc)
+        elif dtype.startswith("array<"):
+            inner = dtype[len("array<"):-1].split("(")[0]
+            if inner in numeric_types:
+                # geo Point facet: [lat, lon] pairs
+                meta[fc] = {"type": "point"}
+            else:
+                # multi-value facet (reference StringSet, search.rs:2543+)
+                meta[fc] = {"type": "string_set"}
+                set_cols.append(fc)
         else:
             meta[fc] = {"type": "string"}
             string_cols.append(fc)
@@ -809,6 +817,23 @@ def encode_facet_blocks(
                 if not np.isnan(vals).all():
                     vmin = float(np.nanmin(vals))
                     vmax = float(np.nanmax(vals))
+                buf = arr.tobytes()
+            elif kind == "point":
+                # interleaved [lat0, lon0, lat1, lon1, …] f64 pairs;
+                # zone bounds carry the LATITUDE min/max (longitude
+                # wraps, so lat is the safe block-skipping dimension)
+                arr = np.full(2 * size, np.nan, dtype=np.float64)
+                lats = np.full(len(pdf), np.nan)
+                lons = np.full(len(pdf), np.nan)
+                for j, v in enumerate(pdf[fc].values):
+                    if v is not None and len(v) == 2:
+                        lats[j] = float(v[0])
+                        lons[j] = float(v[1])
+                arr[2 * local] = lats
+                arr[2 * local + 1] = lons
+                if not np.isnan(lats).all():
+                    vmin = float(np.nanmin(lats))
+                    vmax = float(np.nanmax(lats))
                 buf = arr.tobytes()
             elif kind == "string_set":
                 buf = encode_string_set_block(

@@ -419,6 +419,12 @@ def _resolve_facets(
     for fname, values in (facet_filters or {}).items():
         if fname not in specs:
             raise ValueError(f"unknown facet {fname!r}; indexed: {list(specs)}")
+        if kinds[fname] == "point":
+            raise ValueError(
+                f"facet {fname!r} is a Point facet — filter it with "
+                "geo_filter={'point': name, 'at': (lat, lon), "
+                "'radius_km': r}"
+            )
         if kinds[fname] == "numeric":
             lo, hi = values
             filters_k[fname] = ("numeric", float(lo), float(hi))
@@ -443,14 +449,26 @@ def _resolve_facets(
                 f"facet {key!r} is multi-valued (string_set) — not a "
                 "sort key"
             )
+        if kinds[key] == "point":
+            raise ValueError(
+                f"facet {key!r} is a Point facet — sort on 'geo_dist'"
+            )
         emit.append(key)
     if geo_filter:
-        for c in (geo_filter["lat"], geo_filter["lon"]):
-            if c not in specs or kinds[c] != "numeric":
+        if "point" in geo_filter:
+            c = geo_filter["point"]
+            if c not in specs or kinds[c] != "point":
                 raise ValueError(
-                    f"geo filter needs numeric facet column {c!r}; "
+                    f"geo filter needs a Point facet column {c!r}; "
                     f"indexed: {list(specs)}"
                 )
+        else:
+            for c in (geo_filter["lat"], geo_filter["lon"]):
+                if c not in specs or kinds[c] != "numeric":
+                    raise ValueError(
+                        f"geo filter needs numeric facet column {c!r}; "
+                        f"indexed: {list(specs)}"
+                    )
     return filters_k, emit, dicts, kinds
 
 
@@ -529,9 +547,12 @@ def search(
     need_facets = sorted(set(filters_k) | set(emit_facets))
     block_bounds = None
     if geo_filter:
-        need_facets = sorted(
-            set(need_facets) | {geo_filter["lat"], geo_filter["lon"]}
+        geo_cols = (
+            {geo_filter["point"]}
+            if "point" in geo_filter
+            else {geo_filter["lat"], geo_filter["lon"]}
         )
+        need_facets = sorted(set(need_facets) | geo_cols)
         # block-level zone skipping: blocks whose stored lat/lon
         # min/max fall outside the radius' conservative boxes drop
         # before any posting decode (clamped + antimeridian-split, so
@@ -542,10 +563,16 @@ def search(
             float(geo_filter["at"][0]), float(geo_filter["at"][1]),
             float(geo_filter["radius_km"]),
         )
-        block_bounds = {
-            geo_filter["lat"]: [(b[0], b[1]) for b in boxes],
-            geo_filter["lon"]: [(b[2], b[3]) for b in boxes],
-        }
+        if "point" in geo_filter:
+            # a Point facet's zone bounds carry latitude min/max
+            block_bounds = {
+                geo_filter["point"]: [(b[0], b[1]) for b in boxes],
+            }
+        else:
+            block_bounds = {
+                geo_filter["lat"]: [(b[0], b[1]) for b in boxes],
+                geo_filter["lon"]: [(b[2], b[3]) for b in boxes],
+            }
     # numeric range facet filters get the same zone-map skip
     for name, spec in (filters_k or {}).items():
         if spec[0] == "numeric":
@@ -1295,7 +1322,7 @@ def _facet_count_run(
         count_spec[fc] = (facet_kind(specs[fc]), None)
         fsizes[fc] = len(vals)
     for fc, bounds in (range_facets or {}).items():
-        if fc not in specs or facet_values(specs[fc]) is not None:
+        if fc not in specs or facet_kind(specs[fc]) != "numeric":
             raise ValueError(f"{fc!r} is not an indexed numeric facet")
         count_spec[fc] = ("numeric", np.asarray(sorted(bounds), dtype=np.float64))
 
@@ -1757,9 +1784,10 @@ def _make_kernel(
     cfacets = dict(count_facets or {})
     geo_cfg = None
     if geo:
+        # Point facet: ONE interleaved [lat, lon] buffer (lon col None)
         geo_cfg = (
-            f"fb_{geo['lat']}",
-            f"fb_{geo['lon']}",
+            f"fb_{geo['point']}" if "point" in geo else f"fb_{geo['lat']}",
+            None if "point" in geo else f"fb_{geo['lon']}",
             float(geo["at"][0]),
             float(geo["at"][1]),
             float(geo["radius_km"]),
@@ -1777,8 +1805,11 @@ def _make_kernel(
     for name, (kind, _b) in cfacets.items():
         facet_buf_kinds[f"fb_{name}"] = (kind, sizes.get(name, 0))
     if geo_cfg is not None:
-        facet_buf_kinds[geo_cfg[0]] = ("numeric", 0)
-        facet_buf_kinds[geo_cfg[1]] = ("numeric", 0)
+        facet_buf_kinds[geo_cfg[0]] = (
+            "point" if geo_cfg[1] is None else "numeric", 0
+        )
+        if geo_cfg[1] is not None:
+            facet_buf_kinds[geo_cfg[1]] = ("numeric", 0)
 
     def overlay_bufs(buflist, kind: str, n_values: int):
         """Merge a block's facet buffers (one per committed/staged
@@ -2022,10 +2053,22 @@ def _make_kernel(
             # haversine distance, search.rs:2712-2724)
             dists = None
             if geo_cfg is not None:
-                lat = fbuf_at(geo_cfg[0], cand)
-                lon = fbuf_at(geo_cfg[1], cand)
-                if lat is None or lon is None:
-                    return
+                if geo_cfg[1] is None:
+                    # Point facet: interleaved pair gather
+                    buf = fbufs[geo_cfg[0]]
+                    if buf is None:
+                        return
+                    n_pts = len(buf) // 2
+                    lat = np.full(cand.size, np.nan)
+                    lon = np.full(cand.size, np.nan)
+                    ok = cand < n_pts
+                    lat[ok] = buf[2 * cand[ok]]
+                    lon[ok] = buf[2 * cand[ok] + 1]
+                else:
+                    lat = fbuf_at(geo_cfg[0], cand)
+                    lon = fbuf_at(geo_cfg[1], cand)
+                    if lat is None or lon is None:
+                        return
                 lat0, lon0, radius = geo_cfg[2], geo_cfg[3], geo_cfg[4]
                 a = (
                     np.sin(np.radians(lat0 - lat) / 2.0) ** 2

@@ -133,3 +133,61 @@ def test_geo_block_skipping_lossless(spark, tmp_path):
                 np.array([coords[r["docid"]][1]]), 48.8566, 2.3522,
             )[0] <= 500.0]
     assert [r["docid"] for r in got[: len(want)]] == want
+
+
+def test_point_facet_equals_latlon_pair(spark, tmp_path):
+    """A Point facet ([lat, lon] array column — the reference's Point
+    type) answers geo filter + distance sort identically to the
+    two-numeric-facet form, through ONE interleaved buffer."""
+    from pyspark.sql import Window, functions as F
+
+    from seekstorm_spark.index.builder import IndexBuilder
+    from seekstorm_spark.query.engine import search
+    from seekstorm_spark.sources.webtext import synth_webtext
+
+    rn = F.row_number().over(Window.orderBy("url")) - 1
+    docs = (
+        synth_webtext(spark, 200, seed=3)
+        .withColumn("doc_id", rn.cast("long"))
+        .withColumn("lat", (F.col("doc_id") * 37 % 18000) / 100.0 - 90.0)
+        .withColumn("lon", (F.col("doc_id") * 73 % 36000) / 100.0 - 180.0)
+    )
+    pair = IndexBuilder(
+        spark, str(tmp_path / "pair"), n_buckets=4,
+        facet_cols=["lat", "lon"],
+    ).build(docs, text_col="text", id_col="doc_id")
+    point = IndexBuilder(
+        spark, str(tmp_path / "point"), n_buckets=4,
+        facet_cols=["location"],
+    ).build(
+        docs.withColumn("location", F.array("lat", "lon")),
+        text_col="text", id_col="doc_id",
+    )
+    assert point.meta["facets"]["location"]["type"] == "point"
+
+    gf_pair = {"lat": "lat", "lon": "lon", "at": (10.0, 20.0),
+               "radius_km": 7000.0}
+    gf_point = {"point": "location", "at": (10.0, 20.0),
+                "radius_km": 7000.0}
+    a = search(spark, pair, "term00000 term00001", top_k=10,
+               geo_filter=gf_pair).collect()
+    b = search(spark, point, "term00000 term00001", top_k=10,
+               geo_filter=gf_point).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(b) > 0
+
+    sa = search(spark, pair, "term00000", top_k=10, geo_filter=gf_pair,
+                result_sort=[("geo_dist", "asc")]).collect()
+    sb = search(spark, point, "term00000", top_k=10, geo_filter=gf_point,
+                result_sort=[("geo_dist", "asc")]).collect()
+    assert [tuple(r) for r in sa] == [tuple(r) for r in sb]
+
+    # misuse guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        search(spark, point, "term00000",
+               facet_filters={"location": ["x"]})
+    with _pytest.raises(ValueError):
+        search(spark, point, "term00000",
+               result_sort=[("location", "asc")])
