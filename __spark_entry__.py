@@ -1350,6 +1350,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_multi_count"] = wand_multi_count
 
+    # batched facet counting: N queries' facet-value tallies fused
+    # into ONE action — the blocks' facet buffers decode once and
+    # every query's candidate set tallies against the shared arrays
+    # (reference counts facets during result collection,
+    # add_result.rs:487-646; server-side concurrent queries share the
+    # same in-RAM facet columns)
+    def wand_multi_facet_count(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import facet_counts_many
+
+        store = _wand_store(s, d)
+        out = facet_counts_many(
+            s,
+            store,
+            [
+                ("fast", ["lang"]),
+                ("+fast +table", ["lang"]),
+                ("fast -dup", ["lang"]),
+            ],
+        )
+        return out.select(
+            "query_id", "facet", "value", F.col("n").cast("long").alias("n")
+        )
+
+    q["wand_multi_facet_count"] = wand_multi_facet_count
+
     q["count_and"] = lambda s, d: _match_count_df(
         s, _docs(s, d), ["fast", "table"], "intersection"
     )
@@ -2023,6 +2048,24 @@ ORDER BY df DESC, term ASC LIMIT 5
         + ")"
         for i, (terms, qtype, nots, phr) in enumerate(_MQ_SPECS)
     )
+    o["wand_multi_facet_count"] = f"""
+SELECT 0 AS query_id, 'lang' AS facet, lang AS value, count(*)::BIGINT AS n
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM {_TOKS} WHERE term = 'fast')
+GROUP BY lang
+UNION ALL
+SELECT 1, 'lang', lang, count(*)::BIGINT
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM {_TOKS} WHERE term = 'fast')
+  AND doc_id IN (SELECT DISTINCT doc_id FROM {_TOKS} WHERE term = 'table')
+GROUP BY lang
+UNION ALL
+SELECT 2, 'lang', lang, count(*)::BIGINT
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM {_TOKS} WHERE term = 'fast')
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM {_TOKS} WHERE term = 'dup')
+GROUP BY lang
+"""
     o["count_and"] = _match_count_sql(["fast", "table"], "intersection")
     o["count_or"] = _match_count_sql(["fast", "table"], "union")
     o["count_phrase"] = _match_count_sql(

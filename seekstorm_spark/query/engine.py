@@ -801,6 +801,95 @@ def count_matches_many(
     return [counts[i] for i in range(len(queries))]
 
 
+def facet_counts_many(
+    spark: SparkSession,
+    store: IndexStore,
+    requests: list[tuple[str, list[str]]],
+    default_type: str = "union",
+    staged: list | None = None,
+) -> DataFrame:
+    """Facet-value counts for N queries in ONE Spark action →
+    DataFrame(query_id, facet, value, n).
+
+    ``requests`` is a list of (query, string/string_set facet names);
+    ``query_id`` is the position in the list. Every query's matching
+    docs are found by the same fused union-of-terms scan
+    :func:`search_many` uses, the blocks' facet arrays join into that
+    single action, and one kernel decodes each block's facet buffer
+    once and tallies it against every query's candidates — per-query
+    results identical to :func:`facet_counts` (the reference counts
+    facets during result collection, add_result.rs:487-646; its server
+    amortizes concurrent queries against the same in-RAM facet columns
+    the same way). Numeric range facets stay on the single-query
+    :func:`facet_range_counts` path. ``staged`` level-0 falls back to
+    per-query :func:`facet_counts` calls unioned in one action."""
+    from functools import reduce
+
+    staged = list(staged) if staged else None
+    specs: dict = store.meta.get("facets") or {}
+    empty = spark.createDataFrame(
+        [], "query_id int, facet string, value string, n long"
+    )
+    fsizes: dict[str, int] = {}
+    all_facets: set[str] = set()
+    for _qstr, fcs in requests:
+        for fc in fcs:
+            vals = facet_values(specs[fc]) if fc in specs else None
+            if fc not in specs or vals is None:
+                raise ValueError(f"{fc!r} is not an indexed string facet")
+            fsizes[fc] = len(vals)
+            all_facets.add(fc)
+    if staged:
+        outs = [
+            facet_counts(
+                spark, store, qstr, fcs, default_type, staged
+            ).select(
+                F.lit(int(i)).alias("query_id"), "facet", "value", "n"
+            )
+            for i, (qstr, fcs) in enumerate(requests)
+        ]
+        return reduce(lambda a, b: a.unionByName(b), outs) if outs else empty
+
+    plans = [
+        _plan(spark, store, qstr, default_type, None)
+        for qstr, _fcs in requests
+    ]
+    boosts, allowed = _resolve_fields(store, None, None)
+    _n, avgdl = _effective_stats(store, None)
+    fused: list[tuple[int, QueryPlan]] = []
+    count_facets_by_q: dict[int, dict] = {}
+    for i, plan in enumerate(plans):
+        if plan.missing_required or not plan.pos_terms:
+            continue
+        fused.append((i, plan))
+        count_facets_by_q[i] = {
+            fc: (facet_kind(specs[fc]), None) for fc in requests[i][1]
+        }
+    if not fused:
+        return empty
+    agg = (
+        _search_many_fused(
+            spark, store, fused, 0, False, boosts, allowed, avgdl,
+            count_only=True,
+            count_facets_by_q=count_facets_by_q,
+            facet_sizes=fsizes,
+        )
+        .groupBy("query_id", "facet", "code")
+        .agg(F.sum("matches").cast("long").alias("n"))
+    )
+    decode = None
+    for fc in sorted(all_facets):
+        vals = facet_values(specs[fc])
+        arr = F.array(*[F.lit(v) for v in vals])
+        expr = F.element_at(arr, F.col("code").cast("int") + 1)
+        decode = (
+            expr
+            if decode is None
+            else F.when(F.col("facet") == fc, expr).otherwise(decode)
+        )
+    return agg.select("query_id", "facet", decode.alias("value"), "n")
+
+
 def _fused_scan_terms(plan: QueryPlan) -> set[str]:
     """Posting terms one query's evaluation touches — mirrors the
     term set _annotated_postings scans for a single query."""
@@ -821,12 +910,18 @@ def _search_many_fused(
     allowed: list[int] | None,
     avgdl: float,
     count_only: bool = False,
+    count_facets_by_q: dict[int, dict] | None = None,
+    facet_sizes: dict[str, int] | None = None,
 ) -> DataFrame:
     """One scan + one exchange + one kernel for N queries (union /
     intersection / NOT / phrase / n-gram) → per-partition top-k
     candidates (query_id, docid, score); the caller takes the global
     per-query top-k. ``count_only`` emits per-partition (query_id,
-    matches) tallies instead (pruning off — counts are exact)."""
+    matches) tallies instead (pruning off — counts are exact).
+    ``count_facets_by_q`` maps query_id → {facet: (kind, bounds)} and
+    switches the kernel to per-query facet tallies (query_id, facet,
+    code, matches), joining the blocks' facet arrays into the same
+    single action."""
     terms = sorted({t for _i, p in idx_plans for t in _fused_scan_terms(p)})
     has_gram = any(NGRAM_SEP in t for t in terms)
     need_pos = any(p.qtype == "phrase" for _i, p in idx_plans)
@@ -853,22 +948,94 @@ def _search_many_fused(
         postings = postings.filter(
             F.col("field").isin([int(i) for i in allowed])
         )
-    rows = postings.repartition("block_id").sortWithinPartitions(
-        "block_id", "term", "field"
-    )
+    rows = postings.repartition("block_id")
+    if count_facets_by_q:
+        facet_cols = sorted(
+            {fc for spec in count_facets_by_q.values() for fc in spec}
+        )
+        rows, _extra = _join_facet_blocks(spark, store, rows, facet_cols)
+    rows = rows.sortWithinPartitions("block_id", "term", "field")
     kernel = _make_multi_kernel(
         idx_plans, top_k, prune and not count_only, avgdl, boosts,
         block_size=int(store.meta.get("block_size", ROARING_BLOCK_SIZE)),
         deletes=_load_delete_set(spark, store),
         has_gram=has_gram,
         count_only=count_only,
+        count_facets_by_q=count_facets_by_q,
+        facet_sizes=facet_sizes,
     )
-    schema = (
-        "query_id int, matches long"
-        if count_only
-        else "query_id int, " + RESULT_SCHEMA
-    )
+    if count_facets_by_q:
+        schema = "query_id int, " + FACET_COUNT_SCHEMA
+    elif count_only:
+        schema = "query_id int, matches long"
+    else:
+        schema = "query_id int, " + RESULT_SCHEMA
     return rows.mapInPandas(kernel, schema=schema)
+
+
+def _overlay_bufs(buflist, kind: str, n_values: int):
+    """Merge a block's facet buffers (one per committed/staged
+    slice; non-missing slots disjoint) into one structure."""
+    if buflist is None or len(buflist) == 0:
+        return None
+    if kind == "string_set":
+        parts = [decode_string_set_block(b, n_values) for b in buflist]
+        if len(parts) == 1:
+            return parts[0]
+        size = max(len(off) - 1 for off, _c in parts)
+        counts = np.zeros(size, dtype=np.int64)
+        per_doc: list[np.ndarray | None] = [None] * size
+        for off, codes in parts:
+            c = np.diff(off.astype(np.int64))
+            for i in np.flatnonzero(c):
+                per_doc[i] = codes[off[i] : off[i + 1]]
+                counts[i] = c[i]
+        offsets = np.zeros(size + 1, dtype=np.uint32)
+        np.cumsum(counts, out=offsets[1:])
+        flat = (
+            np.concatenate([p for p in per_doc if p is not None])
+            if counts.sum()
+            else np.empty(0, dtype=facet_code_dtype(n_values))
+        )
+        return offsets, flat
+    if kind == "string":
+        dtype = facet_code_dtype(n_values)
+        missing = facet_missing_code(n_values)
+    else:
+        dtype = np.float64
+    arrs = [np.frombuffer(b, dtype=dtype) for b in buflist]
+    if len(arrs) == 1:
+        return arrs[0]
+    size = max(len(a) for a in arrs)
+    if kind == "string":
+        out = np.full(size, missing, dtype=dtype)
+        for a in arrs:
+            m = a != missing
+            out[: len(a)][m] = a[m]
+    else:
+        out = np.full(size, np.nan, dtype=np.float64)
+        for a in arrs:
+            m = ~np.isnan(a)
+            out[: len(a)][m] = a[m]
+    return out
+
+
+def _sset_gather(buf, cand: np.ndarray):
+    """(owner idx into cand, codes) for the candidates' multi-value
+    entries — vectorized CSR gather, no per-doc loop."""
+    offsets, codes = buf
+    n = len(offsets) - 1
+    starts = np.where(cand < n, offsets[np.minimum(cand, n - 1)], 0)
+    ends = np.where(cand < n, offsets[np.minimum(cand, n - 1) + 1], 0)
+    counts = (ends - starts).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), codes[:0]
+    owner = np.repeat(np.arange(cand.size), counts)
+    seg = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(total) - np.repeat(seg, counts)
+    flat = np.repeat(starts.astype(np.int64), counts) + within
+    return owner, codes[flat]
 
 
 def _make_multi_kernel(
@@ -881,14 +1048,28 @@ def _make_multi_kernel(
     deletes: np.ndarray | None = None,
     has_gram: bool = False,
     count_only: bool = False,
+    count_facets_by_q: dict[int, dict] | None = None,
+    facet_sizes: dict[str, int] | None = None,
 ):
     """Batched kernel: decode each posting row ONCE, score every
     query against the shared decode. Per-query state (top-k heap,
     WAND threshold, candidate algebra, gram source map, phrase
     alignment) mirrors ``_make_kernel`` op-for-op so each query's
     results are bit-identical to its single-query run. ``count_only``
-    tallies matches per query instead of scoring."""
+    tallies matches per query instead of scoring;
+    ``count_facets_by_q`` additionally tallies facet-value counts per
+    query from the blocks' facet arrays (one shared buffer decode per
+    block, N queries' tallies against it)."""
     delete_set = deletes if deletes is not None else np.empty(0, dtype=np.int64)
+    cfacets_by_q = {
+        qi: dict(spec) for qi, spec in (count_facets_by_q or {}).items()
+    }
+    sizes = facet_sizes or {}
+    # every facet buffer any query counts: col → (kind, n_values)
+    facet_buf_kinds: dict[str, tuple[str, int]] = {}
+    for spec in cfacets_by_q.values():
+        for name, (kind, _b) in spec.items():
+            facet_buf_kinds[f"fb_{name}"] = (kind, sizes.get(name, 0))
 
     def _source_map(p: QueryPlan) -> dict[str, tuple[str, int | None]]:
         sm: dict[str, tuple[str, int | None]] = {}
@@ -948,6 +1129,18 @@ def _make_multi_kernel(
         best_d = {qi: np.empty(0, dtype=np.int64) for qi, *_ in qinfo}
         best_s = {qi: np.empty(0, dtype=np.float32) for qi, *_ in qinfo}
         match_counts = dict.fromkeys((qi for qi, *_ in qinfo), 0)
+        facet_tallies: dict[int, dict[str, np.ndarray]] = {
+            qi: {
+                fc: np.zeros(
+                    sizes.get(fc, 0)
+                    if kind in ("string", "string_set")
+                    else len(bounds) + 1,
+                    dtype=np.int64,
+                )
+                for fc, (kind, bounds) in spec.items()
+            }
+            for qi, spec in cfacets_by_q.items()
+        }
 
         def threshold(qi: int) -> float:
             if not prune or len(best_s[qi]) < top_k:
@@ -963,6 +1156,34 @@ def _make_multi_kernel(
         def process_block(rows: pd.DataFrame) -> None:
             block_id = int(rows["block_id"].iloc[0])
             base = block_id * block_size
+            # one shared facet-buffer decode per block; every counting
+            # query's tally reads the same arrays
+            fbufs = (
+                {
+                    col: _overlay_bufs(rows[col].iloc[0], kind, nv)
+                    for col, (kind, nv) in facet_buf_kinds.items()
+                }
+                if facet_buf_kinds
+                else {}
+            )
+
+            def fbuf_at(col: str, idx: np.ndarray):
+                fv = fbufs[col]
+                if fv is None:
+                    return None
+                kind, nv = facet_buf_kinds[col]
+                if idx.size and int(idx.max()) >= len(fv):
+                    if kind == "string":
+                        pad = np.full(
+                            int(idx.max()) + 1,
+                            facet_missing_code(nv),
+                            dtype=facet_code_dtype(nv),
+                        )
+                    else:
+                        pad = np.full(int(idx.max()) + 1, np.nan)
+                    pad[: len(fv)] = fv
+                    fv = pad
+                return fv[idx]
             # shared per-block bound pieces: one f64 ub per posting row
             # (gram rows also carry per-partial-term ubs for the gram
             # bound = Σ parts' idf·comp_ub, as in _annotated_postings)
@@ -1111,6 +1332,36 @@ def _make_multi_kernel(
                         continue
                 if count_only:
                     match_counts[qi] += int(cand.size)
+                    for fc, (kind, bounds) in cfacets_by_q.get(
+                        qi, {}
+                    ).items():
+                        nv = sizes.get(fc, 0)
+                        if kind == "string_set":
+                            buf = fbufs[f"fb_{fc}"]
+                            if buf is None:
+                                continue
+                            _owner, codes = _sset_gather(buf, cand)
+                            facet_tallies[qi][fc] += np.bincount(
+                                codes.astype(np.int64), minlength=nv
+                            )[:nv]
+                            continue
+                        fv = fbuf_at(f"fb_{fc}", cand)
+                        if fv is None:
+                            continue
+                        if kind == "string":
+                            valid = fv < nv
+                            facet_tallies[qi][fc] += np.bincount(
+                                fv[valid].astype(np.int64), minlength=nv
+                            )[:nv]
+                        else:
+                            ok = ~np.isnan(fv) & (fv >= bounds[0])
+                            bins = (
+                                np.searchsorted(bounds, fv[ok], side="right")
+                                - 1
+                            )
+                            facet_tallies[qi][fc] += np.bincount(
+                                bins, minlength=len(bounds) + 1
+                            )
                     continue
                 # f32 accumulation in (term asc, field asc) order over
                 # ORIGINAL terms — identical to _make_kernel's entries
@@ -1154,6 +1405,27 @@ def _make_multi_kernel(
         if pending:
             process_block(pd.concat(pending))
 
+        if cfacets_by_q:
+            out_q: list[int] = []
+            out_f: list[str] = []
+            out_c: list[int] = []
+            out_n: list[int] = []
+            for qi, tallies in facet_tallies.items():
+                for fc, tally in tallies.items():
+                    for code in np.flatnonzero(tally):
+                        out_q.append(qi)
+                        out_f.append(fc)
+                        out_c.append(int(code))
+                        out_n.append(int(tally[code]))
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int32"),
+                    "facet": pd.Series(out_f, dtype="object"),
+                    "code": pd.Series(out_c, dtype="int64"),
+                    "matches": pd.Series(out_n, dtype="int64"),
+                }
+            )
+            return
         if count_only:
             yield pd.DataFrame(
                 {
@@ -1811,68 +2083,8 @@ def _make_kernel(
         if geo_cfg[1] is not None:
             facet_buf_kinds[geo_cfg[1]] = ("numeric", 0)
 
-    def overlay_bufs(buflist, kind: str, n_values: int):
-        """Merge a block's facet buffers (one per committed/staged
-        slice; non-missing slots disjoint) into one structure."""
-        if buflist is None or len(buflist) == 0:
-            return None
-        if kind == "string_set":
-            parts = [decode_string_set_block(b, n_values) for b in buflist]
-            if len(parts) == 1:
-                return parts[0]
-            size = max(len(off) - 1 for off, _c in parts)
-            counts = np.zeros(size, dtype=np.int64)
-            per_doc: list[np.ndarray | None] = [None] * size
-            for off, codes in parts:
-                c = np.diff(off.astype(np.int64))
-                for i in np.flatnonzero(c):
-                    per_doc[i] = codes[off[i] : off[i + 1]]
-                    counts[i] = c[i]
-            offsets = np.zeros(size + 1, dtype=np.uint32)
-            np.cumsum(counts, out=offsets[1:])
-            flat = (
-                np.concatenate([p for p in per_doc if p is not None])
-                if counts.sum()
-                else np.empty(0, dtype=facet_code_dtype(n_values))
-            )
-            return offsets, flat
-        if kind == "string":
-            dtype = facet_code_dtype(n_values)
-            missing = facet_missing_code(n_values)
-        else:
-            dtype = np.float64
-        arrs = [np.frombuffer(b, dtype=dtype) for b in buflist]
-        if len(arrs) == 1:
-            return arrs[0]
-        size = max(len(a) for a in arrs)
-        if kind == "string":
-            out = np.full(size, missing, dtype=dtype)
-            for a in arrs:
-                m = a != missing
-                out[: len(a)][m] = a[m]
-        else:
-            out = np.full(size, np.nan, dtype=np.float64)
-            for a in arrs:
-                m = ~np.isnan(a)
-                out[: len(a)][m] = a[m]
-        return out
-
-    def sset_gather(buf, cand: np.ndarray):
-        """(owner idx into cand, codes) for the candidates' multi-value
-        entries — vectorized CSR gather, no per-doc loop."""
-        offsets, codes = buf
-        n = len(offsets) - 1
-        starts = np.where(cand < n, offsets[np.minimum(cand, n - 1)], 0)
-        ends = np.where(cand < n, offsets[np.minimum(cand, n - 1) + 1], 0)
-        counts = (ends - starts).astype(np.int64)
-        total = int(counts.sum())
-        if total == 0:
-            return np.empty(0, np.int64), codes[:0]
-        owner = np.repeat(np.arange(cand.size), counts)
-        seg = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        within = np.arange(total) - np.repeat(seg, counts)
-        flat = np.repeat(starts.astype(np.int64), counts) + within
-        return owner, codes[flat]
+    overlay_bufs = _overlay_bufs
+    sset_gather = _sset_gather
 
     decode_tab = _DECODE_NP.astype(np.float32)
     avgdl32 = np.float32(avgdl)

@@ -148,3 +148,29 @@ def test_string_set_append_overlay(spark, tmp_path):
     }
     assert any(d >= 60 for d in hits) and all(d % 3 == 1 for d in hits)
     docs.unpersist()
+
+
+def test_facet_counts_many_matches_single(spark, set_store):
+    """N (query, facets) requests fused into one action must tally
+    identically to per-query ``facet_counts`` — string AND string_set
+    facets, union/intersection/NOT shapes, empty plans."""
+    from seekstorm_spark.query.engine import facet_counts_many
+
+    reqs = [
+        ("term00000", ["tags"]),
+        ("+term00000 +term00001", ["widecat", "tags"]),
+        ("term00000 -term00001", ["widecat"]),
+        ("zzzmissing", ["tags"]),
+    ]
+    batched = facet_counts_many(spark, store := set_store[0], reqs).collect()
+    for i, (qstr, fcs) in enumerate(reqs):
+        single = {
+            (r["facet"], r["value"]): r["n"]
+            for r in facet_counts(spark, store, qstr, fcs).collect()
+        }
+        got = {
+            (r["facet"], r["value"]): r["n"]
+            for r in batched
+            if r["query_id"] == i
+        }
+        assert got == single, qstr
