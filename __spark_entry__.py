@@ -1485,6 +1485,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["get_document"] = get_document
+
+    # columnar doc store: bucketed parquet + driver-side pyarrow
+    # row-group cache (reference doc_store.rs) — the point lookups
+    # themselves run with NO Spark job; only the result re-enters
+    # Spark for the driver's comparison
+    def doc_store_get(s: SparkSession, d: str) -> DataFrame:
+        import json
+        import os
+
+        from seekstorm_spark.query.docstore import (
+            DOC_STORE_VERSION,
+            DocStore,
+            write_doc_store,
+        )
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_docstore_{name}"
+        meta = os.path.join(path, "_docstore_meta.json")
+        ok = False
+        if os.path.exists(meta):
+            with open(meta) as f:
+                ok = json.load(f).get("version") == DOC_STORE_VERSION
+        if not ok:
+            write_doc_store(
+                _docs(s, d).select("doc_id", "lang", "source", "n_chars"),
+                path,
+                id_col="doc_id",
+                docs_per_bucket=4096,
+            )
+        ds = DocStore(path)
+        rows = [
+            r for r in ds.get_many([3, 17, 101, 250, 10**9]) if r is not None
+        ]
+        return s.createDataFrame(
+            [
+                (r["docid"], r["lang"], r["source"], int(r["n_chars"]))
+                for r in rows
+            ],
+            "docid long, lang string, source string, n_chars long",
+        )
+
+    q["doc_store_get"] = doc_store_get
     q["iterator_skip_take"] = lambda s, d: (
         _docs(s, d)
         .orderBy(F.col("doc_id").asc())
@@ -2065,6 +2107,10 @@ FROM documents
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM {_TOKS} WHERE term = 'fast')
   AND doc_id NOT IN (SELECT DISTINCT doc_id FROM {_TOKS} WHERE term = 'dup')
 GROUP BY lang
+"""
+    o["doc_store_get"] = """
+SELECT doc_id AS docid, lang, source, n_chars::BIGINT AS n_chars
+FROM documents WHERE doc_id IN (3, 17, 101, 250)
 """
     o["count_and"] = _match_count_sql(["fast", "table"], "intersection")
     o["count_or"] = _match_count_sql(["fast", "table"], "union")
