@@ -1,5 +1,6 @@
-"""Snowball stemmers for German, French and Spanish, implemented from
-the published algorithm descriptions (M.F. Porter's Snowball project,
+"""Snowball stemmers for German, French, Spanish, Swedish, Norwegian,
+Danish, Dutch, Portuguese and Italian, implemented from the published
+algorithm descriptions (M.F. Porter's Snowball project,
 snowballstem.org — the same public algorithms rust-stemmers compiles).
 
 The reference engine stems index- and query-side terms through
@@ -8,8 +9,8 @@ rust-stemmers for 38 languages when a stemmer is configured
 `index.rs:641-722`). This container has no stemmer package, so the
 highest-traffic European languages are implemented from the specs;
 ``stemmer.stem(word, lang)`` dispatches en→Porter (stemmer.py) and
-de/fr/es here. Remaining Snowball languages pass through unchanged
-(documented gap behind the same hook).
+de/fr/es/sv/no/da/nl/pt/it here. Remaining Snowball languages pass
+through unchanged (documented gap behind the same hook).
 
 All three follow the shared Snowball skeleton: compute R1/R2 (and RV
 for the Romance languages), then apply ordered longest-match suffix
@@ -797,3 +798,515 @@ def danish_stem(word: str) -> str:
     ):
         w = w[:-1]
     return w
+
+
+# ---------------------------------------------------------------------------
+# Dutch
+# ---------------------------------------------------------------------------
+
+_NL_VOWELS = "aeiouyè"
+_NL_ACCENT = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
+
+
+def _nl_undouble(w: str) -> str:
+    if w.endswith(("kk", "dd", "tt")):
+        return w[:-1]
+    return w
+
+
+def dutch_stem(word: str) -> str:
+    w = word.lower().translate(_NL_ACCENT)
+    # initial y, y after a vowel, and i between vowels are consonants
+    chars = list(w)
+    n = len(chars)
+    for i, c in enumerate(chars):
+        if c == "y" and (i == 0 or chars[i - 1] in _NL_VOWELS):
+            chars[i] = "Y"
+        elif (
+            c == "i"
+            and 0 < i < n - 1
+            and chars[i - 1] in _NL_VOWELS
+            and chars[i + 1] in _NL_VOWELS
+        ):
+            chars[i] = "I"
+    w = "".join(chars)
+    r1, r2 = _r1_r2(w.lower(), _NL_VOWELS)
+    r1 = max(r1, 3)  # as in German: R1 begins no earlier than position 3
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    def valid_s_ending(pos: int) -> bool:
+        return pos > 0 and w[pos - 1].lower() not in _NL_VOWELS + "j"
+
+    def valid_en_ending(pos: int) -> bool:
+        return (
+            pos > 0
+            and w[pos - 1].lower() not in _NL_VOWELS
+            and w[max(0, pos - 3) : pos] != "gem"
+        )
+
+    # step 1 — longest of: heden | en ene | s se
+    for suf in ("heden", "ene", "en", "se", "s"):
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf == "heden":
+            if in_r1(pos):
+                w = w[:pos] + "heid"
+        elif suf in ("en", "ene"):
+            if in_r1(pos) and valid_en_ending(pos):
+                w = _nl_undouble(w[:pos])
+        else:  # s / se
+            if in_r1(pos) and valid_s_ending(pos):
+                w = w[:pos]
+        break
+
+    # step 2 — delete final e if in R1 and preceded by a non-vowel
+    e_removed = False
+    if (
+        w.endswith("e")
+        and in_r1(len(w) - 1)
+        and len(w) >= 2
+        and w[-2].lower() not in _NL_VOWELS
+    ):
+        w = _nl_undouble(w[:-1])
+        e_removed = True
+
+    # step 3a — heid
+    if w.endswith("heid") and in_r2(len(w) - 4) and (
+        len(w) < 5 or w[-5] != "c"
+    ):
+        w = w[:-4]
+        if w.endswith("en") and in_r1(len(w) - 2) and valid_en_ending(
+            len(w) - 2
+        ):
+            w = _nl_undouble(w[:-2])
+
+    # step 3b — d-suffixes, longest match
+    for suf in ("lijk", "baar", "end", "ing", "bar", "ig"):
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf in ("end", "ing"):
+            if in_r2(pos):
+                w = w[:pos]
+                if (
+                    w.endswith("ig")
+                    and in_r2(len(w) - 2)
+                    and (len(w) < 3 or w[-3] != "e")
+                ):
+                    w = w[:-2]
+                else:
+                    w = _nl_undouble(w)
+        elif suf == "ig":
+            if in_r2(pos) and (pos == 0 or w[pos - 1] != "e"):
+                w = w[:pos]
+        elif suf == "lijk":
+            if in_r2(pos):
+                w = w[:pos]
+                # then repeat step 2
+                if (
+                    w.endswith("e")
+                    and in_r1(len(w) - 1)
+                    and len(w) >= 2
+                    and w[-2].lower() not in _NL_VOWELS
+                ):
+                    w = _nl_undouble(w[:-1])
+        elif suf == "baar":
+            if in_r2(pos):
+                w = w[:pos]
+        else:  # bar
+            if in_r2(pos) and e_removed:
+                w = w[:pos]
+        break
+
+    # step 4 — undouble vowel: C + aa/ee/oo/uu + non-vowel(≠I) → drop one
+    if (
+        len(w) >= 4
+        and w[-1].lower() not in _NL_VOWELS
+        and w[-1] != "I"
+        and w[-2] == w[-3]
+        and w[-2] in "aeou"
+        and w[-4].lower() not in _NL_VOWELS
+    ):
+        w = w[:-2] + w[-1]
+
+    return w.lower()
+
+
+# ---------------------------------------------------------------------------
+# Portuguese — nasal vowels ã/õ are handled as the spec's a~/o~
+# digraphs (vowel + consonant) so the R-regions match the published
+# algorithm, and folded back at the end.
+# ---------------------------------------------------------------------------
+
+_PT_VOWELS = "aeiouáéíóúâêô"
+
+_PT_STEP1_DELETE_R2 = (
+    "amentos", "imentos", "amento", "imento", "adoras", "adores",
+    "aço~es", "ismos", "istas", "adora", "aça~o", "antes", "ância",
+    "ezas", "icos", "icas", "ismo", "ável", "ível", "ista", "osos",
+    "osas", "ador", "ante", "eza", "ico", "ica", "oso", "osa",
+)
+_PT_STEP2 = (
+    "aríamos", "eríamos", "iríamos", "ássemos", "êssemos", "íssemos",
+    "aríeis", "eríeis", "iríeis", "ásseis", "ésseis", "ísseis",
+    "áramos", "éramos", "íramos", "ávamos", "aremos", "eremos",
+    "iremos", "ariam", "eriam", "iriam", "assem", "essem", "issem",
+    "ara~o", "era~o", "ira~o", "arias", "erias", "irias", "ardes",
+    "erdes", "irdes", "asses", "esses", "isses", "astes", "estes",
+    "istes", "áreis", "areis", "éreis", "ereis", "íreis", "ireis",
+    "áveis", "íamos", "armos", "ermos", "irmos", "aria", "eria",
+    "iria", "asse", "esse", "isse", "aste", "este", "iste", "arei",
+    "erei", "irei", "aram", "eram", "iram", "avam", "arem", "erem",
+    "irem", "ando", "endo", "indo", "adas", "idas", "arás", "aras",
+    "erás", "eras", "irás", "avas", "ares", "eres", "ires", "íeis",
+    "ados", "idos", "ámos", "amos", "emos", "imos", "iras", "ada",
+    "ida", "ará", "ara", "erá", "era", "irá", "ava", "iam", "ado",
+    "ido", "ias", "ais", "eis", "ira", "ia", "ei", "am", "em", "ar",
+    "er", "ir", "as", "es", "is", "eu", "iu", "ou",
+)
+
+
+def _pt_rv(w: str) -> int:
+    # same region definition as Spanish (shared Romance RV)
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _PT_VOWELS:
+        i = 2
+        while i < n and w[i] not in _PT_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    if w[0] in _PT_VOWELS and w[1] in _PT_VOWELS:
+        i = 2
+        while i < n and w[i] in _PT_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    return 3
+
+
+_PT_ACCENT = str.maketrans("áéíóúâêô", "aeiouaeo")
+
+
+def portuguese_stem(word: str) -> str:
+    w = word.replace("ã", "a~").replace("õ", "o~")
+    rv = _pt_rv(w)
+    r1, r2 = _r1_r2(w, _PT_VOWELS)
+
+    def in_rv(pos: int) -> bool:
+        return pos >= rv
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    altered = False
+    before = w
+
+    # step 1: standard suffixes, longest match
+    s1 = sorted(
+        set(_PT_STEP1_DELETE_R2)
+        | {
+            "logias", "logia", "uço~es", "uça~o", "ências", "ência",
+            "amente", "mente", "idades", "idade", "ivas", "ivos",
+            "iva", "ivo", "iras", "ira",
+        },
+        key=len,
+        reverse=True,
+    )
+    for suf in s1:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf in _PT_STEP1_DELETE_R2:
+            if in_r2(pos):
+                w = w[:pos]
+                altered = True
+        elif suf in ("logia", "logias"):
+            if in_r2(pos):
+                w = w[:pos] + "log"
+                altered = True
+        elif suf in ("uça~o", "uço~es"):
+            if in_r2(pos):
+                w = w[:pos] + "u"
+                altered = True
+        elif suf in ("ência", "ências"):
+            if in_r2(pos):
+                w = w[:pos] + "ente"
+                altered = True
+        elif suf == "amente":
+            if in_r1(pos):
+                w = w[:pos]
+                altered = True
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if w.endswith(pre) and in_r2(len(w) - 2):
+                            w = w[:-2]
+                            break
+        elif suf == "mente":
+            if in_r2(pos):
+                w = w[:pos]
+                altered = True
+                for pre in ("ante", "avel", "ível"):
+                    if w.endswith(pre) and in_r2(len(w) - 4):
+                        w = w[:-4]
+                        break
+        elif suf in ("idade", "idades"):
+            if in_r2(pos):
+                w = w[:pos]
+                altered = True
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                        w = w[: -len(pre)]
+                        break
+        elif suf in ("iva", "ivo", "ivas", "ivos"):
+            if in_r2(pos):
+                w = w[:pos]
+                altered = True
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        else:  # ira / iras → ir when in RV and preceded by e
+            if in_rv(pos) and pos > 0 and w[pos - 1] == "e":
+                w = w[:pos] + "ir"
+                altered = True
+        break
+    rv = min(rv, len(w))
+
+    # step 2: verb suffixes (only if step 1 changed nothing)
+    if w == before:
+        for suf in _PT_STEP2:
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if in_rv(pos):
+                    w = w[:pos]
+                    altered = True
+                break
+        rv = min(rv, len(w))
+
+    # step 3: delete i preceded by c (only if a previous step altered)
+    if altered and w.endswith("i") and in_rv(len(w) - 1) and len(w) >= 2 \
+            and w[-2] == "c":
+        w = w[:-1]
+
+    # step 4: residual suffix (only if steps 1-2 did nothing)
+    if not altered:
+        for suf in ("os", "a", "i", "o", "á", "í", "ó"):
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if in_rv(pos):
+                    w = w[:pos]
+                break
+        rv = min(rv, len(w))
+
+    # step 5: final e/é/ê; gu/ci lose their u/i; ç → c
+    if w.endswith(("e", "é", "ê")) and in_rv(len(w) - 1):
+        w = w[:-1]
+        if (
+            (w.endswith("gu") or w.endswith("ci"))
+            and in_rv(len(w) - 1)
+        ):
+            w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.translate(_PT_ACCENT).replace("a~", "a").replace("o~", "o")
+
+
+# ---------------------------------------------------------------------------
+# Italian
+# ---------------------------------------------------------------------------
+
+_IT_VOWELS = "aeiouàèìòù"
+_IT_ACUTE = str.maketrans("áéíóú", "àèìòù")
+
+_IT_PRON = (
+    "gliela", "gliele", "glieli", "glielo", "gliene", "sene", "mela",
+    "mele", "meli", "melo", "mene", "tela", "tele", "teli", "telo",
+    "tene", "cela", "cele", "celi", "celo", "cene", "vela", "vele",
+    "veli", "velo", "vene", "gli", "ci", "la", "le", "li", "lo", "mi",
+    "ne", "si", "ti", "vi",
+)
+_IT_STEP1_DELETE_R2 = (
+    "atrice", "atrici", "abile", "abili", "ibile", "ibili", "mente",
+    "anza", "anze", "iche", "ichi", "ismo", "ismi", "ista", "iste",
+    "isti", "istà", "istè", "istì", "ante", "anti", "ico", "ici",
+    "ica", "ice", "oso", "osi", "osa", "ose",
+)
+_IT_STEP2 = (
+    "erebbero", "irebbero", "assimo", "eranno", "erebbe", "eremmo",
+    "ereste", "eresti", "essero", "iranno", "irebbe", "iremmo",
+    "ireste", "iresti", "iscano", "iscono", "issero", "arono",
+    "avamo", "avano", "avate", "eremo", "erete", "erono", "evamo",
+    "evano", "evate", "iremo", "irete", "irono", "ivamo", "ivano",
+    "ivate", "ammo", "ando", "asse", "assi", "emmo", "enda", "ende",
+    "endi", "endo", "erai", "erei", "Yamo", "iamo", "immo", "irai",
+    "irei", "isca", "isce", "isci", "isco", "ano", "are", "ata",
+    "ate", "ati", "ato", "ava", "avi", "avo", "erà", "ere", "erò",
+    "ete", "eva", "evi", "evo", "irà", "ire", "irò", "ita", "ite",
+    "iti", "ito", "iva", "ivi", "ivo", "ono", "uta", "ute", "uti",
+    "uto", "ar", "ir",
+)
+
+
+def _it_rv(w: str) -> int:
+    # same region definition as Spanish (shared Romance RV)
+    n = len(w)
+    lw = w.lower()
+    if n < 3:
+        return n
+    if lw[1] not in _IT_VOWELS:
+        i = 2
+        while i < n and lw[i] not in _IT_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    if lw[0] in _IT_VOWELS and lw[1] in _IT_VOWELS:
+        i = 2
+        while i < n and lw[i] in _IT_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    return 3
+
+
+def italian_stem(word: str) -> str:
+    w = word.lower().translate(_IT_ACUTE)
+    # i/u between vowels, and u after q, are consonants (upper-cased)
+    chars = list(w)
+    n = len(chars)
+    for i, c in enumerate(chars):
+        if c == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+        elif (
+            c in "iu"
+            and 0 < i < n - 1
+            and chars[i - 1].lower() in _IT_VOWELS
+            and chars[i + 1].lower() in _IT_VOWELS
+        ):
+            chars[i] = c.upper()
+    w = "".join(chars)
+    rv = _it_rv(w)
+    r1, r2 = _r1_r2(w.lower(), _IT_VOWELS)
+
+    def in_rv(pos: int) -> bool:
+        return pos >= rv
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # step 0: attached pronoun after ando/endo (delete) or ar/er/ir
+    # (replace with e)
+    for pron in _IT_PRON:
+        if not w.endswith(pron):
+            continue
+        head = w[: len(w) - len(pron)]
+        if head.endswith(("ando", "endo")) and in_rv(len(head) - 4):
+            w = head
+        elif head.endswith(("ar", "er", "ir")) and in_rv(len(head) - 2):
+            w = head + "e"
+        break
+    rv = min(rv, len(w))
+
+    before = w
+    # step 1: standard suffixes, longest match
+    s1 = sorted(
+        set(_IT_STEP1_DELETE_R2)
+        | {
+            "azione", "azioni", "atore", "atori", "logia", "logie",
+            "uzione", "uzioni", "usione", "usioni", "enza", "enze",
+            "amento", "amenti", "imento", "imenti", "amente", "ità",
+            "ivo", "ivi", "iva", "ive",
+        },
+        key=len,
+        reverse=True,
+    )
+    for suf in s1:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf == "amente":
+            if in_r1(pos):
+                w = w[:pos]
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic"):
+                        if w.endswith(pre) and in_r2(len(w) - 2):
+                            w = w[:-2]
+                            break
+                    else:
+                        if w.endswith("abil") and in_r2(len(w) - 4):
+                            w = w[:-4]
+        elif suf in _IT_STEP1_DELETE_R2:
+            if in_r2(pos):
+                w = w[:pos]
+        elif suf in ("azione", "azioni", "atore", "atori"):
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("ic") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("logia", "logie"):
+            if in_r2(pos):
+                w = w[:pos] + "log"
+        elif suf in ("uzione", "uzioni", "usione", "usioni"):
+            if in_r2(pos):
+                w = w[:pos] + "u"
+        elif suf in ("enza", "enze"):
+            if in_r2(pos):
+                w = w[:pos] + "ente"
+        elif suf in ("amento", "amenti", "imento", "imenti"):
+            if in_rv(pos):
+                w = w[:pos]
+        elif suf == "ità":
+            if in_r2(pos):
+                w = w[:pos]
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                        w = w[: -len(pre)]
+                        break
+        else:  # ivo ivi iva ive
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("ic") and in_r2(len(w) - 2):
+                        w = w[:-2]
+        break
+    rv = min(rv, len(w))
+
+    # step 2: verb suffixes (only if step 1 removed nothing)
+    if w == before:
+        for suf in _IT_STEP2:
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if in_rv(pos):
+                    w = w[:pos]
+                break
+        rv = min(rv, len(w))
+
+    # step 3a: final vowel (and a preceding i) in RV
+    if w and w[-1] in "aeioàèìò" and in_rv(len(w) - 1):
+        w = w[:-1]
+        if w.endswith("i") and in_rv(len(w) - 1):
+            w = w[:-1]
+    # step 3b: ch/gh → c/g in RV
+    if w.endswith(("ch", "gh")) and in_rv(len(w) - 2):
+        w = w[:-1]
+
+    # accented stems stay accented (città → città) — only the
+    # acute→grave fold and the I/U consonant marks normalize
+    return w.lower()

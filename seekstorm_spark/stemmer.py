@@ -162,9 +162,9 @@ def porter_stem(w: str) -> str:
 
 
 def stem(word: str, lang: str = "en") -> str:
-    """Stem ``word``: ``en`` → Porter (here); ``de``/``fr``/``es`` and
-    ``sv``/``no``/``da`` → Snowball (snowball.py, implemented from the
-    published specs). Other Snowball languages pass through unchanged
+    """Stem ``word``: ``en`` → Porter (here); ``de``/``fr``/``es``,
+    ``sv``/``no``/``da`` and ``nl``/``pt``/``it`` → Snowball
+    (snowball.py, implemented from the published specs). Other Snowball languages pass through unchanged
     (documented gap — the reference ships 38 rust-stemmers languages
     behind this same per-index hook, index.rs:641-722). For a
     multilingual corpus, route each language partition through its own
@@ -172,7 +172,7 @@ def stem(word: str, lang: str = "en") -> str:
     partition key)."""
     if lang == "en":
         return porter_stem(word)
-    if lang in ("de", "fr", "es", "sv", "no", "da"):
+    if lang in ("de", "fr", "es", "sv", "no", "da", "nl", "pt", "it"):
         from seekstorm_spark import snowball as sb
 
         return {
@@ -182,5 +182,8 @@ def stem(word: str, lang: str = "en") -> str:
             "sv": sb.swedish_stem,
             "no": sb.norwegian_stem,
             "da": sb.danish_stem,
+            "nl": sb.dutch_stem,
+            "pt": sb.portuguese_stem,
+            "it": sb.italian_stem,
         }[lang](word)
     return word

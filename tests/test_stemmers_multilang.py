@@ -211,3 +211,103 @@ def test_stemmed_index_e2e_sv(spark, tmp_path):
     assert hits == {0, 1}
     hits = {r["docid"] for r in search(spark, store, "flickorna").collect()}
     assert hits == {0, 1}
+
+
+# --- round-3 additions: Dutch / Portuguese / Italian ---
+
+from seekstorm_spark.snowball import (  # noqa: E402
+    dutch_stem,
+    italian_stem,
+    portuguese_stem,
+)
+
+NL_VECTORS = {
+    "lichamelijk": "licham",
+    "lichamelijke": "licham",
+    "lopen": "lop",
+    "katten": "kat",
+    "huizen": "huiz",
+    "mogelijkheden": "mogelijk",
+    "werkelijkheid": "werkelijk",
+    "aanbiedingen": "aanbied",
+    "maan": "man",
+    "brood": "brod",
+    "appels": "appel",
+}
+
+PT_VECTORS = {
+    "gatos": "gat",
+    "correndo": "corr",
+    "rapidamente": "rapid",
+    "comunicação": "comunic",
+    "falaram": "fal",
+    "universidades": "univers",
+    "tecnologia": "tecnolog",
+    "cantando": "cant",
+    "importância": "import",
+    "bondade": "bondad",
+    "aprovação": "aprov",
+}
+
+IT_VECTORS = {
+    "gatti": "gatt",
+    "correndo": "corr",
+    "rapidamente": "rapid",
+    "comunicazione": "comun",
+    "parlarono": "parl",
+    "università": "univers",
+    "cantando": "cant",
+    "nazionale": "nazional",
+    "abbandonata": "abbandon",
+    "mangiandolo": "mang",
+    "caratteristici": "caratterist",
+}
+
+
+@pytest.mark.parametrize("word,want", sorted(NL_VECTORS.items()))
+def test_dutch_vectors(word, want):
+    assert dutch_stem(word) == want
+
+
+@pytest.mark.parametrize("word,want", sorted(PT_VECTORS.items()))
+def test_portuguese_vectors(word, want):
+    assert portuguese_stem(word) == want
+
+
+@pytest.mark.parametrize("word,want", sorted(IT_VECTORS.items()))
+def test_italian_vectors(word, want):
+    assert italian_stem(word) == want
+
+
+def test_new_inflection_classes_collapse():
+    for lang, groups in {
+        "nl": [["kat", "katten"], ["boek", "boeken"]],
+        "pt": [["gato", "gatos", "gata", "gatas"],
+               ["falar", "falaram", "falando"]],
+        "it": [["gatto", "gatti", "gatta", "gatte"],
+               ["parlare", "parlarono", "parlando"]],
+    }.items():
+        for grp in groups:
+            stems = {stem(w, lang) for w in grp}
+            assert len(stems) == 1, (lang, grp, stems)
+
+
+def test_stemmed_index_e2e_pt_it_nl(spark, tmp_path):
+    """New-language indexes: a query in one inflection finds docs
+    using another (index- and query-side stemming agree)."""
+    cases = {
+        "pt": [(0, "os gatos correm"), (1, "uma gata correndo"),
+               (2, "cachorros latem")],
+        "it": [(0, "i gatti corrono"), (1, "una gatta correndo"),
+               (2, "i cani abbaiano")],
+        "nl": [(0, "de katten lopen"), (1, "een kat loopt"),
+               (2, "honden blaffen")],
+    }
+    probes = {"pt": "gato", "it": "gatto", "nl": "katten"}
+    for lang, rows in cases.items():
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        store = IndexBuilder(
+            spark, str(tmp_path / lang), n_buckets=2, stemmer=lang
+        ).build(docs, text_col="text", id_col="doc_id")
+        hits = {r["docid"] for r in search(spark, store, probes[lang]).collect()}
+        assert hits == {0, 1}, lang
