@@ -305,6 +305,46 @@ def bench_wand_queries(index_path: str, cores: int) -> dict:
         spark.stop()
 
 
+def bench_doc_store(corpus: str, cores: int) -> dict:
+    """get_document serving: docid-bucketed columnar store + driver-
+    side pyarrow lookups. One Spark job writes the store; the timed
+    lookups run WITHOUT Spark (row-group stats pruning into an LRU of
+    decoded Arrow batches) — the engine's answer to the reference's
+    in-process doc store (doc_store.rs)."""
+    import shutil
+
+    from seekstorm_spark.index.builder import assign_docids
+    from seekstorm_spark.query.docstore import DocStore, write_doc_store
+
+    path = "/dev/shm/bench_docstore"
+    spark = _session(f"local[{cores}]", cores)
+    try:
+        docs = assign_docids(spark.read.parquet(corpus), order_col=None)
+        shutil.rmtree(path, ignore_errors=True)
+        write_doc_store(
+            docs, path, id_col="docid", fields=["url", "text"],
+            docs_per_bucket=1 << 16,
+        )
+    finally:
+        spark.stop()
+    # deterministic scattered docids: every lookup set identical run
+    # to run, spread over all buckets
+    ids = [(i * 104729) % BENCH_DOCS for i in range(1000)]
+    store = DocStore(path, cache_groups=256)
+    t0 = time.time()
+    got = store.get_many(ids)
+    cold_s = time.time() - t0
+    assert all(g is not None for g in got)
+    t0 = time.time()
+    store.get_many(ids)
+    warm_s = time.time() - t0
+    return {
+        "n_lookups": len(ids),
+        "cold_gets_per_sec": round(len(ids) / cold_s, 1),
+        "warm_gets_per_sec": round(len(ids) / warm_s, 1),
+    }
+
+
 def bench_headline(sf_dir: str, cores: int) -> dict:
     """Operator-suite queries on the driver's sf tables."""
     import __spark_entry__ as entrymod
@@ -338,6 +378,7 @@ def main() -> None:
     build = bench_index_build(SMALL_CORES, BIG_CORES)
     wand = bench_wand_queries(build["index_path"], CPUS)
     headline = bench_headline(SF_DIR, CPUS)
+    doc_store = bench_doc_store(_materialize_corpus(), CPUS)
 
     result = {
         "metric": "headline operator suite wall time",
@@ -356,6 +397,7 @@ def main() -> None:
         },
         "wand_query": wand,
         "query_p50_s": wand["p50_s"],
+        "doc_store": doc_store,
         "docs_per_sec": build["big"]["docs_per_sec"],
     }
     print(json.dumps(result))
