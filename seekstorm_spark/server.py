@@ -1,0 +1,233 @@
+"""Minimal REST search server over built indexes (stdlib-only).
+
+The reference ships a full HTTP server whose endpoints wrap the same
+library calls this package exposes
+(`/root/reference/seekstorm_server/src/api_endpoints.rs:60-1470`,
+routing `http_server.rs:190+`). This is the Spark-side analog: a
+``ThreadingHTTPServer`` holding ONE SparkSession + opened
+``IndexStore``s, serving JSON over the library surface. Spark
+supports concurrent actions from handler threads, so requests
+parallelize up to the scheduler; the doc endpoint reads through the
+columnar :class:`~seekstorm_spark.query.docstore.DocStore` (no Spark
+job at all). API-key auth, index CRUD, and PDF upload are out of
+scope — the sandbox has no secrets and ingestion runs through the
+build/streaming APIs.
+
+Endpoints (reference parity subset):
+
+* ``GET  /health`` — liveness.
+* ``GET  /indices`` — served index names.
+* ``GET  /indices/{name}/info`` — meta (N, avgdl, fields, facets).
+* ``POST /indices/{name}/query`` — body ``{"query": str,
+  "top_k"?: int, "default_type"?: "union|intersection|phrase",
+  "field_filter"?: [str], "count"?: bool}`` →
+  ``{"results": [{"docid": int, "score": float}], "count"?: int}``
+  (reference query POST, api_endpoints.rs:1322-1470).
+* ``GET  /indices/{name}/query?q=…&top_k=…`` — GET variant.
+* ``POST /indices/{name}/count`` — exact match count.
+* ``GET  /indices/{name}/doc/{docid}`` — stored fields from the
+  index's doc store (reference get_document).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+
+from seekstorm_spark.index.store import IndexStore
+from seekstorm_spark.query.docstore import DocStore
+from seekstorm_spark.query.engine import count_matches, search
+
+
+class IndexService:
+    """Opened indexes (+ optional doc stores) behind the HTTP layer.
+
+    ``indices`` maps name → index path. A doc store is auto-attached
+    when ``<index path>/doc_store`` exists (or pass ``doc_stores``
+    explicitly)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        indices: dict[str, str],
+        doc_stores: dict[str, str] | None = None,
+    ):
+        self.spark = spark
+        self.stores = {n: IndexStore.open(p) for n, p in indices.items()}
+        self.doc_stores: dict[str, DocStore] = {}
+        for name, path in indices.items():
+            ds_path = (doc_stores or {}).get(
+                name, os.path.join(path, "doc_store")
+            )
+            if os.path.exists(os.path.join(ds_path, "_docstore_meta.json")):
+                self.doc_stores[name] = DocStore(ds_path)
+
+    def info(self, name: str) -> dict:
+        m = self.stores[name].meta
+        return {
+            "name": name,
+            "n_docs": m.get("n_docs"),
+            "avgdl": m.get("avgdl"),
+            "fields": m.get("fields"),
+            "facets": sorted((m.get("facets") or {}).keys()),
+            "version": m.get("version"),
+        }
+
+    def query(self, name: str, body: dict) -> dict:
+        store = self.stores[name]
+        q = body["query"]
+        top_k = int(body.get("top_k", 10))
+        dtype = body.get("default_type", "union")
+        out = search(
+            self.spark, store, q, top_k=top_k, default_type=dtype,
+            field_filter=body.get("field_filter"),
+        ).collect()
+        resp: dict = {
+            "results": [
+                {"docid": int(r["docid"]), "score": float(r["score"])}
+                for r in out
+            ]
+        }
+        if body.get("count"):
+            resp["count"] = count_matches(self.spark, store, q, dtype)
+        return resp
+
+    def count(self, name: str, body: dict) -> dict:
+        n = count_matches(
+            self.spark, self.stores[name], body["query"],
+            body.get("default_type", "union"),
+        )
+        return {"matches": int(n)}
+
+    def doc(self, name: str, docid: int) -> dict | None:
+        ds = self.doc_stores.get(name)
+        if ds is None:
+            raise KeyError(f"index {name!r} has no doc store")
+        return ds.get(docid)
+
+
+_ROUTES = [
+    ("GET", re.compile(r"^/health$"), "health"),
+    ("GET", re.compile(r"^/indices$"), "list"),
+    ("GET", re.compile(r"^/indices/([^/]+)/info$"), "info"),
+    ("GET", re.compile(r"^/indices/([^/]+)/query$"), "query_get"),
+    ("POST", re.compile(r"^/indices/([^/]+)/query$"), "query"),
+    ("POST", re.compile(r"^/indices/([^/]+)/count$"), "count"),
+    ("GET", re.compile(r"^/indices/([^/]+)/doc/(\d+)$"), "doc"),
+]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: IndexService  # set by make_server
+
+    def log_message(self, *args):  # quiet by default
+        pass
+
+    def _send(self, code: int, payload: dict) -> None:
+        raw = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(raw)))
+        self.end_headers()
+        self.wfile.write(raw)
+
+    def _dispatch(self, method: str) -> None:
+        url = urlparse(self.path)
+        for m, pat, op in _ROUTES:
+            if m != method:
+                continue
+            match = pat.match(url.path)
+            if not match:
+                continue
+            try:
+                self._run(op, match, url)
+            except KeyError as e:
+                self._send(404, {"error": str(e)})
+            except (ValueError, json.JSONDecodeError) as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # surface, don't kill the thread
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+            return
+        self._send(404, {"error": f"no route for {method} {url.path}"})
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        if n == 0:
+            return {}
+        return json.loads(self.rfile.read(n))
+
+    def _run(self, op: str, match: re.Match, url) -> None:
+        svc = self.service
+        if op == "health":
+            self._send(200, {"status": "ok"})
+        elif op == "list":
+            self._send(200, {"indices": sorted(svc.stores)})
+        elif op == "info":
+            self._send(200, svc.info(match.group(1)))
+        elif op == "query":
+            body = self._body()
+            if "query" not in body:
+                raise ValueError("body must contain 'query'")
+            self._send(200, svc.query(match.group(1), body))
+        elif op == "query_get":
+            qs = parse_qs(url.query)
+            if "q" not in qs:
+                raise ValueError("missing ?q= parameter")
+            body = {"query": qs["q"][0]}
+            if "top_k" in qs:
+                body["top_k"] = int(qs["top_k"][0])
+            if "type" in qs:
+                body["default_type"] = qs["type"][0]
+            self._send(200, svc.query(match.group(1), body))
+        elif op == "count":
+            body = self._body()
+            if "query" not in body:
+                raise ValueError("body must contain 'query'")
+            self._send(200, svc.count(match.group(1), body))
+        elif op == "doc":
+            row = svc.doc(match.group(1), int(match.group(2)))
+            if row is None:
+                self._send(404, {"error": "document not found"})
+            else:
+                self._send(200, row)
+
+    def do_GET(self):
+        self._dispatch("GET")
+
+    def do_POST(self):
+        self._dispatch("POST")
+
+
+def make_server(
+    spark: SparkSession,
+    indices: dict[str, str],
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    doc_stores: dict[str, str] | None = None,
+) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; ``port=0`` picks a
+    free port (``server.server_address[1]``). Call ``serve_forever()``
+    or wrap in a thread; ``shutdown()`` stops it."""
+    service = IndexService(spark, indices, doc_stores)
+    handler = type("Handler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_in_thread(
+    spark: SparkSession,
+    indices: dict[str, str],
+    host: str = "127.0.0.1",
+    port: int = 0,
+    doc_stores: dict[str, str] | None = None,
+) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    """Start the server on a daemon thread; returns (server, thread)."""
+    srv = make_server(spark, indices, host, port, doc_stores)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, t

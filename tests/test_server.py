@@ -1,0 +1,128 @@
+"""REST server over the library surface (reference
+api_endpoints.rs:60-1470 query subset): query GET+POST, count, info,
+doc-store reads, error paths — all against a real built index."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from seekstorm_spark.index.builder import IndexBuilder, assign_docids
+from seekstorm_spark.query.docstore import write_doc_store
+from seekstorm_spark.query.engine import count_matches, search
+from seekstorm_spark.server import serve_in_thread
+from seekstorm_spark.sources.webtext import synth_webtext
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("srv")
+    docs = assign_docids(synth_webtext(spark, 300, seed=11), order_col="url")
+    store = IndexBuilder(spark, str(base / "idx"), n_buckets=4).build(
+        docs, text_col="text", id_col="docid"
+    )
+    write_doc_store(
+        docs, str(base / "idx" / "doc_store"), id_col="docid",
+        fields=["url", "lang"], docs_per_bucket=128,
+    )
+    srv, thread = serve_in_thread(spark, {"main": store.path}, port=0)
+    port = srv.server_address[1]
+    yield f"http://127.0.0.1:{port}", store
+    srv.shutdown()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url: str, body: dict):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_health_and_listing(served):
+    base, _store = served
+    assert _get(base + "/health")[1] == {"status": "ok"}
+    assert _get(base + "/indices")[1] == {"indices": ["main"]}
+    info = _get(base + "/indices/main/info")[1]
+    assert info["n_docs"] == 300 and info["fields"] == ["text"]
+
+
+def test_query_post_matches_library(spark, served):
+    base, store = served
+    body = {"query": "term00000 term00001", "top_k": 5,
+            "default_type": "intersection", "count": True}
+    status, resp = _post(base + "/indices/main/query", body)
+    assert status == 200
+    want = [
+        (int(r["docid"]), float(r["score"]))
+        for r in search(
+            spark, store, body["query"], top_k=5,
+            default_type="intersection",
+        ).collect()
+    ]
+    got = [(r["docid"], r["score"]) for r in resp["results"]]
+    assert got == pytest.approx(want)
+    assert resp["count"] == count_matches(
+        spark, store, body["query"], "intersection"
+    )
+
+
+def test_query_get_variant(spark, served):
+    base, store = served
+    status, resp = _get(
+        base + "/indices/main/query?q=term00042&top_k=3"
+    )
+    assert status == 200
+    assert len(resp["results"]) == len(
+        search(spark, store, "term00042", top_k=3).collect()
+    )
+
+
+def test_doc_endpoint_reads_doc_store(served):
+    base, _store = served
+    status, row = _get(base + "/indices/main/doc/7")
+    assert status == 200 and row["docid"] == 7 and row["url"]
+
+
+def test_error_paths(served):
+    base, _store = served
+    for url, code in [
+        (base + "/nope", 404),
+        (base + "/indices/ghost/info", 404),
+        (base + "/indices/main/doc/99999999", 404),
+        (base + "/indices/main/query?top_k=3", 400),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(url)
+        assert ei.value.code == code, url
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/indices/main/query", {"top_k": 2})
+    assert ei.value.code == 400
+
+
+def test_concurrent_queries(served):
+    import concurrent.futures as cf
+
+    base, _store = served
+    qs = [f"term{i:05d}" for i in range(8)]
+    with cf.ThreadPoolExecutor(8) as ex:
+        outs = list(
+            ex.map(
+                lambda q: _post(
+                    base + "/indices/main/query", {"query": q, "top_k": 3}
+                )[1],
+                qs,
+            )
+        )
+    assert all("results" in o for o in outs)
