@@ -1527,6 +1527,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_store_get"] = doc_store_get
+
+    # fvecs ingest: embeddings → TEXMEX .fvecs bytes → read_fvecs —
+    # per-vector float32 components must survive the round-trip
+    # bit-exactly (the public SIFT/GIST corpus layout the reference's
+    # vector side consumes)
+    def ingest_fvecs(s: SparkSession, d: str) -> DataFrame:
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from seekstorm_spark.sources.vecs import (
+            read_fvecs,
+            write_vecs_file,
+        )
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_fvecs_{name}.fvecs"
+        if not os.path.exists(path):
+            t = pq.read_table(
+                os.path.join(d, "embeddings.parquet"),
+                columns=["vec_id", "embedding"],
+            ).to_pandas().sort_values("vec_id")
+            write_vecs_file(
+                [np.asarray(v, dtype=np.float32) for v in t["embedding"]],
+                path + ".tmp",
+                "f",
+            )
+            os.replace(path + ".tmp", path)
+        out = read_fvecs(s, path)
+        return out.select(
+            F.col("idx").alias("vec_id"),
+            F.size("vec").alias("dim"),
+            F.element_at("vec", 1).cast("double").alias("c0"),
+            F.element_at("vec", -1).cast("double").alias("clast"),
+        )
+
+    q["ingest_fvecs"] = ingest_fvecs
     q["iterator_skip_take"] = lambda s, d: (
         _docs(s, d)
         .orderBy(F.col("doc_id").asc())
@@ -2111,6 +2149,11 @@ GROUP BY lang
     o["doc_store_get"] = """
 SELECT doc_id AS docid, lang, source, n_chars::BIGINT AS n_chars
 FROM documents WHERE doc_id IN (3, 17, 101, 250)
+"""
+    o["ingest_fvecs"] = """
+SELECT vec_id, len(embedding)::INT AS dim,
+       embedding[1]::DOUBLE AS c0, embedding[-1]::DOUBLE AS clast
+FROM embeddings
 """
     o["count_and"] = _match_count_sql(["fast", "table"], "intersection")
     o["count_or"] = _match_count_sql(["fast", "table"], "union")
