@@ -954,6 +954,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_geo_point"] = wand_geo_point
 
+    # PACKED Point facet: one u64 Morton code per doc (i32×10^7
+    # coordinate quantization, reference geo_search.rs:33) — half the
+    # buffer bytes of the pair form; the oracle mirrors the
+    # quantization exactly (trunc(x·10^7)/10^7 on both sides), so
+    # distances stay float64-identical
+    def wand_geo_morton(s: SparkSession, d: str) -> DataFrame:
+        import json
+        import os
+
+        from seekstorm_spark.index.builder import (
+            INDEX_FORMAT_VERSION,
+            IndexBuilder,
+        )
+        from seekstorm_spark.index.store import IndexStore
+        from seekstorm_spark.query.engine import search
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_wandmt_idx_{name}"
+        meta = os.path.join(path, "meta.json")
+        store = None
+        if os.path.exists(meta):
+            with open(meta) as f:
+                m = json.load(f)
+            if m.get("complete") and m.get("version") == INDEX_FORMAT_VERSION \
+                    and (m.get("facets") or {}).get("location", {}).get("type") == "morton":
+                store = IndexStore.open(path)
+        if store is None:
+            docs = _docs(s, d).withColumn(
+                "location",
+                F.array(
+                    (F.col("doc_id") * 37 % 18000) / 100.0 - 90.0,
+                    (F.col("doc_id") * 73 % 36000) / 100.0 - 180.0,
+                ),
+            )
+            store = IndexBuilder(
+                s, path, n_buckets=8, facet_cols=["location"],
+                facet_types={"location": "morton"},
+            ).build(docs, text_col="text", id_col="doc_id")
+        out = search(
+            s, store, "fast", top_k=10, default_type="union",
+            geo_filter={
+                "point": "location",
+                "at": _GEO_FILTER["at"],
+                "radius_km": _GEO_FILTER["radius_km"],
+            },
+            result_sort=[("geo_dist", "asc")],
+        )
+        return out.select(
+            "docid", F.round(F.col("geo_dist"), 4).alias("geo_dist")
+        )
+
+    q["wand_geo_morton"] = wand_geo_morton
+
     # delete-by-query (reference delete_documents_by_query,
     # api_endpoints.rs): matching docids stream into the delete set as
     # a distributed write; subsequent searches exclude them. Own store
@@ -2028,6 +2081,29 @@ FROM documents GROUP BY lang
     )
     # Point facet: same distances/order as the lat/lon pair form
     o["wand_geo_point"] = o["wand_geo_sort"]
+    # packed Morton Point: distances from the QUANTIZED coordinates —
+    # trunc(x·10^7)/10^7 here mirrors the kernel's i32 encode/decode
+    # (numpy astype(int64) truncates toward zero, as trunc() does)
+    o["wand_geo_morton"] = f"""
+WITH toks AS (SELECT * FROM {_TOKS}),
+geo AS (
+  SELECT doc_id,
+         2.0 * 6371.0 * asin(sqrt(
+           pow(sin(radians(48.8566 - lat) / 2), 2)
+           + cos(radians(lat)) * cos(radians(48.8566))
+             * pow(sin(radians(2.3522 - lon) / 2), 2))) AS dist_km
+  FROM (SELECT doc_id,
+               trunc(((doc_id * 37 % 18000) / 100.0 - 90.0)
+                     * 10000000.0) / 10000000.0 AS lat,
+               trunc(((doc_id * 73 % 36000) / 100.0 - 180.0)
+                     * 10000000.0) / 10000000.0 AS lon
+        FROM documents))
+SELECT doc_id AS docid, round(dist_km, 4) AS geo_dist
+FROM geo
+WHERE dist_km <= 6000.0
+  AND doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'fast')
+ORDER BY dist_km ASC, doc_id ASC LIMIT 10
+"""
     # compacted index ≡ fresh build over the survivors (stats included)
     o["wand_compacted"] = _wand_bm25_sql(
         ["fast", "table"],

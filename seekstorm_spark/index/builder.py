@@ -692,7 +692,9 @@ def decode_string_set_block(buf: bytes, n_values: int):
 
 
 def build_facet_dictionaries(
-    docs_with_ids: DataFrame, facet_cols: list[str]
+    docs_with_ids: DataFrame,
+    facet_cols: list[str],
+    facet_types: dict[str, str] | None = None,
 ) -> dict[str, dict]:
     """Typed facet metadata in ONE Spark job regardless of facet count.
 
@@ -720,8 +722,19 @@ def build_facet_dictionaries(
         elif dtype.startswith("array<"):
             inner = dtype[len("array<"):-1].split("(")[0]
             if inner in numeric_types:
-                # geo Point facet: [lat, lon] pairs
-                meta[fc] = {"type": "point"}
+                # geo Point facet: [lat, lon] pairs. facet_types can
+                # opt the column into the PACKED form ("morton"): one
+                # u64 Morton code per doc — half the buffer bytes of
+                # the interleaved f64 pair, at i32×10^7 coordinate
+                # quantization (the reference stores Point facets
+                # exactly so, geo_search.rs:33)
+                declared = (facet_types or {}).get(fc)
+                if declared not in (None, "point", "morton"):
+                    raise ValueError(
+                        f"facet {fc!r}: array<numeric> supports types "
+                        f"'point'/'morton', got {declared!r}"
+                    )
+                meta[fc] = {"type": declared or "point"}
             else:
                 # multi-value facet (reference StringSet, search.rs:2543+)
                 meta[fc] = {"type": "string_set"}
@@ -818,22 +831,43 @@ def encode_facet_blocks(
                     vmin = float(np.nanmin(vals))
                     vmax = float(np.nanmax(vals))
                 buf = arr.tobytes()
-            elif kind == "point":
-                # interleaved [lat0, lon0, lat1, lon1, …] f64 pairs;
+            elif kind in ("point", "morton"):
                 # zone bounds carry the LATITUDE min/max (longitude
                 # wraps, so lat is the safe block-skipping dimension)
-                arr = np.full(2 * size, np.nan, dtype=np.float64)
                 lats = np.full(len(pdf), np.nan)
                 lons = np.full(len(pdf), np.nan)
                 for j, v in enumerate(pdf[fc].values):
                     if v is not None and len(v) == 2:
                         lats[j] = float(v[0])
                         lons[j] = float(v[1])
-                arr[2 * local] = lats
-                arr[2 * local + 1] = lons
-                if not np.isnan(lats).all():
-                    vmin = float(np.nanmin(lats))
-                    vmax = float(np.nanmax(lats))
+                if kind == "point":
+                    # interleaved [lat0, lon0, lat1, lon1, …] f64 pairs
+                    arr = np.full(2 * size, np.nan, dtype=np.float64)
+                    arr[2 * local] = lats
+                    arr[2 * local + 1] = lons
+                    if not np.isnan(lats).all():
+                        vmin = float(np.nanmin(lats))
+                        vmax = float(np.nanmax(lats))
+                else:
+                    # PACKED form: one u64 Morton code per doc (half
+                    # the bytes of the pair buffer); 0 = missing (code
+                    # 0 decodes to lat −214.7° — outside the valid
+                    # range, so no real point collides). Zone bounds
+                    # use the QUANTIZED latitude (what the kernel
+                    # decodes), keeping the block skip lossless.
+                    from seekstorm_spark.functions.geo import (
+                        morton_decode,
+                        morton_encode,
+                    )
+
+                    arr = np.zeros(size, dtype=np.uint64)
+                    has = ~np.isnan(lats) & ~np.isnan(lons)
+                    if has.any():
+                        codes = morton_encode(lats[has], lons[has])
+                        arr[local[has]] = codes
+                        qlat, _qlon = morton_decode(codes)
+                        vmin = float(qlat.min())
+                        vmax = float(qlat.max())
                 buf = arr.tobytes()
             elif kind == "string_set":
                 buf = encode_string_set_block(
@@ -891,10 +925,13 @@ def build_facet_blocks(
     docs_with_ids: DataFrame,
     facet_cols: list[str],
     block_size: int = ROARING_BLOCK_SIZE,
+    facet_types: dict[str, str] | None = None,
 ) -> tuple[DataFrame, dict[str, dict]]:
     """Dictionaries (one job) + per-block arrays (one kernel) — build
     job count is independent of the number of facets."""
-    facet_meta = build_facet_dictionaries(docs_with_ids, facet_cols)
+    facet_meta = build_facet_dictionaries(
+        docs_with_ids, facet_cols, facet_types
+    )
     return encode_facet_blocks(docs_with_ids, facet_meta, block_size), facet_meta
 
 
@@ -974,6 +1011,7 @@ class IndexBuilder:
         block_size: int = ROARING_BLOCK_SIZE,
         fields: list[str] | None = None,
         facet_cols: list[str] | None = None,
+        facet_types: dict[str, str] | None = None,
         stemmer: str | None = None,
         frequent_terms: list[str] | None = None,
         synonyms: list[dict] | None = None,
@@ -987,6 +1025,7 @@ class IndexBuilder:
         self.block_size = block_size
         self.fields = list(fields) if fields else None
         self.facet_cols = list(facet_cols) if facet_cols else None
+        self.facet_types = dict(facet_types) if facet_types else None
         self.stemmer = stemmer
         self.frequent_terms = (
             frozenset(frequent_terms) if frequent_terms else None
@@ -1056,6 +1095,7 @@ class IndexBuilder:
                 docs.select("docid", *facet_cols),
                 facet_cols,
                 self.block_size,
+                facet_types=self.facet_types,
             )
             (
                 facet_blocks.repartition(1, "facet")

@@ -419,7 +419,7 @@ def _resolve_facets(
     for fname, values in (facet_filters or {}).items():
         if fname not in specs:
             raise ValueError(f"unknown facet {fname!r}; indexed: {list(specs)}")
-        if kinds[fname] == "point":
+        if kinds[fname] in ("point", "morton"):
             raise ValueError(
                 f"facet {fname!r} is a Point facet — filter it with "
                 "geo_filter={'point': name, 'at': (lat, lon), "
@@ -449,7 +449,7 @@ def _resolve_facets(
                 f"facet {key!r} is multi-valued (string_set) — not a "
                 "sort key"
             )
-        if kinds[key] == "point":
+        if kinds[key] in ("point", "morton"):
             raise ValueError(
                 f"facet {key!r} is a Point facet — sort on 'geo_dist'"
             )
@@ -457,7 +457,7 @@ def _resolve_facets(
     if geo_filter:
         if "point" in geo_filter:
             c = geo_filter["point"]
-            if c not in specs or kinds[c] != "point":
+            if c not in specs or kinds[c] not in ("point", "morton"):
                 raise ValueError(
                     f"geo filter needs a Point facet column {c!r}; "
                     f"indexed: {list(specs)}"
@@ -1001,6 +1001,8 @@ def _overlay_bufs(buflist, kind: str, n_values: int):
     if kind == "string":
         dtype = facet_code_dtype(n_values)
         missing = facet_missing_code(n_values)
+    elif kind == "morton":
+        dtype = np.uint64  # packed Morton codes, 0 = missing
     else:
         dtype = np.float64
     arrs = [np.frombuffer(b, dtype=dtype) for b in buflist]
@@ -1011,6 +1013,11 @@ def _overlay_bufs(buflist, kind: str, n_values: int):
         out = np.full(size, missing, dtype=dtype)
         for a in arrs:
             m = a != missing
+            out[: len(a)][m] = a[m]
+    elif kind == "morton":
+        out = np.zeros(size, dtype=np.uint64)
+        for a in arrs:
+            m = a != 0
             out[: len(a)][m] = a[m]
     else:
         out = np.full(size, np.nan, dtype=np.float64)
@@ -2056,10 +2063,19 @@ def _make_kernel(
     cfacets = dict(count_facets or {})
     geo_cfg = None
     if geo:
-        # Point facet: ONE interleaved [lat, lon] buffer (lon col None)
+        # three storage modes: separate lat/lon f64 facets ("pair"),
+        # ONE interleaved [lat, lon] f64 buffer ("point"), or ONE
+        # packed u64 Morton code per doc ("morton" — half the bytes)
+        if "point" in geo:
+            mode = (facet_kinds or {}).get(geo["point"], "point")
+            cols = (f"fb_{geo['point']}", None)
+        else:
+            mode = "pair"
+            cols = (f"fb_{geo['lat']}", f"fb_{geo['lon']}")
         geo_cfg = (
-            f"fb_{geo['point']}" if "point" in geo else f"fb_{geo['lat']}",
-            None if "point" in geo else f"fb_{geo['lon']}",
+            mode,
+            cols[0],
+            cols[1],
             float(geo["at"][0]),
             float(geo["at"][1]),
             float(geo["radius_km"]),
@@ -2077,11 +2093,11 @@ def _make_kernel(
     for name, (kind, _b) in cfacets.items():
         facet_buf_kinds[f"fb_{name}"] = (kind, sizes.get(name, 0))
     if geo_cfg is not None:
-        facet_buf_kinds[geo_cfg[0]] = (
-            "point" if geo_cfg[1] is None else "numeric", 0
+        facet_buf_kinds[geo_cfg[1]] = (
+            "numeric" if geo_cfg[0] == "pair" else geo_cfg[0], 0
         )
-        if geo_cfg[1] is not None:
-            facet_buf_kinds[geo_cfg[1]] = ("numeric", 0)
+        if geo_cfg[2] is not None:
+            facet_buf_kinds[geo_cfg[2]] = ("numeric", 0)
 
     overlay_bufs = _overlay_bufs
     sset_gather = _sset_gather
@@ -2265,9 +2281,10 @@ def _make_kernel(
             # haversine distance, search.rs:2712-2724)
             dists = None
             if geo_cfg is not None:
-                if geo_cfg[1] is None:
+                mode = geo_cfg[0]
+                if mode == "point":
                     # Point facet: interleaved pair gather
-                    buf = fbufs[geo_cfg[0]]
+                    buf = fbufs[geo_cfg[1]]
                     if buf is None:
                         return
                     n_pts = len(buf) // 2
@@ -2276,12 +2293,31 @@ def _make_kernel(
                     ok = cand < n_pts
                     lat[ok] = buf[2 * cand[ok]]
                     lon[ok] = buf[2 * cand[ok] + 1]
+                elif mode == "morton":
+                    # packed u64 gather (one 8-byte read per doc),
+                    # code 0 = missing; distances run on the DECODED
+                    # (i32×10^7-quantized) coordinates
+                    from seekstorm_spark.functions.geo import (
+                        morton_decode,
+                    )
+
+                    buf = fbufs[geo_cfg[1]]
+                    if buf is None:
+                        return
+                    codes = np.zeros(cand.size, dtype=np.uint64)
+                    ok = cand < len(buf)
+                    codes[ok] = buf[cand[ok]]
+                    lat = np.full(cand.size, np.nan)
+                    lon = np.full(cand.size, np.nan)
+                    has = codes != 0
+                    if has.any():
+                        lat[has], lon[has] = morton_decode(codes[has])
                 else:
-                    lat = fbuf_at(geo_cfg[0], cand)
-                    lon = fbuf_at(geo_cfg[1], cand)
+                    lat = fbuf_at(geo_cfg[1], cand)
+                    lon = fbuf_at(geo_cfg[2], cand)
                     if lat is None or lon is None:
                         return
-                lat0, lon0, radius = geo_cfg[2], geo_cfg[3], geo_cfg[4]
+                lat0, lon0, radius = geo_cfg[3], geo_cfg[4], geo_cfg[5]
                 a = (
                     np.sin(np.radians(lat0 - lat) / 2.0) ** 2
                     + np.cos(np.radians(lat))

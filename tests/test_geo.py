@@ -191,3 +191,74 @@ def test_point_facet_equals_latlon_pair(spark, tmp_path):
     with _pytest.raises(ValueError):
         search(spark, point, "term00000",
                result_sort=[("location", "asc")])
+
+
+def test_morton_facet_equals_point(spark, tmp_path):
+    """The PACKED Point form (one u64 Morton code per doc — half the
+    buffer bytes) returns the same docids as the f64 pair buffer;
+    distances differ only by the i32×10^7 coordinate quantization
+    (≤ ~1.1 cm), and sort order agrees on this grid-spaced corpus."""
+    import numpy as np
+    from pyspark.sql import Window, functions as F
+
+    from seekstorm_spark.index.builder import IndexBuilder
+    from seekstorm_spark.query.engine import search
+    from seekstorm_spark.sources.webtext import synth_webtext
+
+    rn = F.row_number().over(Window.orderBy("url")) - 1
+    docs = (
+        synth_webtext(spark, 200, seed=3)
+        .withColumn("doc_id", rn.cast("long"))
+        .withColumn("lat", (F.col("doc_id") * 37 % 18000) / 100.0 - 90.0)
+        .withColumn("lon", (F.col("doc_id") * 73 % 36000) / 100.0 - 180.0)
+        .withColumn("location", F.array("lat", "lon"))
+    )
+    point = IndexBuilder(
+        spark, str(tmp_path / "p"), n_buckets=4, facet_cols=["location"],
+    ).build(docs, text_col="text", id_col="doc_id")
+    morton = IndexBuilder(
+        spark, str(tmp_path / "m"), n_buckets=4, facet_cols=["location"],
+        facet_types={"location": "morton"},
+    ).build(docs, text_col="text", id_col="doc_id")
+    assert morton.meta["facets"]["location"]["type"] == "morton"
+    # the packed buffer is half the pair buffer: 8 bytes/doc vs 16
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    def buf_bytes(store):
+        total = 0
+        for f in _glob.glob(store.facets_path + "/facet=location/*.parquet"):
+            t = pq.read_table(f, columns=["fvalues"])
+            total += sum(len(v.as_py()) for v in t.column("fvalues"))
+        return total
+
+    assert buf_bytes(morton) * 2 == buf_bytes(point)
+
+    gf = lambda: {"point": "location", "at": (10.0, 20.0),
+                  "radius_km": 7000.0}
+    a = search(spark, point, "term00000 term00001", top_k=50,
+               geo_filter=gf()).collect()
+    b = search(spark, morton, "term00000 term00001", top_k=50,
+               geo_filter=gf()).collect()
+    assert [r["docid"] for r in a] == [r["docid"] for r in b]
+    assert [r["score"] for r in a] == [r["score"] for r in b]
+    assert len(b) > 0
+
+    sa = search(spark, point, "term00000", top_k=20, geo_filter=gf(),
+                result_sort=[("geo_dist", "asc")]).collect()
+    sb = search(spark, morton, "term00000", top_k=20, geo_filter=gf(),
+                result_sort=[("geo_dist", "asc")]).collect()
+    assert [r["docid"] for r in sa] == [r["docid"] for r in sb]
+    da = np.array([r["geo_dist"] for r in sa])
+    db = np.array([r["geo_dist"] for r in sb])
+    assert np.abs(da - db).max() < 3e-4  # quantization only
+
+    # misuse guards apply to the packed form too
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        search(spark, morton, "term00000",
+               facet_filters={"location": ["x"]})
+    with _pytest.raises(ValueError):
+        search(spark, morton, "term00000",
+               result_sort=[("location", "asc")])
