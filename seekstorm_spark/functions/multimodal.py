@@ -4,12 +4,15 @@ Binary payloads are opaque `binary` columns with typed metadata; all
 heavy per-item work runs in Arrow-batched `mapInPandas` so it
 parallelizes and pipelines like any other stage. Formats with PUBLIC
 byte layouts are parsed for real without codec libraries: PNG/GIF
-headers and JPEG SOF frame dimensions (`decode_image_meta`), and PCM
-RIFF/WAVE sample frames (`decode_audio_frames`). Pixel decoding and
-compressed-audio codecs need libraries this container lacks —
-`extract_features` therefore emits a deterministic content-digest
-pseudo-embedding; the Spark plumbing (schemas, batch shapes,
-partitioning) is identical to what a real model call would use.
+headers and JPEG SOF frame dimensions (`decode_image_meta`), PCM
+RIFF/WAVE sample frames (`decode_audio_frames`), and full 8-bit PNG
+PIXEL decoding via zlib + the public scanline-filter spec
+(`decode_image_pixels`, with nearest-neighbor resize). Pillow is an
+OPTIONAL import that extends pixel decode to JPEG/WebP/…; compressed
+audio codecs would slot into `_parse_wav` the same way.
+`extract_features` emits a deterministic content-digest
+pseudo-embedding where a model call would go; the Spark plumbing
+(schemas, batch shapes, partitioning) is identical either way.
 """
 
 from __future__ import annotations
@@ -217,3 +220,168 @@ def decode_audio_frames(
     return df.select(url_col, bin_col).mapInPandas(
         run, schema=AUDIO_FRAME_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Pixel decoding: pure-zlib PNG decoder (public spec, stdlib only) +
+# optional Pillow fast path for every other format.
+# ---------------------------------------------------------------------------
+
+try:  # optional dependency — JPEG/WebP/… pixel decode when installed
+    from PIL import Image as _PIL_Image  # type: ignore
+except ImportError:  # container ships no imaging libs
+    _PIL_Image = None
+
+PIXEL_SCHEMA = (
+    "url string, width int, height int, channels int, pixels binary"
+)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_pixels(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    """Decode an 8-bit non-interlaced PNG (color types 0/2/3/4/6) to
+    (width, height, channels, uint8 HxWxC array) with zlib + the
+    public scanline-filter spec — no imaging library. Palette images
+    expand through PLTE to RGB. Returns None for formats outside this
+    class (16-bit, interlaced, non-PNG); the Pillow path covers those
+    when available."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i = 8
+    idat = bytearray()
+    plte = None
+    w = h = bit_depth = color_type = interlace = None
+    while i + 8 <= len(data):
+        clen = int.from_bytes(data[i : i + 4], "big")
+        ctype = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + clen]
+        if ctype == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            bit_depth = body[8]
+            color_type = body[9]
+            interlace = body[12]
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if w is None or bit_depth != 8 or interlace != 0:
+        return None
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if n_ch is None:
+        return None
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    stride = w * n_ch
+    if len(raw) != h * (stride + 1):
+        return None
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up — fully vectorized
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth — sequential in x
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - n_ch] if x >= n_ch else 0
+                b = prev[x]
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[x - n_ch] if x >= n_ch else 0
+                    pred = _paeth(int(a), int(b), int(c))
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+    px = out.reshape(h, w, n_ch)
+    if color_type == 3:
+        if plte is None:
+            return None
+        px = plte[px[:, :, 0]]
+        n_ch = 3
+    return w, h, n_ch, px
+
+
+def _decode_pixels(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    got = _png_pixels(data)
+    if got is not None:
+        return got
+    if _PIL_Image is not None:
+        import io
+
+        try:
+            img = _PIL_Image.open(io.BytesIO(data))
+            arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
+            return arr.shape[1], arr.shape[0], 3, arr
+        except Exception:
+            return None
+    return None
+
+
+def _resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return px[ys][:, xs]
+
+
+def decode_image_pixels(
+    df: DataFrame,
+    url_col: str = "url",
+    bin_col: str = "html",
+    resize: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Binary image column → (url, width, height, channels, pixels)
+    with pixels as the raw H×W×C uint8 bytes (post-resize dims when
+    ``resize=(w, h)`` — nearest-neighbor, vectorized). PNG decodes via
+    the built-in pure-zlib path; every other format needs Pillow
+    (optional import) and yields no row without it. width/height are
+    the DECODED dimensions; rows for undecodable payloads are dropped
+    (count them against :func:`decode_image_meta` to audit)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, ws, hs, cs, pxs = [], [], [], [], []
+            for url, data in zip(pdf[url_col].values, pdf[bin_col].values):
+                got = _decode_pixels(bytes(data or b""))
+                if got is None:
+                    continue
+                w, h, n_ch, px = got
+                if resize is not None:
+                    px = _resize_nearest(px, resize[0], resize[1])
+                    h, w = px.shape[0], px.shape[1]
+                urls.append(url)
+                ws.append(w)
+                hs.append(h)
+                cs.append(n_ch)
+                pxs.append(px.tobytes())
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(cs, dtype="int32"),
+                    "pixels": pd.Series(pxs, dtype="object"),
+                }
+            )
+
+    return df.select(url_col, bin_col).mapInPandas(run, schema=PIXEL_SCHEMA)

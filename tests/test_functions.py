@@ -415,3 +415,105 @@ def test_quantize_i8_roundtrip_and_search(spark):
     )
     zr = quantize_i8(zdf).collect()[0]
     assert list(zr["codes"]) == [0, 0, 0] and zr["scale"] == 0.0
+
+
+def _make_png(px, color_type, filters=None, plte=None):
+    """Minimal PNG encoder for the decoder tests: 8-bit, non-
+    interlaced, chosen per-row filter bytes (0=None, 2=Up)."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    n_ch = 1 if px.ndim == 2 else px.shape[2]
+    body = px.reshape(h, w * n_ch).astype(np.int32)
+    filters = filters or [0] * h
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y]
+        raw.append(f)
+        if f == 0:
+            line = body[y]
+        elif f == 2:
+            prev = body[y - 1] if y else np.zeros(w * n_ch, np.int32)
+            line = (body[y] - prev) & 0xFF
+        else:
+            raise ValueError(f)
+        raw += bytes(line.astype(np.uint8))
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(plte.astype(np.uint8).ravel()))
+    out += chunk(b"IDAT", _z.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_pixel_decode(spark):
+    """Pure-zlib PNG decode (no imaging library): RGB + gray +
+    palette, None and Up filters, bit-exact pixels."""
+    import numpy as np
+
+    from seekstorm_spark.functions.multimodal import decode_image_pixels
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, size=(6, 3), dtype=np.uint8)
+    plte = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    pal_idx = rng.randint(0, 4, size=(3, 5), dtype=np.uint8)
+    rows = [
+        ("rgb", bytearray(_make_png(rgb, 2, filters=[0, 2, 0, 2, 0]))),
+        ("gray", bytearray(_make_png(gray, 0))),
+        ("pal", bytearray(_make_png(pal_idx, 3, plte=plte))),
+        ("junk", bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r for r in decode_image_pixels(df).collect()}
+    assert set(got) == {"rgb", "gray", "pal"}  # junk dropped
+    r = got["rgb"]
+    assert (r["width"], r["height"], r["channels"]) == (4, 5, 3)
+    assert np.array_equal(
+        np.frombuffer(r["pixels"], np.uint8).reshape(5, 4, 3), rgb
+    )
+    g = got["gray"]
+    assert (g["width"], g["height"], g["channels"]) == (3, 6, 1)
+    assert np.array_equal(
+        np.frombuffer(g["pixels"], np.uint8).reshape(6, 3), gray
+    )
+    p = got["pal"]
+    assert p["channels"] == 3  # palette expanded to RGB
+    assert np.array_equal(
+        np.frombuffer(p["pixels"], np.uint8).reshape(3, 5, 3),
+        plte[pal_idx],
+    )
+
+
+def test_png_pixel_resize(spark):
+    import numpy as np
+
+    from seekstorm_spark.functions.multimodal import (
+        _resize_nearest,
+        decode_image_pixels,
+    )
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("a", bytearray(_make_png(rgb, 2)))], "url string, html binary"
+    )
+    r = decode_image_pixels(df, resize=(4, 2)).collect()[0]
+    assert (r["width"], r["height"]) == (4, 2)
+    assert np.array_equal(
+        np.frombuffer(r["pixels"], np.uint8).reshape(2, 4, 3),
+        _resize_nearest(rgb, 4, 2),
+    )
