@@ -33,6 +33,10 @@ def main() -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--master", default=None, help="local[N] override")
+    ap.add_argument(
+        "--writable", action="store_true",
+        help="enable doc add/commit/delete endpoints",
+    )
     args = ap.parse_args()
 
     from seekstorm_spark.server import make_server
@@ -47,7 +51,10 @@ def main() -> int:
 
     kw = {"master": args.master} if args.master else {}
     spark = get_spark("seekstorm-serve", **kw)
-    srv = make_server(spark, indices, host=args.host, port=args.port)
+    srv = make_server(
+        spark, indices, host=args.host, port=args.port,
+        writable=args.writable,
+    )
     host, port = srv.server_address[:2]
     print(f"serving {sorted(indices)} on http://{host}:{port}", flush=True)
     try:

@@ -27,6 +27,17 @@ Endpoints (reference parity subset):
 * ``POST /indices/{name}/count`` — exact match count.
 * ``GET  /indices/{name}/doc/{docid}`` — stored fields from the
   index's doc store (reference get_document).
+
+Write path (``writable=True`` / ``--writable`` only — reference doc
+index/update endpoints, api_endpoints.rs:60-1470):
+
+* ``POST /indices/{name}/docs`` — body ``{"documents": [{...}]}``
+  stages a batch through :class:`RealtimeIndexer`; the docs are
+  searchable IMMEDIATELY (level-0: query/count union the staged
+  batches), committed on the indexer's 64k/interval triggers.
+* ``POST /indices/{name}/commit`` — force-commit staged batches.
+* ``POST /indices/{name}/delete`` — ``{"docids": [...]}`` or
+  ``{"query": "...", "default_type"?}`` (delete-by-query).
 """
 
 from __future__ import annotations
@@ -50,16 +61,24 @@ class IndexService:
 
     ``indices`` maps name → index path. A doc store is auto-attached
     when ``<index path>/doc_store`` exists (or pass ``doc_stores``
-    explicitly)."""
+    explicitly). ``writable=True`` enables the doc add/commit/delete
+    endpoints, each guarded by a per-index lock (read endpoints stay
+    lock-free — Spark actions parallelize across handler threads)."""
 
     def __init__(
         self,
         spark: SparkSession,
         indices: dict[str, str],
         doc_stores: dict[str, str] | None = None,
+        writable: bool = False,
     ):
         self.spark = spark
         self.stores = {n: IndexStore.open(p) for n, p in indices.items()}
+        self.writable = writable
+        self._indexers: dict[str, object] = {}
+        self._write_locks: dict[str, threading.Lock] = {
+            n: threading.Lock() for n in indices
+        }
         self.doc_stores: dict[str, DocStore] = {}
         for name, path in indices.items():
             ds_path = (doc_stores or {}).get(
@@ -67,6 +86,25 @@ class IndexService:
             )
             if os.path.exists(os.path.join(ds_path, "_docstore_meta.json")):
                 self.doc_stores[name] = DocStore(ds_path)
+
+    def _staged(self, name: str) -> list | None:
+        idx = self._indexers.get(name)
+        return list(idx.staged) if idx is not None and idx.staged else None
+
+    def _indexer(self, name: str):
+        if not self.writable:
+            raise PermissionError(
+                "server is read-only (start with writable=True)"
+            )
+        idx = self._indexers.get(name)
+        if idx is None:
+            from seekstorm_spark.streaming.incremental import RealtimeIndexer
+
+            store = self.stores[name]
+            fields = store.meta.get("fields") or ["text"]
+            idx = RealtimeIndexer(self.spark, store, text_col=fields[0])
+            self._indexers[name] = idx
+        return idx
 
     def info(self, name: str) -> dict:
         m = self.stores[name].meta
@@ -84,9 +122,10 @@ class IndexService:
         q = body["query"]
         top_k = int(body.get("top_k", 10))
         dtype = body.get("default_type", "union")
+        staged = self._staged(name)
         out = search(
             self.spark, store, q, top_k=top_k, default_type=dtype,
-            field_filter=body.get("field_filter"),
+            field_filter=body.get("field_filter"), staged=staged,
         ).collect()
         resp: dict = {
             "results": [
@@ -95,15 +134,63 @@ class IndexService:
             ]
         }
         if body.get("count"):
-            resp["count"] = count_matches(self.spark, store, q, dtype)
+            resp["count"] = count_matches(
+                self.spark, store, q, dtype, staged=staged
+            )
         return resp
 
     def count(self, name: str, body: dict) -> dict:
         n = count_matches(
             self.spark, self.stores[name], body["query"],
             body.get("default_type", "union"),
+            staged=self._staged(name),
         )
         return {"matches": int(n)}
+
+    def add_docs(self, name: str, body: dict) -> dict:
+        docs = body.get("documents")
+        if not isinstance(docs, list) or not docs:
+            raise ValueError("body must contain a non-empty 'documents' list")
+        idx = self._indexer(name)
+        import pandas as pd
+
+        with self._write_locks[name]:
+            idx.add_documents(self.spark.createDataFrame(pd.DataFrame(docs)))
+            return {
+                "staged": len(docs),
+                "pending_batches": len(idx.staged),
+            }
+
+    def commit(self, name: str) -> dict:
+        idx = self._indexer(name)
+        with self._write_locks[name]:
+            idx.commit()
+        return {"committed": True}
+
+    def delete(self, name: str, body: dict) -> dict:
+        if not self.writable:
+            raise PermissionError(
+                "server is read-only (start with writable=True)"
+            )
+        from seekstorm_spark.query.engine import (
+            delete_by_query,
+            delete_documents,
+        )
+
+        store = self.stores[name]
+        with self._write_locks[name]:
+            if "docids" in body:
+                delete_documents(
+                    self.spark, store, [int(d) for d in body["docids"]]
+                )
+                return {"deleted_ids": len(body["docids"])}
+            if "query" in body:
+                delete_by_query(
+                    self.spark, store, body["query"],
+                    body.get("default_type", "union"),
+                )
+                return {"deleted_by_query": body["query"]}
+        raise ValueError("body must contain 'docids' or 'query'")
 
     def doc(self, name: str, docid: int) -> dict | None:
         ds = self.doc_stores.get(name)
@@ -120,6 +207,9 @@ _ROUTES = [
     ("POST", re.compile(r"^/indices/([^/]+)/query$"), "query"),
     ("POST", re.compile(r"^/indices/([^/]+)/count$"), "count"),
     ("GET", re.compile(r"^/indices/([^/]+)/doc/(\d+)$"), "doc"),
+    ("POST", re.compile(r"^/indices/([^/]+)/docs$"), "add_docs"),
+    ("POST", re.compile(r"^/indices/([^/]+)/commit$"), "commit"),
+    ("POST", re.compile(r"^/indices/([^/]+)/delete$"), "delete"),
 ]
 
 
@@ -147,6 +237,8 @@ class _Handler(BaseHTTPRequestHandler):
                 continue
             try:
                 self._run(op, match, url)
+            except PermissionError as e:
+                self._send(403, {"error": str(e)})
             except KeyError as e:
                 self._send(404, {"error": str(e)})
             except (ValueError, json.JSONDecodeError) as e:
@@ -196,6 +288,12 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(404, {"error": "document not found"})
             else:
                 self._send(200, row)
+        elif op == "add_docs":
+            self._send(200, svc.add_docs(match.group(1), self._body()))
+        elif op == "commit":
+            self._send(200, svc.commit(match.group(1)))
+        elif op == "delete":
+            self._send(200, svc.delete(match.group(1), self._body()))
 
     def do_GET(self):
         self._dispatch("GET")
@@ -210,11 +308,12 @@ def make_server(
     host: str = "127.0.0.1",
     port: int = 8080,
     doc_stores: dict[str, str] | None = None,
+    writable: bool = False,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port=0`` picks a
     free port (``server.server_address[1]``). Call ``serve_forever()``
     or wrap in a thread; ``shutdown()`` stops it."""
-    service = IndexService(spark, indices, doc_stores)
+    service = IndexService(spark, indices, doc_stores, writable=writable)
     handler = type("Handler", (_Handler,), {"service": service})
     return ThreadingHTTPServer((host, port), handler)
 
@@ -225,9 +324,10 @@ def serve_in_thread(
     host: str = "127.0.0.1",
     port: int = 0,
     doc_stores: dict[str, str] | None = None,
+    writable: bool = False,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the server on a daemon thread; returns (server, thread)."""
-    srv = make_server(spark, indices, host, port, doc_stores)
+    srv = make_server(spark, indices, host, port, doc_stores, writable)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, t

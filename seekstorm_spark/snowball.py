@@ -1,6 +1,6 @@
 """Snowball stemmers for German, French, Spanish, Swedish, Norwegian,
-Danish, Dutch, Portuguese and Italian, implemented from the published
-algorithm descriptions (M.F. Porter's Snowball project,
+Danish, Dutch, Portuguese, Italian and Russian, implemented from the
+published algorithm descriptions (M.F. Porter's Snowball project,
 snowballstem.org — the same public algorithms rust-stemmers compiles).
 
 The reference engine stems index- and query-side terms through
@@ -9,7 +9,7 @@ rust-stemmers for 38 languages when a stemmer is configured
 `index.rs:641-722`). This container has no stemmer package, so the
 highest-traffic European languages are implemented from the specs;
 ``stemmer.stem(word, lang)`` dispatches en→Porter (stemmer.py) and
-de/fr/es/sv/no/da/nl/pt/it here. Remaining Snowball languages pass
+de/fr/es/sv/no/da/nl/pt/it/ru here. Remaining Snowball languages pass
 through unchanged (documented gap behind the same hook).
 
 All three follow the shared Snowball skeleton: compute R1/R2 (and RV
@@ -1310,3 +1310,132 @@ def italian_stem(word: str) -> str:
     # accented stems stay accented (città → città) — only the
     # acute→grave fold and the I/U consonant marks normalize
     return w.lower()
+
+
+# ---------------------------------------------------------------------------
+# Russian — suffix classes operate in RV (region after the first
+# vowel); the derivational step uses R2. Group-1 suffixes match only
+# when preceded by а/я (the а/я itself stays).
+# ---------------------------------------------------------------------------
+
+_RU_VOWELS = "аеиоуыэюя"
+
+_RU_PERF_GERUND_1 = ("вшись", "вши", "в")
+_RU_PERF_GERUND_2 = ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+_RU_ADJECTIVE = (
+    "ими", "ыми", "его", "ого", "ему", "ому", "ее", "ие", "ые", "ое",
+    "ей", "ий", "ый", "ой", "ем", "им", "ым", "ом", "их", "ых", "ую",
+    "юю", "ая", "яя", "ою", "ею",
+)
+_RU_PARTICIPLE_1 = ("ем", "нн", "вш", "ющ", "щ")
+_RU_PARTICIPLE_2 = ("ивш", "ывш", "ующ")
+_RU_VERB_1 = (
+    "ете", "йте", "ешь", "нно", "ла", "на", "ли", "ем", "ло", "но",
+    "ет", "ют", "ны", "ть", "й", "л", "н",
+)
+_RU_VERB_2 = (
+    "ейте", "уйте", "ила", "ыла", "ена", "ите", "или", "ыли", "ило",
+    "ыло", "ено", "ует", "уют", "ены", "ить", "ыть", "ишь", "ей",
+    "уй", "ил", "ыл", "им", "ым", "ен", "ят", "ит", "ыт", "ую", "ю",
+)
+_RU_NOUN = (
+    "иями", "ями", "ами", "ией", "иям", "ием", "иях", "ев", "ов",
+    "ие", "ье", "еи", "ии", "ей", "ой", "ий", "ям", "ем", "ам", "ом",
+    "ах", "ях", "ию", "ью", "ия", "ья", "а", "е", "и", "й", "о", "у",
+    "ы", "ь", "ю", "я",
+)
+
+
+def russian_stem(word: str) -> str:
+    w = word.lower().replace("ё", "е")
+    n = len(w)
+    rv = n
+    for i, c in enumerate(w):
+        if c in _RU_VOWELS:
+            rv = i + 1
+            break
+    _r1, r2 = _r1_r2(w, _RU_VOWELS)
+
+    def in_rv(pos: int) -> bool:
+        return pos >= rv
+
+    def cut_class(
+        word_: str, g1: tuple[str, ...], g2: tuple[str, ...]
+    ) -> str | None:
+        """Longest in-RV suffix across both groups; group-1 requires a
+        preceding а/я (kept). None = no match."""
+        best = None
+        for suf in g2:
+            pos = len(word_) - len(suf)
+            if word_.endswith(suf) and in_rv(pos) and (
+                best is None or len(suf) > len(best[1])
+            ):
+                best = (pos, suf)
+        for suf in g1:
+            pos = len(word_) - len(suf)
+            if (
+                word_.endswith(suf)
+                and in_rv(pos)
+                and pos > 0
+                and word_[pos - 1] in "ая"
+                and (best is None or len(suf) > len(best[1]))
+            ):
+                best = (pos, suf)
+        return word_[: best[0]] if best is not None else None
+
+    def cut_plain(word_: str, sufs: tuple[str, ...]) -> str | None:
+        best = None
+        for suf in sufs:
+            pos = len(word_) - len(suf)
+            if word_.endswith(suf) and in_rv(pos) and (
+                best is None or len(suf) > len(best[1])
+            ):
+                best = (pos, suf)
+        return word_[: best[0]] if best is not None else None
+
+    # step 1: perfective gerund, else [reflexive] + adjectival/verb/noun
+    got = cut_class(w, _RU_PERF_GERUND_1, _RU_PERF_GERUND_2)
+    if got is not None:
+        w = got
+    else:
+        for refl in ("ся", "сь"):
+            if w.endswith(refl) and in_rv(len(w) - 2):
+                w = w[:-2]
+                break
+        adj = cut_plain(w, _RU_ADJECTIVE)
+        if adj is not None:
+            w = adj
+            part = cut_class(w, _RU_PARTICIPLE_1, _RU_PARTICIPLE_2)
+            if part is not None:
+                w = part
+        else:
+            verb = cut_class(w, _RU_VERB_1, _RU_VERB_2)
+            if verb is not None:
+                w = verb
+            else:
+                noun = cut_plain(w, _RU_NOUN)
+                if noun is not None:
+                    w = noun
+
+    # step 2: final и
+    if w.endswith("и") and in_rv(len(w) - 1):
+        w = w[:-1]
+
+    # step 3: derivational (ост/ость) in R2
+    for suf in ("ость", "ост"):
+        if w.endswith(suf) and len(w) - len(suf) >= r2:
+            w = w[: len(w) - len(suf)]
+            break
+
+    # step 4: superlative, undouble нн, final ь
+    if w.endswith("нн") and in_rv(len(w) - 1):
+        w = w[:-1]
+    else:
+        sup = cut_plain(w, ("ейше", "ейш"))
+        if sup is not None:
+            w = sup
+            if w.endswith("нн") and in_rv(len(w) - 1):
+                w = w[:-1]
+        if w.endswith("ь") and in_rv(len(w) - 1):
+            w = w[:-1]
+    return w

@@ -163,7 +163,7 @@ def porter_stem(w: str) -> str:
 
 def stem(word: str, lang: str = "en") -> str:
     """Stem ``word``: ``en`` → Porter (here); ``de``/``fr``/``es``,
-    ``sv``/``no``/``da`` and ``nl``/``pt``/``it`` → Snowball
+    ``sv``/``no``/``da``, ``nl``/``pt``/``it`` and ``ru`` → Snowball
     (snowball.py, implemented from the published specs). Other Snowball languages pass through unchanged
     (documented gap — the reference ships 38 rust-stemmers languages
     behind this same per-index hook, index.rs:641-722). For a
@@ -172,7 +172,7 @@ def stem(word: str, lang: str = "en") -> str:
     partition key)."""
     if lang == "en":
         return porter_stem(word)
-    if lang in ("de", "fr", "es", "sv", "no", "da", "nl", "pt", "it"):
+    if lang in ("de", "fr", "es", "sv", "no", "da", "nl", "pt", "it", "ru"):
         from seekstorm_spark import snowball as sb
 
         return {
@@ -185,5 +185,6 @@ def stem(word: str, lang: str = "en") -> str:
             "nl": sb.dutch_stem,
             "pt": sb.portuguese_stem,
             "it": sb.italian_stem,
+            "ru": sb.russian_stem,
         }[lang](word)
     return word

@@ -126,3 +126,62 @@ def test_concurrent_queries(served):
             )
         )
     assert all("results" in o for o in outs)
+
+
+@pytest.fixture(scope="module")
+def writable_served(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("wsrv")
+    docs = assign_docids(synth_webtext(spark, 200, seed=21), order_col="url")
+    store = IndexBuilder(spark, str(base / "idx"), n_buckets=4).build(
+        docs, text_col="text", id_col="docid"
+    )
+    srv, _t = serve_in_thread(
+        spark, {"main": store.path}, port=0, writable=True
+    )
+    yield f"http://127.0.0.1:{srv.server_address[1]}", store
+    srv.shutdown()
+
+
+def test_write_path_realtime_visibility(spark, writable_served):
+    """POSTed docs are searchable over HTTP BEFORE commit (staged
+    level-0 riding the query/count endpoints), identical after."""
+    base, store = writable_served
+    docs = [
+        {"url": "http://new/1", "text": "zzwrited alpha beta"},
+        {"url": "http://new/2", "text": "zzwrited gamma"},
+    ]
+    status, resp = _post(
+        base + "/indices/main/docs", {"documents": docs}
+    )
+    assert status == 200 and resp["staged"] == 2
+    # visible pre-commit
+    _s, r = _post(
+        base + "/indices/main/query",
+        {"query": "zzwrited", "top_k": 10, "count": True},
+    )
+    assert len(r["results"]) == 2 and r["count"] == 2
+    pre = {x["docid"] for x in r["results"]}
+    # commit, then identical results from the committed index
+    assert _post(base + "/indices/main/commit", {})[1] == {
+        "committed": True
+    }
+    _s, r2 = _post(
+        base + "/indices/main/query",
+        {"query": "zzwrited", "top_k": 10, "count": True},
+    )
+    assert {x["docid"] for x in r2["results"]} == pre and r2["count"] == 2
+    # delete one by id over HTTP
+    victim = min(pre)
+    _post(base + "/indices/main/delete", {"docids": [victim]})
+    _s, r3 = _post(
+        base + "/indices/main/query", {"query": "zzwrited", "top_k": 10}
+    )
+    assert {x["docid"] for x in r3["results"]} == pre - {victim}
+
+
+def test_read_only_server_rejects_writes(served):
+    base, _store = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/indices/main/docs",
+              {"documents": [{"url": "u", "text": "t"}]})
+    assert ei.value.code == 403

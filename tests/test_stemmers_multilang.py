@@ -311,3 +311,54 @@ def test_stemmed_index_e2e_pt_it_nl(spark, tmp_path):
         ).build(docs, text_col="text", id_col="doc_id")
         hits = {r["docid"] for r in search(spark, store, probes[lang]).collect()}
         assert hits == {0, 1}, lang
+
+
+# --- Russian ---
+
+from seekstorm_spark.snowball import russian_stem  # noqa: E402
+
+RU_VECTORS = {
+    "книги": "книг",
+    "книгами": "книг",
+    "красивый": "красив",
+    "бегущая": "бегущ",
+    "стремится": "стрем",
+    "делающий": "дела",
+    "понимание": "пониман",
+    "быстрее": "быстр",
+    "возможность": "возможн",
+    "женщинами": "женщин",
+    "выражение": "выражен",
+    "говорил": "говор",
+    "говорить": "говор",
+    "новости": "новост",
+    "последний": "последн",
+}
+
+
+@pytest.mark.parametrize("word,want", sorted(RU_VECTORS.items()))
+def test_russian_vectors(word, want):
+    assert russian_stem(word) == want
+
+
+def test_russian_inflection_classes_collapse():
+    for grp in [
+        ["книга", "книги", "книгами", "книгу"],
+        ["говорил", "говорить", "говорили"],
+        ["красивый", "красивая", "красивые"],
+    ]:
+        stems = {stem(w, "ru") for w in grp}
+        assert len(stems) == 1, (grp, stems)
+
+
+def test_stemmed_index_e2e_ru(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(0, "новые книги лежат"), (1, "одна книга на столе"),
+         (2, "собаки лают громко")],
+        "doc_id long, text string",
+    )
+    store = IndexBuilder(
+        spark, str(tmp_path / "ru"), n_buckets=2, stemmer="ru"
+    ).build(docs, text_col="text", id_col="doc_id")
+    hits = {r["docid"] for r in search(spark, store, "книги").collect()}
+    assert hits == {0, 1}
