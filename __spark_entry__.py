@@ -1428,6 +1428,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_multi_facet_count"] = wand_multi_facet_count
 
+    # per-query facet FILTERS in the fused batch: each query carries
+    # its own predicate (string dictionary / numeric range / none),
+    # applied inside the one shared kernel
+    def wand_multi_facet_filter(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import search_many
+
+        store = _wand_store(s, d)
+        out = search_many(
+            s,
+            store,
+            ["fast table", "fast", "key value"],
+            top_k=10,
+            facet_filters=[
+                {"lang": ["en", "fr"]},
+                {"n_chars": (100, 300)},
+                None,
+            ],
+        )
+        return out.select(
+            "query_id", "docid",
+            F.round(F.col("score").cast("double"), 4).alias("score"),
+        )
+
+    q["wand_multi_facet_filter"] = wand_multi_facet_filter
+
     q["count_and"] = lambda s, d: _match_count_df(
         s, _docs(s, d), ["fast", "table"], "intersection"
     )
@@ -2222,6 +2247,30 @@ WHERE doc_id IN (SELECT DISTINCT doc_id FROM {_TOKS} WHERE term = 'fast')
   AND doc_id NOT IN (SELECT DISTINCT doc_id FROM {_TOKS} WHERE term = 'dup')
 GROUP BY lang
 """
+    o["wand_multi_facet_filter"] = "\nUNION ALL\n".join(
+        f"SELECT {i} AS query_id, * FROM (" + sql + ")"
+        for i, sql in enumerate(
+            [
+                _wand_bm25_sql(
+                    ["fast", "table"],
+                    "union",
+                    extra_where=(
+                        "docid IN (SELECT doc_id FROM documents "
+                        "WHERE lang IN ('en', 'fr'))"
+                    ),
+                ),
+                _wand_bm25_sql(
+                    ["fast"],
+                    "union",
+                    extra_where=(
+                        "docid IN (SELECT doc_id FROM documents "
+                        "WHERE n_chars BETWEEN 100 AND 300)"
+                    ),
+                ),
+                _wand_bm25_sql(["key", "value"], "union"),
+            ]
+        )
+    )
     o["doc_store_get"] = """
 SELECT doc_id AS docid, lang, source, n_chars::BIGINT AS n_chars
 FROM documents WHERE doc_id IN (3, 17, 101, 250)

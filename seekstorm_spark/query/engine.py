@@ -666,6 +666,7 @@ def search_many(
     fields: list[tuple[str, float]] | None = None,
     field_filter: list[str] | None = None,
     staged: list | None = None,
+    facet_filters: list[dict | None] | None = None,
 ) -> DataFrame:
     """Execute N queries in ONE Spark action → DataFrame(query_id,
     docid, score); ``query_id`` is the position in ``queries``.
@@ -684,14 +685,36 @@ def search_many(
     results are bit-identical to :func:`search` — same f32
     accumulation order, same tiebreaks. The reference serves
     concurrent queries the same way — shared index, per-query
-    execution state (its multi-threaded QPS bench)."""
+    execution state (its multi-threaded QPS bench).
+
+    ``facet_filters`` is an optional per-query list parallel to
+    ``queries`` (None entries = unfiltered): each query's facet
+    predicates apply inside the SAME fused kernel from the shared
+    per-block facet arrays (one buffer decode per block, every
+    query's candidate set filtered against it), exactly as
+    ``search(facet_filters=…)`` does for one query."""
     from functools import reduce
 
+    if facet_filters is not None and len(facet_filters) != len(queries):
+        raise ValueError("facet_filters must parallel queries")
     plans = [
         _plan(spark, store, qstr, default_type, staged) for qstr in queries
     ]
     boosts, allowed = _resolve_fields(store, fields, field_filter)
     n_docs, avgdl = _effective_stats(store, staged)
+    filters_by_q: dict[int, dict] = {}
+    fsizes: dict[str, int] = {}
+    if facet_filters is not None:
+        specs: dict = store.meta.get("facets") or {}
+        for i, ff in enumerate(facet_filters):
+            if not ff:
+                continue
+            fk, _emit, _dicts_i, _kinds = _resolve_facets(store, ff, None)
+            filters_by_q[i] = fk
+            for name in ff:
+                vals = facet_values(specs[name])
+                if vals is not None:
+                    fsizes[name] = len(vals)
 
     fused: list[tuple[int, QueryPlan]] = []
     fallback: list[int] = []
@@ -708,7 +731,9 @@ def search_many(
     outs: list[DataFrame] = []
     if fused:
         partials = _search_many_fused(
-            spark, store, fused, top_k, prune, boosts, allowed, avgdl
+            spark, store, fused, top_k, prune, boosts, allowed, avgdl,
+            facet_filters_by_q=filters_by_q or None,
+            facet_sizes=fsizes or None,
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("docid").asc()
@@ -723,6 +748,7 @@ def search_many(
             spark, store, queries[i], top_k=top_k,
             default_type=default_type, prune=prune, fields=fields,
             field_filter=field_filter, staged=staged,
+            facet_filters=facet_filters[i] if facet_filters else None,
         )
         outs.append(
             out.select(
@@ -911,6 +937,7 @@ def _search_many_fused(
     avgdl: float,
     count_only: bool = False,
     count_facets_by_q: dict[int, dict] | None = None,
+    facet_filters_by_q: dict[int, dict] | None = None,
     facet_sizes: dict[str, int] | None = None,
 ) -> DataFrame:
     """One scan + one exchange + one kernel for N queries (union /
@@ -949,10 +976,15 @@ def _search_many_fused(
             F.col("field").isin([int(i) for i in allowed])
         )
     rows = postings.repartition("block_id")
-    if count_facets_by_q:
-        facet_cols = sorted(
-            {fc for spec in count_facets_by_q.values() for fc in spec}
-        )
+    facet_cols = sorted(
+        {fc for spec in (count_facets_by_q or {}).values() for fc in spec}
+        | {
+            fc
+            for spec in (facet_filters_by_q or {}).values()
+            for fc in spec
+        }
+    )
+    if facet_cols:
         rows, _extra = _join_facet_blocks(spark, store, rows, facet_cols)
     rows = rows.sortWithinPartitions("block_id", "term", "field")
     kernel = _make_multi_kernel(
@@ -962,6 +994,7 @@ def _search_many_fused(
         has_gram=has_gram,
         count_only=count_only,
         count_facets_by_q=count_facets_by_q,
+        facet_filters_by_q=facet_filters_by_q,
         facet_sizes=facet_sizes,
     )
     if count_facets_by_q:
@@ -1056,6 +1089,7 @@ def _make_multi_kernel(
     has_gram: bool = False,
     count_only: bool = False,
     count_facets_by_q: dict[int, dict] | None = None,
+    facet_filters_by_q: dict[int, dict] | None = None,
     facet_sizes: dict[str, int] | None = None,
 ):
     """Batched kernel: decode each posting row ONCE, score every
@@ -1071,12 +1105,20 @@ def _make_multi_kernel(
     cfacets_by_q = {
         qi: dict(spec) for qi, spec in (count_facets_by_q or {}).items()
     }
+    ffilters_by_q = {
+        qi: list(spec.items())
+        for qi, spec in (facet_filters_by_q or {}).items()
+    }
     sizes = facet_sizes or {}
-    # every facet buffer any query counts: col → (kind, n_values)
+    # every facet buffer any query counts or filters on:
+    # col → (kind, n_values)
     facet_buf_kinds: dict[str, tuple[str, int]] = {}
     for spec in cfacets_by_q.values():
         for name, (kind, _b) in spec.items():
             facet_buf_kinds[f"fb_{name}"] = (kind, sizes.get(name, 0))
+    for fspec in ffilters_by_q.values():
+        for name, fs in fspec:
+            facet_buf_kinds[f"fb_{name}"] = (fs[0], sizes.get(name, 0))
 
     def _source_map(p: QueryPlan) -> dict[str, tuple[str, int | None]]:
         sm: dict[str, tuple[str, int | None]] = {}
@@ -1332,6 +1374,34 @@ def _make_multi_kernel(
                     ]
                     if cand.size == 0:
                         continue
+                # per-query facet filters over the SHARED buffer decode
+                # (candidate-subset filtering keeps the block bound
+                # admissible, as in the single-query kernel)
+                for fname, fspec in ffilters_by_q.get(qi, ()):
+                    if fspec[0] == "string_set":
+                        buf = fbufs[f"fb_{fname}"]
+                        if buf is None:
+                            cand = cand[:0]
+                            break
+                        owner, codes = _sset_gather(buf, cand)
+                        hit = np.isin(codes, fspec[1])
+                        keep = np.zeros(cand.size, dtype=bool)
+                        keep[owner[hit]] = True
+                        cand = cand[keep]
+                    else:
+                        vals = fbuf_at(f"fb_{fname}", cand)
+                        if vals is None:
+                            cand = cand[:0]
+                        elif fspec[0] == "numeric":
+                            cand = cand[
+                                (vals >= fspec[1]) & (vals <= fspec[2])
+                            ]
+                        else:
+                            cand = cand[np.isin(vals, fspec[1])]
+                    if cand.size == 0:
+                        break
+                if cand.size == 0:
+                    continue
                 if align and len(align) > 1:
                     keep = _phrase_filter(lazy_recs, cand, align)
                     cand = cand[keep]

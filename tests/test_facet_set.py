@@ -28,10 +28,11 @@ def set_store(spark, tmp_path_factory):
             F.lit("c"),
             F.lpad((F.col("docid") % 300).cast("string"), 3, "0"),
         ),
-    ).cache()
+    ).withColumn("nch", F.length("text").cast("double")).cache()
     base = tmp_path_factory.mktemp("sset")
     store = IndexBuilder(
-        spark, str(base / "idx"), n_buckets=8, facet_cols=["tags", "widecat"]
+        spark, str(base / "idx"), n_buckets=8,
+        facet_cols=["tags", "widecat", "nch"],
     ).build(docs, text_col="text", id_col="docid")
     yield store, docs
     docs.unpersist()
@@ -174,3 +175,44 @@ def test_facet_counts_many_matches_single(spark, set_store):
             if r["query_id"] == i
         }
         assert got == single, qstr
+
+
+def test_search_many_per_query_facet_filters(spark, set_store):
+    """Per-query facet filters in the FUSED batch: string_set, wide
+    string dictionary, and numeric range predicates each apply to
+    their own query against the shared block buffers — bit-identical
+    to single-query search(facet_filters=…)."""
+    from seekstorm_spark.query.engine import search, search_many
+
+    queries = [
+        "term00000",
+        "term00000 term00001",
+        "term00002",
+        "term00003",
+    ]
+    filters = [
+        {"tags": ["t1"]},
+        {"widecat": [f"c{i:03d}" for i in range(0, 300, 3)]},
+        {"nch": (100.0, 400.0)},
+        None,
+    ]
+    batched = search_many(
+        spark, set_store[0], queries, top_k=15, facet_filters=filters
+    ).collect()
+    for i, (q, ff) in enumerate(zip(queries, filters)):
+        single = [
+            (r["docid"], r["score"])
+            for r in search(
+                spark, set_store[0], q, top_k=15, facet_filters=ff
+            ).collect()
+        ]
+        got = sorted(
+            (
+                (r["docid"], r["score"])
+                for r in batched
+                if r["query_id"] == i
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert got == single, q
+        assert single, q  # every case non-trivial
