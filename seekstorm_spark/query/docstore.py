@@ -188,3 +188,48 @@ class DocStore:
         """Point lookups for many docids, input order preserved.
         Lookups within one call share the warm row-group cache."""
         return [self._lookup(int(d)) for d in docids]
+
+
+def compact_doc_store(spark, path: str, delete_docids) -> int:
+    """Remove ``delete_docids`` from the store by rewriting ONLY the
+    buckets that contain them (the index's ``compact()`` counterpart
+    for stored fields). Untouched bucket directories keep their files
+    byte-for-byte — at 10^12 docs a deletion wave touches a bounded
+    set of buckets, not the table. Buckets left empty are removed.
+    Returns the number of buckets rewritten. Readers pick up the new
+    files via their per-bucket mtime keys."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(path, _META_NAME)) as f:
+        meta = json.load(f)
+    dpb = int(meta["docs_per_bucket"])
+    ids = [int(d) for d in delete_docids]
+    buckets = sorted({d // dpb for d in ids})
+    if not buckets:
+        return 0
+    src = spark.read.parquet(path).filter(F.col("dbucket").isin(buckets))
+    dele = spark.createDataFrame([(d,) for d in ids], "docid long")
+    keep = src.join(F.broadcast(dele), "docid", "left_anti")
+    present = {
+        int(r["dbucket"])
+        for r in keep.select("dbucket").distinct().collect()
+    }
+    out = (
+        keep.repartition("dbucket")
+        .sortWithinPartitions("docid")
+        .select("docid", *meta["fields"], "dbucket")
+    )
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # dynamic overwrite replaces exactly the buckets present in
+        # the output; emptied buckets are removed below
+        out.write.mode("overwrite").partitionBy("dbucket").parquet(path)
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for b in set(buckets) - present:
+        shutil.rmtree(os.path.join(path, f"dbucket={b}"), ignore_errors=True)
+    return len(buckets)

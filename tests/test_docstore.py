@@ -96,3 +96,39 @@ def test_append_invalidates_bucket_listing(spark, tmp_path):
     )
     got = store.get(150)  # same reader instance sees the appended file
     assert got is not None and got["docid"] == 150
+
+
+def test_compact_removes_only_touched_buckets(spark, tmp_path):
+    """compact_doc_store rewrites the buckets holding deleted ids,
+    leaves the others' files byte-identical, and drops emptied
+    buckets entirely."""
+    import os
+
+    from seekstorm_spark.query.docstore import compact_doc_store
+
+    docs = assign_docids(synth_webtext(spark, 200, seed=13), order_col="url")
+    path = str(tmp_path / "cds")
+    write_doc_store(docs, path, id_col="docid", fields=["url"],
+                    docs_per_bucket=64)
+
+    def files(bucket):
+        d = os.path.join(path, f"dbucket={bucket}")
+        if not os.path.exists(d):
+            return None
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    before_b2 = files(2)
+    # delete two ids in bucket 0, and ALL of bucket 3 (192..199)
+    victims = [5, 40] + list(range(192, 200))
+    n = compact_doc_store(spark, path, victims)
+    assert n == 2  # buckets 0 and 3
+    store = DocStore(path)
+    assert store.get(5) is None and store.get(40) is None
+    assert store.get(195) is None
+    assert store.get(6)["url"]  # neighbors survive
+    assert store.get(100)["url"]  # untouched bucket
+    assert files(2) == before_b2  # untouched bucket byte-identical
+    assert files(3) is None  # emptied bucket removed
