@@ -1453,6 +1453,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_multi_facet_filter"] = wand_multi_facet_filter
 
+    # per-query GEO filters in the fused batch (haversine against the
+    # shared per-block lat/lon buffers)
+    def wand_multi_geo(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import search_many
+
+        store = _wandgeo_store(s, d)
+        out = search_many(
+            s,
+            store,
+            ["fast", "fast table"],
+            top_k=10,
+            geo_filters=[dict(_GEO_FILTER), None],
+        )
+        return out.select(
+            "query_id", "docid",
+            F.round(F.col("score").cast("double"), 4).alias("score"),
+        )
+
+    q["wand_multi_geo"] = wand_multi_geo
+
     q["count_and"] = lambda s, d: _match_count_df(
         s, _docs(s, d), ["fast", "table"], "intersection"
     )
@@ -2056,10 +2076,7 @@ GROUP BY tag
             "WHERE n_chars BETWEEN 100 AND 300)"
         ),
     )
-    o["wand_geo_radius"] = _wand_bm25_sql(
-        ["fast"],
-        "union",
-        extra_where="""docid IN (
+    geo_where = """docid IN (
   SELECT doc_id FROM (
     SELECT doc_id,
            2.0 * 6371.0 * asin(sqrt(
@@ -2069,7 +2086,18 @@ GROUP BY tag
                * pow(sin(radians(2.3522 - ((doc_id * 73 % 36000) / 100.0 - 180.0)) / 2), 2)
            )) AS dist_km
     FROM documents)
-  WHERE dist_km <= 6000.0)""",
+  WHERE dist_km <= 6000.0)"""
+    o["wand_geo_radius"] = _wand_bm25_sql(
+        ["fast"], "union", extra_where=geo_where,
+    )
+    o["wand_multi_geo"] = "\nUNION ALL\n".join(
+        f"SELECT {i} AS query_id, * FROM (" + sql + ")"
+        for i, sql in enumerate(
+            [
+                _wand_bm25_sql(["fast"], "union", extra_where=geo_where),
+                _wand_bm25_sql(["fast", "table"], "union"),
+            ]
+        )
     )
     # distance result-sort: same haversine (all float64, identical
     # operation order to the kernel), nearest first, docid tiebreak

@@ -667,6 +667,7 @@ def search_many(
     field_filter: list[str] | None = None,
     staged: list | None = None,
     facet_filters: list[dict | None] | None = None,
+    geo_filters: list[dict | None] | None = None,
 ) -> DataFrame:
     """Execute N queries in ONE Spark action → DataFrame(query_id,
     docid, score); ``query_id`` is the position in ``queries``.
@@ -687,22 +688,28 @@ def search_many(
     concurrent queries the same way — shared index, per-query
     execution state (its multi-threaded QPS bench).
 
-    ``facet_filters`` is an optional per-query list parallel to
-    ``queries`` (None entries = unfiltered): each query's facet
-    predicates apply inside the SAME fused kernel from the shared
-    per-block facet arrays (one buffer decode per block, every
-    query's candidate set filtered against it), exactly as
-    ``search(facet_filters=…)`` does for one query."""
+    ``facet_filters`` / ``geo_filters`` are optional per-query lists
+    parallel to ``queries`` (None entries = unfiltered): each query's
+    facet predicates and haversine radius apply inside the SAME fused
+    kernel from the shared per-block facet arrays (one buffer decode
+    per block, every query's candidate set filtered against it),
+    exactly as ``search(facet_filters=…, geo_filter=…)`` does for one
+    query. (Distance result-sort stays single-query — the batched
+    result carries docid+score only; per-query zone-bound block
+    skipping also doesn't apply to the shared scan.)"""
     from functools import reduce
 
     if facet_filters is not None and len(facet_filters) != len(queries):
         raise ValueError("facet_filters must parallel queries")
+    if geo_filters is not None and len(geo_filters) != len(queries):
+        raise ValueError("geo_filters must parallel queries")
     plans = [
         _plan(spark, store, qstr, default_type, staged) for qstr in queries
     ]
     boosts, allowed = _resolve_fields(store, fields, field_filter)
     n_docs, avgdl = _effective_stats(store, staged)
     filters_by_q: dict[int, dict] = {}
+    geo_by_q: dict[int, dict] = {}
     fsizes: dict[str, int] = {}
     if facet_filters is not None:
         specs: dict = store.meta.get("facets") or {}
@@ -715,6 +722,12 @@ def search_many(
                 vals = facet_values(specs[name])
                 if vals is not None:
                     fsizes[name] = len(vals)
+    if geo_filters is not None:
+        for i, gf in enumerate(geo_filters):
+            if not gf:
+                continue
+            _resolve_facets(store, None, None, geo_filter=gf)  # validate
+            geo_by_q[i] = dict(gf)
 
     fused: list[tuple[int, QueryPlan]] = []
     fallback: list[int] = []
@@ -733,6 +746,7 @@ def search_many(
         partials = _search_many_fused(
             spark, store, fused, top_k, prune, boosts, allowed, avgdl,
             facet_filters_by_q=filters_by_q or None,
+            geo_by_q=geo_by_q or None,
             facet_sizes=fsizes or None,
         )
         w = Window.partitionBy("query_id").orderBy(
@@ -749,6 +763,7 @@ def search_many(
             default_type=default_type, prune=prune, fields=fields,
             field_filter=field_filter, staged=staged,
             facet_filters=facet_filters[i] if facet_filters else None,
+            geo_filter=geo_filters[i] if geo_filters else None,
         )
         outs.append(
             out.select(
@@ -938,6 +953,7 @@ def _search_many_fused(
     count_only: bool = False,
     count_facets_by_q: dict[int, dict] | None = None,
     facet_filters_by_q: dict[int, dict] | None = None,
+    geo_by_q: dict[int, dict] | None = None,
     facet_sizes: dict[str, int] | None = None,
 ) -> DataFrame:
     """One scan + one exchange + one kernel for N queries (union /
@@ -976,6 +992,11 @@ def _search_many_fused(
             F.col("field").isin([int(i) for i in allowed])
         )
     rows = postings.repartition("block_id")
+    geo_cols = set()
+    for gf in (geo_by_q or {}).values():
+        geo_cols |= (
+            {gf["point"]} if "point" in gf else {gf["lat"], gf["lon"]}
+        )
     facet_cols = sorted(
         {fc for spec in (count_facets_by_q or {}).values() for fc in spec}
         | {
@@ -983,6 +1004,7 @@ def _search_many_fused(
             for spec in (facet_filters_by_q or {}).values()
             for fc in spec
         }
+        | geo_cols
     )
     if facet_cols:
         rows, _extra = _join_facet_blocks(spark, store, rows, facet_cols)
@@ -995,6 +1017,11 @@ def _search_many_fused(
         count_only=count_only,
         count_facets_by_q=count_facets_by_q,
         facet_filters_by_q=facet_filters_by_q,
+        geo_by_q=geo_by_q,
+        facet_kinds={
+            name: facet_kind(spec)
+            for name, spec in (store.meta.get("facets") or {}).items()
+        },
         facet_sizes=facet_sizes,
     )
     if count_facets_by_q:
@@ -1090,6 +1117,8 @@ def _make_multi_kernel(
     count_only: bool = False,
     count_facets_by_q: dict[int, dict] | None = None,
     facet_filters_by_q: dict[int, dict] | None = None,
+    geo_by_q: dict[int, dict] | None = None,
+    facet_kinds: dict[str, str] | None = None,
     facet_sizes: dict[str, int] | None = None,
 ):
     """Batched kernel: decode each posting row ONCE, score every
@@ -1119,6 +1148,25 @@ def _make_multi_kernel(
     for fspec in ffilters_by_q.values():
         for name, fs in fspec:
             facet_buf_kinds[f"fb_{name}"] = (fs[0], sizes.get(name, 0))
+    # per-query geo configs: (mode, col, lon_col, lat0, lon0, radius)
+    geo_cfg_by_q: dict[int, tuple] = {}
+    for qi, gf in (geo_by_q or {}).items():
+        if "point" in gf:
+            mode = (facet_kinds or {}).get(gf["point"], "point")
+            cols = (f"fb_{gf['point']}", None)
+        else:
+            mode = "pair"
+            cols = (f"fb_{gf['lat']}", f"fb_{gf['lon']}")
+        geo_cfg_by_q[qi] = (
+            mode, cols[0], cols[1],
+            float(gf["at"][0]), float(gf["at"][1]),
+            float(gf["radius_km"]),
+        )
+        facet_buf_kinds[cols[0]] = (
+            "numeric" if mode == "pair" else mode, 0
+        )
+        if cols[1] is not None:
+            facet_buf_kinds[cols[1]] = ("numeric", 0)
 
     def _source_map(p: QueryPlan) -> dict[str, tuple[str, int | None]]:
         sm: dict[str, tuple[str, int | None]] = {}
@@ -1402,6 +1450,53 @@ def _make_multi_kernel(
                         break
                 if cand.size == 0:
                     continue
+                # per-query geo radius over the shared buffers (same
+                # haversine op order as the single-query kernel)
+                gcfg = geo_cfg_by_q.get(qi)
+                if gcfg is not None:
+                    gmode = gcfg[0]
+                    if gmode == "point":
+                        buf = fbufs[gcfg[1]]
+                        if buf is None:
+                            continue
+                        n_pts = len(buf) // 2
+                        lat = np.full(cand.size, np.nan)
+                        lon = np.full(cand.size, np.nan)
+                        ok = cand < n_pts
+                        lat[ok] = buf[2 * cand[ok]]
+                        lon[ok] = buf[2 * cand[ok] + 1]
+                    elif gmode == "morton":
+                        from seekstorm_spark.functions.geo import (
+                            morton_decode,
+                        )
+
+                        buf = fbufs[gcfg[1]]
+                        if buf is None:
+                            continue
+                        codes = np.zeros(cand.size, dtype=np.uint64)
+                        ok = cand < len(buf)
+                        codes[ok] = buf[cand[ok]]
+                        lat = np.full(cand.size, np.nan)
+                        lon = np.full(cand.size, np.nan)
+                        has = codes != 0
+                        if has.any():
+                            lat[has], lon[has] = morton_decode(codes[has])
+                    else:
+                        lat = fbuf_at(gcfg[1], cand)
+                        lon = fbuf_at(gcfg[2], cand)
+                        if lat is None or lon is None:
+                            continue
+                    lat0, lon0, radius = gcfg[3], gcfg[4], gcfg[5]
+                    a = (
+                        np.sin(np.radians(lat0 - lat) / 2.0) ** 2
+                        + np.cos(np.radians(lat))
+                        * math.cos(math.radians(lat0))
+                        * np.sin(np.radians(lon0 - lon) / 2.0) ** 2
+                    )
+                    d_km = 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(a))
+                    cand = cand[~np.isnan(d_km) & (d_km <= radius)]
+                    if cand.size == 0:
+                        continue
                 if align and len(align) > 1:
                     keep = _phrase_filter(lazy_recs, cand, align)
                     cand = cand[keep]

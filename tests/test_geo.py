@@ -262,3 +262,55 @@ def test_morton_facet_equals_point(spark, tmp_path):
     with _pytest.raises(ValueError):
         search(spark, morton, "term00000",
                result_sort=[("location", "asc")])
+
+
+def test_search_many_per_query_geo_filters(spark, tmp_path):
+    """Per-query geo filters in the FUSED batch — pair, interleaved
+    point, and packed morton forms each filter their own query against
+    the shared buffers, bit-identical to single-query search."""
+    from pyspark.sql import Window, functions as F
+
+    from seekstorm_spark.index.builder import IndexBuilder
+    from seekstorm_spark.query.engine import search, search_many
+    from seekstorm_spark.sources.webtext import synth_webtext
+
+    rn = F.row_number().over(Window.orderBy("url")) - 1
+    docs = (
+        synth_webtext(spark, 200, seed=3)
+        .withColumn("doc_id", rn.cast("long"))
+        .withColumn("lat", (F.col("doc_id") * 37 % 18000) / 100.0 - 90.0)
+        .withColumn("lon", (F.col("doc_id") * 73 % 36000) / 100.0 - 180.0)
+        .withColumn("location", F.array("lat", "lon"))
+        .withColumn("locm", F.array("lat", "lon"))
+    )
+    store = IndexBuilder(
+        spark, str(tmp_path / "multi"), n_buckets=4,
+        facet_cols=["lat", "lon", "location", "locm"],
+        facet_types={"locm": "morton"},
+    ).build(docs, text_col="text", id_col="doc_id")
+
+    at, r_km = (10.0, 20.0), 7000.0
+    queries = ["term00000", "term00001", "term00002", "term00003"]
+    geos = [
+        {"lat": "lat", "lon": "lon", "at": at, "radius_km": r_km},
+        {"point": "location", "at": at, "radius_km": r_km},
+        {"point": "locm", "at": at, "radius_km": r_km},
+        None,
+    ]
+    batched = search_many(
+        spark, store, queries, top_k=20, geo_filters=geos
+    ).collect()
+    for i, (q, gf) in enumerate(zip(queries, geos)):
+        single = [
+            (r["docid"], r["score"])
+            for r in search(
+                spark, store, q, top_k=20, geo_filter=gf
+            ).collect()
+        ]
+        got = sorted(
+            ((r["docid"], r["score"]) for r in batched
+             if r["query_id"] == i),
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert got == single, q
+        assert single, q
