@@ -1701,6 +1701,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", F.col("i").cast("long").alias("i"), "mh")
         )
 
+    # embedding-cosine near-dup pairs (exact twin of the LSH scale
+    # path — float64 cosine from the float32 components, id_a < id_b)
+    def dedup_embedding_pairs(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.simsearch import (
+            cosine_near_dup_pairs,
+        )
+
+        return cosine_near_dup_pairs(
+            _emb(s, d), "vec_id", "embedding", threshold=0.35
+        ).select(
+            "id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine")
+        )
+
+    q["dedup_embedding_pairs"] = dedup_embedding_pairs
+
     q["dedup_minhash_sig"] = dedup_minhash_sig
     q["dedup_minhash_candidates"] = lambda s, d: minhash_lsh_pairs(
         _docs(s, d).filter(F.col("doc_id") < 60)
@@ -2299,6 +2314,25 @@ GROUP BY lang
             ]
         )
     )
+    # float64 cosine from float32 components, positional zip of the
+    # two lists; the sub-1e-15 summation-order difference vs Spark's
+    # sequential aggregate cannot move round(…, 4)
+    o["dedup_embedding_pairs"] = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+sums AS (
+  SELECT id_a, id_b,
+         sum(x::DOUBLE * y::DOUBLE) AS dot,
+         sum(x::DOUBLE * x::DOUBLE) AS na2,
+         sum(y::DOUBLE * y::DOUBLE) AS nb2
+  FROM (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM pairs)
+  GROUP BY id_a, id_b)
+SELECT id_a, id_b,
+       round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cosine
+FROM sums WHERE dot / (sqrt(na2) * sqrt(nb2)) >= 0.35
+"""
     o["doc_store_get"] = """
 SELECT doc_id AS docid, lang, source, n_chars::BIGINT AS n_chars
 FROM documents WHERE doc_id IN (3, 17, 101, 250)

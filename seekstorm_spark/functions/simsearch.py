@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 
 def cosine_col(vec_col, query: list[float]):
@@ -589,3 +589,117 @@ class IvfIndex:
         with open(os.path.join(self.path, "meta.json"), "w") as f:
             json.dump(self.meta, f)
         return self
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (training-data dedup over an
+# embedding column): exact all-pairs twin + hyperplane-LSH scale path.
+# ---------------------------------------------------------------------------
+
+
+def _cosine_pair_col(a_col, b_col):
+    """Exact float64 cosine between two array<float> columns — JVM
+    column expressions only (element order = accumulation order on
+    both sides of the oracle)."""
+    ad = F.transform(a_col, lambda x: x.cast("double"))
+    bd = F.transform(b_col, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda s, v: s + v * v))
+    return dot / (na * nb)
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT near-dup pairs (id_a < id_b, cosine ≥ threshold) →
+    DataFrame(id_a, id_b, cosine). All-pairs — the verification twin
+    and the small-corpus path; at scale use
+    :func:`cosine_near_dup_lsh`, whose candidates this filter also
+    finishes."""
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    out = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _cosine_pair_col(F.col("_va"), F.col("_vb"))
+    return (
+        out.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= float(threshold))
+    )
+
+
+def band_signature_udf(
+    dim: int, bands: int, rows_per_band: int, seed: int = 1234
+):
+    """Per-band hyperplane bucket ids (array<long>, one per band) —
+    the random-projection analog of MinHash banding: two vectors
+    collide in a band iff all its ``rows_per_band`` sign bits agree
+    (P ≈ (1 − θ/π)^r per band)."""
+    planes = _hyperplanes(dim, bands * rows_per_band, seed)
+    weights = (1 << np.arange(rows_per_band, dtype=np.int64))
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.values).astype(np.float64)
+        bits = (mat @ planes.T) > 0  # (n, bands*r)
+        per_band = bits.reshape(len(mat), bands, rows_per_band)
+        codes = (per_band * weights[None, None, :]).sum(axis=2)
+        return pd.Series([row.tolist() for row in codes.astype(np.int64)])
+
+    return sig
+
+
+def cosine_near_dup_lsh(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    seed: int = 1234,
+) -> DataFrame:
+    """Near-dup pairs at scale: banded hyperplane-LSH candidates →
+    exact cosine verification → DataFrame(id_a, id_b, cosine).
+
+    No all-pairs stage anywhere: vectors explode into ``bands``
+    (band, bucket) keys, candidates are the within-bucket joins
+    (bounded skew — the shuffle key is the band bucket), then the
+    exact float64 cosine keeps only true near-dups. High-threshold
+    recall comes from band count: P(candidate) = 1−(1−p^r)^b with
+    p = 1−θ/π."""
+    sig_udf = band_signature_udf(dim, bands, rows_per_band, seed)
+    sigs = emb.select(
+        F.col(id_col).alias("docid"),
+        sig_udf(F.col(vec_col)).alias("sig"),
+    )
+    banded = sigs.select(
+        "docid", F.posexplode("sig").alias("band", "bucket")
+    )
+    a = banded.select(F.col("docid").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("docid").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    cos = _cosine_pair_col(F.col("_va"), F.col("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= float(threshold))
+    )

@@ -102,3 +102,41 @@ def test_ivf_append_and_refresh(spark, tmp_path):
     brute = {r["vec_id"] for r in
              cosine_topk(allv, [float(x) for x in q], 10).collect()}
     assert len(got2 & brute) >= 8
+
+
+def test_embedding_near_dup_lsh_recall(spark):
+    """Planted near-duplicates: the banded-hyperplane LSH path finds
+    (almost) every exact pair at threshold 0.95, with zero false
+    positives after the exact-cosine verification."""
+    import numpy as np
+
+    from seekstorm_spark.functions.simsearch import (
+        cosine_near_dup_lsh,
+        cosine_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(120, 16).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(120)]
+    # plant 20 near-dups: id 200+i ≈ id i (tiny perturbation)
+    for i in range(20):
+        v = base[i] + 0.01 * rng.randn(16).astype(np.float32)
+        rows.append((200 + i, v.astype(np.float32).tolist()))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(
+            emb, threshold=0.95
+        ).collect()
+    }
+    assert len(exact) >= 20  # the planted pairs are found exactly
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_lsh(
+            emb, dim=16, threshold=0.95, bands=8, rows_per_band=4
+        ).collect()
+    }
+    assert lsh <= exact  # exact verification → no false positives
+    assert len(lsh & exact) / len(exact) >= 0.9  # recall
