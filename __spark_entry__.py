@@ -1716,6 +1716,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_embedding_pairs"] = dedup_embedding_pairs
 
+    # benchmark decontamination: training docs sharing a 4-token
+    # shingle with the probe (benchmark) subset — broadcast inverted-
+    # index join, no all-pairs
+    def decontaminate_overlap(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.dedup import contamination_pairs
+
+        docs = _docs(s, d)
+        probes = docs.filter(F.col("doc_id") % 13 == 0)
+        return (
+            contamination_pairs(docs, probes, n=4)
+            .filter(F.col("docid") != F.col("probe_id"))
+            .select(
+                F.col("docid").cast("long").alias("doc_id"),
+                F.col("probe_id").cast("long").alias("probe_id"),
+                "n_common",
+            )
+        )
+
+    q["decontaminate_overlap"] = decontaminate_overlap
+
     q["dedup_minhash_sig"] = dedup_minhash_sig
     q["dedup_minhash_candidates"] = lambda s, d: minhash_lsh_pairs(
         _docs(s, d).filter(F.col("doc_id") < 60)
@@ -2332,6 +2352,19 @@ sums AS (
 SELECT id_a, id_b,
        round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cosine
 FROM sums WHERE dot / (sqrt(na2) * sqrt(nb2)) >= 0.35
+"""
+    o["decontaminate_overlap"] = """
+WITH docs AS (SELECT doc_id, list_filter(string_split(trim(lower(text)), ' '),
+                                         x -> x <> '') AS toks
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS shingle
+       FROM (SELECT doc_id, toks,
+                    unnest(range(1, greatest(len(toks) - 3, 0) + 1)) AS i
+             FROM docs)),
+probes AS (SELECT * FROM sh WHERE doc_id % 13 = 0)
+SELECT s.doc_id, p.doc_id AS probe_id, count(*)::BIGINT AS n_common
+FROM sh s JOIN probes p ON s.shingle = p.shingle AND s.doc_id <> p.doc_id
+GROUP BY 1, 2
 """
     o["doc_store_get"] = """
 SELECT doc_id AS docid, lang, source, n_chars::BIGINT AS n_chars

@@ -326,3 +326,33 @@ def simhash_dup_groups(
         .agg(F.count("*").alias("dup_count"), F.min("docid").alias("keeper_docid"))
         .filter(F.col("dup_count") > 1)
     )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str | None = None,
+    probe_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥1 n-token
+    shingle with a probe/benchmark document → DataFrame(docid,
+    probe_id, n_common distinct shared shingles).
+
+    The standard pre-training hygiene check (drop or flag training
+    docs that leak evaluation data). Inverted-index join, probe side
+    BROADCAST — the benchmark set is small by construction, so the
+    corpus scan never shuffles and no all-pairs stage exists. Caller
+    filters ``docid != probe_id`` when probes are drawn from the
+    corpus itself."""
+    cs = shingles(corpus, id_col, text_col, n)
+    ps = shingles(
+        probes, probe_id_col or id_col, probe_text_col or text_col, n
+    ).withColumnRenamed("docid", "probe_id")
+    return (
+        cs.join(F.broadcast(ps), "shingle")
+        .groupBy("docid", "probe_id")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )

@@ -517,3 +517,30 @@ def test_png_pixel_resize(spark):
         np.frombuffer(r["pixels"], np.uint8).reshape(2, 4, 3),
         _resize_nearest(rgb, 4, 2),
     )
+
+
+def test_contamination_pairs(spark):
+    """Cross-table shingle overlap: exact counts vs a brute-force
+    check, and the probe side broadcasts (no shuffle of the corpus
+    scan, no all-pairs)."""
+    from seekstorm_spark.functions.dedup import contamination_pairs
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "a quick brown fox jumps over fences daily"),
+        (2, "completely unrelated text about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog again"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    probes = docs.filter("doc_id = 0")
+    out = contamination_pairs(docs, probes, n=4)
+    got = {
+        (r["docid"], r["probe_id"]): r["n_common"] for r in out.collect()
+    }
+    # doc 3 shares all six of doc 0's distinct 4-gram shingles; doc 1
+    # shares two ("quick brown fox jumps", "brown fox jumps over");
+    # doc 2 none
+    assert got[(3, 0)] == 6 and got[(1, 0)] == 2
+    assert (2, 0) not in got and got[(0, 0)] == 6
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
