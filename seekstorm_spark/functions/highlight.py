@@ -70,3 +70,23 @@ def highlight_phrase(
     frag = F.substring(text, start, F.lit(2 * width) + m_len)
     highlighted = F.regexp_replace(frag, pat, "<b>$0</b>")
     return F.when(found, highlighted).otherwise(F.lit(""))
+
+
+def kwic_fragment_py(text: str, terms: list[str], width: int = 30) -> str:
+    """Pure-Python KWIC twin for DRIVER-side highlighting (the REST
+    server's doc-store path — no Spark job): fragment of ±``width``
+    chars around the first token-aligned occurrence of the first
+    present term, with every present term bolded inside the fragment.
+    Same word-boundary semantics as :func:`highlight_first`."""
+    if not text:
+        return ""
+    for term in terms:
+        m = re.search(rf"\b{re.escape(term)}\b", text)
+        if m is None:
+            continue
+        start = max(m.start() - width, 0)
+        frag = text[start : m.start() + len(term) + width]
+        for t in terms:
+            frag = re.sub(rf"\b{re.escape(t)}\b", rf"<b>{t}</b>", frag)
+        return frag
+    return ""

@@ -127,12 +127,42 @@ class IndexService:
             self.spark, store, q, top_k=top_k, default_type=dtype,
             field_filter=body.get("field_filter"), staged=staged,
         ).collect()
-        resp: dict = {
-            "results": [
-                {"docid": int(r["docid"]), "score": float(r["score"])}
-                for r in out
-            ]
-        }
+        results = [
+            {"docid": int(r["docid"]), "score": float(r["score"])}
+            for r in out
+        ]
+        hl = body.get("highlight")
+        if hl:
+            # KWIC over the doc store, driver-side — no Spark job
+            # (reference highlighter runs on the stored fields too,
+            # highlighter.rs:71-382)
+            from seekstorm_spark.functions.highlight import (
+                kwic_fragment_py,
+            )
+            from seekstorm_spark.tokenizer import parse_query
+
+            ds = self.doc_stores.get(name)
+            if ds is None:
+                raise ValueError(
+                    f"index {name!r} has no doc store to highlight from"
+                )
+            field = hl.get("field", "text") if isinstance(hl, dict) else "text"
+            if field not in ds.fields:
+                raise ValueError(
+                    f"doc store has no field {field!r}; stored: {ds.fields}"
+                )
+            width = int(hl.get("width", 30)) if isinstance(hl, dict) else 30
+            terms = [t.term for t in parse_query(q).positive_terms]
+            rows = ds.get_many([r["docid"] for r in results])
+            for res, row in zip(results, rows):
+                res["fragment"] = (
+                    kwic_fragment_py(
+                        str(row.get(field) or ""), terms, width
+                    )
+                    if row is not None
+                    else ""
+                )
+        resp: dict = {"results": results}
         if body.get("count"):
             resp["count"] = count_matches(
                 self.spark, store, q, dtype, staged=staged

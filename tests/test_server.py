@@ -185,3 +185,24 @@ def test_read_only_server_rejects_writes(served):
         _post(base + "/indices/main/docs",
               {"documents": [{"url": "u", "text": "t"}]})
     assert ei.value.code == 403
+
+
+def test_query_highlight_from_doc_store(served):
+    """highlight=true attaches a KWIC fragment per result, served
+    from the columnar doc store on the driver (no Spark job)."""
+    base, _store = served
+    _s, r = _post(
+        base + "/indices/main/query",
+        {"query": "term00000", "top_k": 3,
+         "highlight": {"field": "url", "width": 12}},
+    )
+    assert len(r["results"]) == 3
+    assert all("fragment" in x for x in r["results"])
+    # url fields don't contain the term — fragments empty but present
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        # default field "text" is not stored in this fixture's store
+        _post(
+            base + "/indices/main/query",
+            {"query": "term00000", "top_k": 3, "highlight": True},
+        )
+    assert ei.value.code == 400
