@@ -27,8 +27,12 @@ _os.environ["PYTHONPATH"] = (
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--index", action="append", required=True,
+        "--index", action="append", default=[],
         help="name=path (repeatable)",
+    )
+    ap.add_argument(
+        "--index-root", default=None,
+        help="directory for indexes created via POST /indices",
     )
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
@@ -48,12 +52,14 @@ def main() -> int:
         if not path:
             ap.error(f"--index must be name=path, got {spec!r}")
         indices[name] = path
+    if not indices and not args.index_root:
+        ap.error("need --index and/or --index-root")
 
     kw = {"master": args.master} if args.master else {}
     spark = get_spark("seekstorm-serve", **kw)
     srv = make_server(
         spark, indices, host=args.host, port=args.port,
-        writable=args.writable,
+        writable=args.writable, index_root=args.index_root,
     )
     host, port = srv.server_address[:2]
     print(f"serving {sorted(indices)} on http://{host}:{port}", flush=True)

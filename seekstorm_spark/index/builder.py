@@ -1152,7 +1152,7 @@ class IndexBuilder:
             .parquet(store.postings_path)
         )
 
-        postings = spark.read.parquet(store.postings_path)
+        postings = store.postings(spark)
 
         # --- doc_meta + global stats (reference commit.rs:264-325),
         # derived from the sentinel postings (partition-pruned read of
@@ -1168,7 +1168,7 @@ class IndexBuilder:
                 _decode_doc_meta(sent, self.block_size).write.mode(
                     "overwrite"
                 ).parquet(store.doc_meta_path)
-            doc_meta = spark.read.parquet(store.doc_meta_path)
+            doc_meta = store.doc_meta(spark)
             # one collect: the per-field length histogram yields N
             # (field-0 rows), and the positions sum over ALL fields
             # (avgdl = Σ per-field quantized dl / doc count,
@@ -1202,7 +1202,7 @@ class IndexBuilder:
 
         # --- lineage (per-bucket commit record), derived from the tiny
         # term_stats table so the postings payload is read only once ---
-        ts = spark.read.parquet(store.term_stats_path)
+        ts = store.term_stats(spark)
         lineage = (
             ts.filter(F.col("tbucket").isin([int(b) for b in targets]))
             .groupBy("tbucket")

@@ -29,6 +29,30 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Explicit on-disk table schemas (must mirror the writer schemas in
+# builder.py — POSTING_SCHEMA / _decode_doc_meta /
+# term_stats_aggregate / encode_facet_blocks; a structural pytest
+# pins the two sides together). Passing them to every read (a) skips
+# parquet schema inference per query and (b) keeps EMPTY tables
+# readable — a zero-doc build writes no data files, and inference
+# cannot name columns that aren't there.
+POSTINGS_DDL = (
+    "term string, field int, block_id int, posting_count int, "
+    "df_block int, max_tf int, min_dl_byte int, docids_vb binary, "
+    "tfs_vb binary, dls binary, positions_vb binary, "
+    "tfs1_vb binary, tfs2_vb binary, tfs3_vb binary, "
+    "max_tf1 int, max_tf2 int, max_tf3 int, tbucket int"
+)
+DOC_META_DDL = "docid long, field int, dl_byte int"
+TERM_STATS_DDL = (
+    "term string, df long, cf_fields long, n_blocks int, max_tf int, "
+    "min_dl_byte int, bytes long, tbucket int"
+)
+FACETS_DDL = (
+    "block_id int, fvalues binary, vmin double, vmax double, "
+    "facet string"
+)
+
 
 @dataclass
 class IndexStore:
@@ -78,19 +102,21 @@ class IndexStore:
 
     # --- readers ---
     def doc_meta(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.doc_meta_path)
+        return spark.read.schema(DOC_META_DDL).parquet(self.doc_meta_path)
 
     def postings(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.postings_path)
+        return spark.read.schema(POSTINGS_DDL).parquet(self.postings_path)
 
     def term_stats(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.term_stats_path)
+        return spark.read.schema(TERM_STATS_DDL).parquet(
+            self.term_stats_path
+        )
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.lineage_path)
 
     def facet_blocks(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.facets_path)
+        return spark.read.schema(FACETS_DDL).parquet(self.facets_path)
 
     @property
     def n_docs(self) -> int:

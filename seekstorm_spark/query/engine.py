@@ -139,10 +139,12 @@ def _probe_stats_dir(
         return {}
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     dataset = pads.dataset(path, partitioning="hive")
-    tbl = dataset.to_table(
-        columns=["term", "df"],
-        filter=pc.field("tbucket").isin(buckets) & pc.field("term").isin(terms),
-    )
+    if "term" not in dataset.schema.names:
+        return {}  # empty index: no data files → no columns at all
+    flt = pc.field("term").isin(terms)
+    if "tbucket" in dataset.schema.names:
+        flt = pc.field("tbucket").isin(buckets) & flt
+    tbl = dataset.to_table(columns=["term", "df"], filter=flt)
     out: dict[str, int] = {}
     for t, v in zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist()):
         out[t] = out.get(t, 0) + int(v)

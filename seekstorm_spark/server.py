@@ -38,6 +38,12 @@ index/update endpoints, api_endpoints.rs:60-1470):
 * ``POST /indices/{name}/commit`` — force-commit staged batches.
 * ``POST /indices/{name}/delete`` — ``{"docids": [...]}`` or
   ``{"query": "...", "default_type"?}`` (delete-by-query).
+* ``POST /indices`` — ``{"name": ..., "options"?: {"n_buckets",
+  "fields", "stemmer"}}`` creates an EMPTY index under the server's
+  ``index_root`` (reference create_index); index docs into it via
+  ``/docs``.
+* ``DELETE /indices/{name}`` — drops the index from serving and disk
+  (reference delete_index).
 """
 
 from __future__ import annotations
@@ -71,10 +77,12 @@ class IndexService:
         indices: dict[str, str],
         doc_stores: dict[str, str] | None = None,
         writable: bool = False,
+        index_root: str | None = None,
     ):
         self.spark = spark
         self.stores = {n: IndexStore.open(p) for n, p in indices.items()}
         self.writable = writable
+        self.index_root = index_root
         self._indexers: dict[str, object] = {}
         self._write_locks: dict[str, threading.Lock] = {
             n: threading.Lock() for n in indices
@@ -228,6 +236,55 @@ class IndexService:
             raise KeyError(f"index {name!r} has no doc store")
         return ds.get(docid)
 
+    def create_index(self, body: dict) -> dict:
+        if not self.writable or not self.index_root:
+            raise PermissionError(
+                "index creation needs writable=True and an index_root"
+            )
+        name = body.get("name") or ""
+        if not re.fullmatch(r"[A-Za-z0-9_-]+", name):
+            raise ValueError("index name must match [A-Za-z0-9_-]+")
+        if name in self.stores:
+            raise ValueError(f"index {name!r} already exists")
+        from seekstorm_spark.index.builder import IndexBuilder
+
+        opts = body.get("options") or {}
+        fields = list(opts.get("fields") or ["text"])
+        path = os.path.join(self.index_root, name)
+        empty = self.spark.createDataFrame(
+            [],
+            "doc_id long, " + ", ".join(f"{f} string" for f in fields),
+        )
+        kw: dict = {"n_buckets": int(opts.get("n_buckets", 8))}
+        if opts.get("stemmer"):
+            kw["stemmer"] = opts["stemmer"]
+        if len(fields) > 1:
+            kw["fields"] = fields
+            store = IndexBuilder(self.spark, path, **kw).build(
+                empty, id_col="doc_id"
+            )
+        else:
+            store = IndexBuilder(self.spark, path, **kw).build(
+                empty, text_col=fields[0], id_col="doc_id"
+            )
+        self.stores[name] = store
+        self._write_locks[name] = threading.Lock()
+        return {"created": name, "path": path}
+
+    def drop_index(self, name: str) -> dict:
+        if not self.writable:
+            raise PermissionError(
+                "server is read-only (start with writable=True)"
+            )
+        import shutil
+
+        store = self.stores.pop(name)  # KeyError → 404
+        self._indexers.pop(name, None)
+        self.doc_stores.pop(name, None)
+        self._write_locks.pop(name, None)
+        shutil.rmtree(store.path, ignore_errors=True)
+        return {"dropped": name}
+
 
 _ROUTES = [
     ("GET", re.compile(r"^/health$"), "health"),
@@ -240,6 +297,8 @@ _ROUTES = [
     ("POST", re.compile(r"^/indices/([^/]+)/docs$"), "add_docs"),
     ("POST", re.compile(r"^/indices/([^/]+)/commit$"), "commit"),
     ("POST", re.compile(r"^/indices/([^/]+)/delete$"), "delete"),
+    ("POST", re.compile(r"^/indices$"), "create_index"),
+    ("DELETE", re.compile(r"^/indices/([^/]+)$"), "drop_index"),
 ]
 
 
@@ -324,12 +383,19 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, svc.commit(match.group(1)))
         elif op == "delete":
             self._send(200, svc.delete(match.group(1), self._body()))
+        elif op == "create_index":
+            self._send(200, svc.create_index(self._body()))
+        elif op == "drop_index":
+            self._send(200, svc.drop_index(match.group(1)))
 
     def do_GET(self):
         self._dispatch("GET")
 
     def do_POST(self):
         self._dispatch("POST")
+
+    def do_DELETE(self):
+        self._dispatch("DELETE")
 
 
 def make_server(
@@ -339,11 +405,15 @@ def make_server(
     port: int = 8080,
     doc_stores: dict[str, str] | None = None,
     writable: bool = False,
+    index_root: str | None = None,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port=0`` picks a
     free port (``server.server_address[1]``). Call ``serve_forever()``
     or wrap in a thread; ``shutdown()`` stops it."""
-    service = IndexService(spark, indices, doc_stores, writable=writable)
+    service = IndexService(
+        spark, indices, doc_stores, writable=writable,
+        index_root=index_root,
+    )
     handler = type("Handler", (_Handler,), {"service": service})
     return ThreadingHTTPServer((host, port), handler)
 
@@ -355,9 +425,12 @@ def serve_in_thread(
     port: int = 0,
     doc_stores: dict[str, str] | None = None,
     writable: bool = False,
+    index_root: str | None = None,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the server on a daemon thread; returns (server, thread)."""
-    srv = make_server(spark, indices, host, port, doc_stores, writable)
+    srv = make_server(
+        spark, indices, host, port, doc_stores, writable, index_root
+    )
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, t

@@ -163,3 +163,73 @@ def test_resume_from_lineage(spark, tmp_path):
     # index is complete and correct
     res = search(spark, store, "term00000", top_k=5).collect()
     assert len(res) == 5
+
+
+def test_reader_ddl_matches_written_schema(spark, tmp_path):
+    """The explicit reader DDLs in store.py must stay in lockstep with
+    the writer schemas in builder.py — compare against inference on a
+    real faceted index (name+type per column)."""
+    from pyspark.sql import functions as F
+
+    from seekstorm_spark.index.builder import IndexBuilder
+    from seekstorm_spark.sources.webtext import synth_webtext
+
+    docs = synth_webtext(spark, 60, seed=8).withColumn(
+        "nch", F.length("text").cast("double")
+    )
+    store = IndexBuilder(
+        spark, str(tmp_path / "ddl"), n_buckets=2,
+        facet_cols=["lang", "nch"],
+    ).build(docs, text_col="text", order_col="url")
+    for declared, path in [
+        (store.postings(spark), store.postings_path),
+        (store.term_stats(spark), store.term_stats_path),
+        (store.doc_meta(spark), store.doc_meta_path),
+        (store.facet_blocks(spark), store.facets_path),
+    ]:
+        inferred = spark.read.parquet(path).schema
+        got = {f.name: f.dataType.simpleString() for f in declared.schema}
+        want = {f.name: f.dataType.simpleString() for f in inferred}
+        assert got == want, path
+
+
+def test_empty_index_lifecycle(spark, tmp_path):
+    """A ZERO-doc build is a valid index: open, search, count, browse
+    all answer empty — then realtime appends grow it into a live one
+    (the create-empty-then-index flow the REST server exposes)."""
+    from seekstorm_spark.index.builder import IndexBuilder
+    from seekstorm_spark.index.store import IndexStore
+    from seekstorm_spark.query.engine import (
+        browse,
+        count_matches,
+        search,
+        search_many,
+    )
+    from seekstorm_spark.streaming.incremental import RealtimeIndexer
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    store = IndexBuilder(spark, str(tmp_path / "e"), n_buckets=2).build(
+        empty, text_col="text", id_col="doc_id"
+    )
+    assert store.meta["n_docs"] == 0
+    reopened = IndexStore.open(store.path)
+    assert search(spark, reopened, "anything").collect() == []
+    assert count_matches(spark, reopened, "anything") == 0
+    assert search_many(spark, reopened, ["a", "b c"]).collect() == []
+    assert browse(spark, reopened).collect() == []
+
+    ri = RealtimeIndexer(spark, reopened, text_col="text")
+    ri.add_documents(
+        spark.createDataFrame(
+            [("a", "hello world"), ("b", "hello spark engine")],
+            "url string, text string",
+        )
+    )
+    assert {
+        r["docid"]
+        for r in search(
+            spark, reopened, "hello", staged=ri.staged
+        ).collect()
+    } == {0, 1}
+    ri.commit()
+    assert count_matches(spark, reopened, "hello") == 2

@@ -206,3 +206,56 @@ def test_query_highlight_from_doc_store(served):
             {"query": "term00000", "top_k": 3, "highlight": True},
         )
     assert ei.value.code == 400
+
+
+def test_index_crud_lifecycle(spark, tmp_path):
+    """Create an EMPTY index over HTTP, stream docs into it, search
+    pre- and post-commit, then drop it (reference create_index /
+    delete_index endpoints)."""
+    import os
+
+    srv, _t = serve_in_thread(
+        spark, {}, port=0, writable=True, index_root=str(tmp_path)
+    )
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        _s, r = _post(base + "/indices", {"name": "fresh",
+                                          "options": {"n_buckets": 2}})
+        assert r["created"] == "fresh"
+        assert _get(base + "/indices")[1] == {"indices": ["fresh"]}
+        assert _get(base + "/indices/fresh/info")[1]["n_docs"] == 0
+        # duplicate name and bad name → 400
+        for bad in ({"name": "fresh"}, {"name": "../evil"}, {}):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(base + "/indices", bad)
+            assert ei.value.code == 400
+        # index documents; visible before commit
+        _post(base + "/indices/fresh/docs", {"documents": [
+            {"url": "u1", "text": "hello world"},
+            {"url": "u2", "text": "hello spark"},
+        ]})
+        _s, q = _post(base + "/indices/fresh/query",
+                      {"query": "hello", "count": True})
+        assert len(q["results"]) == 2 and q["count"] == 2
+        _post(base + "/indices/fresh/commit", {})
+        _s, q2 = _post(base + "/indices/fresh/query", {"query": "hello"})
+        assert {x["docid"] for x in q2["results"]} == {
+            x["docid"] for x in q["results"]
+        }
+        # drop: removed from serving AND disk
+        import urllib.request as _rq
+
+        req = _rq.Request(base + "/indices/fresh", method="DELETE")
+        with _rq.urlopen(req, timeout=120) as resp:
+            assert json.loads(resp.read()) == {"dropped": "fresh"}
+        assert _get(base + "/indices")[1] == {"indices": []}
+        assert not os.path.exists(str(tmp_path / "fresh"))
+    finally:
+        srv.shutdown()
+
+
+def test_create_rejected_without_root(spark, served):
+    base, _store = served  # read-only, no index_root
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/indices", {"name": "nope"})
+    assert ei.value.code == 403
