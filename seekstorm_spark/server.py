@@ -83,6 +83,9 @@ class IndexService:
         self.stores = {n: IndexStore.open(p) for n, p in indices.items()}
         self.writable = writable
         self.index_root = index_root
+        # serializes index create/drop (registry mutations); per-index
+        # write locks cover doc-level mutations
+        self._registry_lock = threading.Lock()
         self._indexers: dict[str, object] = {}
         self._write_locks: dict[str, threading.Lock] = {
             n: threading.Lock() for n in indices
@@ -244,31 +247,33 @@ class IndexService:
         name = body.get("name") or ""
         if not re.fullmatch(r"[A-Za-z0-9_-]+", name):
             raise ValueError("index name must match [A-Za-z0-9_-]+")
-        if name in self.stores:
-            raise ValueError(f"index {name!r} already exists")
         from seekstorm_spark.index.builder import IndexBuilder
 
-        opts = body.get("options") or {}
-        fields = list(opts.get("fields") or ["text"])
-        path = os.path.join(self.index_root, name)
-        empty = self.spark.createDataFrame(
-            [],
-            "doc_id long, " + ", ".join(f"{f} string" for f in fields),
-        )
-        kw: dict = {"n_buckets": int(opts.get("n_buckets", 8))}
-        if opts.get("stemmer"):
-            kw["stemmer"] = opts["stemmer"]
-        if len(fields) > 1:
-            kw["fields"] = fields
-            store = IndexBuilder(self.spark, path, **kw).build(
-                empty, id_col="doc_id"
+        with self._registry_lock:
+            if name in self.stores:
+                raise ValueError(f"index {name!r} already exists")
+            opts = body.get("options") or {}
+            fields = list(opts.get("fields") or ["text"])
+            path = os.path.join(self.index_root, name)
+            empty = self.spark.createDataFrame(
+                [],
+                "doc_id long, "
+                + ", ".join(f"{f} string" for f in fields),
             )
-        else:
-            store = IndexBuilder(self.spark, path, **kw).build(
-                empty, text_col=fields[0], id_col="doc_id"
-            )
-        self.stores[name] = store
-        self._write_locks[name] = threading.Lock()
+            kw: dict = {"n_buckets": int(opts.get("n_buckets", 8))}
+            if opts.get("stemmer"):
+                kw["stemmer"] = opts["stemmer"]
+            if len(fields) > 1:
+                kw["fields"] = fields
+                store = IndexBuilder(self.spark, path, **kw).build(
+                    empty, id_col="doc_id"
+                )
+            else:
+                store = IndexBuilder(self.spark, path, **kw).build(
+                    empty, text_col=fields[0], id_col="doc_id"
+                )
+            self.stores[name] = store
+            self._write_locks[name] = threading.Lock()
         return {"created": name, "path": path}
 
     def drop_index(self, name: str) -> dict:
@@ -278,10 +283,11 @@ class IndexService:
             )
         import shutil
 
-        store = self.stores.pop(name)  # KeyError → 404
-        self._indexers.pop(name, None)
-        self.doc_stores.pop(name, None)
-        self._write_locks.pop(name, None)
+        with self._registry_lock:
+            store = self.stores.pop(name)  # KeyError → 404
+            self._indexers.pop(name, None)
+            self.doc_stores.pop(name, None)
+            self._write_locks.pop(name, None)
         shutil.rmtree(store.path, ignore_errors=True)
         return {"dropped": name}
 
