@@ -91,3 +91,55 @@ def synth_webtext(
         spark.range(0, n_docs, numPartitions=parts)
         .mapInPandas(gen, schema=WEBTEXT_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (the input-contract invariant: the extracted
+# text per url is byte-identical to the corpus ``text`` column).
+# ---------------------------------------------------------------------------
+
+import html as _html
+import re as _re
+
+_COMMENT_RE = _re.compile(r"(?s)<!--.*?-->")
+_SCRIPT_RE = _re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
+_HEAD_RE = _re.compile(r"(?is)<head\b.*?</head\s*>")
+_TAG_RE = _re.compile(r"(?s)<[^>]*>")
+
+
+def html_to_text(raw) -> str:
+    """Strip one HTML payload to its body text: comments, script and
+    style blocks (with content), and the entire <head> drop; remaining
+    tags are removed; entities decode; outer whitespace trims. The
+    per-row invariant the pipeline is built on: for the corpus
+    generator above, ``html_to_text(html) == text`` BYTE-IDENTICALLY
+    (gated by pytest) — the Spark analog of the reference extracting
+    its index text from the raw page."""
+    if raw is None:
+        return ""
+    if isinstance(raw, (bytes, bytearray, memoryview)):
+        s = bytes(raw).decode("utf-8", "replace")
+    else:
+        s = str(raw)
+    s = _COMMENT_RE.sub("", s)
+    s = _SCRIPT_RE.sub("", s)
+    s = _HEAD_RE.sub("", s)
+    s = _TAG_RE.sub("", s)
+    return _html.unescape(s).strip()
+
+
+def extract_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "extracted"
+) -> DataFrame:
+    """Add ``out_col`` = extracted text of the binary ``html_col`` —
+    Arrow-batched (one Python call per batch, not per byte), the
+    standard ingest step from a crawl table ``(url, warc_ts, html)``
+    to the indexable text column."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _extract(htmls: pd.Series) -> pd.Series:
+        return htmls.map(html_to_text)
+
+    return df.withColumn(out_col, _extract(df[html_col]))

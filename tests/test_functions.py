@@ -544,3 +544,34 @@ def test_contamination_pairs(spark):
     assert (2, 0) not in got and got[(0, 0)] == 6
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_html_extraction_byte_identical(spark):
+    """The input-contract invariant: extracting text from the corpus
+    html column reproduces the text column BYTE-IDENTICALLY, for
+    every row."""
+    from pyspark.sql import functions as F
+
+    from seekstorm_spark.sources.webtext import extract_text, synth_webtext
+
+    docs = synth_webtext(spark, 400, seed=31)
+    mismatches = (
+        extract_text(docs, "html", "extracted")
+        .filter(F.col("extracted") != F.col("text"))
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_html_to_text_edge_cases():
+    from seekstorm_spark.sources.webtext import html_to_text
+
+    assert html_to_text(
+        b"<html><head><title>T</title><style>p{}</style></head>"
+        b"<body><p>a &amp; b</p><script>var x=1;</script></body></html>"
+    ) == "a & b"
+    assert html_to_text(b"<!-- c --><p class='x'>hi</p>") == "hi"
+    assert html_to_text(None) == ""
+    assert html_to_text("plain no tags") == "plain no tags"
+    # broken utf-8 degrades, never raises
+    assert "ok" in html_to_text(b"<p>ok\xff</p>")
