@@ -1663,6 +1663,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ingest_fvecs"] = ingest_fvecs
+
+    # HTML ingest: wrap each doc's text in a page, extract it back —
+    # the input-contract invariant (byte-identical extracted text per
+    # row) through the Arrow-batched stripper
+    def ingest_html_extract(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.sources.webtext import extract_text
+
+        wrapped = _docs(s, d).select("doc_id", "text").withColumn(
+            "html",
+            F.encode(
+                F.concat(
+                    F.lit(
+                        "<html><head><title>t</title>"
+                        "<style>p{margin:0}</style></head><body><p>"
+                    ),
+                    F.col("text"),
+                    F.lit("</p><!-- footer --></body></html>"),
+                ),
+                "utf-8",
+            ),
+        )
+        return extract_text(wrapped, "html", "extracted").select(
+            "doc_id", F.col("extracted").alias("text")
+        )
+
+    q["ingest_html_extract"] = ingest_html_extract
     q["iterator_skip_take"] = lambda s, d: (
         _docs(s, d)
         .orderBy(F.col("doc_id").asc())
@@ -2366,6 +2392,7 @@ SELECT s.doc_id, p.doc_id AS probe_id, count(*)::BIGINT AS n_common
 FROM sh s JOIN probes p ON s.shingle = p.shingle AND s.doc_id <> p.doc_id
 GROUP BY 1, 2
 """
+    o["ingest_html_extract"] = "SELECT doc_id, text FROM documents"
     o["doc_store_get"] = """
 SELECT doc_id AS docid, lang, source, n_chars::BIGINT AS n_chars
 FROM documents WHERE doc_id IN (3, 17, 101, 250)
