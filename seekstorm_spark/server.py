@@ -25,6 +25,12 @@ Endpoints (reference parity subset):
   (reference query POST, api_endpoints.rs:1322-1470).
 * ``GET  /indices/{name}/query?q=…&top_k=…`` — GET variant.
 * ``POST /indices/{name}/count`` — exact match count.
+* ``POST /indices/{name}/query_batch`` — ``{"queries": [str, …],
+  "top_k"?, "default_type"?, "facet_filters"?: [dict|null, …],
+  "geo_filters"?: [dict|null, …]}`` → N result lists from ONE fused
+  Spark action (:func:`search_many` — the serving-throughput path).
+* ``GET  /indices/{name}/term/{term}`` — stored document frequency
+  (driver-side pyarrow probe, no Spark job).
 * ``GET  /indices/{name}/doc/{docid}`` — stored fields from the
   index's doc store (reference get_document).
 
@@ -188,6 +194,38 @@ class IndexService:
         )
         return {"matches": int(n)}
 
+    def query_batch(self, name: str, body: dict) -> dict:
+        from seekstorm_spark.query.engine import search_many
+
+        qs = body.get("queries")
+        if not isinstance(qs, list) or not qs:
+            raise ValueError("body must contain a non-empty 'queries' list")
+        out = search_many(
+            self.spark,
+            self.stores[name],
+            [str(q) for q in qs],
+            top_k=int(body.get("top_k", 10)),
+            default_type=body.get("default_type", "union"),
+            staged=self._staged(name),
+            facet_filters=body.get("facet_filters"),
+            geo_filters=body.get("geo_filters"),
+        ).collect()
+        grouped: list[list[dict]] = [[] for _ in qs]
+        for r in out:
+            grouped[int(r["query_id"])].append(
+                {"docid": int(r["docid"]), "score": float(r["score"])}
+            )
+        for g in grouped:
+            g.sort(key=lambda x: (-x["score"], x["docid"]))
+        return {"results": grouped}
+
+    def term_df(self, name: str, term: str) -> dict:
+        from seekstorm_spark.query.engine import _probe_term_stats
+
+        store = self.stores[name]
+        df = _probe_term_stats(store, [term], self._staged(name))
+        return {"term": term, "df": int(df.get(term, 0))}
+
     def add_docs(self, name: str, body: dict) -> dict:
         docs = body.get("documents")
         if not isinstance(docs, list) or not docs:
@@ -299,6 +337,8 @@ _ROUTES = [
     ("GET", re.compile(r"^/indices/([^/]+)/query$"), "query_get"),
     ("POST", re.compile(r"^/indices/([^/]+)/query$"), "query"),
     ("POST", re.compile(r"^/indices/([^/]+)/count$"), "count"),
+    ("POST", re.compile(r"^/indices/([^/]+)/query_batch$"), "query_batch"),
+    ("GET", re.compile(r"^/indices/([^/]+)/term/([^/]+)$"), "term_df"),
     ("GET", re.compile(r"^/indices/([^/]+)/doc/(\d+)$"), "doc"),
     ("POST", re.compile(r"^/indices/([^/]+)/docs$"), "add_docs"),
     ("POST", re.compile(r"^/indices/([^/]+)/commit$"), "commit"),
@@ -377,6 +417,14 @@ class _Handler(BaseHTTPRequestHandler):
             if "query" not in body:
                 raise ValueError("body must contain 'query'")
             self._send(200, svc.count(match.group(1), body))
+        elif op == "query_batch":
+            self._send(200, svc.query_batch(match.group(1), self._body()))
+        elif op == "term_df":
+            from urllib.parse import unquote
+
+            self._send(
+                200, svc.term_df(match.group(1), unquote(match.group(2)))
+            )
         elif op == "doc":
             row = svc.doc(match.group(1), int(match.group(2)))
             if row is None:

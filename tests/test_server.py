@@ -259,3 +259,26 @@ def test_create_rejected_without_root(spark, served):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(base + "/indices", {"name": "nope"})
     assert ei.value.code == 403
+
+
+def test_query_batch_and_term_df(spark, served):
+    """query_batch fuses N queries into one action and matches
+    per-query /query results; /term/{t} answers from the driver-side
+    stats probe."""
+    base, store = served
+    qs = ["term00000", "+term00000 +term00001", "term00000 -term00001"]
+    _s, batch = _post(
+        base + "/indices/main/query_batch", {"queries": qs, "top_k": 5}
+    )
+    assert len(batch["results"]) == 3
+    for i, q in enumerate(qs):
+        _s2, single = _post(
+            base + "/indices/main/query", {"query": q, "top_k": 5}
+        )
+        assert batch["results"][i] == single["results"], q
+    _s3, td = _get(base + "/indices/main/term/term00000")
+    n = count_matches(spark, store, "term00000")
+    assert td == {"term": "term00000", "df": n} and n > 0
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/indices/main/query_batch", {"queries": []})
+    assert ei.value.code == 400
