@@ -44,6 +44,7 @@ def write_doc_store(
     fields: list[str] | None = None,
     docs_per_bucket: int = 1 << 20,
     mode: str = "overwrite",
+    compression: str = "snappy",
 ) -> None:
     """Write ``docs`` as a docid-bucketed columnar doc store.
 
@@ -53,6 +54,10 @@ def write_doc_store(
     directory (the many-partition file-create tail does not scale
     otherwise). ``mode="append"`` adds new buckets/files for appended
     docs — readers pick them up via per-bucket-dir mtime keys.
+    ``compression`` maps to the parquet codec — ``snappy`` (default),
+    ``zstd``, ``gzip``, ``lz4``, or ``none``/``uncompressed`` — the
+    reference's per-store None/Lz4/Zstd compression choice
+    (doc_store.rs); readers are codec-agnostic.
     """
     cols = fields or [c for c in docs.columns if c != id_col]
     out = (
@@ -67,7 +72,10 @@ def write_doc_store(
         .repartition("dbucket")
         .sortWithinPartitions("docid")
     )
-    out.write.mode(mode).partitionBy("dbucket").parquet(path)
+    codec = {"none": "uncompressed"}.get(compression, compression)
+    out.write.mode(mode).option("compression", codec).partitionBy(
+        "dbucket"
+    ).parquet(path)
     meta = {
         "version": DOC_STORE_VERSION,
         "docs_per_bucket": int(docs_per_bucket),

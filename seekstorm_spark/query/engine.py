@@ -474,6 +474,26 @@ def _resolve_facets(
     return filters_k, emit, dicts, kinds
 
 
+def _normalize_geo(gf: dict | None) -> tuple[dict | None, str]:
+    """Accept the radius in km (``radius_km``) or miles
+    (``radius_mi``, reference DistanceUnit) and an optional ``unit``
+    ("km"|"mi") for the EMITTED ``geo_dist``; internally everything
+    runs in km."""
+    if not gf:
+        return gf, "km"
+    from seekstorm_spark.functions.geo import KM_PER_MILE
+
+    gf = dict(gf)
+    unit = gf.pop("unit", "mi" if "radius_mi" in gf else "km")
+    if unit not in ("km", "mi"):
+        raise ValueError(f"geo unit must be 'km' or 'mi', got {unit!r}")
+    if "radius_mi" in gf:
+        if "radius_km" in gf:
+            raise ValueError("give radius_km OR radius_mi, not both")
+        gf["radius_km"] = float(gf.pop("radius_mi")) * KM_PER_MILE
+    return gf, unit
+
+
 def _empty_result(
     spark: SparkSession,
     emit_facets: list[str],
@@ -528,6 +548,7 @@ def search(
     (reference geo Point facets, search.rs:2712-2724) — sort on
     "geo_dist" to order by distance."""
     staged = list(staged) if staged else None
+    geo_filter, geo_unit = _normalize_geo(geo_filter)
     filters_k, emit_facets, dicts, kinds = _resolve_facets(
         store, facet_filters, result_sort, geo_filter
     )
@@ -616,6 +637,14 @@ def search(
     candidates = rows.sortWithinPartitions(
         F.col("block_bound").desc(), "block_id", "term", "field"
     ).mapInPandas(kernel, schema=schema)
+    if want_dist and geo_unit == "mi":
+        # kernel distances are km; the requested unit only rescales
+        # the emitted column (sort order is unit-invariant)
+        from seekstorm_spark.functions.geo import KM_PER_MILE
+
+        candidates = candidates.withColumn(
+            "geo_dist", F.col("geo_dist") / F.lit(KM_PER_MILE)
+        )
 
     if result_sort:
         # decode facet bytes → values (sorted dictionary ⇒ byte order
@@ -728,6 +757,7 @@ def search_many(
         for i, gf in enumerate(geo_filters):
             if not gf:
                 continue
+            gf, _unit = _normalize_geo(gf)
             _resolve_facets(store, None, None, geo_filter=gf)  # validate
             geo_by_q[i] = dict(gf)
 

@@ -314,3 +314,45 @@ def test_search_many_per_query_geo_filters(spark, tmp_path):
         )
         assert got == single, q
         assert single, q
+
+
+def test_geo_miles_unit(spark, tmp_path):
+    """radius_mi converts to km internally (reference DistanceUnit);
+    geo_dist emits in the requested unit, same docids/order."""
+    from pyspark.sql import Window, functions as F
+
+    from seekstorm_spark.functions.geo import KM_PER_MILE
+    from seekstorm_spark.index.builder import IndexBuilder
+    from seekstorm_spark.query.engine import search
+    from seekstorm_spark.sources.webtext import synth_webtext
+
+    rn = F.row_number().over(Window.orderBy("url")) - 1
+    docs = (
+        synth_webtext(spark, 120, seed=5)
+        .withColumn("doc_id", rn.cast("long"))
+        .withColumn("lat", (F.col("doc_id") * 37 % 18000) / 100.0 - 90.0)
+        .withColumn("lon", (F.col("doc_id") * 73 % 36000) / 100.0 - 180.0)
+    )
+    store = IndexBuilder(
+        spark, str(tmp_path / "mi"), n_buckets=2, facet_cols=["lat", "lon"],
+    ).build(docs, text_col="text", id_col="doc_id")
+    r_km = 7000.0
+    km = search(
+        spark, store, "term00000", top_k=15,
+        geo_filter={"lat": "lat", "lon": "lon", "at": (10.0, 20.0),
+                    "radius_km": r_km},
+        result_sort=[("geo_dist", "asc")],
+    ).collect()
+    mi = search(
+        spark, store, "term00000", top_k=15,
+        geo_filter={"lat": "lat", "lon": "lon", "at": (10.0, 20.0),
+                    "radius_mi": r_km / KM_PER_MILE},
+        result_sort=[("geo_dist", "asc")],
+    ).collect()
+    assert [r["docid"] for r in km] == [r["docid"] for r in mi]
+    for a, b in zip(km, mi):
+        assert abs(a["geo_dist"] / KM_PER_MILE - b["geo_dist"]) < 1e-9
+    with pytest.raises(ValueError, match="not both"):
+        search(spark, store, "term00000",
+               geo_filter={"lat": "lat", "lon": "lon", "at": (0, 0),
+                           "radius_km": 1.0, "radius_mi": 1.0})
