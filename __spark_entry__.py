@@ -903,6 +903,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_geo_sort"] = wand_geo_sort
 
+    # miles unit (reference DistanceUnit): radius given in miles,
+    # distances emitted in miles — same candidates, rescaled column
+    def wand_geo_miles(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.geo import KM_PER_MILE
+        from seekstorm_spark.query.engine import search
+
+        gf = {
+            "lat": "lat", "lon": "lon", "at": _GEO_FILTER["at"],
+            "radius_mi": _GEO_FILTER["radius_km"] / KM_PER_MILE,
+        }
+        out = search(
+            s, _wandgeo_store(s, d), "fast", top_k=10,
+            default_type="union", geo_filter=gf,
+            result_sort=[("geo_dist", "asc")],
+        )
+        return out.select(
+            "docid", F.round(F.col("geo_dist"), 4).alias("geo_dist_mi")
+        )
+
+    q["wand_geo_miles"] = wand_geo_miles
+
     # Point facet (reference Point type, search.rs:2712-2724): ONE
     # [lat, lon] facet column → one interleaved per-block buffer;
     # filter + distance sort must equal the lat/lon-pair form (same
@@ -2195,6 +2216,12 @@ FROM documents GROUP BY lang
     )
     # Point facet: same distances/order as the lat/lon pair form
     o["wand_geo_point"] = o["wand_geo_sort"]
+    # miles: identical candidate set and order, distance / 1.609344
+    # (the same float64 constant and operation on both sides)
+    o["wand_geo_miles"] = o["wand_geo_sort"].replace(
+        "round(dist_km, 4) AS geo_dist",
+        "round(dist_km / 1.609344, 4) AS geo_dist_mi",
+    )
     # packed Morton Point: distances from the QUANTIZED coordinates —
     # trunc(x·10^7)/10^7 here mirrors the kernel's i32 encode/decode
     # (numpy astype(int64) truncates toward zero, as trunc() does)
