@@ -1494,6 +1494,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_multi_geo"] = wand_multi_geo
 
+    # per-query numeric RANGE facet tallies in the fused batch —
+    # different bucket sets per query, one action, cumulative mode
+    def wand_multi_facet_range(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import facet_range_counts_many
+
+        store = _wand_store(s, d)
+        out = facet_range_counts_many(
+            s,
+            store,
+            [
+                ("fast", {"n_chars": [0.0, 100.0, 200.0, 300.0]}),
+                ("+fast +table", {"n_chars": [0.0, 150.0]}),
+            ],
+            cumulative=True,
+        )
+        return out.select(
+            "query_id", "facet", "bucket_lo",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_cumulative").cast("long").alias("n_cumulative"),
+        )
+
+    q["wand_multi_facet_range"] = wand_multi_facet_range
+
     q["count_and"] = lambda s, d: _match_count_df(
         s, _docs(s, d), ["fast", "table"], "intersection"
     )
@@ -2420,6 +2443,32 @@ FROM sh s JOIN probes p ON s.shingle = p.shingle AND s.doc_id <> p.doc_id
 GROUP BY 1, 2
 """
     o["ingest_html_extract"] = "SELECT doc_id, text FROM documents"
+    o["wand_multi_facet_range"] = f"""
+WITH m0 AS (SELECT DISTINCT doc_id FROM {_TOKS} WHERE term = 'fast'),
+m1 AS (SELECT doc_id FROM (SELECT DISTINCT doc_id FROM {_TOKS}
+                           WHERE term = 'fast')
+       WHERE doc_id IN (SELECT DISTINCT doc_id FROM {_TOKS}
+                        WHERE term = 'table')),
+b0 AS (SELECT 0 AS query_id, 'n_chars' AS facet,
+              CASE WHEN n_chars >= 300 THEN 300.0
+                   WHEN n_chars >= 200 THEN 200.0
+                   WHEN n_chars >= 100 THEN 100.0
+                   ELSE 0.0 END AS bucket_lo,
+              count(*)::BIGINT AS n
+       FROM documents WHERE doc_id IN (SELECT doc_id FROM m0)
+       GROUP BY 3),
+b1 AS (SELECT 1, 'n_chars',
+              CASE WHEN n_chars >= 150 THEN 150.0 ELSE 0.0 END,
+              count(*)::BIGINT
+       FROM documents WHERE doc_id IN (SELECT doc_id FROM m1)
+       GROUP BY 3),
+u AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1)
+SELECT query_id, facet, bucket_lo, n,
+       sum(n) OVER (PARTITION BY query_id, facet ORDER BY bucket_lo
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS n_cumulative
+FROM u
+"""
     o["doc_store_get"] = """
 SELECT doc_id AS docid, lang, source, n_chars::BIGINT AS n_chars
 FROM documents WHERE doc_id IN (3, 17, 101, 250)

@@ -963,6 +963,104 @@ def facet_counts_many(
     return agg.select("query_id", "facet", decode.alias("value"), "n")
 
 
+def facet_range_counts_many(
+    spark: SparkSession,
+    store: IndexStore,
+    requests: list[tuple[str, dict]],
+    default_type: str = "union",
+    staged: list | None = None,
+    cumulative: bool = False,
+) -> DataFrame:
+    """Numeric range-facet counts for N queries in ONE Spark action →
+    DataFrame(query_id, facet, bucket_lo, n[, n_cumulative]).
+
+    ``requests`` is a list of (query, {facet: ascending lower
+    bounds}); bucket sets may differ between queries for the same
+    facet. Same fused scan + shared per-block buffer decode as
+    :func:`facet_counts_many`; per-query semantics identical to
+    :func:`facet_range_counts`. ``staged`` falls back per query."""
+    from functools import reduce
+
+    staged = list(staged) if staged else None
+    specs: dict = store.meta.get("facets") or {}
+    base_cols = "query_id int, facet string, bucket_lo double, n long"
+    empty = spark.createDataFrame(
+        [],
+        base_cols + (", n_cumulative long" if cumulative else ""),
+    )
+    for _q, ranges in requests:
+        for fc in ranges:
+            if fc not in specs or facet_kind(specs[fc]) != "numeric":
+                raise ValueError(
+                    f"{fc!r} is not an indexed numeric facet"
+                )
+    if staged:
+        outs = [
+            facet_range_counts(
+                spark, store, qstr, ranges, default_type, staged,
+                cumulative=cumulative,
+            ).select(
+                F.lit(int(i)).alias("query_id"), "*"
+            )
+            for i, (qstr, ranges) in enumerate(requests)
+        ]
+        return reduce(lambda a, b: a.unionByName(b), outs) if outs else empty
+
+    plans = [
+        _plan(spark, store, qstr, default_type, None)
+        for qstr, _r in requests
+    ]
+    boosts, allowed = _resolve_fields(store, None, None)
+    _n, avgdl = _effective_stats(store, None)
+    fused: list[tuple[int, QueryPlan]] = []
+    count_facets_by_q: dict[int, dict] = {}
+    bounds_by_qf: dict[tuple[int, str], list[float]] = {}
+    for i, plan in enumerate(plans):
+        if plan.missing_required or not plan.pos_terms:
+            continue
+        fused.append((i, plan))
+        spec: dict = {}
+        for fc, bounds in requests[i][1].items():
+            bs = sorted(float(b) for b in bounds)
+            spec[fc] = ("numeric", np.asarray(bs, dtype=np.float64))
+            bounds_by_qf[(i, fc)] = bs
+        count_facets_by_q[i] = spec
+    if not fused:
+        return empty
+    agg = (
+        _search_many_fused(
+            spark, store, fused, 0, False, boosts, allowed, avgdl,
+            count_only=True,
+            count_facets_by_q=count_facets_by_q,
+            facet_sizes={},
+        )
+        .groupBy("query_id", "facet", "code")
+        .agg(F.sum("matches").cast("long").alias("n"))
+    )
+    # bucket decode keys on (query_id, facet): bound sets may differ
+    decode = F.lit(None).cast("double")
+    for (qi, fc), bs in bounds_by_qf.items():
+        arr = F.array(*[F.lit(float(b)) for b in bs])
+        decode = F.when(
+            (F.col("query_id") == qi) & (F.col("facet") == fc),
+            F.element_at(arr, F.col("code").cast("int") + 1),
+        ).otherwise(decode)
+    out = agg.select(
+        "query_id", "facet", decode.alias("bucket_lo"), "n"
+    )
+    if cumulative:
+        w = (
+            Window.partitionBy("query_id", "facet")
+            .orderBy("bucket_lo")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.select(
+            "query_id", "facet", "bucket_lo", "n",
+            F.sum("n").over(w).cast("long").alias("n_cumulative"),
+        )
+    return out
+
+
 def _fused_scan_terms(plan: QueryPlan) -> set[str]:
     """Posting terms one query's evaluation touches — mirrors the
     term set _annotated_postings scans for a single query."""

@@ -216,3 +216,35 @@ def test_search_many_per_query_facet_filters(spark, set_store):
         )
         assert got == single, q
         assert single, q  # every case non-trivial
+
+
+def test_facet_range_counts_many_matches_single(spark, set_store):
+    """Per-query numeric range tallies in the fused action — bucket
+    sets can differ per query; results ≡ facet_range_counts."""
+    from seekstorm_spark.query.engine import (
+        facet_range_counts,
+        facet_range_counts_many,
+    )
+
+    reqs = [
+        ("term00000", {"nch": [0.0, 200.0, 400.0]}),
+        ("+term00000 +term00001", {"nch": [0.0, 300.0]}),
+        ("zzzmissing", {"nch": [0.0]}),
+    ]
+    batched = facet_range_counts_many(
+        spark, set_store[0], reqs, cumulative=True
+    ).collect()
+    for i, (q, ranges) in enumerate(reqs):
+        single = {
+            (r["facet"], r["bucket_lo"]): (r["n"], r["n_cumulative"])
+            for r in facet_range_counts(
+                spark, set_store[0], q, ranges, cumulative=True
+            ).collect()
+        }
+        got = {
+            (r["facet"], r["bucket_lo"]): (r["n"], r["n_cumulative"])
+            for r in batched
+            if r["query_id"] == i
+        }
+        assert got == single, q
+    assert any(r["query_id"] == 0 for r in batched)
