@@ -149,21 +149,47 @@ def _parse_wav(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if audio_fmt != 1:  # compressed — needs a codec library
+            # 1 = integer PCM, 3 = IEEE float — both public layouts;
+            # anything else is compressed and needs a codec library
+            if audio_fmt not in (1, 3):
                 return None
-            fmt = (rate, channels, bits)
+            fmt = (rate, channels, bits, audio_fmt)
         elif cid == b"data":
             samples = body
         i += 8 + clen + (clen & 1)
     if fmt is None or samples is None:
         return None
-    rate, channels, bits = fmt
-    if bits == 16:
+    rate, channels, bits, audio_fmt = fmt
+    if audio_fmt == 3:
+        if bits == 32:
+            arr = np.frombuffer(samples, dtype="<f4")
+        elif bits == 64:
+            arr = np.frombuffer(samples, dtype="<f8").astype(np.float32)
+        else:
+            return None
+    elif bits == 16:
         arr = np.frombuffer(samples, dtype="<i2").astype(np.float32) / 32768.0
     elif bits == 8:
         arr = (
             np.frombuffer(samples, dtype=np.uint8).astype(np.float32) - 128.0
         ) / 128.0
+    elif bits == 24:
+        # 3-byte little-endian signed: widen to i32 via a zero pad in
+        # the LOW byte, then shift-divide (vectorized, no per-sample
+        # loop)
+        raw3 = np.frombuffer(samples[: len(samples) - len(samples) % 3],
+                             dtype=np.uint8).reshape(-1, 3)
+        padded = np.zeros((raw3.shape[0], 4), dtype=np.uint8)
+        padded[:, 1:] = raw3
+        arr = (
+            padded.view("<i4").ravel().astype(np.float32)
+            / float(1 << 31)
+        )
+    elif bits == 32:
+        arr = (
+            np.frombuffer(samples, dtype="<i4").astype(np.float32)
+            / float(1 << 31)
+        )
     else:
         return None
     return rate, channels, bits, arr

@@ -575,3 +575,49 @@ def test_html_to_text_edge_cases():
     assert html_to_text("plain no tags") == "plain no tags"
     # broken utf-8 degrades, never raises
     assert "ok" in html_to_text(b"<p>ok\xff</p>")
+
+
+def _wav_bytes(samples_bytes, bits, audio_fmt=1, rate=8000, channels=1):
+    import struct
+
+    fmt_body = struct.pack(
+        "<HHIIHH", audio_fmt, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(samples_bytes)) + samples_bytes
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_24bit_and_float_formats():
+    """24-bit PCM and IEEE-float WAVE payloads decode without codec
+    libraries (public RIFF layouts)."""
+    import numpy as np
+
+    from seekstorm_spark.functions.multimodal import _parse_wav
+
+    # float32: samples pass through bit-exactly
+    vals = np.array([0.5, -0.25, 0.125, 1.0], dtype="<f4")
+    got = _parse_wav(_wav_bytes(vals.tobytes(), 32, audio_fmt=3))
+    assert got is not None and np.array_equal(got[3], vals)
+
+    # 24-bit PCM: max positive / min negative / zero hit the scale ends
+    s24 = (
+        b"\xff\xff\x7f"   # +2^23-1
+        + b"\x00\x00\x80"  # -2^23
+        + b"\x00\x00\x00"  # 0
+    )
+    got = _parse_wav(_wav_bytes(s24, 24))
+    arr = got[3]
+    assert abs(arr[0] - (2**23 - 1) / 2**23) < 1e-6
+    assert arr[1] == -1.0 and arr[2] == 0.0
+
+    # 32-bit integer PCM
+    s32 = np.array([2**31 - 1, -(2**31), 0], dtype="<i4")
+    got = _parse_wav(_wav_bytes(s32.tobytes(), 32))
+    assert abs(got[3][0] - 1.0) < 1e-6 and got[3][1] == -1.0
+
+    # unknown compressed format still rejected
+    assert _parse_wav(_wav_bytes(b"\x00\x00", 16, audio_fmt=85)) is None
