@@ -1517,6 +1517,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_multi_facet_range"] = wand_multi_facet_range
 
+    # index-level facet stats: value counts over ALL docs from the
+    # per-block facet arrays alone — no query, no postings read
+    # (reference get_index_string_facets, index.rs:4407-4458)
+    def wand_index_facet_stats(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import index_facet_stats
+
+        store = _wand_store(s, d)
+        return index_facet_stats(s, store, ["lang"]).select(
+            "facet", "value", F.col("n").cast("long").alias("n")
+        )
+
+    q["wand_index_facet_stats"] = wand_index_facet_stats
+
     q["count_and"] = lambda s, d: _match_count_df(
         s, _docs(s, d), ["fast", "table"], "intersection"
     )
@@ -2468,6 +2481,10 @@ SELECT query_id, facet, bucket_lo, n,
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    )::BIGINT AS n_cumulative
 FROM u
+"""
+    o["wand_index_facet_stats"] = """
+SELECT 'lang' AS facet, lang AS value, count(*)::BIGINT AS n
+FROM documents GROUP BY lang
 """
     o["doc_store_get"] = """
 SELECT doc_id AS docid, lang, source, n_chars::BIGINT AS n_chars

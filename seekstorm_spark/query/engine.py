@@ -1954,6 +1954,101 @@ def _facet_count_run(
     return agg.select("facet", bounds_arr.alias("bucket_lo"), "n")
 
 
+def index_facet_stats(
+    spark: SparkSession,
+    store: IndexStore,
+    facets: list[str],
+) -> DataFrame:
+    """Index-level facet value counts over ALL live docs → DataFrame
+    (facet, value, n) — the reference's get_index_string_facets
+    (index.rs:4407-4458) without any query: one scan of the per-block
+    facet arrays (no postings touched), each block's buffers overlay
+    + bincount in a bounded task, deletes excluded."""
+    specs: dict = store.meta.get("facets") or {}
+    for fc in facets:
+        vals = facet_values(specs[fc]) if fc in specs else None
+        if fc not in specs or vals is None:
+            raise ValueError(f"{fc!r} is not an indexed string facet")
+    kinds = {fc: facet_kind(specs[fc]) for fc in facets}
+    sizes = {fc: len(facet_values(specs[fc])) for fc in facets}
+    block_size = int(store.meta.get("block_size", ROARING_BLOCK_SIZE))
+    delete_set = _load_delete_set(spark, store)
+
+    rows = (
+        store.facet_blocks(spark)
+        .filter(F.col("facet").isin(list(facets)))
+        .groupBy("facet", "block_id")
+        .agg(F.collect_list("fvalues").alias("bufs"))
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tallies = {fc: np.zeros(sizes[fc], dtype=np.int64) for fc in facets}
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                fc = r["facet"]
+                kind = kinds[fc]
+                buf = _overlay_bufs(r["bufs"], kind, sizes[fc])
+                if buf is None:
+                    continue
+                base = int(r["block_id"]) * block_size
+                if kind == "string_set":
+                    offsets, codes = buf
+                    n = len(offsets) - 1
+                    keep = np.ones(n, dtype=bool)
+                    if delete_set.size:
+                        keep &= ~np.isin(
+                            base + np.arange(n), delete_set,
+                            assume_unique=True,
+                        )
+                    owner = np.repeat(
+                        np.arange(n), np.diff(offsets.astype(np.int64))
+                    )
+                    sel = codes[keep[owner]]
+                    tallies[fc] += np.bincount(
+                        sel.astype(np.int64), minlength=sizes[fc]
+                    )[: sizes[fc]]
+                else:
+                    valid = buf < sizes[fc]  # missing sentinel out
+                    if delete_set.size:
+                        valid &= ~np.isin(
+                            base + np.arange(len(buf)), delete_set,
+                            assume_unique=True,
+                        )
+                    tallies[fc] += np.bincount(
+                        buf[valid].astype(np.int64), minlength=sizes[fc]
+                    )[: sizes[fc]]
+        out_f, out_c, out_n = [], [], []
+        for fc, t in tallies.items():
+            for code in np.flatnonzero(t):
+                out_f.append(fc)
+                out_c.append(int(code))
+                out_n.append(int(t[code]))
+        yield pd.DataFrame(
+            {
+                "facet": pd.Series(out_f, dtype="object"),
+                "code": pd.Series(out_c, dtype="int64"),
+                "matches": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    agg = (
+        rows.mapInPandas(kernel, schema=FACET_COUNT_SCHEMA)
+        .groupBy("facet", "code")
+        .agg(F.sum("matches").cast("long").alias("n"))
+    )
+    decode = None
+    for fc in sorted(set(facets)):
+        vals = facet_values(specs[fc])
+        arr = F.array(*[F.lit(v) for v in vals])
+        expr = F.element_at(arr, F.col("code").cast("int") + 1)
+        decode = (
+            expr
+            if decode is None
+            else F.when(F.col("facet") == fc, expr).otherwise(decode)
+        )
+    return agg.select("facet", decode.alias("value"), "n")
+
+
 def browse(
     spark: SparkSession,
     store: IndexStore,

@@ -248,3 +248,48 @@ def test_facet_range_counts_many_matches_single(spark, set_store):
         }
         assert got == single, q
     assert any(r["query_id"] == 0 for r in batched)
+
+
+def test_index_facet_stats(spark, set_store, tmp_path):
+    """Index-level facet value counts (no query, postings untouched)
+    ≡ source-table group-bys; deletes excluded."""
+    from seekstorm_spark.query.engine import (
+        delete_documents,
+        index_facet_stats,
+    )
+
+    store, docs = set_store
+    got = {
+        (r["facet"], r["value"]): r["n"]
+        for r in index_facet_stats(
+            spark, store, ["tags", "widecat"]
+        ).collect()
+    }
+    want_tags = {
+        ("tags", r["tag"]): r["n"]
+        for r in docs.select(
+            F.explode(F.array_distinct("tags")).alias("tag")
+        ).groupBy("tag").agg(F.count("*").cast("long").alias("n")).collect()
+    }
+    want_wc = {
+        ("widecat", r["widecat"]): r["n"]
+        for r in docs.groupBy("widecat")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    assert got == {**want_tags, **want_wc}
+
+    # deletes drop out of the tallies
+    small = assign_docids(synth_webtext(spark, 60, seed=41), order_col="url")
+    small = small.withColumn(
+        "cat", F.concat(F.lit("c"), (F.col("docid") % 3).cast("string"))
+    )
+    st2 = IndexBuilder(
+        spark, str(tmp_path / "ifs"), n_buckets=2, facet_cols=["cat"]
+    ).build(small, text_col="text", id_col="docid")
+    delete_documents(spark, st2, [0, 3, 6])  # three 'c0' docs
+    got2 = {
+        r["value"]: r["n"]
+        for r in index_facet_stats(spark, st2, ["cat"]).collect()
+    }
+    assert got2["c0"] == 20 - 3 and got2["c1"] == 20 and got2["c2"] == 20
