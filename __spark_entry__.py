@@ -1530,6 +1530,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_index_facet_stats"] = wand_index_facet_stats
 
+    # filtered counting: exact match count under facet predicates
+    # (the reference counts within filters, search.rs:168-176 +
+    # facet filtering in the same pass)
+    def wand_count_filtered(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import count_matches
+
+        store = _wand_store(s, d)
+        n = count_matches(
+            s, store, "fast",
+            facet_filters={"lang": ["en", "fr"], "n_chars": (100, 300)},
+        )
+        return s.createDataFrame([(int(n),)], "matches long")
+
+    q["wand_count_filtered"] = wand_count_filtered
+
     q["count_and"] = lambda s, d: _match_count_df(
         s, _docs(s, d), ["fast", "table"], "intersection"
     )
@@ -2485,6 +2500,12 @@ FROM u
     o["wand_index_facet_stats"] = """
 SELECT 'lang' AS facet, lang AS value, count(*)::BIGINT AS n
 FROM documents GROUP BY lang
+"""
+    o["wand_count_filtered"] = f"""
+SELECT count(DISTINCT t.doc_id)::BIGINT AS matches
+FROM {_TOKS} t JOIN documents d ON d.doc_id = t.doc_id
+WHERE t.term = 'fast' AND d.lang IN ('en', 'fr')
+  AND d.n_chars BETWEEN 100 AND 300
 """
     o["doc_store_get"] = """
 SELECT doc_id AS docid, lang, source, n_chars::BIGINT AS n_chars

@@ -1775,21 +1775,30 @@ def count_matches(
     default_type: str = "union",
     field_filter: list[str] | None = None,
     staged: list | None = None,
+    facet_filters: dict | None = None,
+    geo_filter: dict | None = None,
 ) -> int:
-    """Exact match count (ResultType::Count, reference search.rs:168-176).
+    """Exact match count (ResultType::Count, reference search.rs:168-176),
+    optionally restricted by the same ``facet_filters`` / ``geo_filter``
+    predicates ``search`` takes (the reference counts within filters too).
 
-    Single positive term without NOT/phrase short-circuits to the
-    stored df (reference single.rs:313-323) — no scan at all. The df
-    probe already sums staged partials, so the shortcut stays valid
+    Single positive term without NOT/phrase/filters short-circuits to
+    the stored df (reference single.rs:313-323) — no scan at all. The
+    df probe already sums staged partials, so the shortcut stays valid
     for realtime level-0 counts.
     """
     staged = list(staged) if staged else None
+    geo_filter, _unit = _normalize_geo(geo_filter)
+    filters_k, _emit, dicts, kinds = _resolve_facets(
+        store, facet_filters, None, geo_filter
+    )
     plan = _plan(spark, store, query, default_type, staged)
     if plan.missing_required or not plan.pos_terms:
         return 0
     import os
 
     has_deletes = os.path.exists(store.deletes_path)
+    filtered = bool(filters_k) or geo_filter is not None
     if (
         len(plan.pos_terms) == 1
         and not plan.not_terms
@@ -1797,24 +1806,64 @@ def count_matches(
         and plan.qtype != "ngram"
         and field_filter is None  # stored df counts matches in ANY field
         and not has_deletes  # stored df doesn't reflect the delete set
+        and not filtered  # predicates need the per-block facet arrays
     ):
         # zero Spark jobs: the stored df IS the count (single.rs:313-323)
         term = next(iter(plan.pos_terms))
         return int(_probe_term_stats(store, [term], staged).get(term, 0))
-    if plan.qtype == "ngram" and field_filter is None and not has_deletes:
+    if (
+        plan.qtype == "ngram" and field_filter is None and not has_deletes
+        and not filtered
+    ):
         # the covering gram's stored df IS the phrase match count
         gram = plan.units[0][0]
         return int(_probe_term_stats(store, [gram], staged).get(gram, 0))
 
     boosts, allowed = _resolve_fields(store, None, field_filter)
     _n, avgdl = _effective_stats(store, staged)
+    need_facets = sorted(set(filters_k))
+    block_bounds = None
+    if geo_filter:
+        geo_cols = (
+            {geo_filter["point"]}
+            if "point" in geo_filter
+            else {geo_filter["lat"], geo_filter["lon"]}
+        )
+        need_facets = sorted(set(need_facets) | geo_cols)
+        from seekstorm_spark.functions.geo import geo_boxes_for_radius
+
+        boxes = geo_boxes_for_radius(
+            float(geo_filter["at"][0]), float(geo_filter["at"][1]),
+            float(geo_filter["radius_km"]),
+        )
+        if "point" in geo_filter:
+            block_bounds = {
+                geo_filter["point"]: [(b[0], b[1]) for b in boxes],
+            }
+        else:
+            block_bounds = {
+                geo_filter["lat"]: [(b[0], b[1]) for b in boxes],
+                geo_filter["lon"]: [(b[2], b[3]) for b in boxes],
+            }
+    for fname, spec in (filters_k or {}).items():
+        if spec[0] == "numeric":
+            block_bounds = block_bounds or {}
+            block_bounds.setdefault(fname, []).append(
+                (float(spec[1]), float(spec[2]))
+            )
     rows = _annotated_postings(
-        spark, store, plan, boosts, allowed, staged=staged, avgdl=avgdl
+        spark, store, plan, boosts, allowed,
+        facet_cols=need_facets or None, staged=staged, avgdl=avgdl,
+        block_bounds=block_bounds,
     )
     kernel = _make_kernel(
         plan, 0, False, avgdl, count_only=True,
         block_size=int(store.meta.get('block_size', ROARING_BLOCK_SIZE)),
         deletes=_load_delete_set(spark, store),
+        facet_filters_k=filters_k,
+        facet_kinds=kinds,
+        facet_sizes={n: len(v) for n, v in dicts.items() if v is not None},
+        geo=geo_filter,
     )
     out = (
         rows.sortWithinPartitions(

@@ -31,6 +31,10 @@ Endpoints (reference parity subset):
   Spark action (:func:`search_many` — the serving-throughput path).
 * ``GET  /indices/{name}/term/{term}`` — stored document frequency
   (driver-side pyarrow probe, no Spark job).
+* ``GET  /indices/{name}/suggest?prefix=…&k=…`` — QAC completions;
+  ``GET /indices/{name}/spell?term=…`` — SymSpell correction. Both
+  serve driver-side from the prebuilt dictionaries (no Spark job);
+  a writable server builds a missing dictionary lazily on first use.
 * ``GET  /indices/{name}/doc/{docid}`` — stored fields from the
   index's doc store (reference get_document).
 
@@ -226,6 +230,54 @@ class IndexService:
         df = _probe_term_stats(store, [term], self._staged(name))
         return {"term": term, "df": int(df.get(term, 0))}
 
+    def _ensure_dictionary(self, name: str, which: str) -> None:
+        from seekstorm_spark.query import spell as sp
+
+        store = self.stores[name]
+        has = sp.has_spell if which == "spell" else sp.has_completions
+        build = (
+            sp.build_spell_dictionary
+            if which == "spell"
+            else sp.build_completion_dictionary
+        )
+        if has(store):
+            return
+        if not self.writable:
+            raise ValueError(
+                f"index {name!r} has no {which} dictionary; build it "
+                "offline or start the server with writable=True"
+            )
+        with self._write_locks[name]:
+            if not has(store):
+                build(self.spark, store)
+
+    def suggest(self, name: str, prefix: str, k: int) -> dict:
+        from seekstorm_spark.query.spell import complete
+
+        self._ensure_dictionary(name, "completions")
+        return {
+            "prefix": prefix,
+            "suggestions": [
+                {"term": t, "df": int(df)}
+                for t, df in complete(self.stores[name], prefix, k)
+            ],
+        }
+
+    def spell(self, name: str, term: str, max_edits: int) -> dict:
+        from seekstorm_spark.query.spell import spell_correct
+
+        self._ensure_dictionary(name, "spell")
+        got = spell_correct(self.stores[name], term, max_edits)
+        if got is None:
+            return {"term": term, "correction": None}
+        corr, dist, df = got
+        return {
+            "term": term,
+            "correction": corr,
+            "distance": int(dist),
+            "df": int(df),
+        }
+
     def add_docs(self, name: str, body: dict) -> dict:
         docs = body.get("documents")
         if not isinstance(docs, list) or not docs:
@@ -339,6 +391,8 @@ _ROUTES = [
     ("POST", re.compile(r"^/indices/([^/]+)/count$"), "count"),
     ("POST", re.compile(r"^/indices/([^/]+)/query_batch$"), "query_batch"),
     ("GET", re.compile(r"^/indices/([^/]+)/term/([^/]+)$"), "term_df"),
+    ("GET", re.compile(r"^/indices/([^/]+)/suggest$"), "suggest"),
+    ("GET", re.compile(r"^/indices/([^/]+)/spell$"), "spell"),
     ("GET", re.compile(r"^/indices/([^/]+)/doc/(\d+)$"), "doc"),
     ("POST", re.compile(r"^/indices/([^/]+)/docs$"), "add_docs"),
     ("POST", re.compile(r"^/indices/([^/]+)/commit$"), "commit"),
@@ -424,6 +478,28 @@ class _Handler(BaseHTTPRequestHandler):
 
             self._send(
                 200, svc.term_df(match.group(1), unquote(match.group(2)))
+            )
+        elif op == "suggest":
+            qs = parse_qs(url.query)
+            if "prefix" not in qs:
+                raise ValueError("missing ?prefix= parameter")
+            self._send(
+                200,
+                svc.suggest(
+                    match.group(1), qs["prefix"][0],
+                    int(qs.get("k", ["5"])[0]),
+                ),
+            )
+        elif op == "spell":
+            qs = parse_qs(url.query)
+            if "term" not in qs:
+                raise ValueError("missing ?term= parameter")
+            self._send(
+                200,
+                svc.spell(
+                    match.group(1), qs["term"][0],
+                    int(qs.get("max_edits", ["2"])[0]),
+                ),
             )
         elif op == "doc":
             row = svc.doc(match.group(1), int(match.group(2)))

@@ -293,3 +293,24 @@ def test_index_facet_stats(spark, set_store, tmp_path):
         for r in index_facet_stats(spark, st2, ["cat"]).collect()
     }
     assert got2["c0"] == 20 - 3 and got2["c1"] == 20 and got2["c2"] == 20
+
+
+def test_count_matches_with_filters(spark, set_store):
+    """count_matches honors the same facet/geo predicates as search —
+    string_set, wide-dict, and numeric range."""
+    from seekstorm_spark.query.engine import count_matches, search
+
+    store, _docs = set_store
+    for ff in (
+        {"tags": ["t1"]},
+        {"nch": (100.0, 400.0)},
+        {"widecat": [f"c{i:03d}" for i in range(0, 300, 5)]},
+        {"tags": ["t2"], "nch": (0.0, 350.0)},
+    ):
+        n = count_matches(spark, store, "term00000", facet_filters=ff)
+        want = len(
+            search(
+                spark, store, "term00000", top_k=100000, facet_filters=ff
+            ).collect()
+        )
+        assert n == want and want > 0, ff

@@ -282,3 +282,27 @@ def test_query_batch_and_term_df(spark, served):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(base + "/indices/main/query_batch", {"queries": []})
     assert ei.value.code == 400
+
+
+def test_suggest_and_spell_endpoints(spark, writable_served):
+    """QAC + spell over HTTP: dictionaries build lazily on a writable
+    server, then both endpoints answer driver-side."""
+    base, store = writable_served
+    _s, sug = _get(base + "/indices/main/suggest?prefix=term0004&k=3")
+    assert sug["suggestions"] and all(
+        x["term"].startswith("term0004") for x in sug["suggestions"]
+    )
+    dfs = [x["df"] for x in sug["suggestions"]]
+    assert dfs == sorted(dfs, reverse=True)
+    _s2, sp = _get(base + "/indices/main/spell?term=term00x01")
+    assert sp["correction"] is not None and sp["distance"] >= 1
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + "/indices/main/suggest")
+    assert ei.value.code == 400
+
+
+def test_suggest_read_only_without_dictionary(spark, served):
+    base, _store = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + "/indices/main/suggest?prefix=te")
+    assert ei.value.code == 400
