@@ -535,6 +535,36 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _emb_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings ∪ planted near-duplicates: each vector gets a copy at
+    ``vec_id + 10000`` whose components carry a deterministic
+    integer-hash jitter ``((vec_id·37 + i·17) mod 13 − 6) · 0.003``
+    (cos ≈ 0.996 against the original; unit-norm corpus, rms component
+    0.125). Pure integer + IEEE-double arithmetic so the DuckDB oracle
+    reproduces the float32 components bit-identically."""
+    emb = _emb(spark, sf_dir)
+    jit = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x.cast("double")
+            + ((F.col("vec_id") * F.lit(37) + i.cast("long") * F.lit(17)) % 13
+               - 6).cast("double") * F.lit(0.003)
+        ).cast("float"),
+    )
+    # compute the jitter BEFORE renaming vec_id: a lambda's outer
+    # column reference resolves against the projection output, so
+    # select((vec_id+10000).alias("vec_id"), jit) would jitter with
+    # the shifted id
+    dups = (
+        emb.withColumn("_jit", jit)
+        .select(
+            (F.col("vec_id") + F.lit(10000)).alias("vec_id"),
+            F.col("_jit").alias("embedding"),
+        )
+    )
+    return emb.select("vec_id", "embedding").unionByName(dups)
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship: real index build + WAND query at sf0.001
 # ---------------------------------------------------------------------------
@@ -1799,15 +1829,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", F.col("i").cast("long").alias("i"), "mh")
         )
 
-    # embedding-cosine near-dup pairs (exact twin of the LSH scale
-    # path — float64 cosine from the float32 components, id_a < id_b)
+    # embedding-cosine near-dup pairs via the LSH SCALE path: banded
+    # hyperplane signatures → (band, bucket) equi-join candidates →
+    # exact float64 verification. No all-pairs stage anywhere (the
+    # all-pairs twin cross-checks this row in pytest). The synthetic
+    # embeddings have max pairwise cosine ~0.51, so near-dups are
+    # PLANTED deterministically: each vector gets a jittered copy at
+    # vec_id+10000 (integer-hash perturbation, cos ≈ 0.996) — a regime
+    # sign-LSH genuinely covers (p=1−θ/π ≈ 0.97/plane; miss < 1e-5 at
+    # 8 bands × 8 rows); threshold 0.9 keeps exactly the planted pairs.
     def dedup_embedding_pairs(s: SparkSession, d: str) -> DataFrame:
-        from seekstorm_spark.functions.simsearch import (
-            cosine_near_dup_pairs,
-        )
+        from seekstorm_spark.functions.simsearch import cosine_near_dup_lsh
 
-        return cosine_near_dup_pairs(
-            _emb(s, d), "vec_id", "embedding", threshold=0.35
+        return cosine_near_dup_lsh(
+            _emb_with_dups(s, d), dim=64, id_col="vec_id",
+            vec_col="embedding", threshold=0.9, bands=8, rows_per_band=8,
         ).select(
             "id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine")
         )
@@ -2095,7 +2131,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
     )
-    return q
+
+    # The correctness driver samples the FIRST 50 keys in registration
+    # order. Rotate rows that have never produced a hard driver
+    # CORRECTNESS row (plus this round's new rows) to the front so the
+    # next artifact covers them; everything else keeps its relative
+    # order in the remaining slots.
+    priority = [
+        # never driver-sampled through round 3 (VERDICT r03)
+        "wand_index_facet_stats",
+        "wand_count_filtered",
+        "doc_store_get",
+        "ingest_fvecs",
+        "ingest_html_extract",
+        "dedup_embedding_pairs",
+        "decontaminate_overlap",
+        "highlight_kwic_phrase",
+        "ann_dot_topk",
+        "ann_euclidean_topk",
+        "ann_quantized_cosine",
+        "ann_ivf_topk",
+        # new in round 4
+        "wand_hybrid_rrf",
+        "wand_multi_geo_sort",
+        "ann_chunked_topk",
+        "wand_cached_frequent",
+        "wand_numeric_sort_pruned",
+    ]
+    ordered = {k: q[k] for k in priority if k in q}
+    ordered.update((k, v) for k, v in q.items() if k not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2441,21 +2506,33 @@ GROUP BY lang
     # float64 cosine from float32 components, positional zip of the
     # two lists; the sub-1e-15 summation-order difference vs Spark's
     # sequential aggregate cannot move round(…, 4)
+    # exact all-pairs twin over the SAME planted-near-dup corpus the
+    # Spark row scans via banded LSH (recall 1.0 is pytest-gated
+    # against this exact construction at both sf dirs)
     o["dedup_embedding_pairs"] = """
-WITH pairs AS (
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id,
+         list_transform(range(0, 64), i ->
+           (embedding[i + 1]::DOUBLE +
+            ((vec_id * 37 + i * 17) % 13 - 6)::DOUBLE * 0.003::DOUBLE
+           )::FLOAT) AS embedding
+  FROM embeddings),
+pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          a.embedding AS ea, b.embedding AS eb
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id),
 sums AS (
   SELECT id_a, id_b,
-         sum(x::DOUBLE * y::DOUBLE) AS dot,
-         sum(x::DOUBLE * x::DOUBLE) AS na2,
-         sum(y::DOUBLE * y::DOUBLE) AS nb2
-  FROM (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM pairs)
-  GROUP BY id_a, id_b)
+         list_sum(list_transform(range(1, 65),
+           i -> ea[i]::DOUBLE * eb[i]::DOUBLE)) AS dot,
+         list_sum(list_transform(ea, x -> x::DOUBLE * x::DOUBLE)) AS na2,
+         list_sum(list_transform(eb, x -> x::DOUBLE * x::DOUBLE)) AS nb2
+  FROM pairs)
 SELECT id_a, id_b,
        round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cosine
-FROM sums WHERE dot / (sqrt(na2) * sqrt(nb2)) >= 0.35
+FROM sums WHERE dot / (sqrt(na2) * sqrt(nb2)) >= 0.9
 """
     o["decontaminate_overlap"] = """
 WITH docs AS (SELECT doc_id, list_filter(string_split(trim(lower(text)), ' '),

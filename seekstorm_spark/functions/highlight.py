@@ -77,16 +77,21 @@ def kwic_fragment_py(text: str, terms: list[str], width: int = 30) -> str:
     server's doc-store path — no Spark job): fragment of ±``width``
     chars around the first token-aligned occurrence of the first
     present term, with every present term bolded inside the fragment.
-    Same word-boundary semantics as :func:`highlight_first`."""
+    Same word-boundary semantics as :func:`highlight_first`. Matching
+    is case-insensitive (query terms are lowercased by parse_query but
+    stored text keeps its original case); the bolded span preserves
+    the original-case text via the match group."""
     if not text:
         return ""
     for term in terms:
-        m = re.search(rf"\b{re.escape(term)}\b", text)
+        m = re.search(rf"\b{re.escape(term)}\b", text, re.IGNORECASE)
         if m is None:
             continue
         start = max(m.start() - width, 0)
         frag = text[start : m.start() + len(term) + width]
         for t in terms:
-            frag = re.sub(rf"\b{re.escape(t)}\b", rf"<b>{t}</b>", frag)
+            frag = re.sub(
+                rf"\b({re.escape(t)})\b", r"<b>\1</b>", frag, flags=re.IGNORECASE
+            )
         return frag
     return ""

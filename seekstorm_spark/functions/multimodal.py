@@ -18,6 +18,7 @@ pseudo-embedding where a model call would go; the Spark plumbing
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
 from collections.abc import Iterator
 
@@ -348,7 +349,13 @@ def _png_pixels(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
 
 
 def _decode_pixels(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
-    got = _png_pixels(data)
+    # A payload with a valid PNG magic but truncated/corrupt chunks
+    # must not fail the whole Spark task — fall through to Pillow (or
+    # drop the row) instead.
+    try:
+        got = _png_pixels(data)
+    except (ValueError, IndexError, zlib.error, struct.error, OverflowError):
+        got = None
     if got is not None:
         return got
     if _PIL_Image is not None:

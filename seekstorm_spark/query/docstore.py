@@ -60,6 +60,24 @@ def write_doc_store(
     (doc_store.rs); readers are codec-agnostic.
     """
     cols = fields or [c for c in docs.columns if c != id_col]
+    meta_path = os.path.join(path, _META_NAME)
+    if mode == "append" and os.path.exists(meta_path):
+        # An append must not silently change the store's contract —
+        # older files wouldn't have the new columns and point reads
+        # would fail on them. Validate instead of overwriting.
+        with open(meta_path) as f:
+            prior = json.load(f)
+        if int(prior.get("docs_per_bucket", -1)) != int(docs_per_bucket):
+            raise ValueError(
+                f"doc store append with docs_per_bucket={docs_per_bucket} "
+                f"!= existing {prior.get('docs_per_bucket')}"
+            )
+        if fields is not None and list(fields) != list(prior.get("fields", [])):
+            raise ValueError(
+                f"doc store append with fields={list(fields)} != existing "
+                f"{prior.get('fields')}"
+            )
+        cols = list(prior["fields"])
     out = (
         docs.select(
             F.col(id_col).cast("long").alias("docid"),
@@ -81,7 +99,7 @@ def write_doc_store(
         "docs_per_bucket": int(docs_per_bucket),
         "fields": cols,
     }
-    with open(os.path.join(path, _META_NAME), "w") as f:
+    with open(meta_path, "w") as f:
         json.dump(meta, f)
 
 

@@ -58,6 +58,7 @@ index/update endpoints, api_endpoints.rs:60-1470):
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import re
@@ -327,7 +328,15 @@ class IndexService:
         ds = self.doc_stores.get(name)
         if ds is None:
             raise KeyError(f"index {name!r} has no doc store")
-        return ds.get(docid)
+        row = ds.get(docid)
+        if row is None:
+            return None
+        # Doc stores may carry binary columns (multimodal payloads);
+        # json.dumps would raise on bytes and 500 every lookup.
+        return {
+            k: (base64.b64encode(v).decode("ascii") if isinstance(v, bytes) else v)
+            for k, v in row.items()
+        }
 
     def create_index(self, body: dict) -> dict:
         if not self.writable or not self.index_root:
