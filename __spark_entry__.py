@@ -2098,6 +2098,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_rrf"] = hybrid_rrf
 
+    # hybrid SearchMode THROUGH the engine: one search() call runs the
+    # indexed WAND lexical kernel AND the signature-partitioned ANN
+    # probe, fused by RRF k=0.6 (reference search.rs:73-96,1962-2035).
+    # Oracle = the f32-exact WAND SQL + the hyperplane-signature SQL,
+    # fused by the same rank arithmetic.
+    def wand_hybrid_rrf(s: SparkSession, d: str) -> DataFrame:
+        import os
+
+        from seekstorm_spark.functions.simsearch import AnnIndex
+        from seekstorm_spark.query.engine import search
+
+        store = _wand_store(s, d)
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_ann_idx_{name}"
+        if os.path.exists(os.path.join(path, "meta.json")):
+            idx = AnnIndex.open(path)
+        else:
+            idx = AnnIndex.build(
+                s, _emb(s, d).filter(F.col("vec_id") != 0), path, n_planes=8
+            )
+        return search(
+            s, store, "fast table", top_k=10, default_type="union",
+            mode="hybrid", vector=ann_query_vec(s, d), ann_index=idx,
+        )
+
+    q["wand_hybrid_rrf"] = wand_hybrid_rrf
+
     # --- generic analytics over the star schema (engine breadth) ---
     q["agg_pricing_summary"] = lambda s, d: (
         s.read.parquet(f"{d}/lineitem.parquet")
@@ -2846,6 +2873,46 @@ scored AS (
 SELECT vec_id, cos_sim FROM scored
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
+
+    # hybrid RRF through the engine: extend the f32-exact WAND CTE
+    # chain (whose last CTE is `scored`) with the ANN-probe CTEs, rank
+    # both top-10 lists, fuse with 1/(0.6+rank) in double
+    hybrid_tail = f"""
+, q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qsig AS (SELECT {_sig_sql('qv')} AS sig FROM q),
+sigs AS (SELECT vec_id, embedding, {_sig_sql('embedding')} AS sig
+         FROM embeddings WHERE vec_id <> 0),
+cand AS (SELECT s.vec_id, s.embedding FROM sigs s, qsig
+         WHERE bit_count(xor(s.sig::BIGINT, qsig.sig::BIGINT)) <= 1),
+vscored AS (
+  SELECT c.vec_id,
+         round(
+           list_sum(list_transform(range(1, len(c.embedding) + 1),
+             i -> c.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
+         4) AS cos_sim
+  FROM cand c CROSS JOIN q),
+vtop AS (SELECT vec_id AS docid, cos_sim FROM vscored
+         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10),
+vrank AS (SELECT docid,
+                 row_number() OVER (ORDER BY cos_sim DESC, docid ASC) AS vr
+          FROM vtop),
+ltop AS (SELECT docid, raw FROM scored ORDER BY raw DESC, docid ASC LIMIT 10),
+lrank AS (SELECT docid,
+                 row_number() OVER (ORDER BY raw DESC, docid ASC) AS lr
+          FROM ltop)
+SELECT docid, rrf_score FROM (
+  SELECT COALESCE(l.docid, v.docid) AS docid,
+         round(COALESCE(1.0::DOUBLE / (0.6::DOUBLE + l.lr), 0.0::DOUBLE)
+               + COALESCE(1.0::DOUBLE / (0.6::DOUBLE + v.vr), 0.0::DOUBLE),
+               6) AS rrf_score
+  FROM lrank l FULL OUTER JOIN vrank v ON l.docid = v.docid)
+ORDER BY rrf_score DESC, docid ASC LIMIT 10
+"""
+    o["wand_hybrid_rrf"] = _wand_bm25_sql(
+        ["fast", "table"], "union", final_select=hybrid_tail
+    )
 
     o["geo_radius"] = """
 WITH pts AS (

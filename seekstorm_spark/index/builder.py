@@ -90,6 +90,13 @@ POSTING_SCHEMA = (
 # absence, so v4 tables stay readable — the bump just retires caches.
 INDEX_FORMAT_VERSION = 5
 
+# hard ceiling on string-facet dictionary cardinality: the sorted
+# dictionary is driver-resident (embedded in meta.json, broadcast into
+# the encode kernel), so it must stay bounded — enforced executor-side
+# before any collect. Higher-cardinality attributes belong in numeric
+# or hashed facets.
+FACET_DICT_CAP = 1 << 20
+
 # reference NgramSet (index.rs:1834-1852): which adjacent-term shapes
 # get pre-joined postings; f = frequent (in frequent_terms), r = rare.
 # Default mirrors the reference's DEFAULT_NGRAM_INDEXING (FF | FFF,
@@ -771,22 +778,38 @@ def build_facet_dictionaries(
         kv = parts[0]
         for p in parts[1:]:
             kv = kv.unionByName(p)
-        rows = kv.filter(F.col("value").isNotNull()).distinct().collect()
+        distinct = kv.filter(F.col("value").isNotNull()).distinct()
+        distinct.persist()
+        try:
+            # cardinality gate runs EXECUTOR-side before any value
+            # reaches the driver: the dictionary is driver-resident
+            # (broadcast into the encode kernel, embedded in meta), so
+            # an unbounded facet must fail before the collect, not
+            # after it OOMs the driver. The reference's String32
+            # ceiling is 2^32; a >cap dictionary belongs in a
+            # numeric/hashed facet instead.
+            counts = {
+                r["facet"]: r["n"]
+                for r in distinct.groupBy("facet")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            for fc, n in counts.items():
+                if n > FACET_DICT_CAP:
+                    raise ValueError(
+                        f"facet {fc!r} has {n} distinct values "
+                        f"(cap {FACET_DICT_CAP}); use a numeric facet "
+                        "for unbounded cardinality"
+                    )
+            rows = distinct.collect()
+        finally:
+            distinct.unpersist()
         by_facet: dict[str, list[str]] = {
             fc: [] for fc in string_cols + set_cols
         }
         for r in rows:
             by_facet[r["facet"]].append(r["value"])
         for fc, vals in by_facet.items():
-            # dictionary must stay driver-sized (it's broadcast into
-            # the encode kernel and embedded in meta); the reference's
-            # String32 ceiling is 2^32 but a 10^6+ dictionary belongs
-            # in a numeric/hashed facet instead
-            if len(vals) > 1_000_000:
-                raise ValueError(
-                    f"facet {fc!r} has {len(vals)} distinct values; "
-                    "use a numeric facet for unbounded cardinality"
-                )
             meta[fc]["values"] = sorted(vals)
     return meta
 

@@ -528,6 +528,11 @@ def search(
     rewrite: str | None = None,
     geo_filter: dict | None = None,
     ngram_rewrite: bool = True,
+    mode: str = "lexical",
+    vector: list[float] | None = None,
+    ann_index=None,
+    vectors: DataFrame | None = None,
+    rrf_k: float | None = None,
 ) -> DataFrame:
     """Top-k BM25(F) search → DataFrame(docid[, sort facets…], score),
     score f32. ``prune=False`` disables the WAND threshold (used to
@@ -546,7 +551,45 @@ def search(
     ``geo_filter`` = {"lat": facet, "lon": facet, "at": (lat, lon),
     "radius_km": r} keeps only docs within the haversine radius
     (reference geo Point facets, search.rs:2712-2724) — sort on
-    "geo_dist" to order by distance."""
+    "geo_dist" to order by distance.
+
+    ``mode="hybrid"`` fuses the lexical top-k with a vector top-k by
+    Reciprocal Rank Fusion, k=0.6 (the reference's hybrid SearchMode,
+    search.rs:73-96,1962-2035) → DataFrame(docid, rrf_score). The
+    vector side is ``ann_index.search(...)`` when an :class:`AnnIndex`
+    / :class:`IvfIndex` is given (partition-pruned probe), else exact
+    cosine top-k over ``vectors`` (vec_id must be the docid space).
+    Both branches land in ONE returned DataFrame — a single action."""
+    if mode not in ("lexical", "hybrid"):
+        raise ValueError(f"unknown search mode {mode!r}")
+    if mode == "hybrid":
+        if vector is None:
+            raise ValueError("hybrid search requires vector=")
+        if result_sort or geo_filter or offset:
+            raise ValueError(
+                "hybrid search fuses by RRF rank; result_sort / "
+                "geo_filter / offset are not supported in this mode"
+            )
+        from seekstorm_spark.functions.fusion import RRF_K, rrf_fuse
+
+        lex = search(
+            spark, store, query, top_k=top_k, default_type=default_type,
+            prune=prune, fields=fields, field_filter=field_filter,
+            facet_filters=facet_filters, staged=staged, rewrite=rewrite,
+            ngram_rewrite=ngram_rewrite,
+        )
+        if ann_index is not None:
+            vec = ann_index.search(spark, [float(x) for x in vector], k=top_k)
+        elif vectors is not None:
+            from seekstorm_spark.functions.simsearch import cosine_topk
+
+            vec = cosine_topk(vectors, [float(x) for x in vector], k=top_k)
+        else:
+            raise ValueError("hybrid search requires ann_index= or vectors=")
+        return rrf_fuse(
+            lex, vec.withColumnRenamed("vec_id", "docid"), id_col="docid",
+            top_k=top_k, k=RRF_K if rrf_k is None else float(rrf_k),
+        )
     staged = list(staged) if staged else None
     geo_filter, geo_unit = _normalize_geo(geo_filter)
     filters_k, emit_facets, dicts, kinds = _resolve_facets(
@@ -658,7 +701,7 @@ def search(
                         F.isnan(F.col(f"fb_{fc}")), F.lit(None).cast("double")
                     ).otherwise(F.col(f"fb_{fc}")),
                 )
-            else:
+            elif len(dicts[fc]) <= _DICT_LITERAL_MAX:
                 arr = F.array(*[F.lit(v) for v in dicts[fc]])
                 missing = facet_missing_code(len(dicts[fc]))
                 candidates = candidates.withColumn(
@@ -670,6 +713,19 @@ def search(
                         F.element_at(arr, (F.col(f"fb_{fc}") + 1).cast("int"))
                     ),
                 )
+            else:
+                # wide dictionary: broadcast join instead of a
+                # cardinality-sized literal array (the missing
+                # sentinel ≥ len(dict) left-joins to NULL)
+                dict_df = spark.createDataFrame(
+                    list(enumerate(dicts[fc])),
+                    f"__code_{fc} long, {fc} string",
+                )
+                candidates = candidates.join(
+                    F.broadcast(dict_df),
+                    F.col(f"fb_{fc}") == F.col(f"__code_{fc}"),
+                    "left",
+                ).drop(f"__code_{fc}")
             out_cols.append(F.col(fc))
         if want_dist:
             out_cols.append(F.col("geo_dist"))
@@ -685,6 +741,56 @@ def search(
     if offset:
         out = out.offset(offset)
     return out.limit(top_k)
+
+
+_DICT_LITERAL_MAX = 4096
+
+
+def _decode_string_codes(
+    spark: SparkSession,
+    df: DataFrame,
+    vals_by_facet: dict[str, list],
+    out_col: str,
+    code_col: str = "code",
+    facet_col: str = "facet",
+) -> DataFrame:
+    """Decode (facet, code) → dictionary value as new ``out_col``.
+
+    Small dictionaries decode inline with a literal array (no join, no
+    exchange); past ``_DICT_LITERAL_MAX`` total values the mapping is
+    a BROADCAST-joined dictionary DataFrame instead — a Catalyst
+    literal expression sized by dictionary cardinality would explode
+    plan size long before the reference's String32 (2^32) bound."""
+    total = sum(len(v) for v in vals_by_facet.values())
+    if total <= _DICT_LITERAL_MAX:
+        decode = None
+        for fc in sorted(vals_by_facet):
+            arr = F.array(*[F.lit(v) for v in vals_by_facet[fc]])
+            expr = F.element_at(arr, F.col(code_col).cast("int") + 1)
+            decode = (
+                expr
+                if decode is None
+                else F.when(F.col(facet_col) == fc, expr).otherwise(decode)
+            )
+        return df.withColumn(out_col, decode)
+    dict_df = spark.createDataFrame(
+        [
+            (fc, i, v)
+            for fc, vals in vals_by_facet.items()
+            for i, v in enumerate(vals)
+        ],
+        "__dict_facet string, __dict_code long, __dict_value string",
+    )
+    return (
+        df.join(
+            F.broadcast(dict_df),
+            (F.col(facet_col) == F.col("__dict_facet"))
+            & (F.col(code_col).cast("long") == F.col("__dict_code")),
+            "left",
+        )
+        .drop("__dict_facet", "__dict_code")
+        .withColumnRenamed("__dict_value", out_col)
+    )
 
 
 def search_many(
@@ -950,17 +1056,11 @@ def facet_counts_many(
         .groupBy("query_id", "facet", "code")
         .agg(F.sum("matches").cast("long").alias("n"))
     )
-    decode = None
-    for fc in sorted(all_facets):
-        vals = facet_values(specs[fc])
-        arr = F.array(*[F.lit(v) for v in vals])
-        expr = F.element_at(arr, F.col("code").cast("int") + 1)
-        decode = (
-            expr
-            if decode is None
-            else F.when(F.col("facet") == fc, expr).otherwise(decode)
-        )
-    return agg.select("query_id", "facet", decode.alias("value"), "n")
+    decoded = _decode_string_codes(
+        spark, agg, {fc: facet_values(specs[fc]) for fc in all_facets},
+        out_col="value",
+    )
+    return decoded.select("query_id", "facet", "value", "n")
 
 
 def facet_range_counts_many(
@@ -1979,18 +2079,12 @@ def _facet_count_run(
         .agg(F.sum("matches").cast("long").alias("n"))
     )
     if string_facets:
-        # decode dictionary codes → values with a per-facet literal map
-        decode = None
-        for fc in string_facets:
-            vals = facet_values(specs[fc])
-            arr = F.array(*[F.lit(v) for v in vals])
-            expr = F.element_at(arr, F.col("code").cast("int") + 1)
-            decode = (
-                expr
-                if decode is None
-                else F.when(F.col("facet") == fc, expr).otherwise(decode)
-            )
-        return agg.select("facet", decode.alias("value"), "n")
+        decoded = _decode_string_codes(
+            spark, agg,
+            {fc: facet_values(specs[fc]) for fc in string_facets},
+            out_col="value",
+        )
+        return decoded.select("facet", "value", "n")
     bounds_arr = None
     for fc, (_k, bounds) in count_spec.items():
         arr = F.array(*[F.lit(float(b)) for b in bounds])
@@ -2085,17 +2179,11 @@ def index_facet_stats(
         .groupBy("facet", "code")
         .agg(F.sum("matches").cast("long").alias("n"))
     )
-    decode = None
-    for fc in sorted(set(facets)):
-        vals = facet_values(specs[fc])
-        arr = F.array(*[F.lit(v) for v in vals])
-        expr = F.element_at(arr, F.col("code").cast("int") + 1)
-        decode = (
-            expr
-            if decode is None
-            else F.when(F.col("facet") == fc, expr).otherwise(decode)
-        )
-    return agg.select("facet", decode.alias("value"), "n")
+    decoded = _decode_string_codes(
+        spark, agg, {fc: facet_values(specs[fc]) for fc in set(facets)},
+        out_col="value",
+    )
+    return decoded.select("facet", "value", "n")
 
 
 def browse(

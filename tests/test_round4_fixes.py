@@ -120,6 +120,42 @@ def test_server_doc_binary_column_base64(spark, tmp_path):
     json.dumps(got)  # must be serializable
 
 
+def test_hybrid_search_mode(spark):
+    """search(mode='hybrid') fuses the indexed lexical kernel with the
+    vector top-k by RRF k=0.6 in one call — identical to composing
+    search() + cosine_topk + rrf_fuse by hand (reference hybrid
+    SearchMode, search.rs:73-96,1962-2035)."""
+    from __spark_entry__ import _emb, _wand_store
+    from seekstorm_spark.functions.fusion import rrf_fuse
+    from seekstorm_spark.functions.simsearch import cosine_topk
+    from seekstorm_spark.query.engine import search
+
+    d = "/root/testdata/sf0.001"
+    store = _wand_store(spark, d)
+    emb = _emb(spark, d).filter(F.col("vec_id") != 0)
+    qv = [float(x) for x in
+          _emb(spark, d).filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    got = search(
+        spark, store, "fast table", top_k=10, default_type="union",
+        mode="hybrid", vector=qv, vectors=emb,
+    ).collect()
+    lex = search(spark, store, "fast table", top_k=10, default_type="union")
+    vec = cosine_topk(emb, qv, k=10).withColumnRenamed("vec_id", "docid")
+    want = rrf_fuse(lex, vec, id_col="docid", top_k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want] and got
+
+    with pytest.raises(ValueError, match="requires vector"):
+        search(spark, store, "fast", mode="hybrid")
+    with pytest.raises(ValueError, match="ann_index"):
+        search(spark, store, "fast", mode="hybrid", vector=qv)
+    with pytest.raises(ValueError, match="not supported"):
+        search(spark, store, "fast", mode="hybrid", vector=qv,
+               vectors=emb, result_sort=[("lang", "asc")])
+    with pytest.raises(ValueError, match="unknown search mode"):
+        search(spark, store, "fast", mode="wat")
+
+
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 def test_dedup_embedding_lsh_row_matches_allpairs_twin(spark, sf_dir):
     """The dedup_embedding_pairs DRIVER ROW runs the banded-LSH scale
