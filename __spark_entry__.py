@@ -2125,6 +2125,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_hybrid_rrf"] = wand_hybrid_rrf
 
+    # frequent-term result cache (reference search.rs:3388-3445
+    # cached top-1000, index.rs:1644): the single-term query serves
+    # from a precomputed list DRIVER-side — the returned plan is a
+    # local scan, zero Spark jobs — and must stay bit-identical to
+    # the WAND kernel (the oracle is the same f32-exact SQL).
+    def wand_cached_frequent(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import search
+        from seekstorm_spark.query.result_cache import (
+            build_result_cache,
+            cached_single_term,
+        )
+
+        store = _wand_store(s, d)
+        if cached_single_term(store, "fast", 10) is None:
+            build_result_cache(s, store, terms=["fast"], k=100)
+        out = search(s, store, "fast", top_k=10, default_type="union")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 4).alias("score")
+        )
+
+    q["wand_cached_frequent"] = wand_cached_frequent
+
     # --- generic analytics over the star schema (engine breadth) ---
     q["agg_pricing_summary"] = lambda s, d: (
         s.read.parquet(f"{d}/lineitem.parquet")
@@ -2913,6 +2937,9 @@ ORDER BY rrf_score DESC, docid ASC LIMIT 10
     o["wand_hybrid_rrf"] = _wand_bm25_sql(
         ["fast", "table"], "union", final_select=hybrid_tail
     )
+    # served from the frequent-term cache, which is bit-identical to
+    # the kernel — same oracle as a live single-term WAND query
+    o["wand_cached_frequent"] = _wand_bm25_sql(["fast"], "union")
 
     o["geo_radius"] = """
 WITH pts AS (

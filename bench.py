@@ -47,6 +47,13 @@ EFF_DELTA = float(os.environ.get("BENCH_EFF_DELTA", "0.02"))
 # a rep pair whose wall exceeds LOAD_TOL × its level minimum signals
 # active external load — the stop rule keeps sampling through it
 LOAD_TOL = float(os.environ.get("BENCH_LOAD_TOL", "1.3"))
+# round-3 verdict: walls-within-1.3x alone passed a pair that was
+# still load-compressed (external load slows the 8-core job MORE than
+# the 2-core one, dragging the small/big wall ratio down together).
+# Additionally require the latest pair's own wall RATIO within
+# RATIO_TOL of the best (largest) ratio seen — a pair whose ratio sits
+# well under the best pair's is measuring the tenant mix, not the code.
+RATIO_TOL = float(os.environ.get("BENCH_RATIO_TOL", "0.10"))
 QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
 # Scaling levels: N and 4N cores. This sandbox advertises 32 vCPUs but
 # they are SMT threads on ~16 physical cores — a pure-Python burn test
@@ -213,9 +220,11 @@ def bench_index_build(n_small: int, n_big: int) -> dict:
         # convergence, it's the min estimator starved of clean reps.
         # Keep sampling (bounded by the cap) until a pair lands within
         # LOAD_TOL of both minima or the cap is hit.
+        ratios = [s / b for s, b in zip(walls["small"], walls["big"])]
         loaded = (
             walls["small"][-1] > LOAD_TOL * min(walls["small"])
             or walls["big"][-1] > LOAD_TOL * min(walls["big"])
+            or ratios[-1] < (1.0 - RATIO_TOL) * max(ratios)
         )
         if stable and not loaded:
             break
@@ -233,8 +242,9 @@ def bench_index_build(n_small: int, n_big: int) -> dict:
     out["stop_rule"] = (
         f"min {BUILD_REPS} pairs, extend until |d(eff)| < {EFF_DELTA} "
         f"between consecutive pairs AND the latest pair ran load-free "
-        f"(walls within {LOAD_TOL}x of level minima); cap "
-        f"{MAX_BUILD_REPS}"
+        f"(walls within {LOAD_TOL}x of level minima AND the pair's "
+        f"small/big wall ratio within {RATIO_TOL:.0%} of the best "
+        f"pair's); cap {MAX_BUILD_REPS}"
     )
     out["eff_history"] = eff_history
     out["scaling_efficiency"] = round(eff(), 3)
@@ -300,7 +310,35 @@ def bench_wand_queries(index_path: str, cores: int) -> dict:
             "qps": round(len(batch_qs) / batch_wall, 1),
             "speedup_vs_sequential": round(seq_wall / batch_wall, 2),
         }
-        return {"per_query_s": lat, "p50_s": round(p50, 3), "batched": batched}
+
+        # frequent-term result cache: one fused action precomputes the
+        # frequent terms' top-1000; a single-term hit then serves
+        # driver-side (local-relation plan, no index scan) — measured
+        # AFTER the kernel latencies so it cannot intercept them
+        from seekstorm_spark.query.result_cache import build_result_cache
+
+        t0 = time.time()
+        cached_terms = build_result_cache(spark, store, k=1000)
+        cache_build_s = time.time() - t0
+        hit_reps = 20
+        t0 = time.time()
+        for _ in range(hit_reps):
+            search(spark, store, "term00000", top_k=10).collect()
+        hit_s = (time.time() - t0) / hit_reps
+        kernel_single_s = lat.get("uni:term00042", p50)
+        cached_frequent = {
+            "n_terms": len(cached_terms),
+            "build_s": round(cache_build_s, 3),
+            "hit_s": round(hit_s, 4),
+            "hits_per_sec": round(1.0 / hit_s, 1),
+            "speedup_vs_kernel_single": round(kernel_single_s / hit_s, 1),
+        }
+        return {
+            "per_query_s": lat,
+            "p50_s": round(p50, 3),
+            "batched": batched,
+            "cached_frequent": cached_frequent,
+        }
     finally:
         spark.stop()
 

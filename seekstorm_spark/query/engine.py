@@ -609,6 +609,34 @@ def search(
             return _empty_result(spark, emit_facets, kinds, want_dist)
         return spark.createDataFrame([], RESULT_SCHEMA)
 
+    # frequent-term result cache (reference search.rs:3388-3445): an
+    # unfiltered single-term query whose term was precomputed serves
+    # driver-side — a LocalTableScan, zero Spark jobs. Any append /
+    # delete / compaction moves the index generation and disables the
+    # cache until it is rebuilt.
+    if (
+        not staged
+        and facet_filters is None
+        and result_sort is None
+        and geo_filter is None
+        and fields is None
+        and field_filter is None
+        and plan.qtype in ("union", "intersection")
+        and len(plan.pos_terms) == 1
+        and not plan.not_terms
+        and not plan.phrase
+        and getattr(plan, "units", None) is None
+    ):
+        from seekstorm_spark.query.result_cache import cached_single_term
+
+        hit = cached_single_term(
+            store, next(iter(plan.pos_terms)), top_k + offset
+        )
+        if hit is not None:
+            return spark.createDataFrame(
+                hit[offset : offset + top_k], RESULT_SCHEMA
+            )
+
     boosts, allowed = _resolve_fields(store, fields, field_filter)
     need_facets = sorted(set(filters_k) | set(emit_facets))
     block_bounds = None
