@@ -1524,6 +1524,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_multi_geo"] = wand_multi_geo
 
+    # distance-SORTED results inside the fused batch: per-query
+    # distance top-k heaps ride the same single action (asc and desc
+    # directions, different radii) — bit-identical to the single-query
+    # emit-all path (gated in tests/test_kernel_features.py)
+    def wand_multi_geo_sort(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import search_many
+
+        store = _wandgeo_store(s, d)
+        far = dict(_GEO_FILTER)
+        far["radius_km"] = 9000.0
+        out = search_many(
+            s,
+            store,
+            ["fast", "fast table"],
+            top_k=10,
+            geo_filters=[dict(_GEO_FILTER), far],
+            result_sorts=[[("geo_dist", "asc")], [("geo_dist", "desc")]],
+        )
+        return out.select(
+            "query_id", "docid",
+            F.round(F.col("geo_dist"), 4).alias("geo_dist"),
+        )
+
+    q["wand_multi_geo_sort"] = wand_multi_geo_sort
+
     # per-query numeric RANGE facet tallies in the fused batch —
     # different bucket sets per query, one action, cumulative mode
     def wand_multi_facet_range(s: SparkSession, d: str) -> DataFrame:
@@ -1963,6 +1988,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk"] = ann_ivf
 
+    # multi-vector docs (reference vector.rs chunking + doc-level
+    # aggregation, index.rs:2087): the embeddings table plays the part
+    # of exploded chunk vectors (doc = vec_id // 4, 4 chunks/doc); a
+    # doc scores as the MAX cosine over its chunks. Sentence-boundary
+    # chunking + embed plumbing are pytest-gated (test_chunking.py).
+    def ann_chunked_topk(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.chunking import chunked_topk
+
+        chunks = (
+            _emb(s, d)
+            .filter(F.col("vec_id") != 0)
+            .select(
+                F.expr("vec_id DIV 4").alias("docid"), "embedding"
+            )
+        )
+        return chunked_topk(chunks, ann_query_vec(s, d), k=10)
+
+    q["ann_chunked_topk"] = ann_chunked_topk
+
     # --- geo radius (reference geo_search.rs:128-144: Morton-range
     # prefilter + exact haversine post-filter). Coordinates derived
     # deterministically from doc_id on both sides. ---
@@ -2348,6 +2392,37 @@ GROUP BY tag
             ]
         )
     )
+    # batched distance sort: per-query direction and radius, same
+    # haversine as the kernel; match sets from the token oracle
+    def _geo_sort_block(qid: int, term_pred: str, radius: float,
+                        direction: str) -> str:
+        return f"""
+SELECT {qid} AS query_id, doc_id AS docid,
+       round(dist_km, 4) AS geo_dist
+FROM (
+  SELECT doc_id,
+         2.0 * 6371.0 * asin(sqrt(
+           pow(sin(radians(48.8566 - lat) / 2), 2)
+           + cos(radians(lat)) * cos(radians(48.8566))
+             * pow(sin(radians(2.3522 - lon) / 2), 2))) AS dist_km
+  FROM (SELECT doc_id,
+               (doc_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+               (doc_id * 73 % 36000) / 100.0 - 180.0 AS lon
+        FROM documents))
+WHERE dist_km <= {radius}
+  AND doc_id IN (SELECT DISTINCT doc_id FROM {_TOKS}
+                 WHERE term IN ({term_pred}))
+ORDER BY dist_km {direction.upper()}, doc_id ASC LIMIT 10
+"""
+
+    o["wand_multi_geo_sort"] = "\nUNION ALL\n".join(
+        f"SELECT * FROM ({b})"
+        for b in [
+            _geo_sort_block(0, "'fast'", 6000.0, "asc"),
+            _geo_sort_block(1, "'fast', 'table'", 9000.0, "desc"),
+        ]
+    )
+
     # distance result-sort: same haversine (all float64, identical
     # operation order to the kernel), nearest first, docid tiebreak
     o["wand_geo_sort"] = f"""
@@ -2896,6 +2971,22 @@ scored AS (
   FROM cand c CROSS JOIN q)
 SELECT vec_id, cos_sim FROM scored
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+    # multi-vector doc-level max-sim over exploded chunk vectors;
+    # float64 cosine in the same sequential fold order as the kernel,
+    # max is order-free, round after aggregation
+    o["ann_chunked_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id // 4 AS docid,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+           i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+SELECT docid, round(max(cos), 4) AS sim FROM scored GROUP BY docid
+ORDER BY sim DESC, docid ASC LIMIT 10
 """
 
     # hybrid RRF through the engine: extend the f32-exact WAND CTE

@@ -833,6 +833,7 @@ def search_many(
     staged: list | None = None,
     facet_filters: list[dict | None] | None = None,
     geo_filters: list[dict | None] | None = None,
+    result_sorts: list[list[tuple[str, str]] | None] | None = None,
 ) -> DataFrame:
     """Execute N queries in ONE Spark action → DataFrame(query_id,
     docid, score); ``query_id`` is the position in ``queries``.
@@ -859,15 +860,41 @@ def search_many(
     kernel from the shared per-block facet arrays (one buffer decode
     per block, every query's candidate set filtered against it),
     exactly as ``search(facet_filters=…, geo_filter=…)`` does for one
-    query. (Distance result-sort stays single-query — the batched
-    result carries docid+score only; per-query zone-bound block
-    skipping also doesn't apply to the shared scan.)"""
+    query. (Per-query zone-bound block skipping doesn't apply to the
+    shared scan.)
+
+    ``result_sorts`` (parallel to ``queries``; None entries keep the
+    score order) currently supports ``[("geo_dist", "asc"|"desc")]``
+    per query — that query's results order by its haversine distance
+    instead of score, bit-identical to ``search(result_sort=…)``, and
+    the output gains a ``geo_dist`` column (km; NaN for score-sorted
+    queries). Distance top-k is kept per partition inside the fused
+    kernel, so a geo-sorted query rides the same single action."""
     from functools import reduce
 
     if facet_filters is not None and len(facet_filters) != len(queries):
         raise ValueError("facet_filters must parallel queries")
     if geo_filters is not None and len(geo_filters) != len(queries):
         raise ValueError("geo_filters must parallel queries")
+    dist_sort_by_q: dict[int, str] = {}
+    if result_sorts is not None:
+        if len(result_sorts) != len(queries):
+            raise ValueError("result_sorts must parallel queries")
+        for i, rs in enumerate(result_sorts):
+            if not rs:
+                continue
+            if len(rs) != 1 or rs[0][0] != "geo_dist" or rs[0][1] not in (
+                "asc", "desc",
+            ):
+                raise ValueError(
+                    "batched result_sorts support [('geo_dist', "
+                    "'asc'|'desc')] per query"
+                )
+            if geo_filters is None or not geo_filters[i]:
+                raise ValueError(
+                    f"query {i}: sorting by geo_dist requires a geo_filter"
+                )
+            dist_sort_by_q[i] = rs[0][1]
     plans = [
         _plan(spark, store, qstr, default_type, staged) for qstr in queries
     ]
@@ -907,6 +934,13 @@ def search_many(
             # exact single-query plan as a branch in the same action
             fallback.append(i)
 
+    with_dist = result_sorts is not None
+    out_schema = "query_id int, " + RESULT_SCHEMA + (
+        ", geo_dist double" if with_dist else ""
+    )
+    out_cols = ["query_id", "docid", "score"] + (
+        ["geo_dist"] if with_dist else []
+    )
     outs: list[DataFrame] = []
     if fused:
         partials = _search_many_fused(
@@ -914,32 +948,68 @@ def search_many(
             facet_filters_by_q=filters_by_q or None,
             geo_by_q=geo_by_q or None,
             facet_sizes=fsizes or None,
+            dist_sort_by_q=dist_sort_by_q if with_dist else None,
         )
-        w = Window.partitionBy("query_id").orderBy(
+        score_w = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("docid").asc()
         )
-        outs.append(
-            partials.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= top_k)
-            .select("query_id", "docid", "score")
-        )
+        branches = [
+            (
+                partials.filter(
+                    ~F.col("query_id").isin(list(dist_sort_by_q))
+                )
+                if dist_sort_by_q
+                else partials,
+                score_w,
+            )
+        ]
+        for direction in sorted(set(dist_sort_by_q.values())):
+            qis = [q for q, d in dist_sort_by_q.items() if d == direction]
+            dcol = (
+                F.col("geo_dist").asc()
+                if direction == "asc"
+                else F.col("geo_dist").desc()
+            )
+            branches.append(
+                (
+                    partials.filter(F.col("query_id").isin(qis)),
+                    Window.partitionBy("query_id").orderBy(
+                        dcol, F.col("docid").asc()
+                    ),
+                )
+            )
+        for part, w in branches:
+            outs.append(
+                part.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= top_k)
+                .select(*out_cols)
+            )
     for i in fallback:
+        rs = (
+            [("geo_dist", dist_sort_by_q[i])] if i in dist_sort_by_q else None
+        )
         out = search(
             spark, store, queries[i], top_k=top_k,
             default_type=default_type, prune=prune, fields=fields,
             field_filter=field_filter, staged=staged,
             facet_filters=facet_filters[i] if facet_filters else None,
             geo_filter=geo_filters[i] if geo_filters else None,
+            result_sort=rs,
         )
-        outs.append(
-            out.select(
-                F.lit(int(i)).alias("query_id"),
-                F.col("docid"),
-                F.col("score"),
+        sel = [
+            F.lit(int(i)).alias("query_id"),
+            F.col("docid"),
+            F.col("score"),
+        ]
+        if with_dist:
+            sel.append(
+                F.col("geo_dist")
+                if "geo_dist" in out.columns
+                else F.lit(float("nan")).cast("double").alias("geo_dist")
             )
-        )
+        outs.append(out.select(*sel))
     if not outs:
-        return spark.createDataFrame([], "query_id int, " + RESULT_SCHEMA)
+        return spark.createDataFrame([], out_schema)
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 
@@ -1213,6 +1283,7 @@ def _search_many_fused(
     facet_filters_by_q: dict[int, dict] | None = None,
     geo_by_q: dict[int, dict] | None = None,
     facet_sizes: dict[str, int] | None = None,
+    dist_sort_by_q: dict[int, str] | None = None,
 ) -> DataFrame:
     """One scan + one exchange + one kernel for N queries (union /
     intersection / NOT / phrase / n-gram) → per-partition top-k
@@ -1281,13 +1352,16 @@ def _search_many_fused(
             for name, spec in (store.meta.get("facets") or {}).items()
         },
         facet_sizes=facet_sizes,
+        dist_sort_by_q=dist_sort_by_q,
     )
     if count_facets_by_q:
         schema = "query_id int, " + FACET_COUNT_SCHEMA
     elif count_only:
         schema = "query_id int, matches long"
     else:
-        schema = "query_id int, " + RESULT_SCHEMA
+        schema = "query_id int, " + RESULT_SCHEMA + (
+            ", geo_dist double" if dist_sort_by_q is not None else ""
+        )
     return rows.mapInPandas(kernel, schema=schema)
 
 
@@ -1378,6 +1452,7 @@ def _make_multi_kernel(
     geo_by_q: dict[int, dict] | None = None,
     facet_kinds: dict[str, str] | None = None,
     facet_sizes: dict[str, int] | None = None,
+    dist_sort_by_q: dict[int, str] | None = None,
 ):
     """Batched kernel: decode each posting row ONCE, score every
     query against the shared decode. Per-query state (top-k heap,
@@ -1387,8 +1462,16 @@ def _make_multi_kernel(
     tallies matches per query instead of scoring;
     ``count_facets_by_q`` additionally tallies facet-value counts per
     query from the blocks' facet arrays (one shared buffer decode per
-    block, N queries' tallies against it)."""
+    block, N queries' tallies against it). ``dist_sort_by_q`` marks
+    queries whose per-partition top-k is kept by haversine distance
+    (asc/desc, docid tiebreak) instead of score — score pruning is off
+    for those (a non-score primary key invalidates the WAND
+    threshold, as in the single-query emit-all path); when the dict is
+    not None the output carries a ``geo_dist`` column (NaN for
+    score-sorted queries)."""
     delete_set = deletes if deletes is not None else np.empty(0, dtype=np.int64)
+    dist_sort = dist_sort_by_q or {}
+    emit_dist_col = dist_sort_by_q is not None
     cfacets_by_q = {
         qi: dict(spec) for qi, spec in (count_facets_by_q or {}).items()
     }
@@ -1483,6 +1566,7 @@ def _make_multi_kernel(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         best_d = {qi: np.empty(0, dtype=np.int64) for qi, *_ in qinfo}
         best_s = {qi: np.empty(0, dtype=np.float32) for qi, *_ in qinfo}
+        best_g = {qi: np.empty(0, dtype=np.float64) for qi, *_ in qinfo}
         match_counts = dict.fromkeys((qi for qi, *_ in qinfo), 0)
         facet_tallies: dict[int, dict[str, np.ndarray]] = {
             qi: {
@@ -1498,7 +1582,7 @@ def _make_multi_kernel(
         }
 
         def threshold(qi: int) -> float:
-            if not prune or len(best_s[qi]) < top_k:
+            if not prune or qi in dist_sort or len(best_s[qi]) < top_k:
                 return -np.inf
             return float(best_s[qi].min())
 
@@ -1507,6 +1591,19 @@ def _make_multi_kernel(
             s = np.concatenate([best_s[qi], scores])
             order = np.lexsort((d, -s.astype(np.float64)))[:top_k]
             best_d[qi], best_s[qi] = d[order], s[order]
+
+        def merge_topk_dist(
+            qi: int,
+            docids: np.ndarray,
+            scores: np.ndarray,
+            dists: np.ndarray,
+        ) -> None:
+            d = np.concatenate([best_d[qi], docids])
+            s = np.concatenate([best_s[qi], scores])
+            g = np.concatenate([best_g[qi], dists])
+            key = g if dist_sort[qi] == "asc" else -g
+            order = np.lexsort((d, key))[:top_k]
+            best_d[qi], best_s[qi], best_g[qi] = d[order], s[order], g[order]
 
         def process_block(rows: pd.DataFrame) -> None:
             block_id = int(rows["block_id"].iloc[0])
@@ -1752,12 +1849,18 @@ def _make_multi_kernel(
                         * np.sin(np.radians(lon0 - lon) / 2.0) ** 2
                     )
                     d_km = 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(a))
-                    cand = cand[~np.isnan(d_km) & (d_km <= radius)]
+                    gkeep = ~np.isnan(d_km) & (d_km <= radius)
+                    cand = cand[gkeep]
+                    dists = d_km[gkeep] if qi in dist_sort else None
                     if cand.size == 0:
                         continue
+                else:
+                    dists = None
                 if align and len(align) > 1:
                     keep = _phrase_filter(lazy_recs, cand, align)
                     cand = cand[keep]
+                    if dists is not None:
+                        dists = dists[keep]
                     if cand.size == 0:
                         continue
                 if count_only:
@@ -1819,7 +1922,10 @@ def _make_multi_kernel(
                     scores[valid] += np.float32(boost) * term_scores(
                         pos_terms[t], tf[ii], dl[ii]
                     )
-                merge_topk(qi, base + cand, scores)
+                if qi in dist_sort and dists is not None:
+                    merge_topk_dist(qi, base + cand, scores, dists)
+                else:
+                    merge_topk(qi, base + cand, scores)
 
         pending: list[pd.DataFrame] = []
         pending_block = None
@@ -1872,26 +1978,36 @@ def _make_multi_kernel(
         qids = []
         ds = []
         ss = []
+        gs = []
         for qi, *_ in qinfo:
             qids.append(np.full(best_d[qi].size, qi, dtype=np.int32))
             ds.append(best_d[qi])
             ss.append(best_s[qi])
-        yield pd.DataFrame(
-            {
-                "query_id": pd.Series(
-                    np.concatenate(qids) if qids else np.empty(0, np.int32),
-                    dtype="int32",
-                ),
-                "docid": pd.Series(
-                    np.concatenate(ds) if ds else np.empty(0, np.int64),
-                    dtype="int64",
-                ),
-                "score": pd.Series(
-                    np.concatenate(ss) if ss else np.empty(0, np.float32),
-                    dtype="float32",
-                ),
-            }
-        )
+            gs.append(
+                best_g[qi]
+                if qi in dist_sort
+                else np.full(best_d[qi].size, np.nan)
+            )
+        out = {
+            "query_id": pd.Series(
+                np.concatenate(qids) if qids else np.empty(0, np.int32),
+                dtype="int32",
+            ),
+            "docid": pd.Series(
+                np.concatenate(ds) if ds else np.empty(0, np.int64),
+                dtype="int64",
+            ),
+            "score": pd.Series(
+                np.concatenate(ss) if ss else np.empty(0, np.float32),
+                dtype="float32",
+            ),
+        }
+        if emit_dist_col:
+            out["geo_dist"] = pd.Series(
+                np.concatenate(gs) if gs else np.empty(0, np.float64),
+                dtype="float64",
+            )
+        yield pd.DataFrame(out)
 
     return kernel
 

@@ -10,6 +10,8 @@ filter + distance comparator (`search.rs:2712-2724`, `min_heap.rs`).
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -216,6 +218,69 @@ def test_geo_distance_sort(spark, geo_store):
     ).collect()
     dists = [r["geo_dist"] for r in out]
     assert dists == sorted(dists) and len(dists) == 10
+
+
+def test_batched_geo_distance_sort_identical(spark, geo_store):
+    """search_many(result_sorts=[('geo_dist', …)]) keeps per-query
+    distance top-k INSIDE the fused kernel and must be bit-identical
+    (docid, score, AND distance) to the single-query emit-all path —
+    for asc, desc, and a mixed batch with score-sorted queries."""
+    from seekstorm_spark.query.engine import search_many
+
+    store, _docs = geo_store
+    gf = {
+        "lat": "lat", "lon": "lon", "at": (48.8566, 2.3522),
+        "radius_km": 8000.0,
+    }
+    queries = ["term00000", "term00001", "term00000 term00002"]
+    geo_filters = [gf, gf, None]
+    sorts = [[("geo_dist", "asc")], [("geo_dist", "desc")], None]
+    batched = search_many(
+        spark, store, queries, top_k=10,
+        geo_filters=geo_filters, result_sorts=sorts,
+    ).collect()
+    assert {c for c in batched[0].asDict()} == {
+        "query_id", "docid", "score", "geo_dist",
+    }
+    for i, (q, g, rs) in enumerate(zip(queries, geo_filters, sorts)):
+        single = search(
+            spark, store, q, top_k=10, default_type="union",
+            geo_filter=g, result_sort=rs,
+        ).collect()
+        got = [r for r in batched if r["query_id"] == i]
+        if rs:
+            direction = rs[0][1]
+            got.sort(
+                key=lambda r: (
+                    r["geo_dist"] if direction == "asc" else -r["geo_dist"],
+                    r["docid"],
+                )
+            )
+            assert [
+                (r["docid"], r["score"], r["geo_dist"]) for r in got
+            ] == [
+                (r["docid"], r["score"], r["geo_dist"]) for r in single
+            ], q
+        else:
+            got.sort(key=lambda r: (-r["score"], r["docid"]))
+            assert [(r["docid"], r["score"]) for r in got] == [
+                (r["docid"], r["score"]) for r in single
+            ], q
+            assert all(
+                r["geo_dist"] is None or math.isnan(r["geo_dist"])
+                for r in got
+            )
+
+    # geo sort without a geo filter is rejected, as in search()
+    with pytest.raises(ValueError, match="requires a geo_filter"):
+        search_many(
+            spark, store, ["term00000"], result_sorts=[[("geo_dist", "asc")]]
+        )
+    with pytest.raises(ValueError, match="geo_dist"):
+        search_many(
+            spark, store, ["term00000"], geo_filters=[gf],
+            result_sorts=[[("lang", "asc")]],
+        )
 
 
 def test_empty_plan_result_sort_schema(spark, geo_store):
