@@ -2193,6 +2193,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_cached_frequent"] = wand_cached_frequent
 
+    # numeric sort-key block skipping (v5 zone bounds): top-k by a
+    # numeric facet keeps a key threshold in the kernel and skips
+    # blocks whose zone min can't beat it (tests/test_sortkey_pruning
+    # gates skip behavior + bit-identity with prune=False)
+    def wand_numeric_sort_pruned(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import search
+
+        out = search(
+            s, _wand_store(s, d), "fast", top_k=10, default_type="union",
+            result_sort=[("n_chars", "asc")],
+        )
+        return out.select(
+            "docid",
+            F.col("n_chars").cast("double").alias("n_chars"),
+            F.round(F.col("score").cast("double"), 4).alias("score"),
+        )
+
+    q["wand_numeric_sort_pruned"] = wand_numeric_sort_pruned
+
     # --- generic analytics over the star schema (engine breadth) ---
     q["agg_pricing_summary"] = lambda s, d: (
         s.read.parquet(f"{d}/lineitem.parquet")
@@ -3031,6 +3050,16 @@ ORDER BY rrf_score DESC, docid ASC LIMIT 10
     # served from the frequent-term cache, which is bit-identical to
     # the kernel — same oracle as a live single-term WAND query
     o["wand_cached_frequent"] = _wand_bm25_sql(["fast"], "union")
+    # top-10 by the numeric facet (asc, docid tiebreak), scores from
+    # the same f32-exact chain
+    o["wand_numeric_sort_pruned"] = _wand_bm25_sql(
+        ["fast"], "union", final_select="""
+SELECT s.docid, d.n_chars::DOUBLE AS n_chars,
+       round(s.raw::DOUBLE, 4) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.docid
+ORDER BY d.n_chars ASC, s.docid ASC LIMIT 10
+""",
+    )
 
     o["geo_radius"] = """
 WITH pts AS (

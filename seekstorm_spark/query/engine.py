@@ -675,12 +675,25 @@ def search(
                 (float(spec[1]), float(spec[2]))
             )
     n_docs, avgdl = _effective_stats(store, staged)
+    need_k = top_k + offset
+    emit_all = bool(result_sort)
+    # numeric primary sort key → v5 zone bounds drive a block-level
+    # skip (top-k by key keeps a key-threshold in place of the score
+    # threshold the emit-all path gives up)
+    sort_prune = None
+    if (
+        emit_all
+        and prune
+        and not staged  # a staged slice may lack zone bounds
+        and result_sort[0][0] in kinds
+        and kinds[result_sort[0][0]] == "numeric"
+    ):
+        sort_prune = (result_sort[0][0], result_sort[0][1], need_k)
     rows = _annotated_postings(
         spark, store, plan, boosts, allowed, facet_cols=need_facets,
         staged=staged, avgdl=avgdl, block_bounds=block_bounds,
+        keep_bounds=[sort_prune[0]] if sort_prune else None,
     )
-    need_k = top_k + offset
-    emit_all = bool(result_sort)
 
     kernel = _make_kernel(
         plan, need_k, prune and not emit_all, avgdl,
@@ -695,6 +708,7 @@ def search(
         emit_all=emit_all,
         geo=geo_filter,
         emit_dist=want_dist,
+        sort_prune=sort_prune,
     )
     schema = RESULT_SCHEMA
     for fc in emit_facets:
@@ -704,10 +718,25 @@ def search(
     if want_dist:
         schema += ", geo_dist double"
     # rows are already hash-partitioned by block_id (the block-bound
-    # window's exchange) — no extra repartition needed
-    candidates = rows.sortWithinPartitions(
-        F.col("block_bound").desc(), "block_id", "term", "field"
-    ).mapInPandas(kernel, schema=schema)
+    # window's exchange) — no extra repartition needed. Key-sorted
+    # queries schedule blocks by their zone bound (best key first) so
+    # the kernel's key-threshold tightens as early as possible;
+    # unknown-bound blocks go first (they can never be skipped).
+    if sort_prune is not None:
+        zb = (
+            F.col(f"zb_min_{sort_prune[0]}").asc_nulls_first()
+            if sort_prune[1] == "asc"
+            else F.col(f"zb_max_{sort_prune[0]}").desc_nulls_first()
+        )
+        order_cols = [zb, F.col("block_id"), F.col("term"), F.col("field")]
+    else:
+        order_cols = [
+            F.col("block_bound").desc(), F.col("block_id"),
+            F.col("term"), F.col("field"),
+        ]
+    candidates = rows.sortWithinPartitions(*order_cols).mapInPandas(
+        kernel, schema=schema
+    )
     if want_dist and geo_unit == "mi":
         # kernel distances are km; the requested unit only rescales
         # the emitted column (sort order is unit-invariant)
@@ -761,7 +790,19 @@ def search(
         order = []
         for key, direction in result_sort:
             col = F.col(key)
-            order.append(col.desc() if direction == "desc" else col.asc())
+            if kinds.get(key) == "numeric":
+                # docs without the key sort LAST either direction —
+                # required for the zone-bound block skip to be
+                # admissible (a missing-key doc can never outrank
+                # need_k docs with keys), and the ordering a user
+                # expects from "sort by price"
+                order.append(
+                    col.desc_nulls_last()
+                    if direction == "desc"
+                    else col.asc_nulls_last()
+                )
+            else:
+                order.append(col.desc() if direction == "desc" else col.asc())
         order.append(F.col("docid").asc())
         out = candidates.select(*out_cols).orderBy(*order)
     else:
@@ -2453,6 +2494,7 @@ def _join_facet_blocks(
     facet_cols: list[str],
     staged: list | None = None,
     block_bounds: dict[str, list[tuple[float, float]]] | None = None,
+    keep_bounds: list[str] | None = None,
 ) -> tuple[DataFrame, list]:
     """Left-join per-block facet arrays onto the posting rows (rows
     are hash-partitioned by block_id already, so only the small facet
@@ -2465,7 +2507,12 @@ def _join_facet_blocks(
     before any posting decode — mirroring the reference's segment-
     level facet skip. Blocks with unknown bounds (pre-v4 files, or a
     slice union where no slice has values) are kept; correctness
-    never depends on the skip."""
+    never depends on the skip.
+
+    ``keep_bounds`` facets additionally RETAIN their per-block zone
+    bounds as ``zb_min_<fc>`` / ``zb_max_<fc>`` output columns (the
+    kernel's numeric sort-key block skip reads them; null = unknown).
+    """
     import os
 
     extra = []
@@ -2484,7 +2531,10 @@ def _join_facet_blocks(
         # the buffers (non-missing slots are disjoint by construction)
         fb = fb.filter(F.col("facet") == fc)
         intervals = (block_bounds or {}).get(fc)
-        has_bounds = intervals and {"vmin", "vmax"} <= set(fb.columns)
+        want_bounds = fc in (keep_bounds or ())
+        has_bounds = (intervals or want_bounds) and {
+            "vmin", "vmax",
+        } <= set(fb.columns)
         if has_bounds:
             # NaN bounds mean "this slice has no values" — null them so
             # the min/max over slices ignores them (Spark sorts NaN as
@@ -2503,16 +2553,21 @@ def _join_facet_blocks(
                 F.collect_list("fvalues").alias(f"fb_{fc}")
             )
         rows = rows.join(fb, "block_id", "left")
-        if has_bounds:
+        if has_bounds and intervals:
             overlap = F.lit(False)
             for lo, hi in intervals:
                 overlap = overlap | (
                     (F.col("_bmin") <= F.lit(float(hi)))
                     & (F.col("_bmax") >= F.lit(float(lo)))
                 )
-            rows = rows.filter(
-                F.col("_bmin").isNull() | overlap
-            ).drop("_bmin", "_bmax")
+            rows = rows.filter(F.col("_bmin").isNull() | overlap)
+        if has_bounds and want_bounds:
+            rows = rows.withColumnRenamed(
+                "_bmin", f"zb_min_{fc}"
+            ).withColumnRenamed("_bmax", f"zb_max_{fc}")
+            extra += [f"zb_min_{fc}", f"zb_max_{fc}"]
+        elif has_bounds:
+            rows = rows.drop("_bmin", "_bmax")
         extra.append(f"fb_{fc}")
     return rows, extra
 
@@ -2527,6 +2582,7 @@ def _annotated_postings(
     staged: list | None = None,
     avgdl: float | None = None,
     block_bounds: dict[str, list[tuple[float, float]]] | None = None,
+    keep_bounds: list[str] | None = None,
 ) -> DataFrame:
     if avgdl is None:
         avgdl = store.avgdl
@@ -2652,7 +2708,7 @@ def _annotated_postings(
         if facet_cols:
             rows, extra = _join_facet_blocks(
                 spark, store, rows, facet_cols, staged,
-                block_bounds=block_bounds,
+                block_bounds=block_bounds, keep_bounds=keep_bounds,
             )
             return rows.select(*base_cols, *extra)
         return rows.select(*base_cols)
@@ -2671,7 +2727,7 @@ def _annotated_postings(
     if facet_cols:
         rows, extra = _join_facet_blocks(
             spark, store, rows, facet_cols, staged,
-            block_bounds=block_bounds,
+            block_bounds=block_bounds, keep_bounds=keep_bounds,
         )
         return rows.select(*base_cols, *extra)
     return rows.select(*base_cols)
@@ -2693,6 +2749,7 @@ def _make_kernel(
     count_facets: dict | None = None,
     geo: dict | None = None,
     emit_dist: bool = False,
+    sort_prune: tuple[str, str, int] | None = None,
 ):
     qtype = plan.qtype
     pos_terms = dict(plan.pos_terms)
@@ -2795,6 +2852,13 @@ def _make_kernel(
         all_scores: list[np.ndarray] = []
         all_dists: list[np.ndarray] = []
         all_facets: dict[str, list[np.ndarray]] = {c: [] for c, _k in emit_cols}
+        # numeric sort-key block skip (v5 zone bounds): top-k by a
+        # numeric facet keeps the best need_k KEY values seen in this
+        # partition; a block whose zone min (asc) / max (desc) cannot
+        # beat the worst kept key is skipped before any decode. Only
+        # admissible with nulls-last key ordering (docs with a missing
+        # key never outrank need_k docs with keys).
+        key_heap = np.empty(0, dtype=np.float64)
         total_matches = 0
         facet_tallies: dict[str, np.ndarray] = {
             fc: np.zeros(
@@ -2821,8 +2885,20 @@ def _make_kernel(
             best_docids, best_scores = d[order], s[order]
 
         def process_block(rows: pd.DataFrame) -> None:
-            nonlocal total_matches
+            nonlocal total_matches, key_heap
             block_id = int(rows["block_id"].iloc[0])
+            if sort_prune is not None and key_heap.size >= sort_prune[2]:
+                sk, sdir, _need = sort_prune
+                zb_col = f"zb_{'min' if sdir == 'asc' else 'max'}_{sk}"
+                zb = (
+                    rows[zb_col].iloc[0] if zb_col in rows.columns else None
+                )
+                if zb is not None and not np.isnan(zb):
+                    worst = float(key_heap[-1])
+                    if (sdir == "asc" and float(zb) > worst) or (
+                        sdir == "desc" and float(zb) < worst
+                    ):
+                        return
             if not count_only and prune:
                 # skip only on STRICT bound < threshold, with a small
                 # relative margin: the bound is computed in float64 while
@@ -3063,6 +3139,16 @@ def _make_kernel(
                     pos_terms[term], tf[ii], dl[ii]
                 )
                 scores[valid] += contrib
+            if sort_prune is not None:
+                kv = fbuf_at(f"fb_{sort_prune[0]}", cand)
+                if kv is not None:
+                    vals = kv[~np.isnan(kv)].astype(np.float64)
+                    if vals.size:
+                        merged = np.concatenate([key_heap, vals])
+                        merged.sort()
+                        if sort_prune[1] == "desc":
+                            merged = merged[::-1]
+                        key_heap = merged[: sort_prune[2]]
             if emit_all:
                 all_docids.append(base + cand)
                 all_scores.append(scores)

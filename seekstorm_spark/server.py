@@ -73,6 +73,38 @@ from seekstorm_spark.query.docstore import DocStore
 from seekstorm_spark.query.engine import count_matches, search
 
 
+class AuthError(Exception):
+    """Authentication/authorization failure with an HTTP status."""
+
+    def __init__(self, code: int, message: str):
+        super().__init__(message)
+        self.code = code
+
+
+def set_api_key(index_path: str, token: str | None) -> None:
+    """Protect an index with a bearer token: only the SHA-256 of the
+    token lands in the index meta (never plaintext — the reference
+    stores hashed api keys the same way, api_endpoints.rs). ``None``
+    clears the key. Atomic meta rewrite; opened services pick the key
+    up on their next `IndexStore.open`."""
+    import hashlib
+    import tempfile
+
+    meta_path = os.path.join(index_path, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if token is None:
+        meta.pop("api_key_sha256", None)
+    else:
+        meta["api_key_sha256"] = hashlib.sha256(
+            token.encode("utf-8")
+        ).hexdigest()
+    fd, tmp = tempfile.mkstemp(dir=index_path, suffix=".json.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+
+
 class IndexService:
     """Opened indexes (+ optional doc stores) behind the HTTP layer.
 
@@ -108,6 +140,29 @@ class IndexService:
             )
             if os.path.exists(os.path.join(ds_path, "_docstore_meta.json")):
                 self.doc_stores[name] = DocStore(ds_path)
+
+    def check_auth(self, name: str, auth_header: str | None) -> None:
+        """Per-index bearer-token gate (reference api_endpoints.rs
+        semantics): an index whose meta carries ``api_key_sha256``
+        rejects requests without the matching ``Authorization:
+        Bearer <token>`` — 401 when the header is absent/malformed,
+        403 when the token is wrong. Unprotected indexes (and unknown
+        names — the op 404s on its own) pass through."""
+        import hashlib
+
+        store = self.stores.get(name)
+        if store is None:
+            return
+        want = store.meta.get("api_key_sha256")
+        if not want:
+            return
+        if not auth_header or not auth_header.startswith("Bearer "):
+            raise AuthError(401, f"index {name!r} requires a bearer token")
+        got = hashlib.sha256(
+            auth_header[len("Bearer "):].encode("utf-8")
+        ).hexdigest()
+        if got != want:
+            raise AuthError(403, f"invalid api key for index {name!r}")
 
     def _staged(self, name: str) -> list | None:
         idx = self._indexers.get(name)
@@ -435,6 +490,8 @@ class _Handler(BaseHTTPRequestHandler):
                 continue
             try:
                 self._run(op, match, url)
+            except AuthError as e:
+                self._send(e.code, {"error": str(e)})
             except PermissionError as e:
                 self._send(403, {"error": str(e)})
             except KeyError as e:
@@ -452,8 +509,21 @@ class _Handler(BaseHTTPRequestHandler):
             return {}
         return json.loads(self.rfile.read(n))
 
+    # ops scoped to one index (match.group(1) = name) — these pass
+    # the per-index bearer gate; health/list/create stay open (create
+    # is guarded by the writable flag + index_root)
+    _INDEX_OPS = frozenset(
+        {
+            "info", "query", "query_get", "count", "query_batch",
+            "term_df", "suggest", "spell", "doc", "add_docs", "commit",
+            "delete", "drop_index",
+        }
+    )
+
     def _run(self, op: str, match: re.Match, url) -> None:
         svc = self.service
+        if op in self._INDEX_OPS:
+            svc.check_auth(match.group(1), self.headers.get("Authorization"))
         if op == "health":
             self._send(200, {"status": "ok"})
         elif op == "list":

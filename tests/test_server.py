@@ -306,3 +306,68 @@ def test_suggest_read_only_without_dictionary(spark, served):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(base + "/indices/main/suggest?prefix=te")
     assert ei.value.code == 400
+
+
+def test_api_key_auth(spark, tmp_path):
+    """Per-index bearer tokens (reference api_endpoints.rs): only the
+    SHA-256 lands in meta; missing header -> 401, wrong token -> 403,
+    right token -> 200; unprotected indexes and /health stay open."""
+    from seekstorm_spark.server import serve_in_thread, set_api_key
+
+    docs = assign_docids(synth_webtext(spark, 120, seed=19), order_col="url")
+    open_path = str(tmp_path / "open")
+    sec_path = str(tmp_path / "sec")
+    IndexBuilder(spark, open_path, n_buckets=4).build(
+        docs, text_col="text", id_col="docid"
+    )
+    IndexBuilder(spark, sec_path, n_buckets=4).build(
+        docs, text_col="text", id_col="docid"
+    )
+    set_api_key(sec_path, "s3kr1t-token")
+    with open(sec_path + "/meta.json") as f:
+        meta = json.load(f)
+    assert "s3kr1t-token" not in json.dumps(meta)  # never plaintext
+    assert len(meta["api_key_sha256"]) == 64
+
+    srv, _t = serve_in_thread(
+        spark, {"open": open_path, "sec": sec_path}, port=0
+    )
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # open index + health need no token
+        assert _get(base + "/health")[0] == 200
+        assert _get(base + "/indices/open/info")[0] == 200
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(base + "/indices/sec/info")
+        assert ei.value.code == 401
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(base + "/indices/sec/query?q=term00000")
+        assert ei.value.code == 401
+
+        def _get_auth(url, token):
+            req = urllib.request.Request(
+                url, headers={"Authorization": f"Bearer {token}"}
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status, json.loads(r.read())
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get_auth(base + "/indices/sec/info", "wrong-token")
+        assert ei.value.code == 403
+
+        status, info = _get_auth(base + "/indices/sec/info", "s3kr1t-token")
+        assert status == 200 and info["n_docs"] == 120
+        status, res = _get_auth(
+            base + "/indices/sec/query?q=term00000&top_k=3", "s3kr1t-token"
+        )
+        assert status == 200 and len(res["results"]) == 3
+
+        # clearing the key reopens the index (picked up on reopen)
+        set_api_key(sec_path, None)
+        srv.RequestHandlerClass.service.stores["sec"] = type(
+            srv.RequestHandlerClass.service.stores["sec"]
+        ).open(sec_path)
+        assert _get(base + "/indices/sec/info")[0] == 200
+    finally:
+        srv.shutdown()
