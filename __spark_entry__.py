@@ -1947,6 +1947,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_quantized_cosine"] = ann_quantized_cosine
 
+    # affine (asymmetric min/max) 8-bit SQ — the reference's affine
+    # SQ variant (vector_similarity.rs:1226+): per-vector zero point +
+    # scale, cosine over the dequantized reconstruction
+    def ann_affine_cosine(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.simsearch import (
+            affine_cosine_topk,
+            quantize_u8_affine,
+        )
+
+        qv = ann_query_vec(s, d)
+        codes = quantize_u8_affine(_emb(s, d).filter(F.col("vec_id") != 0))
+        return affine_cosine_topk(codes, qv, k=10)
+
+    q["ann_affine_cosine"] = ann_affine_cosine
+
     def ann_lsh(s: SparkSession, d: str) -> DataFrame:
         import os
 
@@ -2271,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_chunked_topk",
         "wand_cached_frequent",
         "wand_numeric_sort_pruned",
+        "ann_affine_cosine",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -2954,6 +2970,37 @@ scored AS (
 SELECT vec_id, cos_sim FROM scored
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
+    # affine SQ: round((x−min)/s) reconstructed as min + code·s —
+    # quantizer mirrored bit-for-bit, cosine over the reconstruction
+    o["ann_affine_cosine"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qt AS (
+  SELECT vec_id, embedding,
+         list_min(list_transform(embedding, x -> x::DOUBLE)) AS zero,
+         (list_max(list_transform(embedding, x -> x::DOUBLE))
+          - list_min(list_transform(embedding, x -> x::DOUBLE))) / 255.0 AS s
+  FROM embeddings WHERE vec_id <> 0),
+deq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CASE WHEN s = 0 THEN zero
+                     ELSE zero + round((x::DOUBLE - zero) / s, 0) * s
+                END) AS v
+  FROM qt),
+scored AS (
+  SELECT deq.vec_id,
+         round(
+           list_sum(list_transform(range(1, len(deq.v) + 1),
+             i -> deq.v[i] * q.qv[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(deq.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(q.qv,
+                     x -> x::DOUBLE * x::DOUBLE)))),
+         4) AS cos_sim
+  FROM deq CROSS JOIN q)
+SELECT vec_id, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
     # LSH-ANN: hyperplanes are seeded deterministic constants — embed
     # them as double[] literals and recompute signatures in SQL; the
     # candidate set = vectors with hamming(sig, qsig) <= 1, identical

@@ -177,6 +177,58 @@ def quantized_cosine_topk(
     )
 
 
+def quantize_u8_affine(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector AFFINE (asymmetric) 8-bit scalar quantization — the
+    reference's affine SQ variant (vector_similarity.rs:1226+): each
+    vector stores (zero_point=min, scale=(max−min)/255) and codes
+    code_i = round((x_i − min) / scale) ∈ [0, 255]. Unlike symmetric
+    SQ the full u8 range is used even for skewed value distributions.
+    Pure column expressions; dequantize: x̂_i = zero + code_i·scale."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vmin = F.array_min(v)
+    vmax = F.array_max(v)
+    scale = (vmax - vmin) / F.lit(255.0)
+    return df.select(
+        F.col(id_col),
+        vmin.alias("zero"),
+        scale.alias("scale"),
+        F.transform(
+            v,
+            lambda x: F.when(scale != 0.0, F.round((x - vmin) / scale, 0))
+            .otherwise(F.lit(0.0))
+            .cast("smallint"),
+        ).alias("codes"),
+    )
+
+
+def affine_cosine_topk(
+    qdf: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine top-k over affine-quantized codes: vectors dequantize as
+    zero + code·scale (the affine terms do NOT cancel — the zero
+    point shifts every component, so similarity runs on the
+    reconstruction, as the reference's affine SQ search does)."""
+    deq = F.transform(
+        F.col("codes"),
+        lambda c: F.col("zero") + c.cast("double") * F.col("scale"),
+    )
+    return (
+        qdf.select(
+            F.col(id_col),
+            F.round(cosine_col(deq, query), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 1234) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).astype(np.float64)

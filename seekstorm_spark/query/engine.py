@@ -908,15 +908,18 @@ def search_many(
     score order) currently supports ``[("geo_dist", "asc"|"desc")]``
     per query — that query's results order by its haversine distance
     instead of score, bit-identical to ``search(result_sort=…)``, and
-    the output gains a ``geo_dist`` column (km; NaN for score-sorted
-    queries). Distance top-k is kept per partition inside the fused
-    kernel, so a geo-sorted query rides the same single action."""
+    the output gains a ``geo_dist`` column (km, or miles for a query
+    whose filter used ``radius_mi``/``unit="mi"``; NaN for
+    score-sorted queries). Distance top-k is kept per partition inside
+    the fused kernel, so a geo-sorted query rides the same single
+    action."""
     from functools import reduce
 
     if facet_filters is not None and len(facet_filters) != len(queries):
         raise ValueError("facet_filters must parallel queries")
     if geo_filters is not None and len(geo_filters) != len(queries):
         raise ValueError("geo_filters must parallel queries")
+    mi_qs: list[int] = []
     dist_sort_by_q: dict[int, str] = {}
     if result_sorts is not None:
         if len(result_sorts) != len(queries):
@@ -959,9 +962,11 @@ def search_many(
         for i, gf in enumerate(geo_filters):
             if not gf:
                 continue
-            gf, _unit = _normalize_geo(gf)
+            gf, unit = _normalize_geo(gf)
             _resolve_facets(store, None, None, geo_filter=gf)  # validate
             geo_by_q[i] = dict(gf)
+            if unit == "mi":
+                mi_qs.append(i)
 
     fused: list[tuple[int, QueryPlan]] = []
     fallback: list[int] = []
@@ -1051,7 +1056,23 @@ def search_many(
         outs.append(out.select(*sel))
     if not outs:
         return spark.createDataFrame([], out_schema)
-    return reduce(lambda a, b: a.unionByName(b), outs)
+    result = reduce(lambda a, b: a.unionByName(b), outs)
+    # kernel distances are km; a FUSED query whose filter was given in
+    # miles gets its emitted column rescaled (order is unit-invariant,
+    # so the distance sort already happened correctly). Staged
+    # fallbacks went through search(), which rescales itself.
+    mi_rescale = sorted(set(mi_qs) - set(fallback))
+    if with_dist and mi_rescale:
+        from seekstorm_spark.functions.geo import KM_PER_MILE
+
+        result = result.withColumn(
+            "geo_dist",
+            F.when(
+                F.col("query_id").isin([int(i) for i in mi_rescale]),
+                F.col("geo_dist") / F.lit(KM_PER_MILE),
+            ).otherwise(F.col("geo_dist")),
+        )
+    return result
 
 
 def count_matches_many(

@@ -120,6 +120,9 @@ def build_result_cache(
         "version": RESULT_CACHE_VERSION,
         "k": int(k),
         "terms": keys,
+        # pre-analysis query strings — rebuilds re-plan THESE (feeding
+        # analyzed keys back through a stemmer could double-stem)
+        "source_terms": queries,
         "generation": list(gen),
     }
     fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".json.tmp")
@@ -128,6 +131,23 @@ def build_result_cache(
     os.replace(tmp, os.path.join(cache_dir, _META_NAME))
     _SERVE_CACHE.pop(store.path, None)
     return keys
+
+
+def rebuild_result_cache(spark, store) -> list[str]:
+    """Re-run the cache build with the SAME terms and depth the
+    existing on-disk cache recorded (post-commit refresh hook). No-op
+    when no cache exists."""
+    meta_path = os.path.join(store.path, _CACHE_DIR, _META_NAME)
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+    except OSError:
+        return []
+    return build_result_cache(
+        spark, store,
+        terms=meta.get("source_terms") or meta.get("terms") or [],
+        k=int(meta.get("k", RESULT_CACHE_K)),
+    )
 
 
 def _load(store) -> tuple[tuple, int, dict] | None:

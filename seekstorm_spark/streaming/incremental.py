@@ -500,13 +500,27 @@ class RealtimeIndexer:
         )
 
     def commit(self) -> IndexStore:
+        import os
         import time
 
+        had_batches = bool(self.staged)
         for staged in self.staged:
             self.store = commit_batch(self.spark, self.store, staged)
         self.staged = []
         self._pending = 0
         self._last_commit = time.monotonic()
+        # a commit moves the index generation, which invalidates any
+        # frequent-term result cache — rebuild it so cached serving
+        # resumes immediately (the reference rebuilds its result cache
+        # per commit, index.rs:1644)
+        if had_batches and os.path.isdir(
+            os.path.join(self.store.path, "result_cache")
+        ):
+            from seekstorm_spark.query.result_cache import (
+                rebuild_result_cache,
+            )
+
+            rebuild_result_cache(self.spark, self.store)
         return self.store
 
 

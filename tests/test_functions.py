@@ -417,6 +417,49 @@ def test_quantize_i8_roundtrip_and_search(spark):
     assert list(zr["codes"]) == [0, 0, 0] and zr["scale"] == 0.0
 
 
+def test_quantize_u8_affine_roundtrip_and_search(spark):
+    """Affine SQ: codes span [0, 255], zero point + scale reconstruct
+    to within scale/2, full-range use beats symmetric SQ on shifted
+    distributions, and affine cosine top-k ≈ exact top-k."""
+    import numpy as np
+
+    from seekstorm_spark.functions.simsearch import (
+        affine_cosine_topk,
+        cosine_topk,
+        quantize_u8_affine,
+    )
+
+    rng = np.random.default_rng(11)
+    # shifted distribution: values in [3, 5] — symmetric SQ would
+    # spend half its code range on the never-used negative side
+    mat = 4.0 + 0.5 * rng.standard_normal((200, 16)).clip(-2, 2)
+    rows = [(int(i), [float(x) for x in mat[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes = quantize_u8_affine(df)
+    for r in codes.collect()[:20]:
+        c = np.array(r["codes"], dtype=np.int64)
+        assert c.min() >= 0 and c.max() <= 255
+        assert 0 in set(c.tolist()) and 255 in set(c.tolist())  # full range
+        recon = r["zero"] + c * r["scale"]
+        orig = np.array(mat[r["vec_id"]], dtype=np.float32).astype(np.float64)
+        assert np.abs(recon - orig).max() <= r["scale"] / 2 + 1e-12
+
+    q = [float(x) for x in mat[0]]
+    exact = [r["vec_id"] for r in cosine_topk(
+        df.filter(F.col("vec_id") != 0), q, k=10).collect()]
+    approx = [r["vec_id"] for r in affine_cosine_topk(
+        codes.filter(F.col("vec_id") != 0), q, k=10).collect()]
+    assert len(set(exact) & set(approx)) >= 8
+
+    # constant vector: scale 0, codes 0, reconstruction = zero point
+    zdf = spark.createDataFrame(
+        [(99, [2.5, 2.5, 2.5])], "vec_id long, embedding array<float>"
+    )
+    zr = quantize_u8_affine(zdf).collect()[0]
+    assert list(zr["codes"]) == [0, 0, 0]
+    assert zr["scale"] == 0.0 and zr["zero"] == 2.5
+
+
 def _make_png(px, color_type, filters=None, plte=None):
     """Minimal PNG encoder for the decoder tests: 8-bit, non-
     interlaced, chosen per-row filter bytes (0=None, 2=Up)."""

@@ -271,6 +271,25 @@ def test_batched_geo_distance_sort_identical(spark, geo_store):
                 for r in got
             )
 
+    # miles unit: same candidates/order, emitted distances rescaled —
+    # identical to the single-query miles path
+    gf_mi = {
+        "lat": "lat", "lon": "lon", "at": (48.8566, 2.3522),
+        "radius_mi": 8000.0 / 1.609344,
+    }
+    batched_mi = search_many(
+        spark, store, ["term00000"], top_k=10,
+        geo_filters=[gf_mi], result_sorts=[[("geo_dist", "asc")]],
+    ).collect()
+    single_mi = search(
+        spark, store, "term00000", top_k=10, default_type="union",
+        geo_filter=dict(gf_mi), result_sort=[("geo_dist", "asc")],
+    ).collect()
+    got_mi = sorted(batched_mi, key=lambda r: (r["geo_dist"], r["docid"]))
+    assert [(r["docid"], r["geo_dist"]) for r in got_mi] == [
+        (r["docid"], r["geo_dist"]) for r in single_mi
+    ]
+
     # geo sort without a geo filter is rejected, as in search()
     with pytest.raises(ValueError, match="requires a geo_filter"):
         search_many(

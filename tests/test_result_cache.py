@@ -101,3 +101,37 @@ def test_cache_invalidated_by_append_then_rebuilt(spark, tmp_path):
         tuple(r) for r in kernel_rows
     ]
     assert cached_single_term(store, "term00000", 10) is not None
+
+
+def test_realtime_commit_rebuilds_cache(spark, tmp_path):
+    """A RealtimeIndexer commit moves the index generation; when a
+    result cache exists it is rebuilt in the same commit (reference
+    rebuilds its result cache per commit) — cached serving resumes
+    immediately and reflects the committed docs."""
+    from seekstorm_spark.streaming.incremental import RealtimeIndexer
+
+    docs = assign_docids(synth_webtext(spark, 200, seed=43), order_col="url")
+    path = str(tmp_path / "idx")
+    store = IndexBuilder(
+        spark, path, n_buckets=4, frequent_terms=["term00000"]
+    ).build(docs, text_col="text", id_col="docid")
+    build_result_cache(spark, store, k=50)
+
+    idx = RealtimeIndexer(spark, store, text_col="text", id_col="docid",
+                          commit_every=10_000)
+    more = assign_docids(
+        synth_webtext(spark, 40, seed=44), order_col="url"
+    ).withColumn("docid", F.col("docid") + 500)
+    idx.add_documents(more)
+    store = idx.commit()
+
+    hit_df = search(spark, store, "term00000", top_k=10)
+    assert _is_local(hit_df)  # cache valid again right after commit
+    # identity vs the kernel: a deeper-than-cache request bypasses the
+    # cache, so its top 10 is the kernel's answer over committed docs
+    deep = search(spark, store, "term00000", top_k=10_000).collect()
+    top = sorted(
+        ((r["docid"], r["score"]) for r in deep),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert [(r["docid"], r["score"]) for r in hit_df.collect()] == top
