@@ -393,6 +393,38 @@ class IndexService:
             for k, v in row.items()
         }
 
+    def set_key(self, name: str, body: dict) -> dict:
+        """API-key CRUD (reference api_endpoints.rs apikey endpoints):
+        set/rotate an index's bearer token. Guarded by the writable
+        flag AND — when a key already exists — by the existing key
+        (check_auth runs before this op)."""
+        if not self.writable:
+            raise PermissionError("api key management needs writable=True")
+        token = body.get("key")
+        if not token or not isinstance(token, str):
+            raise ValueError("body must contain a non-empty 'key' string")
+        store = self.stores[name]
+        set_api_key(store.path, token)
+        self._reopen(name)
+        return {"index": name, "api_key": "set"}
+
+    def clear_key(self, name: str) -> dict:
+        if not self.writable:
+            raise PermissionError("api key management needs writable=True")
+        store = self.stores[name]
+        set_api_key(store.path, None)
+        self._reopen(name)
+        return {"index": name, "api_key": "cleared"}
+
+    def _reopen(self, name: str) -> None:
+        """Reload an index's meta from disk; an active RealtimeIndexer
+        must see the fresh meta too, else its next commit would
+        rewrite meta.json from the stale copy (dropping the key)."""
+        self.stores[name] = IndexStore.open(self.stores[name].path)
+        idx = self._indexers.get(name)
+        if idx is not None:
+            idx.store = self.stores[name]
+
     def create_index(self, body: dict) -> dict:
         if not self.writable or not self.index_root:
             raise PermissionError(
@@ -463,6 +495,8 @@ _ROUTES = [
     ("POST", re.compile(r"^/indices/([^/]+)/delete$"), "delete"),
     ("POST", re.compile(r"^/indices$"), "create_index"),
     ("DELETE", re.compile(r"^/indices/([^/]+)$"), "drop_index"),
+    ("POST", re.compile(r"^/indices/([^/]+)/apikey$"), "set_key"),
+    ("DELETE", re.compile(r"^/indices/([^/]+)/apikey$"), "clear_key"),
 ]
 
 
@@ -516,7 +550,7 @@ class _Handler(BaseHTTPRequestHandler):
         {
             "info", "query", "query_get", "count", "query_batch",
             "term_df", "suggest", "spell", "doc", "add_docs", "commit",
-            "delete", "drop_index",
+            "delete", "drop_index", "set_key", "clear_key",
         }
     )
 
@@ -596,6 +630,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, svc.create_index(self._body()))
         elif op == "drop_index":
             self._send(200, svc.drop_index(match.group(1)))
+        elif op == "set_key":
+            self._send(200, svc.set_key(match.group(1), self._body()))
+        elif op == "clear_key":
+            self._send(200, svc.clear_key(match.group(1)))
 
     def do_GET(self):
         self._dispatch("GET")
