@@ -211,7 +211,7 @@ def bench_index_build(n_small: int, n_big: int) -> dict:
         eff_history.append(round(eff(), 3))
         if reps >= MAX_BUILD_REPS:
             break
-        stable = reps >= BUILD_REPS and abs(
+        stable = reps >= BUILD_REPS and len(eff_history) >= 2 and abs(
             eff_history[-1] - eff_history[-2]
         ) < EFF_DELTA
         # load-aware guard (still target-independent): if the LATEST

@@ -633,8 +633,20 @@ def search(
             store, next(iter(plan.pos_terms)), top_k + offset
         )
         if hit is not None:
-            return spark.createDataFrame(
-                hit[offset : offset + top_k], RESULT_SCHEMA
+            rows = hit[offset : offset + top_k]
+            if not rows:
+                return spark.createDataFrame([], RESULT_SCHEMA)
+            # a VALUES literal plans as a LocalTableScan, whose
+            # collect() runs driver-side with NO Spark job — a
+            # parallelize-backed createDataFrame would schedule one.
+            # repr(float) round-trips the f32 score exactly.
+            values = ", ".join(
+                f"(CAST({int(d)} AS BIGINT), CAST({s!r} AS FLOAT))"
+                for d, s in rows
+            )
+            return spark.sql(
+                f"SELECT docid, score FROM (VALUES {values}) "
+                "AS t(docid, score)"
             )
 
     boosts, allowed = _resolve_fields(store, fields, field_filter)
