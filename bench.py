@@ -320,6 +320,14 @@ def bench_wand_queries(index_path: str, cores: int) -> dict:
         t0 = time.time()
         cached_terms = build_result_cache(spark, store, k=1000)
         cache_build_s = time.time() - t0
+        # a hit must plan as a local relation (no scan, no job) — a
+        # silent kernel fallback would mislabel kernel latencies as
+        # cache hits
+        probe = search(spark, store, "term00000", top_k=10)
+        probe_plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" in probe_plan or "ExistingRDD" in probe_plan, (
+            f"term00000 not served from the result cache:\n{probe_plan}"
+        )
         hit_reps = 20
         t0 = time.time()
         for _ in range(hit_reps):

@@ -41,6 +41,11 @@ def main() -> int:
         "--writable", action="store_true",
         help="enable doc add/commit/delete endpoints",
     )
+    ap.add_argument(
+        "--admin-key", default=_os.environ.get("SEEKSTORM_ADMIN_KEY"),
+        help="master key gating apikey CRUD (or env SEEKSTORM_ADMIN_KEY); "
+        "unset = apikey endpoints disabled",
+    )
     args = ap.parse_args()
 
     from seekstorm_spark.server import make_server
@@ -60,6 +65,7 @@ def main() -> int:
     srv = make_server(
         spark, indices, host=args.host, port=args.port,
         writable=args.writable, index_root=args.index_root,
+        admin_key=args.admin_key,
     )
     host, port = srv.server_address[:2]
     print(f"serving {sorted(indices)} on http://{host}:{port}", flush=True)

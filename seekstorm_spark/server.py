@@ -9,9 +9,12 @@ routing `http_server.rs:190+`). This is the Spark-side analog: a
 supports concurrent actions from handler threads, so requests
 parallelize up to the scheduler; the doc endpoint reads through the
 columnar :class:`~seekstorm_spark.query.docstore.DocStore` (no Spark
-job at all). API-key auth, index CRUD, and PDF upload are out of
-scope — the sandbox has no secrets and ingestion runs through the
-build/streaming APIs.
+job at all). Per-index API keys (SHA-256 in index meta; 401/403) gate
+index-scoped endpoints, and apikey CRUD (`POST`/`DELETE
+/indices/{name}/apikey`) answers to a server-level ``admin_key`` —
+the reference's master-apikey semantics; with no admin key configured
+those endpoints are disabled. PDF upload stays out of scope
+(ingestion runs through the build/streaming APIs).
 
 Endpoints (reference parity subset):
 
@@ -121,11 +124,18 @@ class IndexService:
         doc_stores: dict[str, str] | None = None,
         writable: bool = False,
         index_root: str | None = None,
+        admin_key: str | None = None,
     ):
         self.spark = spark
         self.stores = {n: IndexStore.open(p) for n, p in indices.items()}
         self.writable = writable
         self.index_root = index_root
+        # master key gating apikey CRUD (reference master apikey,
+        # api_endpoints.rs) — held in memory only, never persisted;
+        # when unset the apikey endpoints are disabled entirely (an
+        # open writable server must NOT let any caller set the FIRST
+        # key and lock out the owner)
+        self.admin_key = admin_key
         # serializes index create/drop (registry mutations); per-index
         # write locks cover doc-level mutations
         self._registry_lock = threading.Lock()
@@ -393,11 +403,27 @@ class IndexService:
             for k, v in row.items()
         }
 
+    def check_admin(self, auth_header: str | None) -> None:
+        """Gate for apikey CRUD: requires the server's admin (master)
+        key as a bearer token. 403 when no admin key is configured
+        (endpoints disabled), 401/403 on missing/wrong token."""
+        import hmac
+
+        if not self.admin_key:
+            raise AuthError(
+                403, "apikey management disabled (no admin_key configured)"
+            )
+        if not auth_header or not auth_header.startswith("Bearer "):
+            raise AuthError(401, "apikey management requires the admin key")
+        if not hmac.compare_digest(
+            auth_header[len("Bearer "):], self.admin_key
+        ):
+            raise AuthError(403, "invalid admin key")
+
     def set_key(self, name: str, body: dict) -> dict:
-        """API-key CRUD (reference api_endpoints.rs apikey endpoints):
-        set/rotate an index's bearer token. Guarded by the writable
-        flag AND — when a key already exists — by the existing key
-        (check_auth runs before this op)."""
+        """API-key CRUD (reference api_endpoints.rs apikey endpoints,
+        gated by its master apikey — here ``admin_key``): set/rotate
+        an index's bearer token."""
         if not self.writable:
             raise PermissionError("api key management needs writable=True")
         token = body.get("key")
@@ -550,7 +576,7 @@ class _Handler(BaseHTTPRequestHandler):
         {
             "info", "query", "query_get", "count", "query_batch",
             "term_df", "suggest", "spell", "doc", "add_docs", "commit",
-            "delete", "drop_index", "set_key", "clear_key",
+            "delete", "drop_index",
         }
     )
 
@@ -558,6 +584,10 @@ class _Handler(BaseHTTPRequestHandler):
         svc = self.service
         if op in self._INDEX_OPS:
             svc.check_auth(match.group(1), self.headers.get("Authorization"))
+        elif op in ("set_key", "clear_key"):
+            # apikey CRUD answers to the server ADMIN key, not the
+            # index key (the reference's master-apikey semantics)
+            svc.check_admin(self.headers.get("Authorization"))
         if op == "health":
             self._send(200, {"status": "ok"})
         elif op == "list":
@@ -653,13 +683,14 @@ def make_server(
     doc_stores: dict[str, str] | None = None,
     writable: bool = False,
     index_root: str | None = None,
+    admin_key: str | None = None,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port=0`` picks a
     free port (``server.server_address[1]``). Call ``serve_forever()``
     or wrap in a thread; ``shutdown()`` stops it."""
     service = IndexService(
         spark, indices, doc_stores, writable=writable,
-        index_root=index_root,
+        index_root=index_root, admin_key=admin_key,
     )
     handler = type("Handler", (_Handler,), {"service": service})
     return ThreadingHTTPServer((host, port), handler)
@@ -673,10 +704,12 @@ def serve_in_thread(
     doc_stores: dict[str, str] | None = None,
     writable: bool = False,
     index_root: str | None = None,
+    admin_key: str | None = None,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the server on a daemon thread; returns (server, thread)."""
     srv = make_server(
-        spark, indices, host, port, doc_stores, writable, index_root
+        spark, indices, host, port, doc_stores, writable, index_root,
+        admin_key=admin_key,
     )
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()

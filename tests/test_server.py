@@ -374,9 +374,10 @@ def test_api_key_auth(spark, tmp_path):
 
 
 def test_api_key_crud_over_http(spark, tmp_path):
-    """API-key endpoints (reference apikey CRUD): set a key on a
-    writable server, rotation requires the current key, clearing
-    reopens the index."""
+    """API-key endpoints answer to the server ADMIN key (reference
+    master-apikey semantics): disabled without one, 401/403 on
+    missing/wrong admin token, and an attacker can never set the
+    FIRST key on an open index."""
     from seekstorm_spark.server import serve_in_thread
 
     docs = assign_docids(synth_webtext(spark, 100, seed=29), order_col="url")
@@ -384,51 +385,62 @@ def test_api_key_crud_over_http(spark, tmp_path):
     IndexBuilder(spark, path, n_buckets=4).build(
         docs, text_col="text", id_col="docid"
     )
-    srv, _t = serve_in_thread(
-        spark, {"main": path}, port=0, writable=True
-    )
-    base = f"http://127.0.0.1:{srv.server_address[1]}"
 
-    def _req(method, url, body=None, token=None):
+    def _req(base, method, url, body=None, token=None):
         headers = {"Content-Type": "application/json"}
         if token:
             headers["Authorization"] = f"Bearer {token}"
         req = urllib.request.Request(
-            url,
+            base + url,
             data=json.dumps(body).encode() if body is not None else None,
             headers=headers, method=method,
         )
         with urllib.request.urlopen(req, timeout=120) as r:
             return r.status, json.loads(r.read())
 
+    # no admin key configured -> apikey endpoints are DISABLED (no
+    # caller may claim an open index by setting its first key)
+    srv0, _t0 = serve_in_thread(spark, {"main": path}, port=0, writable=True)
+    base0 = f"http://127.0.0.1:{srv0.server_address[1]}"
     try:
-        # no key yet: set works without auth
-        assert _req("POST", base + "/indices/main/apikey",
-                    {"key": "first-key"})[1]["api_key"] == "set"
-        # now protected
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(base0, "POST", "/indices/main/apikey", {"key": "attacker"})
+        assert ei.value.code == 403
+    finally:
+        srv0.shutdown()
+
+    srv, _t = serve_in_thread(
+        spark, {"main": path}, port=0, writable=True, admin_key="master-k3y"
+    )
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # missing / wrong admin token
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(base, "POST", "/indices/main/apikey", {"key": "first"})
+        assert ei.value.code == 401
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(base, "POST", "/indices/main/apikey", {"key": "first"},
+                 token="wrong")
+        assert ei.value.code == 403
+        # set with the admin key -> index becomes protected
+        assert _req(base, "POST", "/indices/main/apikey",
+                    {"key": "first"}, token="master-k3y")[1]["api_key"] == "set"
         with pytest.raises(urllib.error.HTTPError) as ei:
             _get(base + "/indices/main/info")
         assert ei.value.code == 401
-        # rotation without the current key is rejected
-        with pytest.raises(urllib.error.HTTPError) as ei:
-            _req("POST", base + "/indices/main/apikey", {"key": "second"})
-        assert ei.value.code == 401
-        with pytest.raises(urllib.error.HTTPError) as ei:
-            _req("POST", base + "/indices/main/apikey", {"key": "second"},
-                 token="wrong")
-        assert ei.value.code == 403
-        # rotation with the current key
-        assert _req("POST", base + "/indices/main/apikey",
-                    {"key": "second"}, token="first-key")[0] == 200
-        status, _ = _req("GET", base + "/indices/main/info", token="second")
+        status, _info = _req(base, "GET", "/indices/main/info", token="first")
         assert status == 200
-        # clear with the current key → open again
-        assert _req("DELETE", base + "/indices/main/apikey",
-                    token="second")[1]["api_key"] == "cleared"
+        # rotation + clear answer to the admin key, not the index key
+        assert _req(base, "POST", "/indices/main/apikey",
+                    {"key": "second"}, token="master-k3y")[0] == 200
+        status, _ = _req(base, "GET", "/indices/main/info", token="second")
+        assert status == 200
+        assert _req(base, "DELETE", "/indices/main/apikey",
+                    token="master-k3y")[1]["api_key"] == "cleared"
         assert _get(base + "/indices/main/info")[0] == 200
         # bad body
         with pytest.raises(urllib.error.HTTPError) as ei:
-            _req("POST", base + "/indices/main/apikey", {})
+            _req(base, "POST", "/indices/main/apikey", {}, token="master-k3y")
         assert ei.value.code == 400
     finally:
         srv.shutdown()
