@@ -614,6 +614,11 @@ def search(
     # driver-side — a LocalTableScan, zero Spark jobs. Any append /
     # delete / compaction moves the index generation and disables the
     # cache until it is rebuilt.
+    from seekstorm_spark.query.result_cache import (
+        cacheable_plan,
+        cached_single_term,
+    )
+
     if (
         not staged
         and facet_filters is None
@@ -621,14 +626,8 @@ def search(
         and geo_filter is None
         and fields is None
         and field_filter is None
-        and plan.qtype in ("union", "intersection")
-        and len(plan.pos_terms) == 1
-        and not plan.not_terms
-        and not plan.phrase
-        and getattr(plan, "units", None) is None
+        and cacheable_plan(plan)
     ):
-        from seekstorm_spark.query.result_cache import cached_single_term
-
         hit = cached_single_term(
             store, next(iter(plan.pos_terms)), top_k + offset
         )
@@ -734,11 +733,20 @@ def search(
     # queries schedule blocks by their zone bound (best key first) so
     # the kernel's key-threshold tightens as early as possible;
     # unknown-bound blocks go first (they can never be skipped).
-    if sort_prune is not None:
+    # Pre-v5 facet files carry no vmin/vmax, so the zb columns may be
+    # absent — fall back to the default schedule then (the kernel's
+    # skip guard already tolerates the missing columns).
+    zb_col = (
+        f"zb_{'min' if sort_prune and sort_prune[1] == 'asc' else 'max'}"
+        f"_{sort_prune[0]}"
+        if sort_prune
+        else None
+    )
+    if sort_prune is not None and zb_col in rows.columns:
         zb = (
-            F.col(f"zb_min_{sort_prune[0]}").asc_nulls_first()
+            F.col(zb_col).asc_nulls_first()
             if sort_prune[1] == "asc"
-            else F.col(f"zb_max_{sort_prune[0]}").desc_nulls_first()
+            else F.col(zb_col).desc_nulls_first()
         )
         order_cols = [zb, F.col("block_id"), F.col("term"), F.col("field")]
     else:

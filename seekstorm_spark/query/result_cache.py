@@ -41,6 +41,22 @@ _DATA_NAME = "cache.parquet"
 _SERVE_CACHE: dict[str, tuple[tuple, int, dict]] = {}
 
 
+def cacheable_plan(plan) -> bool:
+    """The ONE definition of plan-level cache eligibility, shared by
+    the build path (which keys the cache) and the serve path in
+    ``search()`` (which consults it): exactly one positive term,
+    plain union/intersection, no NOT terms, no phrase, no gram units.
+    Search-level arguments (filters, sorts, fields, staged) are the
+    serve path's own checks."""
+    return (
+        plan.qtype in ("union", "intersection")
+        and len(plan.pos_terms) == 1
+        and not plan.not_terms
+        and not plan.phrase
+        and getattr(plan, "units", None) is None
+    )
+
+
 def _generation(store) -> tuple:
     from seekstorm_spark.query.engine import _dir_mtime
 
@@ -73,12 +89,7 @@ def build_result_cache(
     queries: list[str] = []
     for t in terms:
         plan = _plan(spark, store, t, "union")
-        if (
-            len(plan.pos_terms) == 1
-            and not plan.not_terms
-            and not plan.phrase
-            and getattr(plan, "units", None) is None
-        ):
+        if cacheable_plan(plan):
             key = next(iter(plan.pos_terms))
             if key not in keys:
                 keys.append(key)
@@ -150,6 +161,21 @@ def rebuild_result_cache(spark, store) -> list[str]:
     )
 
 
+def _disk_generation(store) -> tuple | None:
+    """Generation recorded in the on-disk cache meta (cheap: one small
+    json read, no parquet decode)."""
+    try:
+        with open(
+            os.path.join(store.path, _CACHE_DIR, _META_NAME)
+        ) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if meta.get("version") != RESULT_CACHE_VERSION:
+        return None
+    return tuple(meta["generation"])
+
+
 def _load(store) -> tuple[tuple, int, dict] | None:
     import pyarrow.parquet as pq
 
@@ -158,17 +184,20 @@ def _load(store) -> tuple[tuple, int, dict] | None:
     try:
         with open(meta_path) as f:
             meta = json.load(f)
-    except OSError:
+        if meta.get("version") != RESULT_CACHE_VERSION:
+            return None
+        table = pq.read_table(os.path.join(cache_dir, _DATA_NAME))
+    except (OSError, ValueError):
         return None
-    if meta.get("version") != RESULT_CACHE_VERSION:
-        return None
-    table = pq.read_table(os.path.join(cache_dir, _DATA_NAME))
     terms = table.column("term").to_pylist()
     docids = table.column("docid").to_pylist()
     scores = table.column("score").to_pylist()
     by_term: dict[str, list] = {t: [] for t in meta.get("terms") or []}
     for t, d, s in zip(terms, docids, scores):
-        by_term[t].append((d, s))
+        # setdefault: a reader can race a rebuild between the parquet
+        # and meta os.replace calls — tolerate terms either side
+        # doesn't know (the generation check rejects the torn state)
+        by_term.setdefault(t, []).append((d, s))
     return tuple(meta["generation"]), int(meta["k"]), by_term
 
 
@@ -179,23 +208,20 @@ def cached_single_term(
     the cache is absent, stale (index generation moved), doesn't hold
     ``term``, or is too shallow for ``need_k``. A returned list is
     bit-identical to the kernel path's (docid, f32 score) ordering."""
+    current = _generation(store)
     entry = _SERVE_CACHE.get(store.path)
-    if entry is None:
+    if entry is None or entry[0] != current:
+        # reload ONLY when the on-disk meta claims the current
+        # generation (one small json read); a stale on-disk cache
+        # stays memoized so a drifted index doesn't pay a full
+        # parquet decode per query until someone rebuilds
+        if _disk_generation(store) != current:
+            return None
         entry = _load(store)
-        if entry is None:
+        if entry is None or entry[0] != current:
             return None
         _SERVE_CACHE[store.path] = entry
     gen, k, by_term = entry
-    if gen != _generation(store):
-        _SERVE_CACHE.pop(store.path, None)
-        # one reload attempt: the on-disk cache may have been rebuilt
-        entry = _load(store)
-        if entry is None:
-            return None
-        gen, k, by_term = entry
-        if gen != _generation(store):
-            return None
-        _SERVE_CACHE[store.path] = entry
     if term not in by_term:
         return None
     rows = by_term[term]

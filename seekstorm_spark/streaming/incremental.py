@@ -167,20 +167,35 @@ def _stage_facet_blocks(
         values = facet_values(spec)
         if values is None:  # numeric facet: any value encodes
             continue
-        known = set(values)
         col = (
             docs.select(F.explode(F.col(fc)).alias(fc))
             if facet_kind(spec) == "string_set"
             else docs.select(fc)
         )
+        # executor-side anti-join against the broadcast dictionary —
+        # only OFFENDING values reach the driver (a pathological batch
+        # must fail the gate, not OOM the driver collecting its
+        # distincts first)
+        spark = docs.sparkSession
+        dict_df = spark.createDataFrame(
+            [(str(v),) for v in values], "__known string"
+        )
         new = [
             r[0]
-            for r in col.distinct().collect()
-            if r[0] is not None and str(r[0]) not in known
+            for r in col.filter(F.col(fc).isNotNull())
+            .select(F.col(fc).cast("string").alias(fc))
+            .distinct()
+            .join(
+                F.broadcast(dict_df),
+                F.col(fc) == F.col("__known"),
+                "left_anti",
+            )
+            .limit(5)
+            .collect()
         ]
         if new:
             raise ValueError(
-                f"facet {fc!r}: batch carries values {sorted(map(str, new))[:5]} "
+                f"facet {fc!r}: batch carries values {sorted(map(str, new))} "
                 "not in the index dictionary; rebuild with a wider "
                 "dictionary (byte order == value order forbids in-place "
                 "dictionary growth)"
