@@ -1050,8 +1050,14 @@ class IndexBuilder:
         self.facet_cols = list(facet_cols) if facet_cols else None
         self.facet_types = dict(facet_types) if facet_types else None
         self.stemmer = stemmer
+        # a language code ("en"/"de"/"fr"/"es") resolves to the
+        # built-in stopword-class list — the reference's default
+        # frequent_en dictionary semantics
+        from seekstorm_spark.dictionaries import frequent_terms_for
+
+        resolved_freq = frequent_terms_for(frequent_terms)
         self.frequent_terms = (
-            frozenset(frequent_terms) if frequent_terms else None
+            frozenset(resolved_freq) if resolved_freq else None
         )
         # reference NgramSet subset (index.rs:1834-1872); default
         # FF | FFF when a frequent set is given

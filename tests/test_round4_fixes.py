@@ -120,6 +120,35 @@ def test_server_doc_binary_column_base64(spark, tmp_path):
     json.dumps(got)  # must be serializable
 
 
+def test_builtin_frequent_term_dictionaries(spark, tmp_path):
+    """frequent_terms='en' resolves to the built-in stopword-class
+    list (the reference's frequent_en dictionary semantics) and feeds
+    n-gram indexing exactly like an explicit list."""
+    from seekstorm_spark.dictionaries import FREQUENT_TERMS, frequent_terms_for
+    from seekstorm_spark.index.builder import IndexBuilder, assign_docids
+    from seekstorm_spark.query.engine import search
+    from seekstorm_spark.sources.webtext import synth_webtext
+
+    assert "the" in FREQUENT_TERMS["en"] and "und" in FREQUENT_TERMS["de"]
+    assert frequent_terms_for(None) is None
+    assert frequent_terms_for(["x", "y"]) == ["x", "y"]
+    with pytest.raises(ValueError, match="no built-in"):
+        frequent_terms_for("xx")
+
+    docs = assign_docids(synth_webtext(spark, 150, seed=47), order_col="url")
+    docs = docs.withColumn(
+        "text", F.concat(F.lit("the table of "), F.col("text"))
+    )
+    store = IndexBuilder(
+        spark, str(tmp_path / "idx"), n_buckets=4, frequent_terms="en",
+    ).build(docs, text_col="text", id_col="docid")
+    assert set(store.meta["frequent_terms"]) == set(FREQUENT_TERMS["en"])
+    # every doc starts with "the table of": the phrase matches all of
+    # them through the built-list-driven index
+    got = search(spark, store, '"the table"', top_k=5).collect()
+    assert len(got) == 5
+
+
 def test_hybrid_search_mode(spark):
     """search(mode='hybrid') fuses the indexed lexical kernel with the
     vector top-k by RRF k=0.6 in one call — identical to composing
