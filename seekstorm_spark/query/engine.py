@@ -932,7 +932,12 @@ def search_many(
     whose filter used ``radius_mi``/``unit="mi"``; NaN for
     score-sorted queries). Distance top-k is kept per partition inside
     the fused kernel, so a geo-sorted query rides the same single
-    action."""
+    action.
+
+    Queries answerable from the frequent-term result cache (single
+    cached term, no per-query filters/sort) are spliced in as
+    local-relation branches — their terms never enter the fused scan
+    and their rows cost no Spark work, exactly as in ``search``."""
     from functools import reduce
 
     if facet_filters is not None and len(facet_filters) != len(queries):
@@ -988,11 +993,34 @@ def search_many(
             if unit == "mi":
                 mi_qs.append(i)
 
+    from seekstorm_spark.query.result_cache import (
+        cacheable_plan,
+        cached_single_term,
+    )
+
+    use_cache = not staged and fields is None and field_filter is None
+    cached_by_q: dict[int, list] = {}
     fused: list[tuple[int, QueryPlan]] = []
     fallback: list[int] = []
     for i, plan in enumerate(plans):
         if plan.missing_required or not plan.pos_terms:
             continue  # no results by construction
+        if (
+            use_cache
+            and filters_by_q.get(i) is None
+            and geo_by_q.get(i) is None
+            and i not in dist_sort_by_q
+            and cacheable_plan(plan)
+        ):
+            # frequent-term result cache: this query's top-k is
+            # already precomputed — serve it as a local-relation
+            # branch and keep its terms OUT of the fused scan
+            hit = cached_single_term(
+                store, next(iter(plan.pos_terms)), top_k
+            )
+            if hit is not None:
+                cached_by_q[i] = hit[:top_k]
+                continue
         if not staged:
             fused.append((i, plan))
         else:
@@ -1050,6 +1078,24 @@ def search_many(
                 .filter(F.col("rn") <= top_k)
                 .select(*out_cols)
             )
+    flat_cached = [
+        (qi, d, s) for qi, rows in cached_by_q.items() for d, s in rows
+    ]
+    if flat_cached:
+        values = ", ".join(
+            f"(CAST({int(qi)} AS INT), CAST({int(d)} AS BIGINT), "
+            f"CAST({s!r} AS FLOAT))"
+            for qi, d, s in flat_cached
+        )
+        cdf = spark.sql(
+            f"SELECT query_id, docid, score FROM (VALUES {values}) "
+            "AS t(query_id, docid, score)"
+        )
+        if with_dist:
+            cdf = cdf.withColumn(
+                "geo_dist", F.lit(float("nan")).cast("double")
+            )
+        outs.append(cdf)
     for i in fallback:
         rs = (
             [("geo_dist", dist_sort_by_q[i])] if i in dist_sort_by_q else None

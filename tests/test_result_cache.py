@@ -103,6 +103,44 @@ def test_cache_invalidated_by_append_then_rebuilt(spark, tmp_path):
     assert cached_single_term(store, "term00000", 10) is not None
 
 
+def test_search_many_splices_cached_queries(spark, cached_store):
+    """Batched serving: a query answerable from the result cache
+    rides as a local-relation branch (its term stays out of the fused
+    scan), bit-identical per query to search()."""
+    from seekstorm_spark.query.engine import search_many
+
+    store = cached_store
+    build_result_cache(spark, store, k=50)
+    queries = ["term00000", "term00002 term00003", "term00001"]
+    batched = search_many(spark, store, queries, top_k=10).collect()
+    for i, q in enumerate(queries):
+        single = search(spark, store, q, top_k=10).collect()
+        got = sorted(
+            ((r["docid"], r["score"]) for r in batched if r["query_id"] == i),
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert got == [(r["docid"], r["score"]) for r in single], q
+
+    # an all-cached batch plans with no index scan at all
+    all_cached = search_many(spark, store, ["term00000", "term00001"], top_k=10)
+    plan = all_cached._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan.lower()
+    # None filter entries still count as unfiltered → cached
+    nf = search_many(
+        spark, store, ["term00000"], top_k=10, facet_filters=[None],
+    )
+    assert "parquet" not in (
+        nf._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    # a field filter changes scoring semantics → kernel, not cache
+    ff = search_many(
+        spark, store, ["term00000"], top_k=10, field_filter=["text"],
+    )
+    assert "parquet" in (
+        ff._jdf.queryExecution().executedPlan().toString().lower()
+    )
+
+
 def test_realtime_commit_rebuilds_cache(spark, tmp_path):
     """A RealtimeIndexer commit moves the index generation; when a
     result cache exists it is rebuilt in the same commit (reference
