@@ -302,6 +302,39 @@ def test_batched_geo_distance_sort_identical(spark, geo_store):
         )
 
 
+def test_batched_cached_query_in_dist_sort_batch(spark, geo_store):
+    """A cache-served query inside a batch that also carries distance
+    sorts still matches search(), and its geo_dist is NaN."""
+    from seekstorm_spark.query.engine import search_many
+    from seekstorm_spark.query.result_cache import build_result_cache
+
+    store, _docs = geo_store
+    build_result_cache(spark, store, terms=["term00005"], k=50)
+    gf = {
+        "lat": "lat", "lon": "lon", "at": (48.8566, 2.3522),
+        "radius_km": 8000.0,
+    }
+    batched = search_many(
+        spark, store, ["term00005", "term00000"], top_k=10,
+        geo_filters=[None, gf],
+        result_sorts=[None, [("geo_dist", "asc")]],
+    ).collect()
+    cached_rows = sorted(
+        ((r["docid"], r["score"]) for r in batched if r["query_id"] == 0),
+        key=lambda t: (-t[1], t[0]),
+    )
+    single = search(spark, store, "term00005", top_k=10).collect()
+    assert cached_rows == [(r["docid"], r["score"]) for r in single]
+    assert all(
+        r["geo_dist"] is None or math.isnan(r["geo_dist"])
+        for r in batched if r["query_id"] == 0
+    )
+    sorted_rows = [r for r in batched if r["query_id"] == 1]
+    assert sorted_rows and all(
+        not math.isnan(r["geo_dist"]) for r in sorted_rows
+    )
+
+
 def test_empty_plan_result_sort_schema(spark, geo_store):
     """Round-2 ADVICE low: empty-plan queries with result_sort used to
     return a schema without the sort facet columns."""
