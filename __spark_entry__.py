@@ -1962,6 +1962,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_affine_cosine"] = ann_affine_cosine
 
+    # TurboQuant: ±1 sign scramble + Fast Walsh-Hadamard rotation +
+    # per-vector i8 SQ with scale = (sigma/32) (reference
+    # vector_similarity.rs:1825-2090); cosine mode normalizes at index
+    # time, similarity = integer dot of the codes × both scales
+    def ann_turboquant_topk(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.simsearch import (
+            turboquant_topk,
+            turboquant_vectors,
+        )
+
+        qv = ann_query_vec(s, d)
+        tq = turboquant_vectors(
+            _emb(s, d).filter(F.col("vec_id") != 0), dim=64
+        )
+        return turboquant_topk(tq, qv, k=10, similarity="cosine")
+
+    q["ann_turboquant_topk"] = ann_turboquant_topk
+
     def ann_lsh(s: SparkSession, d: str) -> DataFrame:
         import os
 
@@ -2287,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_cached_frequent",
         "wand_numeric_sort_pruned",
         "ann_affine_cosine",
+        "ann_turboquant_topk",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3000,6 +3019,76 @@ scored AS (
 SELECT vec_id, cos_sim FROM scored
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
+
+    # TurboQuant: the whole quantizer re-derived in SQL — normalize,
+    # ×sign-mask (seeded deterministic constant, inlined as ±1
+    # literals), 6 FWHT butterfly passes (each output element is ONE
+    # add/sub — no accumulation-order ambiguity), ÷√64, scale =
+    # (‖h‖/√64)/32 clamped at 1e-8, round-half-away-from-zero clamp
+    # ±127; similarity = Σ code·code × s_vec × s_query. Applied to the
+    # query row (vec_id=0) through the SAME pipeline.
+    def _tq_sql(dim: int = 64) -> str:
+        from seekstorm_spark.functions.simsearch import tq_sign_mask
+
+        mask = tq_sign_mask(dim)
+        mask_lit = (
+            "["
+            + ",".join("1.0" if m > 0 else "-1.0" for m in mask)
+            + "]::DOUBLE[]"
+        )
+        ctes = [
+            f"""tq0 AS (
+  SELECT vec_id,
+         list_transform(range(0, {dim}), j ->
+           (CASE WHEN nrm = 0 THEN 0.0
+                 ELSE embedding[j+1]::DOUBLE / sqrt(nrm) END)
+           * ({mask_lit})[j+1]) AS a
+  FROM (SELECT vec_id, embedding,
+               list_sum(list_transform(embedding,
+                        x -> x::DOUBLE * x::DOUBLE)) AS nrm
+        FROM embeddings))"""
+        ]
+        h, p = 1, 0
+        while h < dim:
+            p += 1
+            ctes.append(
+                f"""tq{p} AS (
+  SELECT vec_id, list_transform(range(0, {dim}), j ->
+    CASE WHEN (j % {2 * h}) < {h} THEN a[j+1] + a[j+{h}+1]
+         ELSE a[j-{h}+1] - a[j+1] END) AS a FROM tq{p - 1})"""
+            )
+            h *= 2
+        ctes.append(
+            f"""tqs AS (
+  SELECT vec_id, hh,
+         greatest(sqrt(list_sum(list_transform(hh, x -> x * x)))
+                  / sqrt({dim}.0) / 32.0, 1e-8) AS s
+  FROM (SELECT vec_id,
+               list_transform(a, x -> x / sqrt({dim}.0)) AS hh
+        FROM tq{p}))"""
+        )
+        ctes.append(
+            """tqc AS (
+  SELECT vec_id, s,
+         list_transform(hh, x ->
+           greatest(least(floor(abs(x / s) + 0.5) * sign(x / s),
+                          127.0), -127.0)) AS c
+  FROM tqs)"""
+        )
+        ctes.append("tqq AS (SELECT c AS qc, s AS qs FROM tqc WHERE vec_id = 0)")
+        return (
+            "WITH "
+            + ",\n".join(ctes)
+            + f"""
+SELECT t.vec_id,
+       round(list_sum(list_transform(range(1, {dim + 1}),
+             i -> t.c[i] * tqq.qc[i])) * t.s * tqq.qs, 4) AS cos_sim
+FROM tqc t CROSS JOIN tqq WHERE t.vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+        )
+
+    o["ann_turboquant_topk"] = _tq_sql()
 
     # LSH-ANN: hyperplanes are seeded deterministic constants — embed
     # them as double[] literals and recompute signatures in SQL; the

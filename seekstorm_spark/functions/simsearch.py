@@ -229,6 +229,184 @@ def affine_cosine_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# TurboQuant: sign-scramble + Fast Walsh-Hadamard rotation + i8 SQ
+# (reference vector_similarity.rs:1825-2090 `TurboQuant`). The random-
+# rotation step spreads each vector's energy evenly across dimensions
+# before quantizing, so the per-vector scale (sigma/32) loses far less
+# precision on spiky embeddings than plain max/127 SQ. All float math
+# here is float64 with a fixed per-element operation order so the
+# DuckDB oracle can mirror it op-for-op (butterfly passes are single
+# adds/subs per element — no accumulation-order ambiguity).
+# ---------------------------------------------------------------------------
+
+TQ_SEED = 42
+
+
+def tq_sign_mask(dim: int, seed: int = TQ_SEED) -> np.ndarray:
+    """Deterministic ±1 scramble mask (reference seed_mask,
+    vector_similarity.rs:1846-1849 — theirs is ChaCha8-derived; ours is
+    a seeded PCG64 draw: any fixed ±1 mask gives the same guarantees)."""
+    rng = np.random.default_rng(seed)
+    return np.where(rng.random(dim) < 0.5, 1.0, -1.0).astype(np.float64)
+
+
+def _tq_next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _tq_quantize_batch(
+    mat: np.ndarray, sign: np.ndarray, normalize: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Quantize a (n, d0) float64 batch → (codes i8 (n, dim), scale
+    (n,), norm (n,)). Mirrors reference quantize_f32_i8
+    (vector_similarity.rs:1926-1956) in float64:
+    pad → ×sign → FWHT (÷√dim) → scale = (‖h‖/√dim)/32 → round-half-
+    away-from-zero, clamp ±127. Sums run SEQUENTIALLY over dimensions
+    (vectorized across rows) so DuckDB list_sum folds identically."""
+    n, d0 = mat.shape
+    dim = sign.shape[0]
+    mat = mat.astype(np.float64, copy=True)
+    if normalize:
+        # cosine mode: normalize at index time (vector_similarity.rs:17-20)
+        acc = np.zeros(n, dtype=np.float64)
+        for i in range(d0):
+            acc = acc + mat[:, i] * mat[:, i]
+        s = np.sqrt(acc)
+        s = np.where(s == 0.0, 1.0, s)
+        mat = mat / s[:, None]
+    a = np.zeros((n, dim), dtype=np.float64)
+    a[:, :d0] = mat
+    a = a * sign
+    h = 1
+    while h < dim:
+        g = a.reshape(n, dim // (2 * h), 2, h)
+        x = g[:, :, 0, :]
+        y = g[:, :, 1, :]
+        a = np.stack([x + y, x - y], axis=2).reshape(n, dim)
+        h *= 2
+    a = a / np.sqrt(float(dim))
+    acc = np.zeros(n, dtype=np.float64)
+    for i in range(dim):
+        acc = acc + a[:, i] * a[:, i]
+    scale = np.maximum(np.sqrt(acc) / np.sqrt(float(dim)) / 32.0, 1e-8)
+    r = a / scale[:, None]
+    codes = np.clip(
+        np.floor(np.abs(r) + 0.5) * np.sign(r), -127.0, 127.0
+    ).astype(np.int8)
+    sq = (codes.astype(np.int64) ** 2).sum(axis=1)
+    norm = (sq.astype(np.float64) * scale) * scale
+    return codes, scale, norm
+
+
+def turboquant_vectors(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = TQ_SEED,
+    normalize: bool = True,
+) -> DataFrame:
+    """TurboQuant an embedding column → (id, codes array<tinyint>,
+    scale, norm). `dim` is the INPUT dimension (padded internally to
+    the next power of two, vector_similarity.rs:1835-1841); pass
+    normalize=False for Dot/Euclidean similarity (Cosine normalizes at
+    index time). Arrow-batched Pandas UDF — the rotation is a dense
+    batched numpy FWHT, never per-row Python."""
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    sign = tq_sign_mask(_tq_next_pow2(dim), seed)
+    out_type = StructType(
+        [
+            StructField("codes", ArrayType(ByteType())),
+            StructField("scale", DoubleType()),
+            StructField("norm", DoubleType()),
+        ]
+    )
+
+    @pandas_udf(out_type)
+    def tq(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.stack(vecs.values).astype(np.float64)
+        codes, scale, norm = _tq_quantize_batch(mat, sign, normalize)
+        return pd.DataFrame(
+            {
+                "codes": [c for c in codes],
+                "scale": scale,
+                "norm": norm,
+            }
+        )
+
+    # materialize the struct once, then expand — referencing the UDF
+    # column three times via getField would evaluate it three times
+    return df.select(F.col(id_col), tq(F.col(vec_col)).alias("q")).select(
+        id_col, "q.codes", "q.scale", "q.norm"
+    )
+
+
+def turboquant_query(
+    query: list[float], seed: int = TQ_SEED, normalize: bool = True
+) -> tuple[list[int], float, float]:
+    """Quantize the query vector through the IDENTICAL batch kernel
+    (1-row batch) so query and index codes are bit-identical twins."""
+    mat = np.asarray([query], dtype=np.float64)
+    sign = tq_sign_mask(_tq_next_pow2(mat.shape[1]), seed)
+    codes, scale, norm = _tq_quantize_batch(mat, sign, normalize)
+    return [int(c) for c in codes[0]], float(scale[0]), float(norm[0])
+
+
+def turboquant_topk(
+    tqdf: DataFrame,
+    query: list[float],
+    k: int = 10,
+    similarity: str = "cosine",
+    id_col: str = "vec_id",
+    seed: int = TQ_SEED,
+) -> DataFrame:
+    """Top-k over TurboQuant codes. The distance kernel is pure JVM
+    integer arithmetic (zip_with + aggregate over tinyint codes — the
+    Spark analog of the reference's dot_i8 SIMD kernel,
+    vector_similarity.rs:2070-2076) rescaled by the two per-vector
+    scales: dot = Σq1·q2 · s1 · s2; euclidean² = n1 + n2 − 2·dot
+    (vector_similarity.rs:2058-2068). Cosine = dot over vectors
+    normalized at index time."""
+    normalize = similarity == "cosine"
+    qcodes, qscale, qnorm = turboquant_query(query, seed, normalize)
+    qlit = F.array(*[F.lit(c).cast("long") for c in qcodes])
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("codes"), qlit, lambda a, b: a.cast("long") * b
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = (idot.cast("double") * F.col("scale")) * F.lit(qscale)
+    if similarity == "euclidean":
+        dist = F.greatest(
+            F.col("norm") + F.lit(qnorm) - F.lit(2.0) * sim, F.lit(0.0)
+        )
+        return (
+            tqdf.select(
+                F.col(id_col), F.round(dist, 4).alias("dist")
+            )
+            .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+            .limit(k)
+        )
+    out = "cos_sim" if similarity == "cosine" else "dot"
+    return (
+        tqdf.select(F.col(id_col), F.round(sim, 4).alias(out))
+        .orderBy(F.col(out).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 1234) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
