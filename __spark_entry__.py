@@ -493,6 +493,42 @@ scored AS (SELECT docid, {acc} AS raw, nm FROM piv)
 """
 
 
+def _wand_proximity_sql(t0: str, t1: str, top_k: int = 10) -> str:
+    """f32-exact Bm25fProximity twin for a bigram-covered phrase
+    (reference LexicalSimilarity::Bm25fProximity, index.rs:558-568,
+    add_result.rs:917-941): the adjacent-pair (gram) df/tf replace the
+    partial terms' — score = idf32(N, df_gram) · comp32(tf_gram, dl),
+    mirroring the kernel op-for-op with ::FLOAT casts (idf routes ln
+    through float64, exactly as ``idf_f32``)."""
+    return f"""
+WITH {_QUANT_CTE},
+dl AS (SELECT doc_id, len(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS dl_raw FROM documents),
+dlq AS (SELECT doc_id, dl_q FROM dl JOIN quant
+        ON dl_raw BETWEEN dl_lo AND dl_hi),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 ((SELECT sum(dl_q) FROM dlq){_F}
+                  / (SELECT count(*) FROM documents){_F}) AS avgdl),
+toks AS (SELECT * FROM {_TOKS}),
+grams AS (SELECT t0.doc_id FROM toks t0 JOIN toks t1
+          ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+          AND t1.term = '{t1}'
+          WHERE t0.term = '{t0}'),
+gtf AS (SELECT doc_id, count(*) AS tf FROM grams GROUP BY 1),
+gdf AS (SELECT count(*) AS df FROM gtf),
+scored AS (
+  SELECT gtf.doc_id AS docid,
+         (ln((((s.n{_F} - gdf.df{_F} + 0.5{_F}) / (gdf.df{_F} + 0.5{_F}))
+              + 1.0{_F})::DOUBLE){_F}
+          * ((gtf.tf{_F} * 2.2{_F})
+             / (gtf.tf{_F} + 1.2{_F}
+                * (0.25{_F} + ((0.75{_F} * dlq.dl_q{_F}) / s.avgdl))))) AS raw
+  FROM gtf JOIN dlq USING (doc_id) CROSS JOIN stats s CROSS JOIN gdf)
+SELECT docid, round(raw::DOUBLE, 4) AS score FROM (
+  SELECT docid, raw FROM scored ORDER BY raw DESC, docid ASC LIMIT {top_k})
+"""
+
+
 # Spark-side match counting with identical semantics
 def _match_count_df(
     spark: SparkSession,
@@ -1980,6 +2016,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_turboquant_topk"] = ann_turboquant_topk
 
+    # Bm25fProximity — the reference's DEFAULT LexicalSimilarity
+    # (index.rs:558-568, add_result.rs:917-941, NGRAM_SEARCH.md
+    # "N-grams and BM25"): a phrase covered by an indexed gram scores
+    # with the GRAM's df/tf instead of the partial terms', so term
+    # adjacency is honored in relevance. Query-time option — shares
+    # the cached wand_phrase_ngram index (no rebuild).
+    def wand_phrase_proximity(s: SparkSession, d: str) -> DataFrame:
+        import json
+        import os
+
+        from seekstorm_spark.index.builder import (
+            INDEX_FORMAT_VERSION,
+            IndexBuilder,
+        )
+        from seekstorm_spark.index.store import IndexStore
+        from seekstorm_spark.query.engine import _plan, search
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_wandng_idx_{name}"
+        meta = os.path.join(path, "meta.json")
+        store = None
+        if os.path.exists(meta):
+            with open(meta) as f:
+                m = json.load(f)
+            if m.get("complete") and m.get("version") == INDEX_FORMAT_VERSION \
+                    and m.get("frequent_terms"):
+                store = IndexStore.open(path)
+        if store is None:
+            store = IndexBuilder(
+                s, path, n_buckets=8, frequent_terms=["fast", "table"]
+            ).build(_docs(s, d), text_col="text", id_col="doc_id")
+        plan = _plan(
+            s, store, '"fast table"', "union", similarity="bm25f_proximity"
+        )
+        assert plan.qtype == "ngram" and not plan.unit_parts
+        out = search(
+            s, store, '"fast table"', top_k=10, default_type="union",
+            similarity="bm25f_proximity",
+        )
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 4).alias("score")
+        )
+
+    q["wand_phrase_proximity"] = wand_phrase_proximity
+
     def ann_lsh(s: SparkSession, d: str) -> DataFrame:
         import os
 
@@ -2306,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_numeric_sort_pruned",
         "ann_affine_cosine",
         "ann_turboquant_topk",
+        "wand_phrase_proximity",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -2352,6 +2434,8 @@ def oracle_sql() -> dict[str, str]:
     o["wand_phrase_ngram"] = _wand_bm25_sql(
         ["fast", "table"], "phrase", phrase=["fast", "table"]
     )
+    # Bm25fProximity: gram df/tf replace the partial terms'
+    o["wand_phrase_proximity"] = _wand_proximity_sql("fast", "table")
     # trigram path must be bit-identical to the positional phrase
     o["wand_phrase_ngram3"] = _wand_bm25_sql(
         ["fast", "table", "scan"], "phrase", phrase=["fast", "table", "scan"]

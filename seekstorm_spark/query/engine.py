@@ -271,6 +271,7 @@ def _plan(
     staged: list | None = None,
     rewrite: str | None = None,
     ngram_rewrite: bool = True,
+    similarity: str = "bm25f",
 ) -> QueryPlan:
     meta = store.meta
     stop_words = frozenset(meta.get("stop_words") or []) or None
@@ -360,6 +361,30 @@ def _plan(
         if any(g not in df_by_term for g in unit_parts):
             return QueryPlan("ngram", {}, nots, phrase, True)
         qtype = "ngram" if len(units) == 1 else "phrase"
+        if similarity == "bm25f_proximity" and unit_parts:
+            # Bm25fProximity (reference LexicalSimilarity,
+            # index.rs:558-568, add_result.rs:917-941,
+            # search.rs:3221-3231): each gram unit scores as ONE
+            # posting with the GRAM's own df/tf — term adjacency is
+            # honored in the relevance score instead of decomposing
+            # into partial-term df/tf. Keying pos_terms by the units
+            # and emptying unit_parts makes every kernel score the
+            # gram row's tf with the gram idf (and bound with the
+            # gram max_tf) without any kernel change; the partial-tf
+            # columns are simply never read.
+            prox_terms = {
+                u: float(idf_f32(n_docs, df_by_term[u]))
+                for u, _off in units
+            }
+            return QueryPlan(
+                qtype=qtype,
+                pos_terms=prox_terms,
+                not_terms=[t for t in nots if t in df_by_term],
+                phrase=phrase,
+                missing_required=False,
+                units=units,
+                unit_parts={},
+            )
         return QueryPlan(
             qtype=qtype,
             pos_terms=pos_idf,
@@ -533,6 +558,7 @@ def search(
     ann_index=None,
     vectors: DataFrame | None = None,
     rrf_k: float | None = None,
+    similarity: str = "bm25f",
 ) -> DataFrame:
     """Top-k BM25(F) search → DataFrame(docid[, sort facets…], score),
     score f32. ``prune=False`` disables the WAND threshold (used to
@@ -559,9 +585,18 @@ def search(
     vector side is ``ann_index.search(...)`` when an :class:`AnnIndex`
     / :class:`IvfIndex` is given (partition-pruned probe), else exact
     cosine top-k over ``vectors`` (vec_id must be the docid space).
-    Both branches land in ONE returned DataFrame — a single action."""
+    Both branches land in ONE returned DataFrame — a single action.
+
+    ``similarity="bm25f_proximity"`` (the reference's DEFAULT
+    LexicalSimilarity, index.rs:558-568): phrase units rewritten onto
+    n-gram postings score with the GRAM's df/tf instead of the
+    partial terms' — adjacent terms rank by the (rarer) gram idf, so
+    proximity is honored in relevance (NGRAM_SEARCH.md "N-grams and
+    BM25"). Queries with no gram unit score identically to "bm25f"."""
     if mode not in ("lexical", "hybrid"):
         raise ValueError(f"unknown search mode {mode!r}")
+    if similarity not in ("bm25f", "bm25f_proximity"):
+        raise ValueError(f"unknown similarity {similarity!r}")
     if mode == "hybrid":
         if vector is None:
             raise ValueError("hybrid search requires vector=")
@@ -576,7 +611,7 @@ def search(
             spark, store, query, top_k=top_k, default_type=default_type,
             prune=prune, fields=fields, field_filter=field_filter,
             facet_filters=facet_filters, staged=staged, rewrite=rewrite,
-            ngram_rewrite=ngram_rewrite,
+            ngram_rewrite=ngram_rewrite, similarity=similarity,
         )
         if ann_index is not None:
             vec = ann_index.search(spark, [float(x) for x in vector], k=top_k)
@@ -602,7 +637,7 @@ def search(
         raise ValueError("sorting by geo_dist requires geo_filter")
     plan = _plan(
         spark, store, query, default_type, staged, rewrite,
-        ngram_rewrite=ngram_rewrite,
+        ngram_rewrite=ngram_rewrite, similarity=similarity,
     )
     if plan.missing_required or not plan.pos_terms:
         if result_sort:
@@ -895,6 +930,7 @@ def search_many(
     facet_filters: list[dict | None] | None = None,
     geo_filters: list[dict | None] | None = None,
     result_sorts: list[list[tuple[str, str]] | None] | None = None,
+    similarity: str = "bm25f",
 ) -> DataFrame:
     """Execute N queries in ONE Spark action → DataFrame(query_id,
     docid, score); ``query_id`` is the position in ``queries``.
@@ -964,8 +1000,11 @@ def search_many(
                     f"query {i}: sorting by geo_dist requires a geo_filter"
                 )
             dist_sort_by_q[i] = rs[0][1]
+    if similarity not in ("bm25f", "bm25f_proximity"):
+        raise ValueError(f"unknown similarity {similarity!r}")
     plans = [
-        _plan(spark, store, qstr, default_type, staged) for qstr in queries
+        _plan(spark, store, qstr, default_type, staged, similarity=similarity)
+        for qstr in queries
     ]
     boosts, allowed = _resolve_fields(store, fields, field_filter)
     n_docs, avgdl = _effective_stats(store, staged)
@@ -1106,7 +1145,7 @@ def search_many(
             field_filter=field_filter, staged=staged,
             facet_filters=facet_filters[i] if facet_filters else None,
             geo_filter=geo_filters[i] if geo_filters else None,
-            result_sort=rs,
+            result_sort=rs, similarity=similarity,
         )
         sel = [
             F.lit(int(i)).alias("query_id"),
