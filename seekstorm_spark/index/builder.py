@@ -1317,3 +1317,93 @@ def load_or_build(
     return IndexBuilder(spark, index_path, **(builder_kwargs or {})).build(
         docs, **(build_kwargs or {})
     )
+
+
+_FACET_DDL_BY_TYPE = {
+    "string": "string",
+    "string_set": "array<string>",
+    "numeric": "double",
+    "point": "array<double>",
+    "morton": "array<double>",
+}
+
+
+def clear_index(spark: SparkSession, store: IndexStore) -> IndexStore:
+    """Reset the index to empty while maintaining the schema
+    (reference ``Index::clear_index``, index.rs:4920-4945: postings,
+    dictionaries, completions, and doc store are dropped; the index
+    settings survive).
+
+    Every data subdirectory is removed, then an empty index is rebuilt
+    at the same path from the meta-recorded configuration (tokenizer,
+    stemmer, stopwords, frequent terms + n-gram patterns, synonyms,
+    fields, facet declarations). Two pieces of non-build state are
+    carried across: the facet DICTIONARIES (byte order == value order
+    is part of the frozen schema — appends after the clear validate
+    against the same value set) and the API-key hash."""
+    import shutil
+
+    meta = dict(store.meta)
+    path = store.path
+    facets_meta = meta.get("facets") or {}
+
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if os.path.isdir(full):
+            shutil.rmtree(full)
+
+    fields = list(meta.get("fields") or ["text"])
+    facet_cols = sorted(facets_meta)
+    ddl = ", ".join(
+        ["doc_id long"]
+        + [f"`{f}` string" for f in fields]
+        + [
+            f"`{c}` {_FACET_DDL_BY_TYPE[facet_kind(facets_meta[c])]}"
+            for c in facet_cols
+        ]
+    )
+    empty = spark.createDataFrame([], ddl)
+
+    by_field = meta.get("stop_words_by_field")
+    if by_field:
+        stop_words: Any = {f: frozenset(v) for f, v in by_field.items()}
+    else:
+        stop_words = (
+            frozenset(meta["stop_words"]) if meta.get("stop_words") else None
+        )
+    builder = IndexBuilder(
+        spark,
+        path,
+        tokenizer=meta.get("tokenizer", "unicode_alphanumeric"),
+        stop_words=stop_words,
+        n_buckets=int(meta.get("n_buckets", 32)),
+        block_size=int(meta.get("block_size", ROARING_BLOCK_SIZE)),
+        fields=fields if len(fields) > 1 else None,
+        facet_cols=facet_cols or None,
+        facet_types={
+            c: facet_kind(facets_meta[c]) for c in facet_cols
+        }
+        or None,
+        stemmer=meta.get("stemmer"),
+        frequent_terms=list(meta.get("frequent_terms") or []) or None,
+        synonyms=meta.get("synonyms") or None,
+        ngram_patterns=list(meta.get("ngram_patterns") or []),
+    )
+    kwargs: dict[str, Any] = {"id_col": "doc_id"}
+    if len(fields) == 1:
+        kwargs["text_col"] = fields[0]
+    new_store = builder.build(empty, **kwargs)
+
+    if facets_meta:
+        # schema survives the clear: the frozen dictionaries (and
+        # declared types) come back verbatim, so post-clear appends
+        # accept exactly the same value universe
+        new_store.meta["facets"] = facets_meta
+    if meta.get("api_key_sha256"):
+        new_store.meta["api_key_sha256"] = meta["api_key_sha256"]
+    new_store.write_meta()
+
+    from seekstorm_spark.query.engine import invalidate_term_stats_cache
+
+    invalidate_term_stats_cache(path)
+    return new_store

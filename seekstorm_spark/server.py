@@ -224,7 +224,9 @@ class IndexService:
             # (reference highlighter runs on the stored fields too,
             # highlighter.rs:71-382)
             from seekstorm_spark.functions.highlight import (
+                expand_terms_with_synonyms,
                 kwic_fragment_py,
+                top_fragments,
             )
             from seekstorm_spark.tokenizer import parse_query
 
@@ -238,17 +240,47 @@ class IndexService:
                 raise ValueError(
                     f"doc store has no field {field!r}; stored: {ds.fields}"
                 )
-            width = int(hl.get("width", 30)) if isinstance(hl, dict) else 30
             terms = [t.term for t in parse_query(q).positive_terms]
             rows = ds.get_many([r["docid"] for r in results])
-            for res, row in zip(results, rows):
-                res["fragment"] = (
-                    kwic_fragment_py(
-                        str(row.get(field) or ""), terms, width
-                    )
-                    if row is not None
-                    else ""
+            frag_keys = (
+                {"fragment_number", "fragment_size", "pre_tags",
+                 "post_tags", "markup"} & set(hl)
+                if isinstance(hl, dict) else set()
+            )
+            if frag_keys:
+                # full reference highlighter (highlighter.rs:216-358):
+                # sentence fragments, proximity-scored top-N selection,
+                # synonym-expanded patterns, custom markup tags
+                terms = expand_terms_with_synonyms(
+                    terms, self.stores[name].meta.get("synonyms")
                 )
+                kwargs = dict(
+                    fragment_number=int(hl.get("fragment_number", 1)),
+                    fragment_size=int(hl.get("fragment_size", 0)),
+                    highlight_markup=bool(hl.get("markup", True)),
+                    pre_tags=str(hl.get("pre_tags", "<b>")),
+                    post_tags=str(hl.get("post_tags", "</b>")),
+                )
+                for res, row in zip(results, rows):
+                    res["fragment"] = (
+                        top_fragments(
+                            str(row.get(field) or ""), terms, **kwargs
+                        )
+                        if row is not None
+                        else ""
+                    )
+            else:
+                width = (
+                    int(hl.get("width", 30)) if isinstance(hl, dict) else 30
+                )
+                for res, row in zip(results, rows):
+                    res["fragment"] = (
+                        kwic_fragment_py(
+                            str(row.get(field) or ""), terms, width
+                        )
+                        if row is not None
+                        else ""
+                    )
         resp: dict = {"results": results}
         if body.get("count"):
             resp["count"] = count_matches(
@@ -488,6 +520,25 @@ class IndexService:
             self._write_locks[name] = threading.Lock()
         return {"created": name, "path": path}
 
+    def clear(self, name: str) -> dict:
+        """Reset an index to empty while maintaining the schema
+        (reference clear_index, index.rs:4920 / api_endpoints.rs
+        clear route): postings, doc store, dictionaries, and any
+        uncommitted staged batches are dropped; settings + facet
+        dictionaries + API key survive."""
+        if not self.writable:
+            raise PermissionError(
+                "server is read-only (start with writable=True)"
+            )
+        from seekstorm_spark.index.builder import clear_index
+
+        store = self.stores[name]  # KeyError → 404
+        with self._write_locks[name]:
+            self._indexers.pop(name, None)  # staged batches die too
+            self.doc_stores.pop(name, None)
+            self.stores[name] = clear_index(self.spark, store)
+        return {"cleared": name}
+
     def drop_index(self, name: str) -> dict:
         if not self.writable:
             raise PermissionError(
@@ -518,6 +569,7 @@ _ROUTES = [
     ("GET", re.compile(r"^/indices/([^/]+)/doc/(\d+)$"), "doc"),
     ("POST", re.compile(r"^/indices/([^/]+)/docs$"), "add_docs"),
     ("POST", re.compile(r"^/indices/([^/]+)/commit$"), "commit"),
+    ("POST", re.compile(r"^/indices/([^/]+)/clear$"), "clear"),
     ("POST", re.compile(r"^/indices/([^/]+)/delete$"), "delete"),
     ("POST", re.compile(r"^/indices$"), "create_index"),
     ("DELETE", re.compile(r"^/indices/([^/]+)$"), "drop_index"),
@@ -576,7 +628,7 @@ class _Handler(BaseHTTPRequestHandler):
         {
             "info", "query", "query_get", "count", "query_batch",
             "term_df", "suggest", "spell", "doc", "add_docs", "commit",
-            "delete", "drop_index",
+            "delete", "drop_index", "clear",
         }
     )
 
@@ -654,6 +706,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, svc.add_docs(match.group(1), self._body()))
         elif op == "commit":
             self._send(200, svc.commit(match.group(1)))
+        elif op == "clear":
+            self._send(200, svc.clear(match.group(1)))
         elif op == "delete":
             self._send(200, svc.delete(match.group(1), self._body()))
         elif op == "create_index":

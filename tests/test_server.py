@@ -208,6 +208,31 @@ def test_query_highlight_from_doc_store(served):
     assert ei.value.code == 400
 
 
+def test_query_fragment_highlighter(served):
+    """Passing fragment options routes to the FULL reference
+    highlighter (top_fragments, highlighter.rs:216-358) instead of
+    the legacy width-KWIC — verified against the driver twin on the
+    stored field fetched through /doc."""
+    from seekstorm_spark.functions.highlight import top_fragments
+
+    base, _store = served
+    _s, r = _post(
+        base + "/indices/main/query",
+        {"query": "term00000", "top_k": 3,
+         "highlight": {"field": "url", "fragment_number": 2,
+                       "fragment_size": 40, "pre_tags": "<em>",
+                       "post_tags": "</em>"}},
+    )
+    assert len(r["results"]) == 3
+    for res in r["results"]:
+        _s2, doc = _get(base + f"/indices/main/doc/{res['docid']}")
+        want = top_fragments(
+            str(doc["url"]), ["term00000"], fragment_number=2,
+            fragment_size=40, pre_tags="<em>", post_tags="</em>",
+        )
+        assert res["fragment"] == want
+
+
 def test_index_crud_lifecycle(spark, tmp_path):
     """Create an EMPTY index over HTTP, stream docs into it, search
     pre- and post-commit, then drop it (reference create_index /
@@ -242,6 +267,18 @@ def test_index_crud_lifecycle(spark, tmp_path):
         assert {x["docid"] for x in q2["results"]} == {
             x["docid"] for x in q["results"]
         }
+        # clear: reset to empty keeping the schema (index.rs:4920);
+        # the index grows again afterwards through the same write path
+        _s, c = _post(base + "/indices/fresh/clear", {})
+        assert c == {"cleared": "fresh"}
+        assert _get(base + "/indices/fresh/info")[1]["n_docs"] == 0
+        _s, q3 = _post(base + "/indices/fresh/query", {"query": "hello"})
+        assert q3["results"] == []
+        _post(base + "/indices/fresh/docs", {"documents": [
+            {"url": "u3", "text": "hello again"},
+        ]})
+        _s, q4 = _post(base + "/indices/fresh/query", {"query": "hello"})
+        assert len(q4["results"]) == 1
         # drop: removed from serving AND disk
         import urllib.request as _rq
 
