@@ -1407,3 +1407,45 @@ def clear_index(spark: SparkSession, store: IndexStore) -> IndexStore:
 
     invalidate_term_stats_cache(path)
     return new_store
+
+
+def get_synonyms(store: IndexStore) -> list[dict]:
+    """Current synonym groups (reference ``Index::get_synonyms``,
+    index.rs:4955-4966 — there a SYNONYMS_FILENAME json, here the
+    ``synonyms`` key of meta.json)."""
+    return list(store.meta.get("synonyms") or [])
+
+
+def _validate_synonym_groups(groups: list[dict]) -> list[dict]:
+    out = []
+    for g in groups:
+        terms = [str(t) for t in (g.get("terms") or []) if str(t)]
+        if len(terms) < 2:
+            raise ValueError(
+                "each synonym group needs >= 2 non-empty terms"
+            )
+        out.append({"terms": terms, "multiway": bool(g.get("multiway", True))})
+    return out
+
+
+def set_synonyms(store: IndexStore, groups: list[dict]) -> int:
+    """Replace the index's synonyms (reference ``Index::set_synonyms``,
+    index.rs:4969-4979). Affects only SUBSEQUENTLY indexed documents —
+    the append/realtime path expands against meta['synonyms'] at
+    tokenize time, so existing postings are untouched (same contract
+    as the reference: "Affects only subsequently indexed documents").
+    Returns the group count."""
+    store.meta["synonyms"] = _validate_synonym_groups(groups)
+    store.write_meta()
+    return len(store.meta["synonyms"])
+
+
+def add_synonyms(store: IndexStore, groups: list[dict]) -> int:
+    """Append/merge synonym groups (reference ``Index::add_synonyms``,
+    index.rs:4982-5002: read-merge-rewrite). Returns the TOTAL group
+    count after the merge, like the reference."""
+    merged = list(store.meta.get("synonyms") or [])
+    merged.extend(_validate_synonym_groups(groups))
+    store.meta["synonyms"] = merged
+    store.write_meta()
+    return len(merged)

@@ -2515,6 +2515,54 @@ def browse(
     return out.limit(top_k)
 
 
+def iterate_docids(
+    spark: SparkSession,
+    store: IndexStore,
+    document_id: int | None = None,
+    skip: int = 0,
+    take: int = 10,
+    include_deleted: bool = False,
+) -> tuple[int, list[int]]:
+    """The reference's document iterator (``get_iterator``,
+    api_endpoints.rs:1054-1146): sequential access to every live
+    docid without running a search.
+
+    * ``document_id=None, take>0`` — skip the FIRST ``skip`` ids,
+      take the next ``take``.
+    * ``document_id=None, take<0`` — skip the LAST ``skip`` ids,
+      take the previous ``|take|``.
+    * ``document_id=i, take>0`` — ids strictly AFTER ``i``: skip
+      ``skip``, take ``take`` (next page: skip=1, take=+page).
+    * ``document_id=i, take<0`` — ids strictly BEFORE ``i``,
+      walking backward: skip ``skip``, take ``|take|`` (previous
+      page: skip=1, take=-page).
+
+    Returns ``(actually_skipped, docids ascending)`` — fewer ids than
+    requested, or ``actually_skipped < skip``, signals the index
+    boundary, exactly the reference's end/begin detection contract.
+    One bounded job: the scan collects ``skip + |take|`` ids via
+    TakeOrdered (no global materialization)."""
+    if take == 0:
+        return 0, []
+    forward = take > 0
+    t = abs(int(take))
+    dm = store.doc_meta(spark).filter(F.col("field") == 0).select("docid")
+    if not include_deleted:
+        dm = _anti_join_deletes(spark, store, dm)
+    if document_id is not None:
+        dm = dm.filter(
+            F.col("docid") > int(document_id)
+            if forward
+            else F.col("docid") < int(document_id)
+        )
+    order = F.col("docid").asc() if forward else F.col("docid").desc()
+    ids = [
+        r["docid"] for r in dm.orderBy(order).limit(int(skip) + t).collect()
+    ]
+    skipped = min(int(skip), len(ids))
+    return skipped, sorted(ids[skipped : skipped + t])
+
+
 def delete_documents(
     spark: SparkSession, store: IndexStore, docids: list[int]
 ) -> None:

@@ -210,14 +210,48 @@ class IndexService:
         top_k = int(body.get("top_k", 10))
         dtype = body.get("default_type", "union")
         staged = self._staged(name)
-        out = search(
+        kwargs: dict = {}
+        # optional passthroughs to the full library search surface
+        # (the reference QueryObject carries the same knobs,
+        # api_endpoints.rs /query request body)
+        if body.get("offset"):
+            kwargs["offset"] = int(body["offset"])
+        if body.get("fields"):
+            kwargs["fields"] = [
+                (str(f[0]), float(f[1])) for f in body["fields"]
+            ]
+        if body.get("facet_filters"):
+            kwargs["facet_filters"] = body["facet_filters"]
+        if body.get("geo_filter"):
+            kwargs["geo_filter"] = body["geo_filter"]
+        if body.get("result_sort"):
+            kwargs["result_sort"] = [
+                (str(s[0]), str(s[1])) for s in body["result_sort"]
+            ]
+        if body.get("rewrite"):
+            kwargs["rewrite"] = str(body["rewrite"])
+        if body.get("similarity"):
+            kwargs["similarity"] = str(body["similarity"])
+        out_df = search(
             self.spark, store, q, top_k=top_k, default_type=dtype,
             field_filter=body.get("field_filter"), staged=staged,
-        ).collect()
-        results = [
-            {"docid": int(r["docid"]), "score": float(r["score"])}
-            for r in out
-        ]
+            **kwargs,
+        )
+        cols = out_df.columns
+        out = out_df.collect()
+        results = []
+        for r in out:
+            row = {"docid": int(r["docid"]), "score": float(r["score"])}
+            for c in cols:  # sort keys / geo_dist ride along
+                if c not in ("docid", "score"):
+                    v = r[c]
+                    row[c] = (
+                        float(v)
+                        if isinstance(v, float)
+                        else (v if v is None or isinstance(
+                            v, (str, int, bool)) else str(v))
+                    )
+            results.append(row)
         hl = body.get("highlight")
         if hl:
             # KWIC over the doc store, driver-side — no Spark job
@@ -286,6 +320,19 @@ class IndexService:
             resp["count"] = count_matches(
                 self.spark, store, q, dtype, staged=staged
             )
+        if body.get("facets"):
+            # string-facet value counts over ALL matches, tallied
+            # inside the pruned scan (reference query_facets)
+            from seekstorm_spark.query.engine import facet_counts
+
+            fc = facet_counts(
+                self.spark, store, q, [str(f) for f in body["facets"]],
+                dtype, staged=staged,
+            ).collect()
+            tallies: dict = {}
+            for r in fc:
+                tallies.setdefault(r["facet"], {})[r["value"]] = int(r["n"])
+            resp["facets"] = tallies
         return resp
 
     def count(self, name: str, body: dict) -> dict:
@@ -520,6 +567,73 @@ class IndexService:
             self._write_locks[name] = threading.Lock()
         return {"created": name, "path": path}
 
+    def iterator(self, name: str, body: dict) -> dict:
+        """Reference document iterator endpoint (GET/POST /iterator,
+        api_endpoints.rs:1027-1146): anchored, signed-take paging
+        over live docids; ``include_document`` joins the doc store
+        (driver-side point lookups, no extra Spark job)."""
+        from seekstorm_spark.query.engine import iterate_docids
+
+        store = self.stores[name]
+        skipped, ids = iterate_docids(
+            self.spark,
+            store,
+            document_id=body.get("document_id"),
+            skip=int(body.get("skip", 0)),
+            take=int(body.get("take", 10)),
+            include_deleted=bool(body.get("include_deleted", False)),
+        )
+        resp: dict = {"skipped": skipped, "docids": ids}
+        if body.get("include_document"):
+            ds = self.doc_stores.get(name)
+            if ds is None:
+                raise ValueError(
+                    f"index {name!r} has no doc store to read documents from"
+                )
+            fields = body.get("fields") or ds.fields
+            bad = [f for f in fields if f not in ds.fields]
+            if bad:
+                raise ValueError(
+                    f"doc store has no fields {bad}; stored: {ds.fields}"
+                )
+            rows = ds.get_many(ids)
+            resp["documents"] = [
+                {f: row.get(f) for f in fields} if row is not None else None
+                for row in rows
+            ]
+        return resp
+
+    def get_synonyms(self, name: str) -> dict:
+        from seekstorm_spark.index.builder import get_synonyms
+
+        return {"synonyms": get_synonyms(self.stores[name])}
+
+    def set_synonyms(self, name: str, body: dict) -> dict:
+        """Set (replace) or add (merge) synonym groups at runtime
+        (reference set_synonyms_api / add_synonyms_api,
+        api_endpoints.rs:507-523). Affects only subsequently indexed
+        documents — the staged/append path expands against the
+        updated meta at tokenize time."""
+        if not self.writable:
+            raise PermissionError(
+                "server is read-only (start with writable=True)"
+            )
+        from seekstorm_spark.index.builder import add_synonyms, set_synonyms
+
+        groups = body.get("synonyms")
+        if not isinstance(groups, list):
+            raise ValueError("body must contain a 'synonyms' list")
+        mode = body.get("mode", "set")
+        if mode not in ("set", "add"):
+            raise ValueError("mode must be 'set' or 'add'")
+        store = self.stores[name]
+        with self._write_locks[name]:
+            n = (set_synonyms if mode == "set" else add_synonyms)(
+                store, groups
+            )
+            self._reopen(name)
+        return {"index": name, "mode": mode, "groups": n}
+
     def clear(self, name: str) -> dict:
         """Reset an index to empty while maintaining the schema
         (reference clear_index, index.rs:4920 / api_endpoints.rs
@@ -570,6 +684,10 @@ _ROUTES = [
     ("POST", re.compile(r"^/indices/([^/]+)/docs$"), "add_docs"),
     ("POST", re.compile(r"^/indices/([^/]+)/commit$"), "commit"),
     ("POST", re.compile(r"^/indices/([^/]+)/clear$"), "clear"),
+    ("GET", re.compile(r"^/indices/([^/]+)/iterator$"), "iterator_get"),
+    ("POST", re.compile(r"^/indices/([^/]+)/iterator$"), "iterator"),
+    ("GET", re.compile(r"^/indices/([^/]+)/synonyms$"), "get_synonyms"),
+    ("POST", re.compile(r"^/indices/([^/]+)/synonyms$"), "set_synonyms"),
     ("POST", re.compile(r"^/indices/([^/]+)/delete$"), "delete"),
     ("POST", re.compile(r"^/indices$"), "create_index"),
     ("DELETE", re.compile(r"^/indices/([^/]+)$"), "drop_index"),
@@ -628,7 +746,8 @@ class _Handler(BaseHTTPRequestHandler):
         {
             "info", "query", "query_get", "count", "query_batch",
             "term_df", "suggest", "spell", "doc", "add_docs", "commit",
-            "delete", "drop_index", "clear",
+            "delete", "drop_index", "clear", "get_synonyms",
+            "set_synonyms", "iterator", "iterator_get",
         }
     )
 
@@ -708,6 +827,24 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, svc.commit(match.group(1)))
         elif op == "clear":
             self._send(200, svc.clear(match.group(1)))
+        elif op == "iterator":
+            self._send(200, svc.iterator(match.group(1), self._body()))
+        elif op == "iterator_get":
+            qs = parse_qs(url.query)
+            body = {}
+            for key in ("document_id", "skip", "take"):
+                if key in qs:
+                    body[key] = int(qs[key][0])
+            for key in ("include_deleted", "include_document"):
+                if key in qs:
+                    body[key] = qs[key][0].lower() in ("1", "true")
+            if "fields" in qs:
+                body["fields"] = qs["fields"][0].split(",")
+            self._send(200, svc.iterator(match.group(1), body))
+        elif op == "get_synonyms":
+            self._send(200, svc.get_synonyms(match.group(1)))
+        elif op == "set_synonyms":
+            self._send(200, svc.set_synonyms(match.group(1), self._body()))
         elif op == "delete":
             self._send(200, svc.delete(match.group(1), self._body()))
         elif op == "create_index":

@@ -9,6 +9,7 @@ import urllib.error
 import urllib.request
 
 import pytest
+from pyspark.sql import functions as F
 
 from seekstorm_spark.index.builder import IndexBuilder, assign_docids
 from seekstorm_spark.query.docstore import write_doc_store
@@ -287,6 +288,68 @@ def test_index_crud_lifecycle(spark, tmp_path):
             assert json.loads(resp.read()) == {"dropped": "fresh"}
         assert _get(base + "/indices")[1] == {"indices": []}
         assert not os.path.exists(str(tmp_path / "fresh"))
+    finally:
+        srv.shutdown()
+
+
+def test_query_full_surface(spark, tmp_path):
+    """The /query body passes the full library surface through:
+    offset, facet_filters, result_sort (sort keys ride along in the
+    response rows), and query-time facet counts (reference
+    QueryObject semantics)."""
+    from seekstorm_spark.index.builder import assign_docids
+
+    docs = assign_docids(
+        synth_webtext(spark, 120, seed=17), order_col="url"
+    ).withColumn(
+        "lang2",
+        F.element_at(
+            F.array(F.lit("de"), F.lit("en"), F.lit("fr")),
+            (F.col("docid") % 3 + 1).cast("int"),
+        ),
+    )
+    store = IndexBuilder(
+        spark, str(tmp_path / "fidx"), n_buckets=4, facet_cols=["lang2"]
+    ).build(docs, text_col="text", id_col="docid")
+    srv, _t = serve_in_thread(spark, {"main": store.path}, port=0)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        _s, r = _post(
+            base + "/indices/main/query",
+            {"query": "term00000", "top_k": 5,
+             "facet_filters": {"lang2": ["en"]},
+             "facets": ["lang2"]},
+        )
+        assert r["results"] and all(
+            x["docid"] % 3 == 1 for x in r["results"]
+        )
+        assert set(r["facets"]["lang2"]) <= {"de", "en", "fr"}
+        want = {
+            row["value"]: row["n"]
+            for row in __import__(
+                "seekstorm_spark.query.engine", fromlist=["facet_counts"]
+            ).facet_counts(
+                spark, store, "term00000", ["lang2"]
+            ).collect()
+        }
+        assert r["facets"]["lang2"] == want
+        # offset pagination: page 2 == rows 5-9 of a top-10 query
+        _s, page1 = _post(
+            base + "/indices/main/query", {"query": "term00000", "top_k": 10}
+        )
+        _s, page2 = _post(
+            base + "/indices/main/query",
+            {"query": "term00000", "top_k": 5, "offset": 5},
+        )
+        assert page2["results"] == page1["results"][5:]
+        # result_sort: sort key column rides along in the rows
+        _s, srt = _post(
+            base + "/indices/main/query",
+            {"query": "term00000", "top_k": 10,
+             "result_sort": [["lang2", "asc"], ["score", "desc"]]},
+        )
+        langs = [x["lang2"] for x in srt["results"]]
+        assert langs == sorted(langs)
     finally:
         srv.shutdown()
 
