@@ -51,6 +51,46 @@ def vb_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def vb_byte_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte count of :func:`vb_encode` (ceil of
+    bit_length/7, min 1) — lets a caller split one whole-batch encode
+    into per-chunk slices without re-encoding."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp = tmp >> np.uint64(1)
+    return np.maximum((nbits + 6) // 7, 1)
+
+
+def vb_encode_chunks(
+    values: np.ndarray, chunk_lengths: np.ndarray
+) -> list[bytes]:
+    """Chunked :func:`vb_encode`: ONE vectorized whole-array encode,
+    split into per-chunk byte slices (``b""`` for empty chunks).
+    Byte-identical to encoding each chunk separately — varints are
+    per-value independent."""
+    v = np.asarray(values, dtype=np.uint64)
+    lens = np.asarray(chunk_lengths, dtype=np.int64)
+    if v.size == 0:
+        return [b""] * len(lens)
+    buf = vb_encode(v)
+    nbytes = vb_byte_lengths(v)
+    byte_off = np.concatenate(([0], np.cumsum(nbytes)))
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    b0 = byte_off[starts]
+    b1 = byte_off[np.minimum(starts + lens, len(v))]
+    view = memoryview(buf)
+    return [
+        bytes(view[a:b]) if b > a else b""
+        for a, b in zip(b0.tolist(), b1.tolist())
+    ]
+
+
 def vb_decode(buf: bytes) -> np.ndarray:
     """Vectorized varint decode → uint64 array."""
     if not buf:

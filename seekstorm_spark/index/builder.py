@@ -42,12 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from seekstorm_spark.codecs import (
-    ROARING_BLOCK_SIZE,
-    encode_docids,
-    encode_positions,
-    encode_tfs,
-)
+from seekstorm_spark.codecs import ROARING_BLOCK_SIZE
 from seekstorm_spark.index.store import IndexStore
 from seekstorm_spark.quantization import decode_lengths
 
@@ -239,14 +234,26 @@ def tokenize_to_term_rows(
     tri_patterns = frozenset(p for p in patterns if len(p) == 3)
     field_cols = list(fields) if fields else [text_col]
 
-    def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from collections import Counter
+    def _tok(batches):
+        # mapInArrow, not mapInPandas: the output is millions of tiny
+        # per-token rows per batch, and building them as a pandas
+        # DataFrame costs ~17x more than building the Arrow arrays
+        # directly (measured 3.9s vs 0.23s per 4.2M rows — pandas
+        # object-column consolidation, all thrown away at the Arrow
+        # boundary anyway)
+        import pyarrow as pa
 
         from seekstorm_spark.quantization import int_to_byte4
         from seekstorm_spark.tokenizer import TOKEN_PER_FIELD_MAX, tokenize_line
 
-        for pdf in batches:
-            frames = []
+        for rb in batches:
+            docid_in = rb.column(rb.schema.get_field_index("docid")).to_numpy(
+                zero_copy_only=False
+            )
+            text_in = {
+                fcol: rb.column(rb.schema.get_field_index(fcol)).to_pylist()
+                for fcol in field_cols
+            }
             for fid, fcol in enumerate(field_cols):
                 stops_f = (
                     stops.get(fcol) if isinstance(stops, dict) else stops
@@ -266,7 +273,7 @@ def tokenize_to_term_rows(
                 sy_term: list[str] = []
                 sy_pos: list[int] = []
                 sy_dlb: list[int] = []
-                for docid, text in zip(pdf["docid"].values, pdf[fcol].values):
+                for docid, text in zip(docid_in, text_in[fcol]):
                     toks = tokenize_line(
                         text if isinstance(text, str) else "",
                         tokenizer_name,
@@ -294,41 +301,6 @@ def tokenize_to_term_rows(
                                 sy_term.append(target)
                                 sy_pos.append(i)
                                 sy_dlb.append(dlb)
-                    if freq and (bi_patterns or tri_patterns):
-                        # N-gram postings: adjacent term pairs/triples
-                        # whose frequent/rare shape matches an enabled
-                        # pattern become extra posting terms carrying
-                        # the FULL per-doc tf of each partial term, so
-                        # BM25 scoring stays rank-identical
-                        # (NGRAM_SEARCH.md "faithful N-gram Bm25f";
-                        # tokenizer.rs:673-1387, index.rs:1834-1872)
-                        tf_cnt = Counter(toks)
-                        fr = ["f" if t in freq else "r" for t in toks]
-                        for i in range(len(toks) - 1):
-                            a, b = toks[i], toks[i + 1]
-                            if fr[i] + fr[i + 1] in bi_patterns:
-                                ng_doc.append(int(docid))
-                                ng_term.append(a + NGRAM_SEP + b)
-                                ng_pos.append(i)
-                                ng_dlb.append(dlb)
-                                ng_tf1.append(tf_cnt[a])
-                                ng_tf2.append(tf_cnt[b])
-                                ng_tf3.append(0)
-                            if (
-                                i + 2 < len(toks)
-                                and fr[i] + fr[i + 1] + fr[i + 2]
-                                in tri_patterns
-                            ):
-                                c = toks[i + 2]
-                                ng_doc.append(int(docid))
-                                ng_term.append(
-                                    a + NGRAM_SEP + b + NGRAM_SEP + c
-                                )
-                                ng_pos.append(i)
-                                ng_dlb.append(dlb)
-                                ng_tf1.append(tf_cnt[a])
-                                ng_tf2.append(tf_cnt[b])
-                                ng_tf3.append(tf_cnt[c])
                 counts_a = np.asarray(counts, dtype=np.int64)
                 docs_a = np.asarray(doc_ids, dtype=np.int64)
                 dlb_a = np.asarray(dl_bytes, dtype=np.int32)
@@ -337,12 +309,106 @@ def tokenize_to_term_rows(
                 pos = np.arange(total, dtype=np.int64) - np.repeat(
                     starts, counts_a
                 )
+                if freq and (bi_patterns or tri_patterns) and total:
+                    # N-gram postings: adjacent term pairs/triples
+                    # whose frequent/rare shape matches an enabled
+                    # pattern become extra posting terms carrying the
+                    # FULL per-doc tf of each partial term, so BM25
+                    # scoring stays rank-identical (NGRAM_SEARCH.md
+                    # "faithful N-gram Bm25f"; tokenizer.rs:673-1387,
+                    # index.rs:1834-1872). Vectorized over the whole
+                    # batch: frequent-term membership, per-(doc, term)
+                    # tf, and pattern selection are array ops; Python
+                    # touches only the selected gram positions (the
+                    # per-doc Counter+loop version cost ~2x the
+                    # tokenize itself).
+                    terms_arr = np.asarray(all_terms, dtype=object)
+                    isf = pd.Series(terms_arr).isin(freq).to_numpy()
+                    doc_rep = np.repeat(docs_a, counts_a)
+                    dlb_rep = np.repeat(
+                        dlb_a.astype(np.int64), counts_a
+                    )
+                    # per-(doc, term) tf broadcast back to positions
+                    tcodes = pd.factorize(terms_arr)[0].astype(np.int64)
+                    key = (
+                        np.repeat(
+                            np.arange(len(docs_a), dtype=np.int64),
+                            counts_a,
+                        )
+                        * (int(tcodes.max()) + 1)
+                        + tcodes
+                    )
+                    _uk, inv, cnt = np.unique(
+                        key, return_inverse=True, return_counts=True
+                    )
+                    tf_pos = cnt[inv]
+                    same = doc_rep[1:] == doc_rep[:-1]
+                    code2 = (
+                        isf[:-1].astype(np.int8) * 2
+                        + isf[1:].astype(np.int8)
+                    )
+                    allow2 = np.array(
+                        [p in bi_patterns for p in ("rr", "rf", "fr", "ff")]
+                    )
+                    sel2 = np.flatnonzero(same & allow2[code2])
+                    if len(terms_arr) >= 3 and tri_patterns:
+                        same3 = same[:-1] & same[1:]
+                        code3 = (
+                            isf[:-2].astype(np.int8) * 4
+                            + isf[1:-1].astype(np.int8) * 2
+                            + isf[2:].astype(np.int8)
+                        )
+                        allow3 = np.array(
+                            [
+                                p in tri_patterns
+                                for p in (
+                                    "rrr", "rrf", "rfr", "rff",
+                                    "frr", "frf", "ffr", "fff",
+                                )
+                            ]
+                        )
+                        sel3 = np.flatnonzero(same3 & allow3[code3])
+                    else:
+                        sel3 = np.empty(0, np.int64)
+                    ng_term = [
+                        a + NGRAM_SEP + b
+                        for a, b in zip(
+                            terms_arr[sel2], terms_arr[sel2 + 1]
+                        )
+                    ] + [
+                        a + NGRAM_SEP + b + NGRAM_SEP + c
+                        for a, b, c in zip(
+                            terms_arr[sel3],
+                            terms_arr[sel3 + 1],
+                            terms_arr[sel3 + 2],
+                        )
+                    ]
+                    ng_doc = np.concatenate(
+                        [doc_rep[sel2], doc_rep[sel3]]
+                    )
+                    ng_pos = np.concatenate([pos[sel2], pos[sel3]])
+                    ng_dlb = np.concatenate(
+                        [dlb_rep[sel2], dlb_rep[sel3]]
+                    )
+                    ng_tf1 = np.concatenate(
+                        [tf_pos[sel2], tf_pos[sel3]]
+                    )
+                    ng_tf2 = np.concatenate(
+                        [tf_pos[sel2 + 1], tf_pos[sel3 + 1]]
+                    )
+                    ng_tf3 = np.concatenate(
+                        [
+                            np.zeros(len(sel2), np.int64),
+                            tf_pos[sel3 + 2],
+                        ]
+                    )
                 n_ng = len(ng_doc)
                 n_sy = len(sy_doc)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "docid": np.concatenate(
+                n_rows = total + len(docs_a) + n_ng + n_sy
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            np.concatenate(
                                 [
                                     np.repeat(docs_a, counts_a),
                                     docs_a,
@@ -350,16 +416,21 @@ def tokenize_to_term_rows(
                                     np.asarray(sy_doc, dtype=np.int64),
                                 ]
                             ),
-                            "field": np.full(
-                                total + len(docs_a) + n_ng + n_sy,
-                                fid,
-                                dtype=np.int32,
-                            ),
-                            "term": all_terms
+                            type=pa.int64(),
+                        ),
+                        pa.array(
+                            np.full(n_rows, fid, dtype=np.int32),
+                            type=pa.int32(),
+                        ),
+                        pa.array(
+                            all_terms
                             + [""] * len(docs_a)
                             + ng_term
                             + sy_term,
-                            "pos": np.concatenate(
+                            type=pa.string(),
+                        ),
+                        pa.array(
+                            np.concatenate(
                                 [
                                     pos,
                                     np.full(len(docs_a), -1, dtype=np.int64),
@@ -367,47 +438,59 @@ def tokenize_to_term_rows(
                                     np.asarray(sy_pos, dtype=np.int64),
                                 ]
                             ).astype(np.int32),
-                            "dl_byte": np.concatenate(
+                            type=pa.int32(),
+                        ),
+                        pa.array(
+                            np.concatenate(
                                 [
-                                    np.repeat(dlb_a, counts_a),
-                                    dlb_a,
+                                    np.repeat(
+                                        dlb_a.astype(np.int64), counts_a
+                                    ),
+                                    dlb_a.astype(np.int64),
                                     np.asarray(ng_dlb, dtype=np.int64),
                                     np.asarray(sy_dlb, dtype=np.int64),
                                 ]
                             ).astype(np.int32),
-                            "tf1": np.concatenate(
+                            type=pa.int32(),
+                        ),
+                        pa.array(
+                            np.concatenate(
                                 [
-                                    np.zeros(
-                                        total + len(docs_a), np.int64
-                                    ),
-                                    np.asarray(ng_tf1, dtype=np.int64),
-                                    np.zeros(n_sy, np.int64),
+                                    np.zeros(total + len(docs_a), np.int32),
+                                    np.asarray(ng_tf1, dtype=np.int32),
+                                    np.zeros(n_sy, np.int32),
                                 ]
-                            ).astype(np.int32),
-                            "tf2": np.concatenate(
+                            ),
+                            type=pa.int32(),
+                        ),
+                        pa.array(
+                            np.concatenate(
                                 [
-                                    np.zeros(
-                                        total + len(docs_a), np.int64
-                                    ),
-                                    np.asarray(ng_tf2, dtype=np.int64),
-                                    np.zeros(n_sy, np.int64),
+                                    np.zeros(total + len(docs_a), np.int32),
+                                    np.asarray(ng_tf2, dtype=np.int32),
+                                    np.zeros(n_sy, np.int32),
                                 ]
-                            ).astype(np.int32),
-                            "tf3": np.concatenate(
+                            ),
+                            type=pa.int32(),
+                        ),
+                        pa.array(
+                            np.concatenate(
                                 [
-                                    np.zeros(
-                                        total + len(docs_a), np.int64
-                                    ),
-                                    np.asarray(ng_tf3, dtype=np.int64),
-                                    np.zeros(n_sy, np.int64),
+                                    np.zeros(total + len(docs_a), np.int32),
+                                    np.asarray(ng_tf3, dtype=np.int32),
+                                    np.zeros(n_sy, np.int32),
                                 ]
-                            ).astype(np.int32),
-                        }
-                    )
+                            ),
+                            type=pa.int32(),
+                        ),
+                    ],
+                    names=[
+                        "docid", "field", "term", "pos", "dl_byte",
+                        "tf1", "tf2", "tf3",
+                    ],
                 )
-            yield pd.concat(frames) if len(frames) > 1 else frames[0]
 
-    return docs.select("docid", *field_cols).mapInPandas(
+    return docs.select("docid", *field_cols).mapInArrow(
         _tok, schema=TERM_ROW_SCHEMA
     )
 
@@ -472,8 +555,18 @@ def build_posting_blocks(
     """
 
     def _build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # applyInPandas for the IO (an A/B on this box measured
+        # PySpark 4.1's applyInArrow JVM path ~2.3x slower even with a
+        # trivial UDF — the "unstable, for developers" grouped-Arrow
+        # runner), but every per-posting value below is computed with
+        # reduceat / chunked-VB array ops; the only Python loops slice
+        # bytes.
+        from seekstorm_spark.codecs import vb_encode_chunks
+
         tbucket, block_id = int(key[0]), int(key[1])
         term_codes, uniq_terms = pd.factorize(pdf["term"], sort=True)
+        term_codes = term_codes.astype(np.int64)
+        uniq_terms = np.asarray(uniq_terms, dtype=object)
         fld = pdf["field"].values.astype(np.int64)
         d = pdf["docid"].values.astype(np.int64)
         # sentinel rows carry pos=-1; clip so the VB codec stays unsigned
@@ -483,16 +576,14 @@ def build_posting_blocks(
         tf2a = pdf["tf2"].values.astype(np.int64)
         tf3a = pdf["tf3"].values.astype(np.int64)
         order = np.lexsort((p, d, fld, term_codes))
-        t, f, d, p, dlb, tf1a, tf2a, tf3a = (
-            term_codes[order],
-            fld[order],
-            d[order],
-            p[order],
-            dlb[order],
-            tf1a[order],
-            tf2a[order],
-            tf3a[order],
-        )
+        t = term_codes[order]
+        f = fld[order]
+        d = d[order]
+        p = p[order]
+        dlb = dlb[order]
+        tf1a = tf1a[order]
+        tf2a = tf2a[order]
+        tf3a = tf3a[order]
 
         # (term, field, doc) run boundaries → tf per posting
         new_pair = np.empty(len(t), dtype=bool)
@@ -509,88 +600,123 @@ def build_posting_blocks(
         td_tf1 = tf1a[pair_starts]
         td_tf2 = tf2a[pair_starts]
         td_tf3 = tf3a[pair_starts]
+        n_pairs = len(td_term)
 
-        # per-(term, field) slices over the (term, field, doc) arrays
-        new_tf = np.empty(len(td_term), dtype=bool)
+        # per-(term, field) runs over the pair-level arrays — one
+        # output posting row per run
+        new_tf = np.empty(n_pairs, dtype=bool)
         new_tf[0] = True
         new_tf[1:] = (td_term[1:] != td_term[:-1]) | (
             td_field[1:] != td_field[:-1]
         )
         tf_starts = np.flatnonzero(new_tf)
-        tf_ends = np.append(tf_starts[1:], len(td_term))
-        pos_bounds = np.append(pair_starts, len(t))
+        tf_ends = np.append(tf_starts[1:], n_pairs)
+        run_lens = tf_ends - tf_starts
+        n_runs = len(tf_starts)
+        run_term = td_term[tf_starts]
 
-        # per-term ranges (across fields) for the union df_block
-        new_term = np.empty(len(td_term), dtype=bool)
+        # per-term distinct-doc count (union df_block across fields),
+        # vectorized: unique (term, doc) keys, then run-length per term
+        new_term = np.empty(n_pairs, dtype=bool)
         new_term[0] = True
         new_term[1:] = td_term[1:] != td_term[:-1]
         term_starts = np.flatnonzero(new_term)
-        term_ends = np.append(term_starts[1:], len(td_term))
-        term_starts_set = set(term_starts.tolist())
-        df_block_by_term = {
-            int(td_term[s]): int(np.unique(td_doc[s:e]).size)
-            for s, e in zip(term_starts, term_ends)
-        }
+        # block-local docids fit 16 bits, so (term_code << 17) | local
+        # never collides at any corpus scale
+        local_for_key = td_doc - np.int64(block_id) * np.int64(block_size)
+        td_key = td_term * np.int64(1 << 17) + local_for_key
+        uk = np.unique(td_key)
+        uk_term, uk_counts = np.unique(
+            uk >> np.int64(17), return_counts=True
+        )
+        df_by_code = np.zeros(len(uniq_terms), dtype=np.int64)
+        df_by_code[uk_term] = uk_counts
+        # df_block only on the term's FIRST field run, so summing over
+        # rows never double counts (0 on the others)
+        run_is_first = np.isin(tf_starts, term_starts, assume_unique=True)
+        out_dfb = np.where(run_is_first, df_by_code[run_term], 0)
 
+        # docids: pair-level deltas resetting at run starts → one VB
+        # encode sliced per run
         local_all = (td_doc - block_id * block_size).astype(np.int64)
-        out_terms, out_fields, out_cnt, out_dfb = [], [], [], []
-        out_maxtf, out_mindl = [], []
-        out_docids, out_tfs, out_dls, out_pos = [], [], [], []
-        out_tfs1, out_tfs2, out_maxtf1, out_maxtf2 = [], [], [], []
-        out_tfs3, out_maxtf3 = [], []
-        for s, e in zip(tf_starts, tf_ends):
-            tfs = tfs_all[s:e]
-            term_str = uniq_terms[td_term[s]]
-            out_terms.append(term_str)
-            out_fields.append(int(td_field[s]))
-            out_cnt.append(e - s)
-            # df_block on the term's FIRST field row only, so summing
-            # over rows never double counts (0 on the others)
-            out_dfb.append(
-                df_block_by_term[int(td_term[s])]
-                if s in term_starts_set
-                else 0
-            )
-            out_maxtf.append(int(tfs.max()))
-            out_mindl.append(int(td_dlb[s:e].min()))
-            out_docids.append(encode_docids(local_all[s:e]))
-            out_tfs.append(encode_tfs(tfs))
-            out_dls.append(td_dlb[s:e].tobytes())
-            out_pos.append(
-                encode_positions(p[pos_bounds[s] : pos_bounds[e]], tfs)
-            )
-            if NGRAM_SEP in term_str:
-                # n-gram posting: carry the partial terms' full per-doc
-                # tfs (constant over the pair run — taken at run start)
-                t1s = td_tf1[s:e]
-                t2s = td_tf2[s:e]
-                out_tfs1.append(encode_tfs(t1s))
-                out_tfs2.append(encode_tfs(t2s))
-                out_maxtf1.append(int(t1s.max()))
-                out_maxtf2.append(int(t2s.max()))
-                if term_str.count(NGRAM_SEP) == 2:
-                    t3s = td_tf3[s:e]
-                    out_tfs3.append(encode_tfs(t3s))
-                    out_maxtf3.append(int(t3s.max()))
-                else:
-                    out_tfs3.append(None)
-                    out_maxtf3.append(0)
-            else:
-                out_tfs1.append(None)
-                out_tfs2.append(None)
-                out_tfs3.append(None)
-                out_maxtf1.append(0)
-                out_maxtf2.append(0)
-                out_maxtf3.append(0)
+        dd = np.empty_like(local_all)
+        dd[0] = local_all[0]
+        dd[1:] = local_all[1:] - local_all[:-1] - 1
+        dd[tf_starts] = local_all[tf_starts]
+        out_docids = vb_encode_chunks(dd, run_lens)
+
+        # tfs: VB of tf-1 per pair, sliced per run
+        out_tfs = vb_encode_chunks(tfs_all - 1, run_lens)
+
+        # positions: occurrence-level deltas resetting at every pair
+        # (doc) start, sliced per run's occurrence count
+        occ_per_run = np.add.reduceat(tfs_all, tf_starts)
+        pd_ = np.empty_like(p)
+        if len(p):
+            pd_[0] = p[0]
+            pd_[1:] = p[1:] - p[:-1] - 1
+            pd_[pair_starts] = p[pair_starts]
+        out_pos = vb_encode_chunks(pd_, occ_per_run)
+
+        # dl bytes: raw u8 per pair, sliced per run
+        dls_all = td_dlb.tobytes()
+        dls_view = memoryview(dls_all)
+        out_dls = [
+            bytes(dls_view[s:e]) for s, e in zip(tf_starts, tf_ends)
+        ]
+
+        out_maxtf = np.maximum.reduceat(tfs_all, tf_starts).astype(np.int32)
+        out_mindl = np.minimum.reduceat(td_dlb, tf_starts).astype(np.int32)
+
+        # n-gram runs carry the partial terms' full per-doc tfs
+        # (reference NGRAM_SEARCH.md); non-gram runs get NULL columns
+        n_seps = np.array(
+            [s.count(NGRAM_SEP) for s in uniq_terms], dtype=np.int64
+        )
+        run_seps = n_seps[run_term]
+        gram_run = run_seps > 0
+        tri_run = run_seps == 2
+        gram_pairs = np.repeat(gram_run, run_lens)
+        tri_pairs = np.repeat(tri_run, run_lens)
+        gsel = np.flatnonzero(gram_run)
+        tsel = np.flatnonzero(tri_run)
+        out_tfs1: list = [None] * n_runs
+        out_tfs2: list = [None] * n_runs
+        out_tfs3: list = [None] * n_runs
+        for idx, b1, b2 in zip(
+            gsel,
+            vb_encode_chunks(td_tf1[gram_pairs] - 1, run_lens[gsel]),
+            vb_encode_chunks(td_tf2[gram_pairs] - 1, run_lens[gsel]),
+        ):
+            out_tfs1[idx] = b1
+            out_tfs2[idx] = b2
+        for idx, b3 in zip(
+            tsel, vb_encode_chunks(td_tf3[tri_pairs] - 1, run_lens[tsel])
+        ):
+            out_tfs3[idx] = b3
+        mt1 = np.maximum.reduceat(td_tf1, tf_starts)
+        mt2 = np.maximum.reduceat(td_tf2, tf_starts)
+        mt3 = np.maximum.reduceat(td_tf3, tf_starts)
+        out_maxtf1 = np.where(gram_run, mt1, 0).astype(np.int32)
+        out_maxtf2 = np.where(gram_run, mt2, 0).astype(np.int32)
+        out_maxtf3 = np.where(tri_run, mt3, 0).astype(np.int32)
+
         return pd.DataFrame(
             {
-                "term": out_terms,
-                "field": pd.Series(out_fields, dtype="int32"),
-                "block_id": pd.Series(
-                    np.full(len(out_terms), block_id), dtype="int32"
+                "term": uniq_terms[run_term],
+                "field": pd.Series(
+                    td_field[tf_starts].astype(np.int32), dtype="int32"
                 ),
-                "posting_count": pd.Series(out_cnt, dtype="int32"),
-                "df_block": pd.Series(out_dfb, dtype="int32"),
+                "block_id": pd.Series(
+                    np.full(n_runs, block_id, dtype=np.int32),
+                    dtype="int32",
+                ),
+                "posting_count": pd.Series(
+                    run_lens.astype(np.int32), dtype="int32"
+                ),
+                "df_block": pd.Series(
+                    out_dfb.astype(np.int32), dtype="int32"
+                ),
                 "max_tf": pd.Series(out_maxtf, dtype="int32"),
                 "min_dl_byte": pd.Series(out_mindl, dtype="int32"),
                 "docids_vb": out_docids,
@@ -604,7 +730,8 @@ def build_posting_blocks(
                 "max_tf2": pd.Series(out_maxtf2, dtype="int32"),
                 "max_tf3": pd.Series(out_maxtf3, dtype="int32"),
                 "tbucket": pd.Series(
-                    np.full(len(out_terms), tbucket), dtype="int32"
+                    np.full(n_runs, tbucket, dtype=np.int32),
+                    dtype="int32",
                 ),
             }
         )

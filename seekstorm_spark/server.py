@@ -144,12 +144,33 @@ class IndexService:
             n: threading.Lock() for n in indices
         }
         self.doc_stores: dict[str, DocStore] = {}
+        self._anns: dict[str, object] = {}
         for name, path in indices.items():
             ds_path = (doc_stores or {}).get(
                 name, os.path.join(path, "doc_store")
             )
             if os.path.exists(os.path.join(ds_path, "_docstore_meta.json")):
                 self.doc_stores[name] = DocStore(ds_path)
+
+    def _ann(self, name: str):
+        """Vector index co-located with the lexical index: an ``ann/``
+        (hyperplane-LSH) or ``ivf/`` (k-medoid) subdir of the index
+        path — loaded lazily, cached per name."""
+        idx = self._anns.get(name)
+        if idx is not None:
+            return idx
+        from seekstorm_spark.functions.simsearch import AnnIndex, IvfIndex
+
+        base = self.stores[name].path
+        for sub, cls in (("ann", AnnIndex), ("ivf", IvfIndex)):
+            p = os.path.join(base, sub)
+            if os.path.exists(os.path.join(p, "meta.json")):
+                idx = cls.open(p)
+                self._anns[name] = idx
+                return idx
+        raise ValueError(
+            f"index {name!r} has no vector index (no ann/ or ivf/ subdir)"
+        )
 
     def check_auth(self, name: str, auth_header: str | None) -> None:
         """Per-index bearer-token gate (reference api_endpoints.rs
@@ -207,10 +228,76 @@ class IndexService:
     def query(self, name: str, body: dict) -> dict:
         store = self.stores[name]
         q = body["query"]
-        top_k = int(body.get("top_k", 10))
+        top_k = int(body.get("top_k", body.get("length", 10)))
         dtype = body.get("default_type", "union")
-        staged = self._staged(name)
+        # realtime=false skips the uncommitted staged batches
+        # (reference SearchRequestObject.realtime)
+        staged = (
+            self._staged(name) if body.get("realtime", True) else None
+        )
+        # reference result_type enum: Topk / Count / TopkCount
+        result_type = str(body.get("result_type", "") or "")
+        want_count = bool(body.get("count")) or result_type in (
+            "Count", "TopkCount",
+        )
+        search_mode = body.get("search_mode", "lexical")
+        if isinstance(search_mode, str):
+            search_mode = search_mode.lower()
+        qv = body.get("query_vector")
+        if search_mode == "vector":
+            # pure vector search against the co-located ANN index
+            # (reference SearchMode::Vector)
+            if not qv:
+                raise ValueError("vector search requires query_vector")
+            rows = self._ann(name).search(
+                self.spark, [float(x) for x in qv], k=top_k
+            ).collect()
+            resp_v: dict = {
+                "results": [
+                    {"docid": int(r["vec_id"]), "score": float(r["cos_sim"])}
+                    for r in rows
+                ]
+            }
+            return resp_v
+        if not q and body.get("enable_empty_query"):
+            # reference enable_empty_query: empty query browses all
+            # live docids (search.rs:1413-1432)
+            from seekstorm_spark.query.engine import browse
+
+            rows = browse(
+                self.spark, store, top_k=top_k,
+                offset=int(body.get("offset", 0)), descending=False,
+            ).collect()
+            resp_b: dict = {
+                "results": [
+                    {"docid": int(r["docid"]), "score": 0.0} for r in rows
+                ]
+            }
+            if want_count:
+                resp_b["count"] = int(store.meta.get("n_docs") or 0)
+            return resp_b
         kwargs: dict = {}
+        if search_mode == "hybrid":
+            # lexical kernel + ANN probe fused by RRF in ONE call
+            # (reference SearchMode::Hybrid)
+            if not qv:
+                raise ValueError("hybrid search requires query_vector")
+            kwargs.update(
+                mode="hybrid",
+                vector=[float(x) for x in qv],
+                ann_index=self._ann(name),
+            )
+        elif search_mode != "lexical":
+            raise ValueError(f"unknown search_mode {search_mode!r}")
+        if result_type == "Count":
+            # count only — never runs the top-k kernel (reference
+            # ResultType::Count, zero result rows)
+            return {
+                "results": [],
+                "count": count_matches(
+                    self.spark, store, q, dtype, staged=staged
+                ),
+            }
         # optional passthroughs to the full library search surface
         # (the reference QueryObject carries the same knobs,
         # api_endpoints.rs /query request body)
@@ -237,6 +324,8 @@ class IndexService:
             field_filter=body.get("field_filter"), staged=staged,
             **kwargs,
         )
+        if "rrf_score" in out_df.columns:  # hybrid fusion output
+            out_df = out_df.withColumnRenamed("rrf_score", "score")
         cols = out_df.columns
         out = out_df.collect()
         results = []
@@ -315,8 +404,55 @@ class IndexService:
                         if row is not None
                         else ""
                     )
+        # reference multi-highlight list: one fragment per Highlight
+        # entry, keyed by its name (or field), full fragment options
+        hls = body.get("highlights")
+        if hls:
+            from seekstorm_spark.functions.highlight import (
+                expand_terms_with_synonyms,
+                top_fragments,
+            )
+            from seekstorm_spark.tokenizer import parse_query
+
+            ds = self.doc_stores.get(name)
+            if ds is None:
+                raise ValueError(
+                    f"index {name!r} has no doc store to highlight from"
+                )
+            terms = expand_terms_with_synonyms(
+                [t.term for t in parse_query(q).positive_terms],
+                store.meta.get("synonyms"),
+            )
+            rows2 = ds.get_many([r["docid"] for r in results])
+            for res, row in zip(results, rows2):
+                frags: dict = {}
+                for h in hls:
+                    fld2 = h.get("field", "text")
+                    if fld2 not in ds.fields:
+                        raise ValueError(
+                            f"doc store has no field {fld2!r}; "
+                            f"stored: {ds.fields}"
+                        )
+                    frags[h.get("name") or fld2] = (
+                        top_fragments(
+                            str(row.get(fld2) or ""),
+                            terms,
+                            fragment_number=int(
+                                h.get("fragment_number", 1)
+                            ),
+                            fragment_size=int(h.get("fragment_size", 0)),
+                            highlight_markup=bool(
+                                h.get("highlight_markup", True)
+                            ),
+                            pre_tags=str(h.get("pre_tags") or "<b>"),
+                            post_tags=str(h.get("post_tags") or "</b>"),
+                        )
+                        if row is not None
+                        else ""
+                    )
+                res["highlights"] = frags
         resp: dict = {"results": results}
-        if body.get("count"):
+        if want_count:
             resp["count"] = count_matches(
                 self.spark, store, q, dtype, staged=staged
             )

@@ -79,3 +79,35 @@ def test_positions_roundtrip_random():
         out = decode_positions(encode_positions(flat, tfs), tfs)
         for got, want in zip(out, lists):
             assert got.tolist() == want.tolist()
+
+
+def test_vb_encode_chunks_matches_per_chunk_encode():
+    import numpy as np
+
+    from seekstorm_spark.codecs import (
+        vb_byte_lengths,
+        vb_encode,
+        vb_encode_chunks,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1 << 40, 5000).astype(np.uint64)
+    # byte lengths agree with the real encoding
+    assert int(vb_byte_lengths(vals).sum()) == len(vb_encode(vals))
+    # random chunking: slices equal per-chunk encodes
+    lens = []
+    left = len(vals)
+    while left:
+        n = int(rng.integers(0, min(9, left) + 1))
+        lens.append(n)
+        left -= n
+    lens = np.array(lens, dtype=np.int64)
+    got = vb_encode_chunks(vals, lens)
+    off = 0
+    for n, chunk in zip(lens, got):
+        assert chunk == vb_encode(vals[off : off + n])
+        off += n
+    assert vb_encode_chunks(np.empty(0, np.uint64), np.array([0, 0])) == [
+        b"",
+        b"",
+    ]

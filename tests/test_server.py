@@ -354,6 +354,88 @@ def test_query_full_surface(spark, tmp_path):
         srv.shutdown()
 
 
+def test_query_reference_request_fields(spark, tmp_path):
+    """Reference SearchRequestObject parity: result_type
+    (Topk/Count/TopkCount), realtime flag, enable_empty_query browse,
+    the highlights LIST (named multi-field fragments), and
+    search_mode vector/hybrid against a co-located ann/ index."""
+    import numpy as np
+
+    from seekstorm_spark.functions.simsearch import AnnIndex
+
+    docs = assign_docids(
+        synth_webtext(spark, 80, seed=23), order_col="url"
+    )
+    store = IndexBuilder(spark, str(tmp_path / "idx"), n_buckets=2).build(
+        docs, text_col="text", id_col="docid"
+    )
+    write_doc_store(
+        docs, str(tmp_path / "idx" / "doc_store"), id_col="docid",
+        fields=["url", "text"], docs_per_bucket=32,
+    )
+    rng = np.random.default_rng(5)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    AnnIndex.build(
+        spark, vecs, str(tmp_path / "idx" / "ann"), n_planes=4
+    )
+    srv, _t = serve_in_thread(spark, {"main": store.path}, port=0)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # result_type Count: count only, no result rows
+        _s, r = _post(
+            base + "/indices/main/query",
+            {"query": "term00000", "result_type": "Count"},
+        )
+        assert r["results"] == [] and r["count"] > 0
+        # TopkCount: both
+        _s, r2 = _post(
+            base + "/indices/main/query",
+            {"query": "term00000", "top_k": 3, "result_type": "TopkCount",
+             "realtime": False},
+        )
+        assert len(r2["results"]) == 3 and r2["count"] == r["count"]
+        # enable_empty_query → browse
+        _s, r3 = _post(
+            base + "/indices/main/query",
+            {"query": "", "enable_empty_query": True, "top_k": 5},
+        )
+        assert [x["docid"] for x in r3["results"]] == [0, 1, 2, 3, 4]
+        # highlights list with names
+        _s, r4 = _post(
+            base + "/indices/main/query",
+            {"query": "term00000", "top_k": 2,
+             "highlights": [
+                 {"field": "text", "name": "snippet",
+                  "fragment_number": 1, "fragment_size": 60},
+                 {"field": "url", "highlight_markup": False},
+             ]},
+        )
+        for x in r4["results"]:
+            assert set(x["highlights"]) == {"snippet", "url"}
+            assert "<b>term00000</b>" in x["highlights"]["snippet"]
+        # vector search against the ann/ subdir
+        qv = [float(x) for x in rng.normal(size=8)]
+        _s, r5 = _post(
+            base + "/indices/main/query",
+            {"query": "", "search_mode": "vector", "query_vector": qv,
+             "top_k": 5},
+        )
+        assert len(r5["results"]) >= 1
+        assert all(0 <= x["docid"] < 80 for x in r5["results"])
+        # hybrid fuses lexical + vector in one call
+        _s, r6 = _post(
+            base + "/indices/main/query",
+            {"query": "term00000", "search_mode": "hybrid",
+             "query_vector": qv, "top_k": 5},
+        )
+        assert len(r6["results"]) == 5
+    finally:
+        srv.shutdown()
+
+
 def test_create_rejected_without_root(spark, served):
     base, _store = served  # read-only, no index_root
     with pytest.raises(urllib.error.HTTPError) as ei:
