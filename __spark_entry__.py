@@ -78,6 +78,11 @@ _MQ_SPECS = (
     (["fast", "table"], "phrase", None, ["fast", "table"]),
 )
 
+# batched hybrid row: query i pairs with query vector vec_id=i; the
+# oracle re-runs the single-query hybrid SQL per pair
+_MH_QUERIES = ("fast table", "key value", "stream")
+_MH_QUERY_TERMS = (["fast", "table"], ["key", "value"], ["stream"])
+
 _K1 = repr(K + 1.0)  # identical float64 literals on both sides
 _KK = repr(float(K))
 _B1 = repr(1.0 - B)
@@ -2283,6 +2288,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_hybrid_rrf"] = wand_hybrid_rrf
 
+    # batched hybrid serving: N (query, vector) pairs in ONE action —
+    # the lexical side rides the fused search_many kernel, each
+    # query's partition-pruned ANN probe unions into the same plan,
+    # RRF fuses per query (bit-identical to search(mode="hybrid")).
+    def wand_multi_hybrid(s: SparkSession, d: str) -> DataFrame:
+        import os
+
+        from seekstorm_spark.functions.simsearch import AnnIndex
+        from seekstorm_spark.query.engine import search_many_hybrid
+
+        store = _wand_store(s, d)
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_ann_idx_{name}"
+        if os.path.exists(os.path.join(path, "meta.json")):
+            idx = AnnIndex.open(path)
+        else:
+            idx = AnnIndex.build(
+                s, _emb(s, d).filter(F.col("vec_id") != 0), path, n_planes=8
+            )
+        qvs = [
+            [float(x) for x in r["embedding"]]
+            for r in _emb(s, d)
+            .filter(F.col("vec_id") < len(_MH_QUERIES))
+            .orderBy("vec_id")
+            .collect()
+        ]
+        return search_many_hybrid(
+            s, store, list(_MH_QUERIES), qvs, top_k=10, ann_index=idx
+        )
+
+    q["wand_multi_hybrid"] = wand_multi_hybrid
+
     # frequent-term result cache (reference search.rs:3388-3445
     # cached top-1000, index.rs:1644): the single-term query serves
     # from a precomputed list DRIVER-side — the returned plan is a
@@ -2388,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_affine_cosine",
         "ann_turboquant_topk",
         "wand_phrase_proximity",
+        "wand_multi_hybrid",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3230,7 +3268,14 @@ ORDER BY sim DESC, docid ASC LIMIT 10
 
     # hybrid RRF through the engine: extend the f32-exact WAND CTE
     # chain (whose last CTE is `scored`) with the ANN-probe CTEs, rank
-    # both top-10 lists, fuse with 1/(0.6+rank) in double
+    # both top-10 lists, fuse with 1/(0.6+rank) in double.
+    # ``qid`` picks the query vector (the ANN index itself always
+    # excludes vec_id 0, mirroring the AnnIndex the driver row builds).
+    def _hybrid_tail(qid: int) -> str:
+        return hybrid_tail.replace(
+            "WHERE vec_id = 0),", f"WHERE vec_id = {qid}),", 1
+        )
+
     hybrid_tail = f"""
 , q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 qsig AS (SELECT {_sig_sql('qv')} AS sig FROM q),
@@ -3266,6 +3311,16 @@ ORDER BY rrf_score DESC, docid ASC LIMIT 10
 """
     o["wand_hybrid_rrf"] = _wand_bm25_sql(
         ["fast", "table"], "union", final_select=hybrid_tail
+    )
+    # batched hybrid: per (query, vector) pair the SAME single-query
+    # hybrid SQL, tagged with its position (the Spark side is
+    # search_many_hybrid — lexical side fused, per-query ANN probes
+    # and RRF in one action, bit-identical per query to search())
+    o["wand_multi_hybrid"] = "\nUNION ALL\n".join(
+        f"SELECT {i} AS query_id, * FROM ("
+        + _wand_bm25_sql(terms, "union", final_select=_hybrid_tail(i))
+        + ")"
+        for i, terms in enumerate(_MH_QUERY_TERMS)
     )
     # served from the frequent-term cache, which is bit-identical to
     # the kernel — same oracle as a live single-term WAND query

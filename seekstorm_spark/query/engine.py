@@ -1180,6 +1180,99 @@ def search_many(
     return result
 
 
+def search_many_hybrid(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: list[str],
+    vectors: list[list[float]],
+    top_k: int = 10,
+    default_type: str = "union",
+    ann_index=None,
+    vectors_df: DataFrame | None = None,
+    rrf_k: float | None = None,
+    similarity: str = "bm25f",
+    staged: list | None = None,
+) -> DataFrame:
+    """Batched hybrid serving: N (query, vector) pairs in ONE Spark
+    action → DataFrame(query_id, docid, rrf_score).
+
+    The lexical side rides the fused :func:`search_many` kernel (one
+    scan over the union of all queries' postings); each query's
+    vector top-k is a partition-pruned ``ann_index.search`` probe
+    (or exact cosine over ``vectors_df``) unioned in as a branch of
+    the same plan; RRF (k=0.6, reference search.rs:73-96,1962-2035)
+    fuses per query with window ranks partitioned by query_id. Every
+    per-query slice is bit-identical to ``search(mode="hybrid")`` —
+    same ranks, same round(·, 6), same docid tiebreaks."""
+    from functools import reduce
+
+    from seekstorm_spark.functions.fusion import RRF_K
+
+    if len(vectors) != len(queries):
+        raise ValueError("vectors must parallel queries")
+    if ann_index is None and vectors_df is None:
+        raise ValueError("hybrid search requires ann_index= or vectors_df=")
+    lex = search_many(
+        spark, store, queries, top_k=top_k, default_type=default_type,
+        similarity=similarity, staged=staged,
+    )
+    from seekstorm_spark.functions.simsearch import cosine_topk
+
+    branches = []
+    for i, v in enumerate(vectors):
+        v = [float(x) for x in v]
+        probe = (
+            ann_index.search(spark, v, k=top_k)
+            if ann_index is not None
+            else cosine_topk(vectors_df, v, k=top_k)
+        )
+        branches.append(
+            probe.select(
+                F.lit(i).alias("query_id"),
+                F.col("vec_id").alias("docid"),
+                F.col("cos_sim"),
+            )
+        )
+    vec = reduce(lambda a, b: a.unionByName(b), branches)
+    k = RRF_K if rrf_k is None else float(rrf_k)
+    lw = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("docid").asc()
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("docid").asc()
+    )
+    lex_r = lex.select(
+        "query_id", "docid", F.row_number().over(lw).alias("lex_rank")
+    )
+    vec_r = vec.select(
+        "query_id", "docid", F.row_number().over(vw).alias("vec_rank")
+    )
+    fused = (
+        lex_r.join(vec_r, ["query_id", "docid"], "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.coalesce(1.0 / (F.lit(k) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(k) + F.col("vec_rank")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    fw = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("docid").asc()
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(fw))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "docid", "rrf_score")
+        .orderBy(
+            F.col("query_id").asc(),
+            F.col("rrf_score").desc(),
+            F.col("docid").asc(),
+        )
+    )
+
+
 def count_matches_many(
     spark: SparkSession,
     store: IndexStore,

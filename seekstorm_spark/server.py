@@ -84,12 +84,17 @@ class AuthError(Exception):
         self.code = code
 
 
-def set_api_key(index_path: str, token: str | None) -> None:
+def set_api_key(
+    index_path: str, token: str | None, rate_limit: int | None = None
+) -> None:
     """Protect an index with a bearer token: only the SHA-256 of the
     token lands in the index meta (never plaintext — the reference
     stores hashed api keys the same way, api_endpoints.rs). ``None``
-    clears the key. Atomic meta rewrite; opened services pick the key
-    up on their next `IndexStore.open`."""
+    clears the key. ``rate_limit`` (requests/second) attaches the
+    reference's per-key quota (ApikeyQuotaObject.rate_limit) — the
+    server enforces it with the reference's grace-violation formula
+    (http_server.rs:144-175). Atomic meta rewrite; opened services
+    pick the key up on their next `IndexStore.open`."""
     import hashlib
     import tempfile
 
@@ -98,10 +103,17 @@ def set_api_key(index_path: str, token: str | None) -> None:
         meta = json.load(f)
     if token is None:
         meta.pop("api_key_sha256", None)
+        meta.pop("api_key_rate_limit", None)
     else:
         meta["api_key_sha256"] = hashlib.sha256(
             token.encode("utf-8")
         ).hexdigest()
+        if rate_limit is None:
+            meta.pop("api_key_rate_limit", None)
+        else:
+            if int(rate_limit) <= 0:
+                raise ValueError("rate_limit must be a positive requests/sec")
+            meta["api_key_rate_limit"] = int(rate_limit)
     fd, tmp = tempfile.mkstemp(dir=index_path, suffix=".json.tmp")
     with os.fdopen(fd, "w") as f:
         json.dump(meta, f)
@@ -139,6 +151,10 @@ class IndexService:
         # serializes index create/drop (registry mutations); per-index
         # write locks cover doc-level mutations
         self._registry_lock = threading.Lock()
+        # per-index quota state for rate-limited api keys (reference
+        # ApikeyQuotaObject: last-pass timestamp + violation count)
+        self._quota_lock = threading.Lock()
+        self._quota: dict[str, list[int]] = {}
         self._indexers: dict[str, object] = {}
         self._write_locks: dict[str, threading.Lock] = {
             n: threading.Lock() for n in indices
@@ -194,6 +210,33 @@ class IndexService:
         ).hexdigest()
         if got != want:
             raise AuthError(403, f"invalid api key for index {name!r}")
+        limit = store.meta.get("api_key_rate_limit")
+        if limit:
+            self._rate_limit(name, int(limit))
+
+    # the reference's grace-violation limiter (http_server.rs:144-175):
+    # a request passes when the time since the last PASS, divided by
+    # (violations + 1), exceeds one limit-period; the first
+    # GRACE_VIOLATION_COUNT over-limit requests are absorbed (burst
+    # tolerance), after which 429s begin — and because violations keep
+    # inflating the divisor, a sustained over-limit client stays
+    # rejected until it backs off for violations+1 periods.
+    _GRACE_VIOLATION_COUNT = 10
+
+    def _rate_limit(self, name: str, limit: int) -> None:
+        import time
+
+        now = time.monotonic_ns()
+        with self._quota_lock:
+            ts, violations = self._quota.get(name, (0, 0))
+            if (now - ts) // (violations + 1) > 1_000_000_000 // limit:
+                self._quota[name] = [now, 0]
+                return
+            self._quota[name] = [ts, violations + 1]
+            if violations + 1 > self._GRACE_VIOLATION_COUNT:
+                raise AuthError(
+                    429, f"rate limit exceeded for index {name!r}"
+                )
 
     def _staged(self, name: str) -> list | None:
         idx = self._indexers.get(name)
@@ -573,6 +616,35 @@ class IndexService:
                 "pending_batches": len(idx.staged),
             }
 
+    def update_docs(self, name: str, body: dict) -> dict:
+        """Update = delete the old versions + stage the new contents
+        (reference update_document(s)_api, api_endpoints.rs:865-917 —
+        postings are immutable, so update is delete + re-add). The
+        re-added docs ride the realtime level-0 path (searchable
+        immediately, committed with the next commit); the old docids
+        land in the delete set right away."""
+        docs = body.get("documents")
+        old = body.get("old_docids")
+        if not isinstance(docs, list) or not docs:
+            raise ValueError("body must contain a non-empty 'documents' list")
+        if not isinstance(old, list) or not old:
+            raise ValueError("body must contain a non-empty 'old_docids' list")
+        idx = self._indexer(name)
+        from seekstorm_spark.query.engine import delete_documents
+
+        import pandas as pd
+
+        with self._write_locks[name]:
+            idx.add_documents(self.spark.createDataFrame(pd.DataFrame(docs)))
+            delete_documents(
+                self.spark, self.stores[name], [int(d) for d in old]
+            )
+        return {
+            "staged": len(docs),
+            "deleted_ids": len(old),
+            "pending_batches": len(idx.staged),
+        }
+
     def commit(self, name: str) -> dict:
         idx = self._indexer(name)
         with self._write_locks[name]:
@@ -644,10 +716,19 @@ class IndexService:
         token = body.get("key")
         if not token or not isinstance(token, str):
             raise ValueError("body must contain a non-empty 'key' string")
+        rate_limit = body.get("rate_limit")
         store = self.stores[name]
-        set_api_key(store.path, token)
+        set_api_key(
+            store.path, token,
+            rate_limit=int(rate_limit) if rate_limit is not None else None,
+        )
+        with self._quota_lock:
+            self._quota.pop(name, None)
         self._reopen(name)
-        return {"index": name, "api_key": "set"}
+        resp = {"index": name, "api_key": "set"}
+        if rate_limit is not None:
+            resp["rate_limit"] = int(rate_limit)
+        return resp
 
     def clear_key(self, name: str) -> dict:
         if not self.writable:
@@ -818,6 +899,7 @@ _ROUTES = [
     ("GET", re.compile(r"^/indices/([^/]+)/spell$"), "spell"),
     ("GET", re.compile(r"^/indices/([^/]+)/doc/(\d+)$"), "doc"),
     ("POST", re.compile(r"^/indices/([^/]+)/docs$"), "add_docs"),
+    ("PATCH", re.compile(r"^/indices/([^/]+)/docs$"), "update_docs"),
     ("POST", re.compile(r"^/indices/([^/]+)/commit$"), "commit"),
     ("POST", re.compile(r"^/indices/([^/]+)/clear$"), "clear"),
     ("GET", re.compile(r"^/indices/([^/]+)/iterator$"), "iterator_get"),
@@ -881,9 +963,9 @@ class _Handler(BaseHTTPRequestHandler):
     _INDEX_OPS = frozenset(
         {
             "info", "query", "query_get", "count", "query_batch",
-            "term_df", "suggest", "spell", "doc", "add_docs", "commit",
-            "delete", "drop_index", "clear", "get_synonyms",
-            "set_synonyms", "iterator", "iterator_get",
+            "term_df", "suggest", "spell", "doc", "add_docs",
+            "update_docs", "commit", "delete", "drop_index", "clear",
+            "get_synonyms", "set_synonyms", "iterator", "iterator_get",
         }
     )
 
@@ -896,7 +978,16 @@ class _Handler(BaseHTTPRequestHandler):
             # index key (the reference's master-apikey semantics)
             svc.check_admin(self.headers.get("Authorization"))
         if op == "health":
-            self._send(200, {"status": "ok"})
+            # reference live_api (api_endpoints.rs:69): server + version
+            from seekstorm_spark import __version__
+
+            self._send(
+                200,
+                {
+                    "status": "ok",
+                    "server": f"seekstorm_spark server {__version__}",
+                },
+            )
         elif op == "list":
             self._send(200, {"indices": sorted(svc.stores)})
         elif op == "info":
@@ -959,6 +1050,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, row)
         elif op == "add_docs":
             self._send(200, svc.add_docs(match.group(1), self._body()))
+        elif op == "update_docs":
+            self._send(200, svc.update_docs(match.group(1), self._body()))
         elif op == "commit":
             self._send(200, svc.commit(match.group(1)))
         elif op == "clear":
@@ -997,6 +1090,9 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         self._dispatch("POST")
+
+    def do_PATCH(self):
+        self._dispatch("PATCH")
 
     def do_DELETE(self):
         self._dispatch("DELETE")

@@ -176,3 +176,39 @@ def test_count_matches_many_identical_to_count(spark, built):
     want = [count_matches(spark, built, q) for q in qs]
     assert got == want
     assert got[5] == 0 and got[6] == 0 and got[3] > 0
+
+
+def test_search_many_hybrid_identical_to_single(spark):
+    """Batched hybrid serving: every (query, vector) pair's slice of
+    ``search_many_hybrid`` is bit-identical to ``search(mode=
+    "hybrid")`` — same RRF ranks, rounding, and docid tiebreaks —
+    with the lexical side fused and the ANN probes riding the same
+    returned plan."""
+    from __spark_entry__ import _emb, _wand_store
+    from seekstorm_spark.query.engine import search_many_hybrid
+
+    d = "/root/testdata/sf0.001"
+    store = _wand_store(spark, d)
+    emb = _emb(spark, d).filter(F.col("vec_id") >= 3)
+    qvs = [
+        [float(x) for x in r["embedding"]]
+        for r in _emb(spark, d).filter(F.col("vec_id") < 3).collect()
+    ]
+    queries = ["fast table", "+fast +broadband", "zzzmissing fast"]
+
+    got = search_many_hybrid(
+        spark, store, queries, qvs, top_k=10, vectors_df=emb
+    ).collect()
+    for i, (q, v) in enumerate(zip(queries, qvs)):
+        want = search(
+            spark, store, q, top_k=10, mode="hybrid", vector=v, vectors=emb
+        ).collect()
+        got_i = [(r["docid"], r["rrf_score"]) for r in got
+                 if r["query_id"] == i]
+        assert got_i == [(r["docid"], r["rrf_score"]) for r in want], q
+    assert got  # non-degenerate
+
+    with pytest.raises(ValueError, match="parallel"):
+        search_many_hybrid(spark, store, queries, qvs[:2], vectors_df=emb)
+    with pytest.raises(ValueError, match="ann_index"):
+        search_many_hybrid(spark, store, queries, qvs)

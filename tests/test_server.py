@@ -53,7 +53,10 @@ def _post(url: str, body: dict):
 
 def test_health_and_listing(served):
     base, _store = served
-    assert _get(base + "/health")[1] == {"status": "ok"}
+    health = _get(base + "/health")[1]
+    assert health["status"] == "ok"
+    # reference live_api parity: server identity + version string
+    assert health["server"].startswith("seekstorm_spark server ")
     assert _get(base + "/indices")[1] == {"indices": ["main"]}
     info = _get(base + "/indices/main/info")[1]
     assert info["n_docs"] == 300 and info["fields"] == ["text"]
@@ -624,5 +627,147 @@ def test_api_key_crud_over_http(spark, tmp_path):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _req(base, "POST", "/indices/main/apikey", {}, token="master-k3y")
         assert ei.value.code == 400
+    finally:
+        srv.shutdown()
+
+
+def test_update_docs_over_http(spark, writable_served):
+    """PATCH /docs = the reference's update_documents_api
+    (api_endpoints.rs:865-917): delete the old versions + re-add the
+    new contents. The replacement is searchable immediately (realtime
+    level-0) and the old docid stops matching."""
+    base, _store = writable_served
+    _s, resp = _post(
+        base + "/indices/main/docs",
+        {"documents": [{"url": "http://upd/1", "text": "zzupdated v1 stale"}]},
+    )
+    assert resp["staged"] == 1
+    assert _post(base + "/indices/main/commit", {})[1]["committed"]
+    _s, r = _post(base + "/indices/main/query", {"query": "zzupdated"})
+    assert len(r["results"]) == 1
+    old_id = r["results"][0]["docid"]
+
+    import urllib.request
+
+    req = urllib.request.Request(
+        base + "/indices/main/docs",
+        data=json.dumps(
+            {
+                "documents": [
+                    {"url": "http://upd/1", "text": "zzupdated v2 fresh"}
+                ],
+                "old_docids": [old_id],
+            }
+        ).encode(),
+        headers={"Content-Type": "application/json"},
+        method="PATCH",
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp2:
+        out = json.loads(resp2.read())
+    assert out["staged"] == 1 and out["deleted_ids"] == 1
+
+    # old version deleted, replacement visible pre-commit
+    _s, r2 = _post(base + "/indices/main/query", {"query": "stale"})
+    assert r2["results"] == []
+    _s, r3 = _post(base + "/indices/main/query", {"query": "fresh"})
+    assert len(r3["results"]) == 1 and r3["results"][0]["docid"] != old_id
+    # identical after commit
+    assert _post(base + "/indices/main/commit", {})[1]["committed"]
+    _s, r4 = _post(base + "/indices/main/query", {"query": "fresh"})
+    assert {x["docid"] for x in r4["results"]} == {r3["results"][0]["docid"]}
+    assert _post(base + "/indices/main/query", {"query": "stale"})[1][
+        "results"
+    ] == []
+
+
+def test_rate_limit_formula(monkeypatch):
+    """The quota formula matches the reference (http_server.rs:144-175):
+    under-limit traffic always passes, the first 10 over-limit requests
+    are absorbed as grace, then 429 — and recovery requires backing off
+    (violations+1) limit-periods, not just one."""
+    import threading
+    import time as _time
+
+    from seekstorm_spark.server import AuthError, IndexService
+
+    svc = IndexService.__new__(IndexService)
+    svc._quota_lock = threading.Lock()
+    svc._quota = {}
+
+    clock = [0]
+    monkeypatch.setattr(_time, "monotonic_ns", lambda: clock[0])
+
+    # 1 req/s, one request every 1.1 s: never limited
+    for _ in range(20):
+        clock[0] += 1_100_000_000
+        svc._rate_limit("idx", 1)
+    assert svc._quota["idx"][1] == 0
+
+    # burst at 100 req/s: first passes, 10 grace violations, then 429
+    svc._quota.clear()
+    clock[0] += 2_000_000_000
+    svc._rate_limit("idx", 1)  # passes, resets
+    for i in range(10):
+        clock[0] += 10_000_000
+        svc._rate_limit("idx", 1)  # grace
+    with pytest.raises(AuthError) as ei:
+        clock[0] += 10_000_000
+        svc._rate_limit("idx", 1)
+    assert ei.value.code == 429
+
+    # one period is NOT enough to recover (divisor is violations+1=12)
+    clock[0] += 1_000_000_001
+    with pytest.raises(AuthError):
+        svc._rate_limit("idx", 1)
+    # backing off 12 periods recovers
+    clock[0] += 12_000_000_000
+    svc._rate_limit("idx", 1)
+    assert svc._quota["idx"][1] == 0
+
+
+def test_api_key_rate_limit_over_http(spark, tmp_path):
+    """An index key carrying rate_limit=1 starts returning 429 once a
+    burst exhausts the grace window; an unlimited key never does."""
+    from seekstorm_spark.server import serve_in_thread
+
+    docs = assign_docids(synth_webtext(spark, 60, seed=31), order_col="url")
+    path = str(tmp_path / "idx")
+    IndexBuilder(spark, path, n_buckets=4).build(
+        docs, text_col="text", id_col="docid"
+    )
+    srv, _t = serve_in_thread(
+        spark, {"main": path}, port=0, writable=True, admin_key="adm"
+    )
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def _req(method, url, body=None, token=None):
+        headers = {"Content-Type": "application/json"}
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        req = urllib.request.Request(
+            base + url,
+            data=json.dumps(body).encode() if body is not None else None,
+            headers=headers, method=method,
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+
+    try:
+        status, resp = _req(
+            "POST", "/indices/main/apikey",
+            {"key": "k1", "rate_limit": 1}, token="adm",
+        )
+        assert status == 200 and resp["rate_limit"] == 1
+        codes = []
+        for _ in range(14):
+            try:
+                codes.append(_req("GET", "/indices/main/info", token="k1")[0])
+            except urllib.error.HTTPError as e:
+                codes.append(e.code)
+        assert codes[0] == 200 and 429 in codes
+        # re-setting the key without a limit clears the quota
+        _req("POST", "/indices/main/apikey", {"key": "k2"}, token="adm")
+        for _ in range(14):
+            assert _req("GET", "/indices/main/info", token="k2")[0] == 200
     finally:
         srv.shutdown()
