@@ -1857,6 +1857,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ingest_html_extract"] = ingest_html_extract
+
+    # WARC acquisition (sources/warc.py): documents wrapped into a
+    # deterministic 2-file gzipped WARC fixture on first call, then
+    # read back via the binaryFile + Arrow-batched record parser and
+    # text-extracted — url/date/status survive the round trip and the
+    # extracted text is byte-identical to the source column.
+    def ingest_warc(s: SparkSession, d: str) -> DataFrame:
+        import os
+
+        from seekstorm_spark.sources.warc import build_warc
+        from seekstorm_spark.sources.warc import read_warc
+        from seekstorm_spark.sources.webtext import extract_text
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_warc_{name}"
+        marker = os.path.join(path, "part1.warc.gz")
+        if not os.path.exists(marker):
+            os.makedirs(path, exist_ok=True)
+            rows = (
+                _docs(s, d)
+                .select("doc_id", "text")
+                .filter(F.col("doc_id") < 200)
+                .orderBy("doc_id")
+                .collect()
+            )
+            import datetime as dt
+
+            epoch = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+            recs = [
+                {
+                    "url": f"http://crawl.test/{r['doc_id']:06d}",
+                    "html": "<html><head><title>t</title></head><body><p>"
+                    + r["text"]
+                    + "</p><!-- c --></body></html>",
+                    "date": epoch + dt.timedelta(seconds=int(r["doc_id"])),
+                }
+                for r in rows
+            ]
+            mid = len(recs) // 2
+            for i, chunk in enumerate((recs[:mid], recs[mid:])):
+                tmp = os.path.join(path, f".part{i}.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(build_warc(chunk, gzip_members=True))
+                os.replace(tmp, os.path.join(path, f"part{i}.warc.gz"))
+        crawl = read_warc(s, path)
+        return extract_text(crawl, "html", "extracted").select(
+            "url",
+            F.date_format(
+                "warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"
+            ).alias("warc_date"),
+            "http_status",
+            F.col("extracted").alias("text"),
+        )
+
+    q["ingest_warc"] = ingest_warc
     q["iterator_skip_take"] = lambda s, d: (
         _docs(s, d)
         .orderBy(F.col("doc_id").asc())
@@ -2426,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_turboquant_topk",
         "wand_phrase_proximity",
         "wand_multi_hybrid",
+        "ingest_warc",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -2850,6 +2906,17 @@ FROM sh s JOIN probes p ON s.shingle = p.shingle AND s.doc_id <> p.doc_id
 GROUP BY 1, 2
 """
     o["ingest_html_extract"] = "SELECT doc_id, text FROM documents"
+    # WARC round trip: url/date derive from doc_id, status defaults to
+    # 200, and extraction must return the source text byte-identically
+    o["ingest_warc"] = """
+SELECT 'http://crawl.test/' || lpad(doc_id::VARCHAR, 6, '0') AS url,
+       strftime(TIMESTAMP '2026-01-01 00:00:00'
+                + INTERVAL (doc_id) SECOND, '%Y-%m-%dT%H:%M:%SZ')
+         AS warc_date,
+       200::INTEGER AS http_status,
+       text
+FROM documents WHERE doc_id < 200
+"""
     o["wand_multi_facet_range"] = f"""
 WITH m0 AS (SELECT DISTINCT doc_id FROM {_TOKS} WHERE term = 'fast'),
 m1 AS (SELECT doc_id FROM (SELECT DISTINCT doc_id FROM {_TOKS}

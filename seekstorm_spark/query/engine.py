@@ -272,6 +272,7 @@ def _plan(
     rewrite: str | None = None,
     ngram_rewrite: bool = True,
     similarity: str = "bm25f",
+    rewrite_options: dict | None = None,
 ) -> QueryPlan:
     meta = store.meta
     stop_words = frozenset(meta.get("stop_words") or []) or None
@@ -285,7 +286,14 @@ def _plan(
 
     n_docs, _ = _effective_stats(store, staged)
 
-    if rewrite == "spell" and pq.terms:
+    opts = rewrite_options or {}
+    if (
+        rewrite == "spell"
+        and pq.terms
+        # reference QueryRewriting.correct: corrections engage only
+        # for query strings of at least this length (search.rs:108)
+        and len(query) >= int(opts.get("correct") or 0)
+    ):
         # SearchRewrite (reference search.rs:1200-1411): a query term
         # with df 0 is replaced by its best SymSpell correction before
         # planning, so misspellings return the corrected top-k
@@ -297,12 +305,24 @@ def _plan(
             subs: dict[str, str] = {}
             for t in all_t:
                 if stats0.get(t, 0) == 0:
-                    c = spell_correct(store, t)
+                    c = spell_correct(
+                        store,
+                        t,
+                        max_edits=int(opts.get("distance", 2)),
+                        term_length_threshold=opts.get(
+                            "term_length_threshold"
+                        ),
+                    )
                     if c:
                         subs[t] = c[0]
             for qt in pq.terms:
                 qt.term = subs.get(qt.term, qt.term)
-    elif rewrite == "suggest" and pq.terms:
+    elif (
+        rewrite == "suggest"
+        and pq.terms
+        # reference QueryRewriting.complete: min query-string length
+        and len(query) >= int(opts.get("complete") or 0)
+    ):
         # SearchSuggest: the trailing term is a prefix — complete it
         # from the QAC dictionary (reference search.rs:1200-1411)
         from seekstorm_spark.query.spell import complete, has_completions
@@ -551,6 +571,7 @@ def search(
     result_sort: list[tuple[str, str]] | None = None,
     staged: list | None = None,
     rewrite: str | None = None,
+    rewrite_options: dict | None = None,
     geo_filter: dict | None = None,
     ngram_rewrite: bool = True,
     mode: str = "lexical",
@@ -573,7 +594,11 @@ def search(
     non-score primary key invalidates the score threshold; ``staged``
     unions uncommitted micro-batches into the query (realtime level-0,
     reference realtime_search.rs:921-2095); ``rewrite`` applies spell
-    correction / QAC completion to the query before planning;
+    correction / QAC completion to the query before planning —
+    ``rewrite_options`` carries the reference QueryRewriting knobs
+    (search.rs:107-160): ``correct``/``complete`` = min query-string
+    length to engage, ``distance`` = base edit budget,
+    ``term_length_threshold`` = per-term-length budgets;
     ``geo_filter`` = {"lat": facet, "lon": facet, "at": (lat, lon),
     "radius_km": r} keeps only docs within the haversine radius
     (reference geo Point facets, search.rs:2712-2724) — sort on
@@ -611,6 +636,7 @@ def search(
             spark, store, query, top_k=top_k, default_type=default_type,
             prune=prune, fields=fields, field_filter=field_filter,
             facet_filters=facet_filters, staged=staged, rewrite=rewrite,
+            rewrite_options=rewrite_options,
             ngram_rewrite=ngram_rewrite, similarity=similarity,
         )
         if ann_index is not None:
@@ -638,6 +664,7 @@ def search(
     plan = _plan(
         spark, store, query, default_type, staged, rewrite,
         ngram_rewrite=ngram_rewrite, similarity=similarity,
+        rewrite_options=rewrite_options,
     )
     if plan.missing_required or not plan.pos_terms:
         if result_sort:

@@ -114,13 +114,48 @@ def damerau_levenshtein(a: str, b: str) -> int:
     return rows[-1][-1]
 
 
+def effective_edit_distance(
+    word: str,
+    max_edits: int = SPELL_MAX_EDITS,
+    term_length_threshold: list[int] | None = None,
+) -> int:
+    """Per-term edit-distance budget from the reference's
+    ``term_length_threshold`` (search.rs:112-117): ``None``/empty →
+    ``max_edits`` for every length; ``[4]`` → corrections only for
+    terms of length ≥ 4; ``[2, 8]`` → ``max_edits`` from length 2,
+    ``max_edits + 1`` from length 8 (one extra edit per additional
+    threshold crossed). Below the first threshold → 0 (no
+    correction)."""
+    t = term_length_threshold
+    if not t:
+        return max_edits
+    if len(word) < t[0]:
+        return 0
+    return max_edits + sum(1 for x in t[1:] if len(word) >= x)
+
+
 def build_spell_dictionary(
-    spark: SparkSession, store: IndexStore, max_edits: int = SPELL_MAX_EDITS
+    spark: SparkSession,
+    store: IndexStore,
+    max_edits: int = SPELL_MAX_EDITS,
+    term_length_threshold: list[int] | None = None,
 ) -> None:
     """Distributed SymSpell dictionary: (dkey, term, df) rows, hash-
     partitioned by dkey bucket so probes prune to a few files. The
     term-stats table is log-structured after appends — sum df per
-    term before exploding."""
+    term before exploding. ``term_length_threshold`` gates dictionary
+    MEMBERSHIP exactly as the reference does at index time
+    (index_posting.rs:20-36: terms shorter than the first threshold
+    never enter the dictionary); the build's ``max_edits`` is
+    recorded in ``_spell_meta.json`` and caps every later probe —
+    symmetric-delete lookup is only complete up to the distance the
+    dictionary was exploded with."""
+    import json
+    import tempfile
+
+    min_len = (
+        int(term_length_threshold[0]) if term_length_threshold else 0
+    )
     ts = (
         store.term_stats(spark)
         .filter((F.col("term") != "") & (~F.col("term").contains("\x1e")))
@@ -134,7 +169,7 @@ def build_spell_dictionary(
             terms: list[str] = []
             dfs: list[int] = []
             for term, df_ in zip(pdf["term"].values, pdf["df"].values):
-                if len(term) > SPELL_MAX_TERM_LEN:
+                if len(term) > SPELL_MAX_TERM_LEN or len(term) < min_len:
                     continue
                 for k in _deletes(term, max_edits):
                     keys.append(k)
@@ -159,21 +194,60 @@ def build_spell_dictionary(
         .partitionBy("dbucket")
         .parquet(_spell_path(store))
     )
+    meta = {
+        "max_edits": int(max_edits),
+        "term_length_threshold": (
+            [int(x) for x in term_length_threshold]
+            if term_length_threshold
+            else None
+        ),
+    }
+    fd, tmp = tempfile.mkstemp(dir=_spell_path(store), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(_spell_path(store), "_spell_meta.json"))
+
+
+def _spell_build_meta(store: IndexStore) -> dict:
+    import json
+
+    path = os.path.join(_spell_path(store), "_spell_meta.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        # dictionaries built before meta existed: the default depth
+        return {"max_edits": SPELL_MAX_EDITS, "term_length_threshold": None}
 
 
 def spell_correct(
-    store: IndexStore, word: str, max_edits: int = SPELL_MAX_EDITS
+    store: IndexStore,
+    word: str,
+    max_edits: int = SPELL_MAX_EDITS,
+    term_length_threshold: list[int] | None = None,
 ) -> tuple[str, int, int] | None:
     """Best correction for ``word`` → (term, distance, df), ranked by
     (distance asc, df desc, term asc); None when nothing is within
-    ``max_edits``. Distance is OSA Damerau-Levenshtein (adjacent
+    the edit budget. Distance is OSA Damerau-Levenshtein (adjacent
     transposition = one edit, matching the reference SymSpell).
-    Driver-side pyarrow probe — no Spark job."""
+    Driver-side pyarrow probe — no Spark job.
+
+    ``term_length_threshold`` applies the reference's per-length
+    budget (search.rs:112-117 via :func:`effective_edit_distance`);
+    the result is additionally capped at the distance the dictionary
+    was BUILT with — symmetric-delete lookup beyond the build depth
+    would silently miss candidates."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
     from seekstorm_spark.hashing import term_bucket
 
+    max_edits = effective_edit_distance(
+        word, max_edits, term_length_threshold
+    )
+    max_edits = min(max_edits, int(_spell_build_meta(store)["max_edits"]))
+    if max_edits <= 0:
+        return None
     probes = sorted(_deletes(word.lower(), max_edits))
     buckets = sorted({term_bucket(k, SPELL_BUCKETS) for k in probes})
     dataset = pads.dataset(_spell_path(store), partitioning="hive")

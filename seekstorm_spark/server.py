@@ -360,6 +360,11 @@ class IndexService:
             ]
         if body.get("rewrite"):
             kwargs["rewrite"] = str(body["rewrite"])
+            # reference QueryRewriting knobs (search.rs:107-160):
+            # correct/complete min-length gates, distance budget,
+            # per-term-length thresholds
+            if isinstance(body.get("rewrite_options"), dict):
+                kwargs["rewrite_options"] = body["rewrite_options"]
         if body.get("similarity"):
             kwargs["similarity"] = str(body["similarity"])
         out_df = search(

@@ -1,1 +1,2 @@
+from seekstorm_spark.sources.warc import build_warc, read_warc  # noqa: F401
 from seekstorm_spark.sources.webtext import synth_webtext  # noqa: F401

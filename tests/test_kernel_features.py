@@ -345,3 +345,59 @@ def test_empty_plan_result_sort_schema(spark, geo_store):
     )
     assert out.columns == ["docid", "lang", "score"]
     assert out.count() == 0
+
+
+def test_rewrite_options_reference_knobs(spark, geo_store):
+    """The reference QueryRewriting knobs (search.rs:107-160):
+    ``correct`` gates rewriting on query-string length,
+    ``term_length_threshold`` sets per-term-length edit budgets
+    (below the first threshold → no correction; each later threshold
+    adds one edit), and the probe is capped at the dictionary's BUILD
+    distance (symmetric-delete lookups deeper than the build depth
+    are incomplete by construction)."""
+    from seekstorm_spark.query.spell import (
+        effective_edit_distance,
+        spell_correct,
+    )
+
+    store, _docs = geo_store
+    build_spell_dictionary(spark, store)
+
+    # per-length budget arithmetic (pure)
+    assert effective_edit_distance("abc", 2, None) == 2
+    assert effective_edit_distance("abc", 2, [4]) == 0
+    assert effective_edit_distance("abcd", 2, [4]) == 2
+    assert effective_edit_distance("abcdefgh", 2, [2, 8]) == 3
+    assert effective_edit_distance("abcdefg", 2, [2, 8]) == 2
+
+    # term_length_threshold suppresses corrections for short terms
+    assert spell_correct(store, "temr00000") is not None
+    assert (
+        spell_correct(store, "temr00000", term_length_threshold=[20])
+        is None
+    )
+    # build-depth cap: asking for distance 5 finds no candidate that
+    # distance-2 probing can't (the dictionary was exploded at 2)
+    deep = spell_correct(store, "temr00000", max_edits=5)
+    base = spell_correct(store, "temr00000")
+    assert deep == base
+
+    # correct= min-query-length gate inside search(rewrite="spell")
+    good = search(
+        spark, store, "temr00000", rewrite="spell",
+        rewrite_options={"correct": 2},
+    ).collect()
+    assert good  # engaged: 9-char query >= 2
+    gated = search(
+        spark, store, "temr00000", rewrite="spell",
+        rewrite_options={"correct": 50},
+    ).collect()
+    assert gated == []  # too short to engage -> raw misspelling, 0 hits
+    # term_length_threshold flows through search() too
+    assert (
+        search(
+            spark, store, "temr00000", rewrite="spell",
+            rewrite_options={"term_length_threshold": [20]},
+        ).collect()
+        == []
+    )
