@@ -57,6 +57,11 @@ index/update endpoints, api_endpoints.rs:60-1470):
   ``/docs``.
 * ``DELETE /indices/{name}`` — drops the index from serving and disk
   (reference delete_index).
+* ``PUT /indices/{name}`` — CLOSE: commit staged batches, unload
+  from serving, keep files (reference close_index_api).
+* ``GET /live`` — reference live_api alias for ``/health``.
+* ``GET /apikey`` — info for every index the presented bearer key
+  protects (reference get_apikey_indices_info_api).
 """
 
 from __future__ import annotations
@@ -890,9 +895,61 @@ class IndexService:
         shutil.rmtree(store.path, ignore_errors=True)
         return {"dropped": name}
 
+    def close_index(self, name: str) -> dict:
+        """Unload an index from serving WITHOUT touching its files
+        (reference close_index_api, api_endpoints.rs:500-505 — PUT
+        /api/v1/index/{id}; returns the indexed doc count). Staged
+        uncommitted batches are committed first so nothing is lost —
+        the reference's close flushes level-0 the same way. The index
+        can be re-served by restarting (or re-creating) the service
+        with its path."""
+        with self._registry_lock:
+            if name not in self.stores:
+                raise KeyError(name)  # → 404
+            idx = self._indexers.pop(name, None)
+            if idx is not None and getattr(idx, "staged", None):
+                with self._write_locks[name]:
+                    idx.commit()
+            store = self.stores.pop(name)
+            self.doc_stores.pop(name, None)
+            self._anns.pop(name, None)
+            self._write_locks.pop(name, None)
+        # meta may be stale if the commit above promoted docs; report
+        # the on-disk truth
+        meta_path = os.path.join(store.path, "meta.json")
+        try:
+            with open(meta_path) as f:
+                n_docs = json.load(f).get("n_docs")
+        except OSError:
+            n_docs = store.meta.get("n_docs")
+        return {"closed": name, "n_docs": n_docs}
+
+    def apikey_info(self, auth_header: str | None) -> dict:
+        """Info for every served index protected by the PRESENTED key
+        (reference get_apikey_indices_info_api, api_endpoints.rs:596 —
+        GET /api/v1/apikey returns the key's index list). Keys here
+        are per-index, so 'the key's index list' = all indices whose
+        stored hash matches the bearer token. 401 without a token."""
+        import hashlib
+
+        if not auth_header or not auth_header.startswith("Bearer "):
+            raise AuthError(401, "apikey info requires a bearer token")
+        got = hashlib.sha256(
+            auth_header[len("Bearer "):].encode("utf-8")
+        ).hexdigest()
+        names = [
+            n
+            for n, s in sorted(self.stores.items())
+            if s.meta.get("api_key_sha256") == got
+        ]
+        return {"indices": [self.info(n) for n in names]}
+
 
 _ROUTES = [
     ("GET", re.compile(r"^/health$"), "health"),
+    # reference GET /api/v1/live (http_server.rs:213) — same payload
+    ("GET", re.compile(r"^/live$"), "health"),
+    ("GET", re.compile(r"^/apikey$"), "apikey_info"),
     ("GET", re.compile(r"^/indices$"), "list"),
     ("GET", re.compile(r"^/indices/([^/]+)/info$"), "info"),
     ("GET", re.compile(r"^/indices/([^/]+)/query$"), "query_get"),
@@ -914,6 +971,8 @@ _ROUTES = [
     ("POST", re.compile(r"^/indices/([^/]+)/delete$"), "delete"),
     ("POST", re.compile(r"^/indices$"), "create_index"),
     ("DELETE", re.compile(r"^/indices/([^/]+)$"), "drop_index"),
+    # reference PUT /api/v1/index/{id} = close (http_server.rs:603)
+    ("PUT", re.compile(r"^/indices/([^/]+)$"), "close_index"),
     ("POST", re.compile(r"^/indices/([^/]+)/apikey$"), "set_key"),
     ("DELETE", re.compile(r"^/indices/([^/]+)/apikey$"), "clear_key"),
 ]
@@ -971,6 +1030,7 @@ class _Handler(BaseHTTPRequestHandler):
             "term_df", "suggest", "spell", "doc", "add_docs",
             "update_docs", "commit", "delete", "drop_index", "clear",
             "get_synonyms", "set_synonyms", "iterator", "iterator_get",
+            "close_index",
         }
     )
 
@@ -1089,6 +1149,12 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, svc.set_key(match.group(1), self._body()))
         elif op == "clear_key":
             self._send(200, svc.clear_key(match.group(1)))
+        elif op == "close_index":
+            self._send(200, svc.close_index(match.group(1)))
+        elif op == "apikey_info":
+            self._send(
+                200, svc.apikey_info(self.headers.get("Authorization"))
+            )
 
     def do_GET(self):
         self._dispatch("GET")
@@ -1098,6 +1164,9 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_PATCH(self):
         self._dispatch("PATCH")
+
+    def do_PUT(self):
+        self._dispatch("PUT")
 
     def do_DELETE(self):
         self._dispatch("DELETE")

@@ -771,3 +771,91 @@ def test_api_key_rate_limit_over_http(spark, tmp_path):
             assert _req("GET", "/indices/main/info", token="k2")[0] == 200
     finally:
         srv.shutdown()
+
+
+def test_live_endpoint(served):
+    """GET /live — reference live_api (http_server.rs:213) serves the
+    same server-identity payload as /health."""
+    base, _store = served
+    assert _get(base + "/live")[1] == _get(base + "/health")[1]
+
+
+def test_close_index_over_http(spark, tmp_path):
+    """PUT /indices/{name} = close (reference close_index_api,
+    api_endpoints.rs:500): staged batches are committed, the index
+    unloads from serving, and the files survive on disk."""
+    import os
+
+    from seekstorm_spark.index.store import IndexStore
+
+    docs = assign_docids(synth_webtext(spark, 100, seed=23), order_col="url")
+    path = str(tmp_path / "closeme")
+    IndexBuilder(spark, path, n_buckets=4).build(
+        docs, text_col="text", id_col="docid"
+    )
+    srv, _t = serve_in_thread(spark, {"c": path}, port=0, writable=True)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        _post(base + "/indices/c/docs",
+              {"documents": [{"url": "http://x/1", "text": "zzclosed doc"}]})
+
+        def _put(url):
+            req = urllib.request.Request(url, method="PUT")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status, json.loads(r.read())
+
+        status, resp = _put(base + "/indices/c")
+        # staged batch was committed on close → 101 docs on disk
+        assert status == 200 and resp == {"closed": "c", "n_docs": 101}
+        # unloaded from serving, files intact
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(base + "/indices/c/info")
+        assert ei.value.code == 404
+        assert _get(base + "/indices")[1] == {"indices": []}
+        assert os.path.exists(os.path.join(path, "meta.json"))
+        assert IndexStore.open(path).meta["n_docs"] == 101
+        # closing again → 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _put(base + "/indices/c")
+        assert ei.value.code == 404
+    finally:
+        srv.shutdown()
+
+
+def test_apikey_info_endpoint(spark, tmp_path):
+    """GET /apikey — reference get_apikey_indices_info_api
+    (api_endpoints.rs:596): lists info for every index the presented
+    bearer key protects; 401 without a token."""
+    from seekstorm_spark.server import set_api_key
+
+    docs = assign_docids(synth_webtext(spark, 60, seed=29), order_col="url")
+    paths = {}
+    for n in ("k1", "k2", "open"):
+        paths[n] = str(tmp_path / n)
+        IndexBuilder(spark, paths[n], n_buckets=4).build(
+            docs, text_col="text", id_col="docid"
+        )
+    set_api_key(paths["k1"], "shared-key")
+    set_api_key(paths["k2"], "shared-key")
+    srv, _t = serve_in_thread(spark, paths, port=0)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(base + "/apikey")
+        assert ei.value.code == 401
+
+        def _get_auth(url, token):
+            req = urllib.request.Request(
+                url, headers={"Authorization": f"Bearer {token}"}
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status, json.loads(r.read())
+
+        _s, resp = _get_auth(base + "/apikey", "shared-key")
+        assert [i["name"] for i in resp["indices"]] == ["k1", "k2"]
+        assert all(i["n_docs"] == 60 for i in resp["indices"])
+        # a valid-format but unknown key sees an empty list
+        _s, resp = _get_auth(base + "/apikey", "other-key")
+        assert resp == {"indices": []}
+    finally:
+        srv.shutdown()
