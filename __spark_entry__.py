@@ -2221,6 +2221,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .filter(F.col("doc_id") < 50)
         .select("doc_id", lang_id_udf(F.col("text")).alias("pred_lang"))
     )
+
+    # Gopher-style repetition quality signals (Rae et al. 2021) —
+    # all JVM higher-order functions, per-doc bounded compute
+    def quality_repetition(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.textstats import repetition_features
+
+        return (
+            repetition_features(_docs(s, d).filter(F.col("doc_id") < 50))
+            .select(
+                "doc_id",
+                "distinct_word_frac",
+                "top_word_frac",
+                "top_bigram_frac",
+                "dup_line_frac",
+            )
+            .orderBy("doc_id")
+        )
+
+    q["quality_repetition"] = quality_repetition
+
+    # PII scrubbing over deterministically synthesized PII-bearing
+    # text (the corpus itself carries none) — chained JVM
+    # regexp_replace, patterns restricted to the Java-regex ∩ RE2
+    # common syntax so the DuckDB oracle mirrors them verbatim
+    def pii_redact(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.pii import pii_features
+
+        synth = (
+            _docs(s, d)
+            .filter(F.col("doc_id") < 40)
+            .select(
+                "doc_id",
+                F.concat(
+                    F.substring(F.col("text"), 1, 30),
+                    F.lit(" user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com (555) 123-"),
+                    F.lpad(
+                        (F.col("doc_id") % 10000).cast("string"), 4, "0"
+                    ),
+                    F.lit(" 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0."),
+                    ((F.col("doc_id") * 7) % 256).cast("string"),
+                    F.lit(" end"),
+                ).alias("text"),
+            )
+        )
+        return (
+            pii_features(synth)
+            .select("doc_id", "redacted", "n_email", "n_ipv4", "n_phone")
+            .orderBy("doc_id")
+        )
+
+    q["pii_redact"] = pii_redact
     # nested-JSON string-leaf flattening (reference
     # object_values_to_string_vec_recursive, index.rs:5312-5327) over a
     # deterministically constructed nested document
@@ -2482,6 +2537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_phrase_proximity",
         "wand_multi_hybrid",
         "ingest_warc",
+        "pii_redact",
+        "quality_repetition",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3458,6 +3515,63 @@ FROM h
         "SELECT doc_id, source || ' ' || lang || ' tag1 ' || lang AS flat "
         "FROM documents WHERE doc_id < 30"
     )
+    # Gopher-style repetition fractions — mirrors
+    # textstats.repetition_features op-for-op (same split, same
+    # filters, same greatest() clamps, round 6)
+    o["quality_repetition"] = r"""
+WITH ws AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                x -> x <> '') AS w,
+    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS l
+  FROM documents WHERE doc_id < 50),
+bg AS (
+  SELECT doc_id, w, l,
+    CASE WHEN len(w) >= 2
+      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+      ELSE []::VARCHAR[] END AS b
+  FROM ws)
+SELECT doc_id,
+  round(len(list_distinct(w))::DOUBLE / greatest(len(w), 1), 6)
+    AS distinct_word_frac,
+  round(coalesce(list_max(list_transform(list_distinct(w),
+          x -> len(list_filter(w, y -> y = x)))), 0)::DOUBLE
+        / greatest(len(w), 1), 6) AS top_word_frac,
+  round(coalesce(list_max(list_transform(list_distinct(b),
+          x -> len(list_filter(b, y -> y = x)))), 0)::DOUBLE
+        / greatest(len(b), 1), 6) AS top_bigram_frac,
+  CASE WHEN len(l) = 0 THEN 0.0
+       ELSE round(1.0 - len(list_distinct(l))::DOUBLE / len(l), 6)
+  END AS dup_line_frac
+FROM bg ORDER BY doc_id
+"""
+    # PII redaction: the same pattern chain (Java-regex ∩ RE2 common
+    # syntax) applied by DuckDB's RE2; counts by literal-token length
+    # deltas, exactly as pii_features derives them
+    from seekstorm_spark.functions.pii import PII_PATTERNS
+
+    red_expr = "text"
+    for _kind, pat, repl in PII_PATTERNS:
+        red_expr = f"regexp_replace({red_expr}, '{pat}', '{repl}', 'g')"
+    o["pii_redact"] = f"""
+WITH synth AS (
+  SELECT doc_id,
+    substr(text, 1, 30) || ' user' || doc_id::VARCHAR
+      || '@example.com (555) 123-'
+      || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+      || ' 10.' || (doc_id % 256)::VARCHAR
+      || '.0.' || ((doc_id * 7) % 256)::VARCHAR || ' end' AS text
+  FROM documents WHERE doc_id < 40),
+red AS (SELECT doc_id, {red_expr} AS redacted FROM synth)
+SELECT doc_id, redacted,
+  ((length(redacted) - length(replace(redacted, '<EMAIL>', ''))) / 7)::BIGINT
+    AS n_email,
+  ((length(redacted) - length(replace(redacted, '<IP>', ''))) / 4)::BIGINT
+    AS n_ipv4,
+  ((length(redacted) - length(replace(redacted, '<PHONE>', ''))) / 7)::BIGINT
+    AS n_phone
+FROM red ORDER BY doc_id
+"""
     o["token_count_ws"] = (
         "SELECT doc_id, len(list_filter(string_split(trim(text), ' '), "
         "x -> x <> ''))::BIGINT AS n_ws FROM documents WHERE doc_id < 50"

@@ -72,6 +72,90 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1 — adapted to word-count
+    fractions). All built-in higher-order functions, zero UDFs, zero
+    shuffles: per-document bounded compute, so the operator scales
+    with input bytes at any corpus size.
+
+    * ``distinct_word_frac`` — |distinct words| / |words|; low values
+      mean heavy word repetition.
+    * ``top_word_frac`` — occurrences of the most frequent word /
+      |words| (Gopher rejects > 0.2-class thresholds).
+    * ``top_bigram_frac`` — same over adjacent word pairs.
+    * ``dup_line_frac`` — 1 − |distinct lines| / |lines| (newline-
+      separated); 0 for single-line documents.
+
+    The per-doc cost of the top-*-frac terms is O(distinct × n)
+    (transform over distinct values, filter count each) — bounded by
+    document length, not corpus size, and entirely inside
+    whole-stage codegen."""
+    t = F.trim(F.col(text_col))
+    words = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    distinct_words = F.array_distinct(words)
+    top_word = F.array_max(
+        F.transform(
+            distinct_words,
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    # adjacent pairs: words[i] + ' ' + words[i+1], i = 1..n-1 (1-based).
+    # sequence(1, n-1) DESCENDS when n < 2, so short docs get an
+    # explicit empty pair list.
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_words - 1),
+            lambda i: F.concat(
+                F.element_at(words, i),
+                F.lit(" "),
+                F.element_at(words, i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bigrams = F.size(bigrams)
+    top_bigram = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+        )
+    )
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda x: F.trim(x) != ""
+    )
+    n_lines = F.size(lines)
+    safe = F.greatest(n_words, F.lit(1))
+    return (
+        df.withColumn(
+            "distinct_word_frac",
+            F.round(F.size(distinct_words) / safe, 6),
+        )
+        .withColumn(
+            "top_word_frac",
+            F.round(F.coalesce(top_word, F.lit(0)) / safe, 6),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.round(
+                F.coalesce(top_bigram, F.lit(0))
+                / F.greatest(n_bigrams, F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn(
+            "dup_line_frac",
+            F.when(n_lines == 0, F.lit(0.0)).otherwise(
+                F.round(
+                    F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines,
+                    6,
+                )
+            ),
+        )
+    )
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic content fingerprint: md5 over the lowercased,
     whitespace-normalized text. Identical in DuckDB:

@@ -664,3 +664,89 @@ def test_wav_24bit_and_float_formats():
 
     # unknown compressed format still rejected
     assert _parse_wav(_wav_bytes(b"\x00\x00", 16, audio_fmt=85)) is None
+
+
+def test_pii_redaction(spark):
+    """redact_pii: emails/IPv4/phones → tokens, counts exact, and the
+    patterns behave IDENTICALLY under DuckDB's RE2 (the oracle
+    contract — patterns are restricted to the common syntax)."""
+    import duckdb
+
+    from seekstorm_spark.functions.pii import PII_PATTERNS, pii_features
+
+    rows = [
+        (0, "mail me at jane.doe+x@sub.example.co.uk today"),
+        (1, "server at 192.168.0.1 and 10.0.113.255 responded"),
+        (2, "call (555) 123-4567 or 555.987.6543 now"),
+        (3, "mixed: a@b.io, 8.8.8.8, 212-555-0199."),
+        (4, "no pii here at all"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {
+        r["id"]: r
+        for r in pii_features(df).orderBy("id").collect()
+    }
+    assert got[0]["redacted"] == "mail me at <EMAIL> today"
+    assert got[0]["n_email"] == 1 and got[0]["n_phone"] == 0
+    assert got[1]["redacted"] == "server at <IP> and <IP> responded"
+    assert got[1]["n_ipv4"] == 2
+    assert got[2]["redacted"] == "call <PHONE> or <PHONE> now"
+    assert got[2]["n_phone"] == 2
+    assert got[3]["redacted"] == "mixed: <EMAIL>, <IP>, <PHONE>."
+    assert (got[3]["n_email"], got[3]["n_ipv4"], got[3]["n_phone"]) == (
+        1, 1, 1,
+    )
+    assert got[4]["redacted"] == rows[4][1]
+    assert got[5]["redacted"] == ""
+
+    # engine parity: DuckDB RE2 must produce byte-identical redaction
+    con = duckdb.connect()
+    for rid, text in rows:
+        expr = "?"
+        params: list = [text]
+        sql_expr = "$1"
+        for _k, pat, repl in PII_PATTERNS:
+            sql_expr = (
+                f"regexp_replace({sql_expr}, '{pat}', '{repl}', 'g')"
+            )
+        duck = con.execute(f"select {sql_expr}", [text]).fetchone()[0]
+        assert duck == got[rid]["redacted"], (rid, duck)
+
+
+def test_repetition_features(spark):
+    """Gopher-style repetition fractions against hand-computed values
+    incl. the short-doc and empty-doc edge cases."""
+    from seekstorm_spark.functions.textstats import repetition_features
+
+    rows = [
+        (0, "a a a b"),
+        (1, "x"),
+        (2, ""),
+        (3, "l1 l2\nl3 l4\nl1 l2\n\nl3 l4\nl5 l6"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {
+        r["id"]: r
+        for r in repetition_features(df).orderBy("id").collect()
+    }
+    r0 = got[0]
+    assert r0["distinct_word_frac"] == 0.5          # {a,b} / 4
+    assert r0["top_word_frac"] == 0.75              # a ×3 / 4
+    assert r0["top_bigram_frac"] == round(2 / 3, 6)  # "a a" ×2 / 3
+    assert r0["dup_line_frac"] == 0.0
+    r1 = got[1]
+    assert r1["distinct_word_frac"] == 1.0
+    assert r1["top_word_frac"] == 1.0
+    assert r1["top_bigram_frac"] == 0.0             # no pairs
+    r2 = got[2]
+    assert (
+        r2["distinct_word_frac"], r2["top_word_frac"],
+        r2["top_bigram_frac"], r2["dup_line_frac"],
+    ) == (0.0, 0.0, 0.0, 0.0)
+    r3 = got[3]
+    # 5 non-empty lines, 3 distinct → 1 - 3/5
+    assert r3["dup_line_frac"] == round(1 - 3 / 5, 6)
+    # words l1..l6 ×(2,2,2,2,1,1): distinct 6/10, top 2/10
+    assert r3["distinct_word_frac"] == 0.6
+    assert r3["top_word_frac"] == 0.2
