@@ -2241,6 +2241,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_repetition"] = quality_repetition
 
+    # BPE-ish regex token counting (GPT-2-style pre-tokenizer pieces,
+    # RE2-compatible subset) — one JVM regexp_extract_all per doc
+    def token_count_bpe(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.textstats import bpe_token_count
+
+        return (
+            _docs(s, d)
+            .filter(F.col("doc_id") < 50)
+            .select(
+                "doc_id", bpe_token_count(F.col("text")).alias("n_bpe")
+            )
+            .orderBy("doc_id")
+        )
+
+    q["token_count_bpe"] = token_count_bpe
+
     # PII scrubbing over deterministically synthesized PII-bearing
     # text (the corpus itself carries none) — chained JVM
     # regexp_replace, patterns restricted to the Java-regex ∩ RE2
@@ -2539,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_warc",
         "pii_redact",
         "quality_repetition",
+        "token_count_bpe",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3571,6 +3588,17 @@ SELECT doc_id, redacted,
   ((length(redacted) - length(replace(redacted, '<PHONE>', ''))) / 7)::BIGINT
     AS n_phone
 FROM red ORDER BY doc_id
+"""
+    from seekstorm_spark.functions.textstats import BPE_TOKEN_PATTERN
+
+    # the pattern's leading apostrophe must be doubled inside the SQL
+    # string literal
+    bpe_sql_pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    o["token_count_bpe"] = f"""
+SELECT doc_id,
+  len(list_filter(regexp_extract_all(text, '{bpe_sql_pat}'),
+      t -> trim(t) <> ''))::BIGINT AS n_bpe
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
 """
     o["token_count_ws"] = (
         "SELECT doc_id, len(list_filter(string_split(trim(text), ' '), "

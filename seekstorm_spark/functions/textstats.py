@@ -37,6 +37,27 @@ def ws_token_count(text: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, simplified to the Java-regex ∩
+# RE2 common syntax (the published pattern's \s+(?!\S) lookahead is
+# unsupported by RE2, so trailing-space attachment differs slightly
+# from tiktoken): contractions | space?-letters | space?-digits |
+# space?-punct-run | whitespace-run. Counting these matches tracks
+# BPE token counts far better than whitespace splitting (a BPE
+# tokenizer splits each of these pieces further, never across them).
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: matches of :data:`BPE_TOKEN_PATTERN`
+    minus pure-whitespace runs — one JVM ``regexp_extract_all``, no
+    UDF. DuckDB twin: ``len(list_filter(regexp_extract_all(text,
+    pat), t -> trim(t) <> ''))``."""
+    pieces = F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)
+    return F.size(F.filter(pieces, lambda t: F.trim(t) != "")).cast("long")
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds length / punctuation-ratio / stopword-ratio / mean-token-
     length features plus a composite quality score — all built-ins."""

@@ -750,3 +750,42 @@ def test_repetition_features(spark):
     # words l1..l6 ×(2,2,2,2,1,1): distinct 6/10, top 2/10
     assert r3["distinct_word_frac"] == 0.6
     assert r3["top_word_frac"] == 0.2
+
+
+def test_bpe_token_count_parity(spark):
+    """BPE-ish regex token counting: hand-checked values + byte-level
+    RE2 (DuckDB) parity on contraction/punct/digit/space torture
+    strings — the pattern is restricted to the common syntax, so both
+    engines must agree exactly."""
+    import duckdb
+
+    from seekstorm_spark.functions.textstats import (
+        BPE_TOKEN_PATTERN,
+        bpe_token_count,
+    )
+
+    rows = [
+        (0, "Hello world"),          # [Hello][ world] → 2
+        (1, "it's fine, don't stop"),  # it|'s| fine|,| don|'t| stop → 7
+        (2, "abc123 x-9"),           # abc|123| x|-|9 → 5
+        (3, "  spaced   out  "),     # ws runs excluded → 2
+        (4, ""),
+        (5, "3.14159 costs $2!"),    # 3|.|14159| costs| $|2|! → 7
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {
+        r["id"]: r["n_bpe"]
+        for r in df.select(
+            "id", bpe_token_count(F.col("text")).alias("n_bpe")
+        ).collect()
+    }
+    assert got == {0: 2, 1: 7, 2: 5, 3: 2, 4: 0, 5: 7}
+
+    con = duckdb.connect()
+    for rid, text in rows:
+        duck = con.execute(
+            "select len(list_filter(regexp_extract_all($1, $2), "
+            "t -> trim(t) <> ''))",
+            [text, BPE_TOKEN_PATTERN],
+        ).fetchone()[0]
+        assert duck == got[rid], (rid, duck, got[rid])
