@@ -1912,6 +1912,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ingest_warc"] = ingest_warc
+
+    # PDF acquisition (sources/pdf.py — reference ingest.rs:79-545
+    # PDF path): documents serialized into 3 multi-page PDF fixtures
+    # on first call (FlateDecode streams), then read back via the
+    # binaryFile + mapInPandas page parser — text is byte-identical
+    # to the source column, pages ride the page-tree order.
+    def ingest_pdf(s: SparkSession, d: str) -> DataFrame:
+        import os
+
+        from seekstorm_spark.sources.pdf import build_pdf, read_pdf
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_pdf_{name}"
+        per_file, n_files = 40, 3
+        marker = os.path.join(path, f"part{n_files - 1}.pdf")
+        if not os.path.exists(marker):
+            os.makedirs(path, exist_ok=True)
+            rows = (
+                _docs(s, d)
+                .select("doc_id", "text")
+                .filter(F.col("doc_id") < per_file * n_files)
+                .orderBy("doc_id")
+                .collect()
+            )
+            for i in range(n_files):
+                pages = [
+                    r["text"]
+                    for r in rows[i * per_file : (i + 1) * per_file]
+                ]
+                tmp = os.path.join(path, f".part{i}.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(build_pdf(pages))
+                os.replace(tmp, os.path.join(path, f"part{i}.pdf"))
+        pages_df = read_pdf(s, path)
+        return (
+            pages_df.select(
+                (
+                    F.regexp_extract("pdf_file", r"part(\d+)\.pdf", 1)
+                    .cast("long")
+                    * per_file
+                    + F.col("page")
+                    - 1
+                ).alias("doc_id"),
+                "text",
+            )
+            .orderBy("doc_id")
+        )
+
+    q["ingest_pdf"] = ingest_pdf
     q["iterator_skip_take"] = lambda s, d: (
         _docs(s, d)
         .orderBy(F.col("doc_id").asc())
@@ -2556,6 +2605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact",
         "quality_repetition",
         "token_count_bpe",
+        "ingest_pdf",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -2982,6 +3032,10 @@ GROUP BY 1, 2
     o["ingest_html_extract"] = "SELECT doc_id, text FROM documents"
     # WARC round trip: url/date derive from doc_id, status defaults to
     # 200, and extraction must return the source text byte-identically
+    o["ingest_pdf"] = (
+        "SELECT doc_id, text FROM documents WHERE doc_id < 120 "
+        "ORDER BY doc_id"
+    )
     o["ingest_warc"] = """
 SELECT 'http://crawl.test/' || lpad(doc_id::VARCHAR, 6, '0') AS url,
        strftime(TIMESTAMP '2026-01-01 00:00:00'
