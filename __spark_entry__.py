@@ -1982,6 +1982,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_jaccard_pairs"] = lambda s, d: jaccard_pairs(
         _docs(s, d).filter(F.col("doc_id") < 60), threshold=0.01
     )
+    # pair → cluster step: Jaccard candidate pairs → connected
+    # components via alternating large-star/small-star (O(log² n)
+    # DataFrame rounds, dedup.py). component = min reachable doc_id;
+    # the DuckDB oracle computes the same fixpoint with a recursive
+    # reachability CTE.
+    def dedup_components(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.dedup import connected_components
+
+        pairs = jaccard_pairs(
+            _docs(s, d).filter(F.col("doc_id") < 60), threshold=0.01
+        )
+        return connected_components(pairs).orderBy("docid")
+
+    q["dedup_components"] = dedup_components
     q["dedup_simhash"] = lambda s, d: (
         _docs(s, d)
         .filter(F.col("doc_id") < 30)
@@ -2606,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition",
         "token_count_bpe",
         "ingest_pdf",
+        "dedup_components",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3183,6 +3198,35 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = docid_a
 JOIN sizes sb ON sb.doc_id = docid_b
 WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.01
+"""
+    # connected components over the same Jaccard pair set: recursive
+    # reachability → min reachable doc_id per node (the Spark side
+    # computes the identical fixpoint via large-star/small-star)
+    o["dedup_components"] = """
+WITH RECURSIVE docs AS (SELECT doc_id, list_filter(string_split(trim(lower(text)), ' '),
+                                         x -> x <> '') AS toks
+              FROM documents WHERE doc_id < 60),
+sh AS (SELECT DISTINCT doc_id,
+              array_to_string(toks[i:i+2], ' ') AS shingle
+       FROM (SELECT doc_id, toks,
+                    unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+             FROM docs)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS docid_a, b.doc_id AS docid_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT docid_a AS a, docid_b AS b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = docid_a
+          JOIN sizes sb ON sb.doc_id = docid_b
+          WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6)
+                >= 0.01),
+nodes AS (SELECT a AS n FROM pairs UNION SELECT b FROM pairs),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (SELECT n, n AS r FROM nodes
+          UNION
+          SELECT e.u AS n, reach.r FROM edges e JOIN reach ON reach.n = e.v)
+SELECT n AS docid, min(r) AS component FROM reach GROUP BY n ORDER BY docid
 """
     o["dedup_simhash"] = """
 WITH docs AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),

@@ -356,3 +356,87 @@ def contamination_pairs(
         .groupBy("docid", "probe_id")
         .agg(F.count("*").cast("long").alias("n_common"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "docid_a",
+    b_col: str = "docid_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Duplicate clusters from candidate pairs: ``(docid, component)``
+    where ``component`` is the smallest docid reachable through the
+    pair graph — the step that turns MinHash-LSH / Jaccard PAIRS into
+    keep-one-per-cluster dedup decisions (keep ``docid == component``).
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): every round is
+    two groupBy+join passes keyed on node id, converging in
+    O(log² n) rounds on any graph shape (a plain min-label
+    propagation needs O(diameter) rounds — chains of near-dups are
+    exactly the pathological case at corpus scale). No driver-side
+    graph, no Python in the plan; each round ``localCheckpoint``s the
+    edge set to truncate the iterative-join lineage (use a
+    distributed checkpoint dir on a real cluster). Convergence is one
+    bounded aggregate per round (edge count + xxhash64 XOR checksum).
+
+    Isolated docs never appear in ``pairs`` and so never appear here;
+    callers left-join and coalesce to ``docid`` for a full labeling.
+    """
+    e = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("x"),
+            F.col(b_col).cast("long").alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star: every neighbor v > u links to u's minimum
+        und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = und.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over max→min edges: all of u's smaller neighbors
+        # (and u itself) link to u's minimum neighbor
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = tuple(
+            e.agg(
+                F.count("*"),
+                F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)),
+            ).first()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    comp = e.select(F.col("u").alias("docid"), F.col("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias("docid"))
+        .distinct()
+        .withColumn("component", F.col("docid"))
+    )
+    return comp.union(roots).distinct()
