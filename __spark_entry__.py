@@ -1982,6 +1982,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_jaccard_pairs"] = lambda s, d: jaccard_pairs(
         _docs(s, d).filter(F.col("doc_id") < 60), threshold=0.01
     )
+    # URL canonicalization (functions/urlnorm.py — beyond-reference
+    # web-pipeline op): messy URLs are synthesized deterministically
+    # from doc_id (case noise, default/explicit ports, tracking
+    # params, fragments, unsorted query) so both engines canonicalize
+    # the identical inputs; the oracle mirrors every regex verbatim
+    # (Java ∩ RE2 syntax, pii.py policy).
+    def url_canonicalize(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.urlnorm import (
+            canonicalize_url,
+            url_host,
+        )
+
+        i = F.col("doc_id")
+        url = F.concat(
+            F.when(i % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+            F.lit("://Host"),
+            (i % 7).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(i % 4 == 0, F.lit(":80"))
+            .when(i % 4 == 1, F.lit(":443"))
+            .when(i % 4 == 2, F.lit(":8080"))
+            .otherwise(F.lit("")),
+            F.when(i % 3 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("/Dir/"), i.cast("string"))
+            ),
+            F.lit("?utm_source=feed&b="),
+            (i % 5).cast("string"),
+            F.lit("&a=1"),
+            F.when(i % 6 == 0, F.lit("&gclid=XyZ")).otherwise(F.lit("")),
+            F.when(i % 2 == 1, F.concat(F.lit("#Sec"), i.cast("string")))
+            .otherwise(F.lit("")),
+        )
+        return (
+            _docs(s, d)
+            .filter(i < 200)
+            .select("doc_id", url.alias("url"))
+            .select(
+                "doc_id",
+                "url",
+                canonicalize_url("url").alias("canon"),
+                url_host("url").alias("host"),
+            )
+            .orderBy("doc_id")
+        )
+
+    q["url_canonicalize"] = url_canonicalize
+
     # pair → cluster step: Jaccard candidate pairs → connected
     # components via alternating large-star/small-star (O(log² n)
     # DataFrame rounds, dedup.py). component = min reachable doc_id;
@@ -2621,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe",
         "ingest_pdf",
         "dedup_components",
+        "url_canonicalize",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3198,6 +3246,50 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = docid_a
 JOIN sizes sb ON sb.doc_id = docid_b
 WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.01
+"""
+    o["url_canonicalize"] = r"""
+WITH u AS (SELECT doc_id,
+  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+  || '://Host' || (doc_id % 7)::VARCHAR || '.Example.COM'
+  || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                      WHEN 2 THEN ':8080' ELSE '' END)
+  || (CASE WHEN doc_id % 3 = 0 THEN ''
+           ELSE '/Dir/' || doc_id::VARCHAR END)
+  || '?utm_source=feed&b=' || (doc_id % 5)::VARCHAR || '&a=1'
+  || (CASE WHEN doc_id % 6 = 0 THEN '&gclid=XyZ' ELSE '' END)
+  || (CASE WHEN doc_id % 2 = 1 THEN '#Sec' || doc_id::VARCHAR
+           ELSE '' END) AS url
+  FROM documents WHERE doc_id < 200),
+s1 AS (SELECT doc_id, url,
+              regexp_replace(trim(url), '#.*$', '') AS s FROM u),
+p1 AS (SELECT *,
+  lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+  regexp_replace(s, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM s1),
+p2 AS (SELECT *,
+  regexp_extract(rest, '^([^/?]*)', 1) AS authority,
+  regexp_extract(rest, '^[^/?]*([^?]*)', 1) AS path,
+  regexp_extract(rest, '\?(.*)$', 1) AS query FROM p1),
+p3 AS (SELECT *,
+  lower(regexp_extract(authority, '^([^:]*)', 1)) AS host0,
+  regexp_extract(authority, ':([0-9]+)$', 1) AS port FROM p2),
+p4 AS (SELECT *,
+  CASE WHEN port = '' THEN ''
+       WHEN scheme = 'http' AND port = '80' THEN ''
+       WHEN scheme = 'https' AND port = '443' THEN ''
+       ELSE ':' || port END AS portpart,
+  array_to_string(list_sort(list_filter(string_split(query, '&'),
+    p -> p <> '' AND NOT regexp_matches(p,
+      '^(utm_[^=&]*|gclid|fbclid|msclkid|ref_src)(=[^&]*)?$'))),
+    '&') AS qjoin
+  FROM p3)
+SELECT doc_id, url,
+  CASE WHEN scheme = '' THEN s
+       ELSE scheme || '://' || host0 || portpart
+            || (CASE WHEN path = '' THEN '/' ELSE path END)
+            || (CASE WHEN qjoin = '' THEN '' ELSE '?' || qjoin END)
+  END AS canon,
+  CASE WHEN scheme = '' THEN '' ELSE host0 END AS host
+FROM p4 ORDER BY doc_id
 """
     # connected components over the same Jaccard pair set: recursive
     # reachability → min reachable doc_id per node (the Spark side
