@@ -1982,6 +1982,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_jaccard_pairs"] = lambda s, d: jaccard_pairs(
         _docs(s, d).filter(F.col("doc_id") < 60), threshold=0.01
     )
+    # C4 quality filters (functions/c4.py — Raffel et al. 2020 §2.2):
+    # the corpus text has no line structure, so lines / terminal
+    # punctuation / javascript / lorem / brace triggers are
+    # synthesized via literal replace chains that DuckDB mirrors
+    # verbatim (replace-all, left-to-right on both engines).
+    def quality_c4(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.c4 import c4_clean
+
+        i = F.col("doc_id")
+        t = F.replace(F.col("text"), F.lit(" merge "), F.lit(".\n"))
+        t = F.replace(t, F.lit(" window "), F.lit("\n"))
+        t = F.replace(t, F.lit(" stream "), F.lit(" javascript.\n"))
+        t = F.when(i % 11 == 0, F.concat(t, F.lit("\nlorem ipsum dolor sit."))).otherwise(t)
+        t = F.when(i % 7 == 3, F.concat(t, F.lit("\ncode { brace }."))).otherwise(t)
+        t = F.concat(t, F.lit("."))
+        return (
+            c4_clean(
+                _docs(s, d).filter(i < 300).select("doc_id", t.alias("text"))
+            )
+            .select(
+                "doc_id", "c4_text", "c4_n_lines", "c4_n_sentences", "c4_keep"
+            )
+            .orderBy("doc_id")
+        )
+
+    q["quality_c4"] = quality_c4
+
     # URL canonicalization (functions/urlnorm.py — beyond-reference
     # web-pipeline op): messy URLs are synthesized deterministically
     # from doc_id (case noise, default/explicit ports, tracking
@@ -2669,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_pdf",
         "dedup_components",
         "url_canonicalize",
+        "quality_c4",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3246,6 +3274,39 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = docid_a
 JOIN sizes sb ON sb.doc_id = docid_b
 WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.01
+"""
+    o["quality_c4"] = r"""
+WITH t0 AS (SELECT doc_id,
+  replace(replace(replace(text,
+    ' merge ', '.' || chr(10)),
+    ' window ', chr(10)),
+    ' stream ', ' javascript.' || chr(10)) AS t3
+  FROM documents WHERE doc_id < 300),
+t1 AS (SELECT doc_id,
+  (CASE WHEN doc_id % 11 = 0
+        THEN t3 || chr(10) || 'lorem ipsum dolor sit.' ELSE t3 END) AS t4
+  FROM t0),
+t2 AS (SELECT doc_id,
+  (CASE WHEN doc_id % 7 = 3
+        THEN t4 || chr(10) || 'code { brace }.' ELSE t4 END) || '.' AS txt
+  FROM t1),
+lines AS (SELECT doc_id, txt,
+  list_filter(string_split(txt, chr(10)),
+    l -> regexp_matches(rtrim(l), '[.!?"]$')
+         AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+         AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM t2),
+j AS (SELECT doc_id, txt, kept,
+             -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+             coalesce(array_to_string(kept, chr(10)), '') AS kt
+      FROM lines)
+SELECT doc_id, kt AS c4_text, len(kept)::BIGINT AS c4_n_lines,
+  (length(kt) - length(translate(kt, '.!?', '')))::BIGINT
+    AS c4_n_sentences,
+  (CASE WHEN (length(kt) - length(translate(kt, '.!?', ''))) >= 3
+         AND NOT contains(lower(txt), 'lorem ipsum')
+         AND NOT contains(txt, '{') THEN 1 ELSE 0 END)::INT AS c4_keep
+FROM j ORDER BY doc_id
 """
     o["url_canonicalize"] = r"""
 WITH u AS (SELECT doc_id,
