@@ -2056,6 +2056,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_canonicalize"] = url_canonicalize
 
+    # exact-substring span dedup (dedup.duplicate_spans — Lee et al.
+    # 2022 simplified to token n-grams): merged per-doc token ranges
+    # covered by a 3-gram occurring in ≥2 docs; the oracle mirrors the
+    # gaps-and-islands window merge with SQL window functions.
+    def dedup_spans(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.dedup import duplicate_spans
+
+        return duplicate_spans(
+            _docs(s, d).filter(F.col("doc_id") < 80), n=3
+        ).orderBy("docid", "span_start")
+
+    q["dedup_spans"] = dedup_spans
+
     # pair → cluster step: Jaccard candidate pairs → connected
     # components via alternating large-star/small-star (O(log² n)
     # DataFrame rounds, dedup.py). component = min reachable doc_id;
@@ -2697,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components",
         "url_canonicalize",
         "quality_c4",
+        "dedup_spans",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3274,6 +3288,32 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = docid_a
 JOIN sizes sb ON sb.doc_id = docid_b
 WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.01
+"""
+    o["dedup_spans"] = """
+WITH docs AS (SELECT doc_id, list_filter(string_split(trim(lower(text)), ' '),
+                                         x -> x <> '') AS toks
+              FROM documents WHERE doc_id < 80),
+grams AS (SELECT doc_id, i - 1 AS pos,
+                 array_to_string(toks[i:i+2], ' ') AS gram
+          FROM (SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                FROM docs)),
+dup AS (SELECT gram FROM grams GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos AS s, pos + 2 AS e
+         FROM grams JOIN dup USING (gram)),
+isl AS (SELECT doc_id, s, e,
+        CASE WHEN s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS ni
+        FROM hits),
+run AS (SELECT doc_id, s, e,
+        sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM isl)
+SELECT doc_id AS docid, min(s)::BIGINT AS span_start,
+       max(e)::BIGINT AS span_end
+FROM run GROUP BY doc_id, island ORDER BY docid, span_start
 """
     o["quality_c4"] = r"""
 WITH t0 AS (SELECT doc_id,

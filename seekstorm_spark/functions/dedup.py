@@ -440,3 +440,85 @@ def connected_components(
         .withColumn("component", F.col("docid"))
     )
     return comp.union(roots).distinct()
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", simplified to token n-grams):
+    per-doc MERGED token spans ``(docid, span_start, span_end)``
+    (0-based, inclusive) covered by some n-token sequence that occurs
+    in ≥ ``min_docs`` distinct documents. Downstream cuts those spans
+    out of the training text.
+
+    Plan shape: tokenize → posexplode n-grams (same cost class as the
+    index tokenize pass) → groupBy(gram) distinct-doc count (partial
+    agg) → inverted-index join back → per-doc gaps-and-islands window
+    merge. The join key is the gram STRING so the DuckDB oracle is
+    collision-free and exact; at 100 TB swap the key for xxhash64(gram)
+    to cut shuffle bytes (duplicate detection is tolerant of 2⁻⁶⁴
+    collisions). Hot boilerplate grams are the skew case — AQE skew
+    join handles the join fan-out; the groupBy side is map-combined.
+
+    Adjacent or overlapping duplicated grams merge into one span
+    (``start ≤ prev_end + 1``), so a long copied passage reports as a
+    single range.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda w: w != "",
+    )
+    k = F.size(toks) - (n - 1)
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = df.select(
+        F.col(id_col).alias("docid"),
+        F.posexplode(
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+            )
+        ).alias("pos", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("docid").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select(
+        "docid",
+        F.col("pos").cast("long").alias("start"),
+        (F.col("pos") + (n - 1)).cast("long").alias("end"),
+    )
+    w_prev = (
+        Window.partitionBy("docid")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("docid")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = hits.withColumn(
+        "new_island",
+        F.when(
+            F.col("start") > F.max("end").over(w_prev) + 1, 1
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    return (
+        islands.groupBy("docid", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select("docid", "span_start", "span_end")
+    )
