@@ -2056,6 +2056,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_canonicalize"] = url_canonicalize
 
+    # deterministic training-mixture sampling (functions/sampling.py):
+    # per-language keep rates as exact binary fractions, decided by a
+    # 60-bit md5 content hash both engines compute identically.
+    def sample_stratified(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.sampling import stratified_sample
+
+        rates = {"en": 0.5, "de": 0.25, "fr": 0.125, "es": 1.0, "zh": 0.0625}
+        return (
+            stratified_sample(_docs(s, d), rates)
+            .select("doc_id", "lang")
+            .orderBy("doc_id")
+        )
+
+    q["sample_stratified"] = sample_stratified
+
+    # GPT-style sequence packing (concat-then-chunk per language
+    # group): pack_id/pack_offset of each doc's first token under a
+    # 200-token window — one window function per group, no global sort.
+    def pack_docs(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.sampling import pack_sequences
+
+        n_toks = F.size(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).cast("long")
+        docs = _docs(s, d).select("doc_id", "lang", n_toks.alias("n_tokens"))
+        return (
+            pack_sequences(
+                docs, "n_tokens", budget=200, group_col="lang",
+                order_col="doc_id",
+            )
+            .select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
+            .orderBy("doc_id")
+        )
+
+    q["pack_sequences"] = pack_docs
+
     # exact-substring span dedup (dedup.duplicate_spans — Lee et al.
     # 2022 simplified to token n-grams): merged per-doc token ranges
     # covered by a 3-gram occurring in ≥2 docs; the oracle mirrors the
@@ -2711,6 +2750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize",
         "quality_c4",
         "dedup_spans",
+        "sample_stratified",
+        "pack_sequences",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3288,6 +3329,34 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = docid_a
 JOIN sizes sb ON sb.doc_id = docid_b
 WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.01
+"""
+    _thr = {
+        "en": int(0.5 * (1 << 60)),
+        "de": int(0.25 * (1 << 60)),
+        "fr": int(0.125 * (1 << 60)),
+        "es": int(1.0 * (1 << 60)),
+        "zh": int(0.0625 * (1 << 60)),
+    }
+    o["sample_stratified"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
+      < (CASE lang WHEN 'en' THEN {_thr['en']} WHEN 'de' THEN {_thr['de']}
+               WHEN 'fr' THEN {_thr['fr']} WHEN 'es' THEN {_thr['es']}
+               WHEN 'zh' THEN {_thr['zh']} ELSE 0 END)
+ORDER BY doc_id
+"""
+    o["pack_sequences"] = """
+WITH d AS (SELECT doc_id, lang,
+  len(list_filter(string_split(trim(lower(text)), ' '),
+      x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM d)
+SELECT doc_id, lang, n_tokens,
+       (cb // 200)::BIGINT AS pack_id, (cb % 200)::BIGINT AS pack_offset
+FROM c ORDER BY doc_id
 """
     o["dedup_spans"] = """
 WITH docs AS (SELECT doc_id, list_filter(string_split(trim(lower(text)), ' '),
