@@ -2056,6 +2056,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_canonicalize"] = url_canonicalize
 
+    # CCNet-style LM quality scoring (functions/lm.py): corpus-trained
+    # add-one bigram model, per-doc mean -ln p(w2|w1). f32 log-probs
+    # sorted then folded sequentially in f64 → bit-deterministic on
+    # both engines (same trick as the BM25 idf path).
+    def quality_bigram_nll(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.lm import bigram_nll
+
+        return bigram_nll(_docs(s, d)).orderBy("docid")
+
+    q["quality_bigram_nll"] = quality_bigram_nll
+
     # deterministic training-mixture sampling (functions/sampling.py):
     # per-language keep rates as exact binary fractions, decided by a
     # 60-bit md5 content hash both engines compute identically.
@@ -2752,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans",
         "sample_stratified",
         "pack_sequences",
+        "quality_bigram_nll",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3329,6 +3341,30 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = docid_a
 JOIN sizes sb ON sb.doc_id = docid_b
 WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.01
+"""
+    o["quality_bigram_nll"] = """
+WITH docs AS (SELECT doc_id, list_filter(string_split(trim(lower(text)), ' '),
+                                         x -> x <> '') AS toks
+              FROM documents),
+bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+       FROM (SELECT doc_id, toks,
+                    unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
+             FROM docs)),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(toks) AS tok FROM docs)),
+lp AS (SELECT bg.doc_id,
+              (-ln((c12.c12 + 1.0) / (c1.c1 + v.v)))::REAL AS nlp
+       FROM bg
+       JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+       JOIN c1 ON bg.w1 = c1.w1
+       CROSS JOIN v),
+agg AS (SELECT doc_id, list_sort(list(nlp)) AS arr FROM lp GROUP BY doc_id)
+SELECT doc_id AS docid, len(arr)::BIGINT AS n_bigrams,
+       round(list_sum(list_transform(arr, x -> x::DOUBLE)) / len(arr), 4)
+         AS nll
+FROM agg ORDER BY docid
 """
     _thr = {
         "en": int(0.5 * (1 << 60)),
