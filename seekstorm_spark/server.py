@@ -700,6 +700,55 @@ class IndexService:
             for k, v in row.items()
         }
 
+    def index_file(
+        self, name: str, file_path: str, file_date: int, data: bytes
+    ) -> dict:
+        """Index a PDF file (reference POST /index/{id}/file,
+        api_endpoints.rs:680-722 → ingest.rs index_pdf_bytes): extract
+        per-page text with the stdlib parser, derive title/date from
+        the /Info dictionary with the reference's fallback chain, index
+        the text through the realtime level-0 path (searchable before
+        commit), and keep the original bytes as
+        ``files/{docid}.pdf`` under the index directory
+        (doc_store.rs:211-228 layout) for GET /file/{docid}. The
+        title/url/date metadata rides a ``files/{docid}.json`` sidecar
+        (the reference persists it via its row docstore; our columnar
+        doc store is batch-oriented, so point uploads use the sidecar)."""
+        from seekstorm_spark.sources.pdf import pdf_document
+
+        doc = pdf_document(data, file_path, file_date)
+        if doc is None:
+            raise ValueError("can't extract text from PDF")
+        idx = self._indexer(name)
+        import pandas as pd
+
+        text_col = idx.text_col
+        row = {text_col: doc["body"]}
+        with self._write_locks[name]:
+            idx.add_documents(self.spark.createDataFrame(pd.DataFrame([row])))
+            if idx.staged:
+                docid = idx.staged[-1].next_docid - 1
+            else:  # the add crossed the auto-commit boundary
+                docid = int(idx.store.meta.get("next_docid", 1)) - 1
+            files_dir = os.path.join(self.stores[name].path, "files")
+            os.makedirs(files_dir, exist_ok=True)
+            with open(os.path.join(files_dir, f"{docid}.pdf"), "wb") as f:
+                f.write(data)
+            meta = {k: doc[k] for k in ("title", "url", "date")}
+            with open(os.path.join(files_dir, f"{docid}.json"), "w") as f:
+                json.dump(meta, f)
+        return {"docid": docid, **meta}
+
+    def get_file(self, name: str, docid: int) -> bytes | None:
+        """Original uploaded bytes of ``files/{docid}.pdf`` (reference
+        GET /index/{id}/file/{docid}, doc_store.rs:18-28)."""
+        path = os.path.join(self.stores[name].path, "files", f"{docid}.pdf")
+        try:
+            with open(path, "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
     def check_admin(self, auth_header: str | None) -> None:
         """Gate for apikey CRUD: requires the server's admin (master)
         key as a bearer token. 403 when no admin key is configured
@@ -961,6 +1010,10 @@ _ROUTES = [
     ("GET", re.compile(r"^/indices/([^/]+)/spell$"), "spell"),
     ("GET", re.compile(r"^/indices/([^/]+)/doc/(\d+)$"), "doc"),
     ("POST", re.compile(r"^/indices/([^/]+)/docs$"), "add_docs"),
+    # reference POST /index/{id}/file + GET /index/{id}/file/{docid}
+    # (http_server.rs:696,989) — PDF upload-and-index / download
+    ("POST", re.compile(r"^/indices/([^/]+)/file$"), "index_file"),
+    ("GET", re.compile(r"^/indices/([^/]+)/file/(\d+)$"), "get_file"),
     ("PATCH", re.compile(r"^/indices/([^/]+)/docs$"), "update_docs"),
     ("POST", re.compile(r"^/indices/([^/]+)/commit$"), "commit"),
     ("POST", re.compile(r"^/indices/([^/]+)/clear$"), "clear"),
@@ -1030,7 +1083,7 @@ class _Handler(BaseHTTPRequestHandler):
             "term_df", "suggest", "spell", "doc", "add_docs",
             "update_docs", "commit", "delete", "drop_index", "clear",
             "get_synonyms", "set_synonyms", "iterator", "iterator_get",
-            "close_index",
+            "close_index", "index_file", "get_file",
         }
     )
 
@@ -1115,6 +1168,38 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, row)
         elif op == "add_docs":
             self._send(200, svc.add_docs(match.group(1), self._body()))
+        elif op == "index_file":
+            n = int(self.headers.get("Content-Length") or 0)
+            if n == 0:
+                raise ValueError("request body must be the PDF bytes")
+            data = self.rfile.read(n)
+            # reference header contract (http_server.rs:713-726):
+            # `file` = original filepath for the url field, `date` =
+            # fallback Unix timestamp when the PDF has no date tag
+            file_path = self.headers.get("file") or ""
+            try:
+                file_date = int(self.headers.get("date") or "")
+            except ValueError:
+                import time
+
+                file_date = int(time.time())
+            self._send(
+                200,
+                svc.index_file(match.group(1), file_path, file_date, data),
+            )
+        elif op == "get_file":
+            blob = svc.get_file(match.group(1), int(match.group(2)))
+            if blob is None:
+                self._send(404, {"error": "file not found"})
+            else:
+                self.send_response(200)
+                self.send_header("Content-Type", "application/pdf")
+                self.send_header("Content-Length", str(len(blob)))
+                self.send_header(
+                    "Content-Disposition", "attachment;filename=file.pdf"
+                )
+                self.end_headers()
+                self.wfile.write(blob)
         elif op == "update_docs":
             self._send(200, svc.update_docs(match.group(1), self._body()))
         elif op == "commit":

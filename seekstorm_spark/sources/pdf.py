@@ -37,6 +37,7 @@ as :mod:`seekstorm_spark.sources.warc`.
 
 from __future__ import annotations
 
+import os
 import re
 import zlib
 from typing import Iterator
@@ -74,10 +75,18 @@ def _pdf_escape(line: str) -> bytes:
     return bytes(out)
 
 
-def build_pdf(pages: list[str], compress: bool = True) -> bytes:
+def build_pdf(
+    pages: list[str],
+    compress: bool = True,
+    title: str | None = None,
+    creation_date: str | None = None,
+) -> bytes:
     """Serialize pages of plain text into a minimal valid PDF-1.4
     (Helvetica, one ``Tj`` per line, correct xref + trailer).
-    Deterministic: identical input → identical bytes."""
+    Deterministic: identical input → identical bytes. ``title`` /
+    ``creation_date`` (a raw PDF date string like
+    ``D:20240102030405Z``) add an ``/Info`` dictionary; when both are
+    None the output is byte-identical to the pre-metadata format."""
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_id = 3 + 2 * n_pages
@@ -108,6 +117,16 @@ def build_pdf(pages: list[str], compress: bool = True) -> bytes:
     objs[font_id] = (
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
+    info_id = None
+    if title is not None or creation_date is not None:
+        info_id = font_id + 1
+        parts = bytearray(b"<<")
+        if title is not None:
+            parts += b" /Title (" + _pdf_escape(title) + b")"
+        if creation_date is not None:
+            parts += b" /CreationDate (" + _pdf_escape(creation_date) + b")"
+        parts += b" >>"
+        objs[info_id] = bytes(parts)
     out = bytearray(b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
     for num in sorted(objs):
@@ -118,8 +137,9 @@ def build_pdf(pages: list[str], compress: bool = True) -> bytes:
     out += f"xref\n0 {n}\n".encode() + b"0000000000 65535 f \n"
     for num in range(1, n):
         out += b"%010d 00000 n \n" % offsets[num]
+    info_ref = f" /Info {info_id} 0 R" if info_id is not None else ""
     out += (
-        f"trailer\n<< /Size {n} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {n} /Root 1 0 R{info_ref} >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)
@@ -176,7 +196,7 @@ def _stream_data(body: bytes, objs: dict[int, bytes]) -> bytes | None:
     return raw
 
 
-def _unescape_literal(raw: bytes) -> str:
+def _unescape_literal_bytes(raw: bytes) -> bytes:
     out = bytearray()
     i = 0
     while i < len(raw):
@@ -205,7 +225,23 @@ def _unescape_literal(raw: bytes) -> str:
         else:  # unknown escape: the char stands for itself
             out.append(c)
             i += 1
-    return out.decode("latin-1")
+    return bytes(out)
+
+
+def _unescape_literal(raw: bytes) -> str:
+    return _unescape_literal_bytes(raw).decode("latin-1")
+
+
+def _pdf_text_string(raw: bytes) -> str:
+    """Decode a PDF *text string*: UTF-16BE when it carries the
+    ``FE FF`` BOM, else PDFDocEncoding (latin-1 superset is close
+    enough for the printable range we emit/ingest)."""
+    if raw[:2] == b"\xfe\xff":
+        try:
+            return raw[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            return raw[2:].decode("latin-1")
+    return raw.decode("latin-1")
 
 
 def _literal_string(data: bytes, at: int) -> tuple[bytes, int]:
@@ -335,6 +371,143 @@ def extract_pdf_pages(data: bytes) -> list[str]:
                 texts.append(extract_content_text(stream))
         out.append("\n".join(t for t in texts if t))
     return out
+
+
+# ---------------------------------------------------------------------------
+# metadata (reference index_pdf, ingest.rs:265-395: /Info title +
+# creation date with first-line / filename / file-date fallbacks)
+
+
+def _string_at(body: bytes, at: int, objs: dict[int, bytes]) -> str | None:
+    """PDF string value starting at ``at``: literal, hex, or a one-hop
+    indirect reference to either."""
+    if at >= len(body):
+        return None
+    c = body[at]
+    if c == 0x28:  # (literal)
+        raw, _ = _literal_string(body, at)
+        return _pdf_text_string(_unescape_literal_bytes(raw))
+    if c == 0x3C:  # <hex>
+        end = body.find(b">", at)
+        if end == -1:
+            return None
+        hx = re.sub(rb"\s", b"", body[at + 1 : end])
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            return _pdf_text_string(bytes.fromhex(hx.decode("ascii")))
+        except ValueError:
+            return None
+    rm = re.match(rb"(\d+)\s+\d+\s+R", body[at:])
+    if rm:
+        ref_body = objs.get(int(rm.group(1)), b"").lstrip()
+        if ref_body[:1] in (b"(", b"<"):
+            return _string_at(ref_body, 0, {})
+    return None
+
+
+def _dict_string(body: bytes, key: str, objs: dict[int, bytes]) -> str | None:
+    m = re.search(rb"/" + key.encode() + rb"\s*", body)
+    return _string_at(body, m.end(), objs) if m else None
+
+
+def extract_pdf_info(data: bytes) -> dict[str, str]:
+    """``/Info`` dictionary string entries we mirror from the
+    reference's metadata tags (``Title``, ``CreationDate``)."""
+    objs = _scan_objects(data)
+    tm = re.search(rb"trailer(.*?)(?:startxref|\Z)", data, re.S)
+    info_ref = _ref(tm.group(1), "Info") if tm else None
+    body = objs.get(info_ref, b"") if info_ref is not None else b""
+    out: dict[str, str] = {}
+    for key in ("Title", "CreationDate"):
+        v = _dict_string(body, key, objs)
+        if v is not None:
+            out[key] = v
+    return out
+
+
+def parse_pdf_date(value: str, fallback: int) -> int:
+    """PDF date string → Unix timestamp, mirroring the reference's
+    parser (ingest.rs:311-384): ``D:YYYYMMDDHHMMSS`` with optional
+    ``Z`` / ``±HH'mm'`` / ``±HHmm`` suffix, then three loose textual
+    formats; anything unparseable returns ``fallback``."""
+    from datetime import datetime, timezone
+
+    s = value[2:] if value.startswith("D:") else value
+    if len(s) > 14 and s[14] in "zZ":
+        s = s[:14]
+    if len(s) in (14, 19, 20, 21):
+        try:
+            iso = (
+                f"{s[0:4]}-{s[4:6]}-{s[6:8]}T{s[8:10]}:{s[10:12]}:{s[12:14]}"
+            )
+            if len(s) == 14:
+                iso += "+00:00"
+            elif s[17] == "'":
+                iso += s[14:17] + ":" + s[18:20]
+            else:
+                iso += s[14:17] + ":" + s[17:19]
+            return int(datetime.fromisoformat(iso).timestamp())
+        except (ValueError, IndexError):
+            return fallback
+    norm = re.sub(r"\s+", " ", value.strip())
+    for fmt in (
+        "%a %b %d %H:%M:%S %Y",
+        "%Y/%m/%d %H:%M:%S",
+        "%m/%d/%Y %H:%M:%S",
+    ):
+        try:
+            dt = datetime.strptime(norm, fmt).replace(tzinfo=timezone.utc)
+            return int(dt.timestamp())
+        except ValueError:
+            continue
+    return fallback
+
+
+def derive_pdf_title(
+    info_title: str | None, text: str, file_path: str
+) -> str:
+    """Reference title chain (ingest.rs:289-311): /Title metadata, else
+    the first line among the first 10 whose trimmed length exceeds 1
+    (truncated to 160 chars, then trimmed), else the filename stem
+    with underscores removed."""
+    if info_title is not None:
+        return info_title
+    for i, line in enumerate(text.split("\n")[:10], start=1):
+        if len(line.strip()) > 1:
+            return line[:160].strip()
+    stem = os.path.splitext(os.path.basename(file_path))[0]
+    return stem.replace("_", "")
+
+
+def pdf_document(
+    data: bytes,
+    file_path: str = "",
+    file_date: int = 0,
+    now: int | None = None,
+) -> dict | None:
+    """Extract the reference's 4-field PDF document (ingest.rs:389-395:
+    title, body, url, date). ``file_date`` is the caller's fallback
+    timestamp (the reference uses file ctime / the HTTP ``date``
+    header); dates in the future or negative clamp to it. Returns None
+    when no text could be extracted (reference: "can't extract text
+    from PDF" — scanned/encrypted documents)."""
+    import time
+
+    pages = extract_pdf_pages(data)
+    text = "".join(p + " \n" for p in pages)
+    if not text.strip():
+        return None
+    info = extract_pdf_info(data)
+    title = derive_pdf_title(info.get("Title"), text, file_path)
+    ts = (
+        parse_pdf_date(info["CreationDate"], file_date)
+        if "CreationDate" in info
+        else file_date
+    )
+    if ts > (now if now is not None else int(time.time())) or ts < 0:
+        ts = file_date
+    return {"title": title, "body": text, "url": file_path, "date": ts}
 
 
 # ---------------------------------------------------------------------------

@@ -859,3 +859,95 @@ def test_apikey_info_endpoint(spark, tmp_path):
         assert resp == {"indices": []}
     finally:
         srv.shutdown()
+
+
+def _post_pdf(url: str, data: bytes, headers: dict | None = None):
+    req = urllib.request.Request(
+        url, data=data,
+        headers={"Content-Type": "application/pdf", **(headers or {})},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_pdf_file_upload_and_download(spark, writable_served):
+    """POST /indices/{n}/file + GET /indices/{n}/file/{docid}
+    (reference http_server.rs:696,989 → ingest.rs index_pdf_bytes):
+    upload indexes the extracted text realtime-visibly, stores the
+    original bytes as files/{docid}.pdf, and the download round-trips
+    them byte-identically."""
+    from seekstorm_spark.sources.pdf import build_pdf
+
+    base, store = writable_served
+    pdf = build_pdf(
+        ["zzpdfalpha zzpdfbeta heading\nbody line", "zzpdfgamma page two"],
+        title="ZZ Upload Title",
+        creation_date="D:20240102030405Z",
+    )
+    status, resp = _post_pdf(
+        base + "/indices/main/file", pdf,
+        headers={"file": "docs/upload_me.pdf", "date": "999"},
+    )
+    assert status == 200
+    assert resp["title"] == "ZZ Upload Title"
+    assert resp["url"] == "docs/upload_me.pdf"
+    assert resp["date"] == 1704164645
+    docid = resp["docid"]
+
+    # searchable immediately (realtime level-0, pre-commit)
+    _s, r = _post(
+        base + "/indices/main/query", {"query": "zzpdfgamma", "top_k": 5}
+    )
+    assert [x["docid"] for x in r["results"]] == [docid]
+
+    # download round-trips the original bytes
+    with urllib.request.urlopen(
+        base + f"/indices/main/file/{docid}", timeout=120
+    ) as resp2:
+        assert resp2.status == 200
+        assert resp2.headers["Content-Type"] == "application/pdf"
+        assert resp2.read() == pdf
+
+    # survives commit
+    _post(base + "/indices/main/commit", {})
+    _s, r2 = _post(
+        base + "/indices/main/query", {"query": "zzpdfalpha", "top_k": 5}
+    )
+    assert [x["docid"] for x in r2["results"]] == [docid]
+
+    # missing file -> 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(
+            base + "/indices/main/file/99999999", timeout=120
+        ).read()
+    assert ei.value.code == 404
+
+    # undecodable payload -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post_pdf(base + "/indices/main/file", b"%PDF-1.4 not really")
+    assert ei.value.code == 400
+
+
+def test_pdf_file_title_fallback_over_http(spark, writable_served):
+    """No /Info dictionary: title falls back to the first substantial
+    line; no parseable date: the `date` header timestamp is used."""
+    from seekstorm_spark.sources.pdf import build_pdf
+
+    base, _store = writable_served
+    pdf = build_pdf(["\n \nZZ Fallback Heading\nzzpdffall body"])
+    _s, resp = _post_pdf(
+        base + "/indices/main/file", pdf,
+        headers={"file": "some_dir/report_final.pdf", "date": "1234"},
+    )
+    assert resp["title"] == "ZZ Fallback Heading"
+    assert resp["date"] == 1234
+
+
+def test_pdf_file_read_only_rejected(served):
+    from seekstorm_spark.sources.pdf import build_pdf
+
+    base, _store = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post_pdf(base + "/indices/main/file", build_pdf(["x y"]))
+    assert ei.value.code == 403
