@@ -568,6 +568,39 @@ _LANG_MARKER_SQL = {
 }
 
 
+# Model2Vec-fixture vocabulary (24 of the corpus's 31 tokens; the
+# exclusions exercise the skip-unknown-word path) and the query text.
+M2V_VOCAB = sorted(
+    "agg batch big column customer data fast filter group hash join "
+    "line merge order part query slow small spark stream table value "
+    "vector window".split()
+)
+M2V_QUERY_TOKS = ["fast", "join", "query", "merge", "window"]
+M2V_DIM = 8
+
+
+def _m2v_model() -> str:
+    """Deterministic static-embedding model fixture (md5-seeded; see
+    functions/embedder.build_static_model) — built once under /tmp,
+    corpus-independent, atomic via rename."""
+    import os
+
+    path = "/tmp/seekstorm_m2v_v1"
+    if not os.path.exists(os.path.join(path, "embedder_meta.json")):
+        import shutil
+
+        from seekstorm_spark.functions.embedder import build_static_model
+
+        tmp = f"{path}.tmp{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        build_static_model(tmp, M2V_VOCAB, dim=M2V_DIM)
+        try:
+            os.replace(tmp, path)
+        except OSError:  # another process won the race
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -2381,6 +2414,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_chunked_topk"] = ann_chunked_topk
 
+    # Model2Vec-style embedding INFERENCE (reference index.rs:2066-2203
+    # StaticModel + vector.rs:502-508 encode): static token vectors,
+    # mean pooling over piece occurrences, L2-normalize. The model is
+    # a deterministic fixture (build_static_model — md5-seeded
+    # components the oracle regenerates in SQL), the inference runs
+    # through the real Arrow-batched UDF, and the whole pipeline
+    # (tokenize → gather → mean → normalize → cosine top-k) is
+    # mirrored verbatim in DuckDB.
+    def ann_model2vec(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.embedder import (
+            StaticEmbedder,
+            embed_texts,
+        )
+        from seekstorm_spark.functions.simsearch import cosine_col
+
+        path = _m2v_model()
+        emb = embed_texts(
+            _docs(s, d).filter(F.col("doc_id") < 300), path,
+            text_col="text",
+        )
+        qv = [float(x) for x in StaticEmbedder(path).encode(
+            [" ".join(M2V_QUERY_TOKS)]
+        )[0]]
+        return (
+            emb.select(
+                "doc_id", cosine_col(F.col("embedding"), qv).alias("c")
+            )
+            .filter(F.col("c").isNotNull())
+            .select("doc_id", F.round(F.col("c"), 4).alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+            .limit(10)
+        )
+
+    q["ann_model2vec_topk"] = ann_model2vec
+
     # --- geo radius (reference geo_search.rs:128-144: Morton-range
     # prefilter + exact haversine post-filter). Coordinates derived
     # deterministically from doc_id on both sides. ---
@@ -2764,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified",
         "pack_sequences",
         "quality_bigram_nll",
+        "ann_model2vec_topk",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3801,6 +3870,47 @@ scored AS (
   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
 SELECT docid, round(max(cos), 4) AS sim FROM scored GROUP BY docid
 ORDER BY sim DESC, docid ASC LIMIT 10
+"""
+
+    # Model2Vec inference mirrored end-to-end in SQL: regenerate the
+    # fixture's md5-seeded token vectors, mean-pool per doc over piece
+    # occurrences, L2-normalize in f64, CAST each component to FLOAT
+    # (the model stores f32), then cosine in f64 — the exact pipeline
+    # StaticEmbedder.encode + cosine_col run.
+    _m2v_c = (
+        "(('0x' || substr(md5(tok || '|' || j::VARCHAR), 1, 8))::UBIGINT"
+        " / 4294967296.0) * 2.0 - 1.0"
+    )
+    _m2v_vocab_vals = ", ".join(f"('{t}')" for t in M2V_VOCAB)
+    _m2v_q_vals = ", ".join(f"('{t}')" for t in M2V_QUERY_TOKS)
+    o["ann_model2vec_topk"] = f"""
+WITH vocab(tok) AS (VALUES {_m2v_vocab_vals}),
+qtoks(tok) AS (VALUES {_m2v_q_vals}),
+dtoks AS (
+  SELECT d.doc_id, t.tok
+  FROM (SELECT doc_id, lower(text) AS txt FROM documents
+        WHERE doc_id < 300) d,
+       unnest(regexp_extract_all(d.txt, '[a-z0-9]+')) AS t(tok)
+  WHERE t.tok IN (SELECT tok FROM vocab)),
+comp AS (
+  SELECT doc_id, j, avg({_m2v_c}) AS m
+  FROM dtoks, range({M2V_DIM}) r(j) GROUP BY doc_id, j),
+nrm AS (SELECT doc_id, sqrt(sum(m * m)) AS nv FROM comp GROUP BY doc_id),
+vecs AS (SELECT c.doc_id, c.j, CAST(c.m / n.nv AS FLOAT) AS x
+         FROM comp c JOIN nrm n USING (doc_id)),
+qcomp AS (SELECT j, avg({_m2v_c}) AS m
+          FROM qtoks, range({M2V_DIM}) r(j) GROUP BY j),
+qvec AS (SELECT j, CAST(m / (SELECT sqrt(sum(m * m)) FROM qcomp) AS FLOAT)
+              AS x FROM qcomp),
+dots AS (
+  SELECT v.doc_id,
+         sum(v.x::DOUBLE * q.x::DOUBLE) AS dot,
+         sqrt(sum(v.x::DOUBLE * v.x::DOUBLE)) AS nv
+  FROM vecs v JOIN qvec q USING (j) GROUP BY v.doc_id)
+SELECT doc_id,
+       round(dot / (nv * (SELECT sqrt(sum(x::DOUBLE * x::DOUBLE))
+                          FROM qvec)), 4) AS sim
+FROM dots ORDER BY sim DESC, doc_id ASC LIMIT 10
 """
 
     # hybrid RRF through the engine: extend the f32-exact WAND CTE

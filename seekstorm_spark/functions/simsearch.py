@@ -42,7 +42,10 @@ def cosine_col(vec_col, query: list[float]):
     vnorm = F.sqrt(
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    return dot / (vnorm * F.lit(qnorm))
+    # try_divide: a zero-norm vector (e.g. a chunk with no known
+    # tokens) yields NULL instead of an ANSI divide-by-zero error;
+    # nonzero vectors are bit-identical to plain division
+    return F.try_divide(dot, vnorm * F.lit(qnorm))
 
 
 def cosine_topk(
