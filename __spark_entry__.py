@@ -2560,6 +2560,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pii_redact"] = pii_redact
+
+    # corpus-level Unicode normalization (functions/textnorm.py —
+    # NFC + newline unification + control/zero-width strip +
+    # whitespace collapse; the step a 100-TB ingest runs once before
+    # dedup/quality). The dirty prefix is constructed deterministically
+    # on BOTH sides so the row proves composition + stripping, not
+    # identity on clean ASCII.
+    def text_normalize(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.textnorm import normalize_text
+
+        dirty = F.concat(
+            F.lit("Cafe\u0301\u200b  du\trag\x07on\r\n\r\n\r\n"),
+            F.col("text"),
+            F.lit(" \t"),
+        )
+        return (
+            _docs(s, d)
+            .filter(F.col("doc_id") < 50)
+            .select(
+                "doc_id", normalize_text(dirty).alias("norm_text")
+            )
+            .orderBy("doc_id")
+        )
+
+    q["text_normalize"] = text_normalize
     # nested-JSON string-leaf flattening (reference
     # object_values_to_string_vec_recursive, index.rs:5312-5327) over a
     # deterministically constructed nested document
@@ -2833,6 +2858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences",
         "quality_bigram_nll",
         "ann_model2vec_topk",
+        "text_normalize",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -4095,6 +4121,22 @@ SELECT doc_id, redacted,
     AS n_phone
 FROM red ORDER BY doc_id
 """
+    # text_normalize: the SQL mirror of functions/textnorm.py over the
+    # same deterministic dirty prefix (decomposed e + combining acute,
+    # zero-width space, BEL control, CRLF runs, trailing tab) — chr()
+    # keeps every non-ASCII codepoint explicit.
+    from seekstorm_spark.functions.textnorm import normalize_sql
+
+    _dirty_sql = (
+        "'Cafe' || chr(769) || chr(8203) || '  du' || chr(9) || 'rag'"
+        " || chr(7) || 'on' || chr(13) || chr(10) || chr(13) || chr(10)"
+        " || chr(13) || chr(10) || text || ' ' || chr(9)"
+    )
+    o["text_normalize"] = f"""
+SELECT doc_id, {normalize_sql(_dirty_sql)} AS norm_text
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+"""
+
     from seekstorm_spark.functions.textstats import BPE_TOKEN_PATTERN
 
     # the pattern's leading apostrophe must be doubled inside the SQL
