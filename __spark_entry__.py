@@ -1994,6 +1994,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ingest_pdf"] = ingest_pdf
+
+    # PDF DOCUMENT ingest (reference index_pdf, ingest.rs:265-395):
+    # one row per file with title/date from the /Info dictionary and
+    # the reference's fallback chain — file 0 carries metadata, file 1
+    # exercises the first-line title + default-date fallbacks, file 2
+    # a timezone-offset date with a first-line title. The oracle
+    # recomputes every field from the documents table.
+    def ingest_pdf_meta(s: SparkSession, d: str) -> DataFrame:
+        import os
+
+        from seekstorm_spark.sources.pdf import build_pdf, read_pdf_docs
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_pdfdoc_{name}"
+        if not os.path.exists(os.path.join(path, "f2.pdf")):
+            os.makedirs(path, exist_ok=True)
+            rows = (
+                _docs(s, d)
+                .select("doc_id", "text")
+                .filter(F.col("doc_id") < 15)
+                .orderBy("doc_id")
+                .collect()
+            )
+            texts = [r["text"] for r in rows]
+            spec = [
+                ("f0.pdf", texts[0:5],
+                 dict(title="Meta Title Zero",
+                      creation_date="D:20200101000000Z")),
+                ("f1.pdf", texts[5:10], {}),
+                ("f2.pdf", texts[10:15],
+                 dict(creation_date="D:20240102030405+02'00")),
+            ]
+            for fname, pages, kw in spec:
+                tmp = os.path.join(path, f".{fname}.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(build_pdf(pages, **kw))
+                os.replace(tmp, os.path.join(path, fname))
+        return (
+            read_pdf_docs(s, path, default_date=1111)
+            .select(
+                F.element_at(F.split("pdf_file", "/"), -1).alias("fname"),
+                "title",
+                F.col("date").alias("ts"),
+                F.length("text").cast("long").alias("n_chars"),
+            )
+            .orderBy("fname")
+        )
+
+    q["ingest_pdf_meta"] = ingest_pdf_meta
     q["iterator_skip_take"] = lambda s, d: (
         _docs(s, d)
         .orderBy(F.col("doc_id").asc())
@@ -2859,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_bigram_nll",
         "ann_model2vec_topk",
         "text_normalize",
+        "ingest_pdf_meta",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3289,6 +3339,27 @@ GROUP BY 1, 2
         "SELECT doc_id, text FROM documents WHERE doc_id < 120 "
         "ORDER BY doc_id"
     )
+    # ingest_pdf_meta: title/date per the reference fallback chain —
+    # g=0 carries /Info metadata, g=1 falls back to the first body
+    # line (truncate 160 + trim) and the default date, g=2 parses the
+    # +02'00 offset; n_chars = Σ len(page) + 2 per page (" \n" joiner)
+    o["ingest_pdf_meta"] = """
+WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 15),
+grp AS (SELECT doc_id // 5 AS g,
+               (sum(length(text)) + 2 * count(*))::BIGINT AS n_chars,
+               min(doc_id) AS lo
+        FROM t GROUP BY 1),
+ft AS (SELECT g.g, g.n_chars,
+              trim(substr(t.text || ' ', 1, 160)) AS fallback_title
+       FROM grp g JOIN t ON t.doc_id = g.lo)
+SELECT 'f' || g::VARCHAR || '.pdf' AS fname,
+       CASE g WHEN 0 THEN 'Meta Title Zero' ELSE fallback_title END
+         AS title,
+       (CASE g WHEN 0 THEN 1577836800 WHEN 1 THEN 1111
+               ELSE 1704157445 END)::BIGINT AS ts,
+       n_chars
+FROM ft ORDER BY fname
+"""
     o["ingest_warc"] = """
 SELECT 'http://crawl.test/' || lpad(doc_id::VARCHAR, 6, '0') AS url,
        strftime(TIMESTAMP '2026-01-01 00:00:00'

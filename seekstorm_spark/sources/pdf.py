@@ -46,6 +46,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -540,3 +541,49 @@ def read_pdf(spark: SparkSession, path: str) -> DataFrame:
         .select("path", "content")
     )
     return raw.mapInPandas(parse, PDF_SCHEMA)
+
+
+PDF_DOC_SCHEMA = StructType(
+    [
+        StructField("pdf_file", StringType()),
+        StructField("title", StringType()),
+        StructField("date", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def read_pdf_docs(
+    spark: SparkSession, path: str, default_date: int = 0
+) -> DataFrame:
+    """Read ``*.pdf`` files into the reference's PDF *document* shape
+    (ingest.rs:389-395: one row per FILE with title/body/url/date —
+    body = per-page text joined with ``" \\n"``, title/date from the
+    /Info dictionary with the first-line / filename / fallback-date
+    chain). ``default_date`` plays the file-ctime fallback role
+    (deterministic, unlike mtime). Files with no extractable text are
+    dropped (reference: "can't extract text from PDF"). Same scale
+    shape as :func:`read_pdf`: one task per file, Arrow-batched."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = list(PDF_DOC_SCHEMA.fieldNames())
+        for pdf in batches:
+            rows = []
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                doc = pdf_document(
+                    bytes(content), fname, file_date=default_date
+                )
+                if doc is not None:
+                    rows.append(
+                        (fname, doc["title"], doc["date"], doc["body"])
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            out["date"] = out["date"].astype("int64")
+            yield out
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+    )
+    return raw.mapInPandas(parse, PDF_DOC_SCHEMA)

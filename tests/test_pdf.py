@@ -112,3 +112,32 @@ def test_read_pdf_spark(spark, tmp_path):
         ("a.pdf", 2, "a two"),
         ("b.pdf", 1, "b only\nline2"),
     ]
+
+
+def test_read_pdf_docs_document_shape(spark, tmp_path):
+    """read_pdf_docs produces the reference's 4-field PDF document
+    (ingest.rs:389-395): body = pages joined with ' \\n', /Info title
+    + CreationDate when present, first-line/default fallbacks when
+    not; undecodable files are dropped."""
+    from seekstorm_spark.sources.pdf import build_pdf, read_pdf_docs
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(
+        build_pdf(["alpha one.", "beta two."], title="The A Title",
+                  creation_date="D:20230501120000Z")
+    )
+    (d / "b.pdf").write_bytes(build_pdf(["First Line Here\nrest", "more"]))
+    (d / "c.pdf").write_bytes(b"%PDF-1.4 truncated junk")
+    rows = {
+        r["pdf_file"].rsplit("/", 1)[-1]: r
+        for r in read_pdf_docs(spark, str(d), default_date=777).collect()
+    }
+    assert set(rows) == {"a.pdf", "b.pdf"}  # c dropped
+    a = rows["a.pdf"]
+    assert a["title"] == "The A Title"
+    assert a["date"] == 1682942400
+    assert a["text"] == "alpha one. \nbeta two. \n"
+    b = rows["b.pdf"]
+    assert b["title"] == "First Line Here"
+    assert b["date"] == 777
