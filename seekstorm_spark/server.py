@@ -1021,6 +1021,9 @@ _ROUTES = [
     ("POST", re.compile(r"^/indices/([^/]+)/iterator$"), "iterator"),
     ("GET", re.compile(r"^/indices/([^/]+)/synonyms$"), "get_synonyms"),
     ("POST", re.compile(r"^/indices/([^/]+)/synonyms$"), "set_synonyms"),
+    # reference PUT /index/{id}/synonyms = add/merge
+    # (http_server.rs:793 → add_synonyms_api); POST = set/replace
+    ("PUT", re.compile(r"^/indices/([^/]+)/synonyms$"), "add_synonyms"),
     ("POST", re.compile(r"^/indices/([^/]+)/delete$"), "delete"),
     ("POST", re.compile(r"^/indices$"), "create_index"),
     ("DELETE", re.compile(r"^/indices/([^/]+)$"), "drop_index"),
@@ -1082,7 +1085,8 @@ class _Handler(BaseHTTPRequestHandler):
             "info", "query", "query_get", "count", "query_batch",
             "term_df", "suggest", "spell", "doc", "add_docs",
             "update_docs", "commit", "delete", "drop_index", "clear",
-            "get_synonyms", "set_synonyms", "iterator", "iterator_get",
+            "get_synonyms", "set_synonyms", "add_synonyms",
+            "iterator", "iterator_get",
             "close_index", "index_file", "get_file",
         }
     )
@@ -1224,6 +1228,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, svc.get_synonyms(match.group(1)))
         elif op == "set_synonyms":
             self._send(200, svc.set_synonyms(match.group(1), self._body()))
+        elif op == "add_synonyms":
+            body = dict(self._body())
+            body["mode"] = "add"
+            self._send(200, svc.set_synonyms(match.group(1), body))
         elif op == "delete":
             self._send(200, svc.delete(match.group(1), self._body()))
         elif op == "create_index":

@@ -121,5 +121,20 @@ def test_synonyms_over_http(spark, tmp_path):
             "POST", "/indices/main/synonyms",
             {"synonyms": [{"terms": ["c1", "d1"]}], "mode": "add"},
         )["groups"] == 2
+        # reference PUT = add/merge (http_server.rs:793)
+        assert _req(
+            "PUT", "/indices/main/synonyms",
+            {"synonyms": [{"terms": ["e1", "f1"]}]},
+        ) == {"index": "main", "mode": "add", "groups": 3}
+        got = _req("GET", "/indices/main/synonyms")["synonyms"]
+        assert [g["terms"] for g in got] == [
+            ["a1", "b1"], ["c1", "d1"], ["e1", "f1"]
+        ]
+        # POST (no mode) = set/replace, wiping the merged list
+        assert _req(
+            "POST", "/indices/main/synonyms",
+            {"synonyms": [{"terms": ["z1", "z2"]}]},
+        )["groups"] == 1
+        assert len(_req("GET", "/indices/main/synonyms")["synonyms"]) == 1
     finally:
         srv.shutdown()
