@@ -16,4 +16,5 @@ which Catalyst cannot express.
 
 __version__ = "0.1.0"
 
+from seekstorm_spark.client import SeekClient, SeekClientError  # noqa: F401
 from seekstorm_spark.session import get_spark  # noqa: F401

@@ -1040,6 +1040,15 @@ def encode_facet_blocks(
                     .values.astype(dtype)
                 )
                 arr[local] = codes
+                # v5 zone bounds for STRING facets: min/max CODE over
+                # non-missing docs. Dictionary byte order == value
+                # order (frozen-dictionary invariant), so code order
+                # IS value order and top-k-by-string sorts can skip
+                # blocks exactly like numeric keys.
+                nm = codes[codes != missing]
+                if nm.size:
+                    vmin = float(nm.min())
+                    vmax = float(nm.max())
                 buf = arr.tobytes()
             out_facet.append(fc)
             out_vals.append(buf)

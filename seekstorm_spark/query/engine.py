@@ -750,16 +750,20 @@ def search(
     n_docs, avgdl = _effective_stats(store, staged)
     need_k = top_k + offset
     emit_all = bool(result_sort)
-    # numeric primary sort key → v5 zone bounds drive a block-level
-    # skip (top-k by key keeps a key-threshold in place of the score
-    # threshold the emit-all path gives up)
+    # numeric OR string primary sort key → v5 zone bounds drive a
+    # block-level skip (top-k by key keeps a key-threshold in place of
+    # the score threshold the emit-all path gives up). String keys
+    # skip on dictionary CODES — byte order == value order by the
+    # frozen-dictionary invariant, so the code threshold is the value
+    # threshold; missing codes (dtype max) never enter the heap, which
+    # is exactly the nulls-last contract the final sort applies.
     sort_prune = None
     if (
         emit_all
         and prune
         and not staged  # a staged slice may lack zone bounds
         and result_sort[0][0] in kinds
-        and kinds[result_sort[0][0]] == "numeric"
+        and kinds[result_sort[0][0]] in ("numeric", "string")
     ):
         sort_prune = (result_sort[0][0], result_sort[0][1], need_k)
     rows = _annotated_postings(
@@ -884,7 +888,15 @@ def search(
                     else col.asc_nulls_last()
                 )
             else:
-                order.append(col.desc() if direction == "desc" else col.asc())
+                # string keys: the same nulls-last contract as numeric
+                # (required for the code-zone block skip to be
+                # admissible — a missing-key doc never outranks need_k
+                # keyed docs — and it matches DuckDB's default order)
+                order.append(
+                    col.desc_nulls_last()
+                    if direction == "desc"
+                    else col.asc_nulls_last()
+                )
         order.append(F.col("docid").asc())
         out = candidates.select(*out_cols).orderBy(*order)
     else:
@@ -3436,7 +3448,15 @@ def _make_kernel(
             if sort_prune is not None:
                 kv = fbuf_at(f"fb_{sort_prune[0]}", cand)
                 if kv is not None:
-                    vals = kv[~np.isnan(kv)].astype(np.float64)
+                    if kv.dtype.kind in "ui":
+                        # string dictionary codes: drop the missing
+                        # sentinel (dtype max) — nulls-last semantics
+                        skind, snv = facet_buf_kinds[f"fb_{sort_prune[0]}"]
+                        vals = kv[
+                            kv != facet_missing_code(snv)
+                        ].astype(np.float64)
+                    else:
+                        vals = kv[~np.isnan(kv)].astype(np.float64)
                     if vals.size:
                         merged = np.concatenate([key_heap, vals])
                         merged.sort()

@@ -132,3 +132,97 @@ def test_wand_facet_sort_shape_unchanged(spark, priced_store):
         result_sort=[("price", "asc"), ("score", "desc")],
     ).collect()
     assert [r["price"] for r in out] == sorted(r["price"] for r in out)
+
+
+@pytest.fixture(scope="module")
+def labeled_store(spark, tmp_path_factory):
+    """String facet whose dictionary codes are block-disjoint:
+    category = f"cat{docid // 64:02d}" (one value per 64-docid block)
+    except every 16th doc, which has NO category (nulls-last + skip
+    admissibility). Code order == value order by construction."""
+    docs = assign_docids(synth_webtext(spark, 512, seed=43), order_col="url")
+    docs = docs.withColumn(
+        "category",
+        F.when(
+            F.col("docid") % 16 != 0,
+            F.format_string("cat%02d", (F.col("docid") / 64).cast("int")),
+        ),
+    )
+    path = str(tmp_path_factory.mktemp("labeled") / "idx")
+    store = IndexBuilder(
+        spark, path, n_buckets=4, block_size=64, facet_cols=["category"]
+    ).build(docs, text_col="text", id_col="docid")
+    return store
+
+
+def test_string_blocks_carry_code_bounds(spark, labeled_store):
+    rows = labeled_store.facet_blocks(spark).toPandas()
+    cat = rows[rows["facet"] == "category"].sort_values("block_id")
+    # one category per block -> vmin == vmax == the block's code
+    assert (cat["vmin"] == cat["vmax"]).all()
+    assert cat["vmin"].tolist() == sorted(cat["vmin"].tolist())
+    assert not cat["vmin"].isna().any()
+
+
+def test_string_kernel_skips_blocks(spark, labeled_store):
+    """Same skip shape as the numeric test, driven by CODE bounds."""
+    store = labeled_store
+    plan = _plan(spark, store, "term00000", "union")
+    boosts, allowed = _resolve_fields(store, None, None)
+    _n, avgdl = _effective_stats(store, None)
+    rows = _annotated_postings(
+        spark, store, plan, boosts, allowed, facet_cols=["category"],
+        avgdl=avgdl, keep_bounds=["category"],
+    ).toPandas()
+    assert {"zb_min_category", "zb_max_category"} <= set(rows.columns)
+    rows = rows.sort_values(["zb_min_category", "block_id"]).reset_index(
+        drop=True
+    )
+    n_values = len(store.meta["facets"]["category"]["values"])
+
+    def run(sort_prune):
+        kernel = _make_kernel(
+            plan, 5, False, avgdl, block_size=64, emit_all=True,
+            emit_facets=["category"], facet_kinds={"category": "string"},
+            facet_sizes={"category": n_values}, sort_prune=sort_prune,
+        )
+        return pd.concat(list(kernel(iter([rows]))))
+
+    full = run(None)
+    pruned = run(("category", "asc", 5))
+    assert set(pruned["docid"]) <= set(full["docid"])
+    blocks_of = lambda df: set((df["docid"] // 64).astype(int))
+    assert len(blocks_of(pruned)) < len(blocks_of(full))
+    assert 0 in blocks_of(pruned)
+    # top-5 by code identical (missing codes excluded from the heap)
+    miss = n_values  # not a real code
+    key = lambda df: df[df["fb_category"] < miss].sort_values(
+        ["fb_category", "docid"]
+    ).head(5)
+    assert key(pruned)[["docid", "fb_category"]].values.tolist() == (
+        key(full)[["docid", "fb_category"]].values.tolist()
+    )
+
+
+def test_string_sorted_search_identical_to_unpruned(spark, labeled_store):
+    """search(result_sort=[string]) with the code-zone skip ≡
+    prune=False, asc and desc; missing-category docs sort LAST both
+    directions (nulls-last contract)."""
+    store = labeled_store
+    for direction in ("asc", "desc"):
+        got = search(
+            spark, store, "term00000", top_k=25, default_type="union",
+            result_sort=[("category", direction)],
+        ).collect()
+        want = search(
+            spark, store, "term00000", top_k=25, default_type="union",
+            result_sort=[("category", direction)], prune=False,
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        assert len(got) == 25
+        vals = [r["category"] for r in got]
+        non_null = [v for v in vals if v is not None]
+        assert non_null == sorted(non_null, reverse=(direction == "desc"))
+        # no None may appear before a non-None (nulls last)
+        if None in vals:
+            assert vals.index(None) >= len(non_null)
