@@ -211,26 +211,21 @@ def _minhash_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(list(sigs))
 
 
-def minhash_lsh_pairs(
+def minhash_band_rows(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     bands: int = 32,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash-LSH.
-
-    bands × rows_per_band must equal the signature length (128).
-    Docs sharing any band bucket become candidates (probability ≈
-    1-(1-j^r)^b). Shuffle key = (band, bucket-hash): bounded skew.
-    """
+    """(docid, band, bucket) rows — one per (doc, band). The bucket
+    key is the md5 of the band's comma-joined signature values —
+    engine-agnostic (the DuckDB oracle computes the identical key)."""
     assert bands * rows_per_band == 128
     sigs = df.select(
         F.col(id_col).alias("docid"), _minhash_udf(F.col(text_col)).alias("sig")
     )
-    # bucket key = md5 of the band's comma-joined signature values —
-    # engine-agnostic (the DuckDB oracle computes the identical key)
-    banded = sigs.select(
+    return sigs.select(
         "docid",
         F.posexplode(
             F.transform(
@@ -249,12 +244,82 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 32,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    bands × rows_per_band must equal the signature length (128).
+    Docs sharing any band bucket become candidates (probability ≈
+    1-(1-j^r)^b). Shuffle key = (band, bucket-hash): bounded skew.
+    """
+    banded = minhash_band_rows(df, id_col, text_col, bands, rows_per_band)
     a = banded.select(F.col("docid").alias("docid_a"), "band", "bucket")
     b = banded.select(F.col("docid").alias("docid_b"), "band", "bucket")
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("docid_a") < F.col("docid_b"))
         .select("docid_a", "docid_b")
+        .distinct()
+    )
+
+
+def write_minhash_store(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 32,
+    rows_per_band: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's banded bucket rows — the artifact an
+    incremental crawl dedupes NEW batches against without ever
+    re-shingling the corpus (the log-structured-appends philosophy
+    applied to dedup: corpus-side cost is paid once, per-batch cost
+    is O(batch)). Partitioned by band so a probe's shuffle key stays
+    (band, bucket); ``mode="append"`` folds a batch's rows in after
+    it is accepted."""
+    rows = minhash_band_rows(df, id_col, text_col, bands, rows_per_band)
+    # repartition by the partition column first — avoids the
+    # many-dirs-per-task file-create tail (CLAUDE.md sharp edge)
+    rows.repartition("band").write.partitionBy("band").mode(mode).parquet(
+        path
+    )
+
+
+def probe_minhash_store(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 32,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against the stored corpus:
+    DataFrame(batch_docid, corpus_docid), distinct. Only the batch is
+    shingled/hashed; the corpus side is a plain scan of the store's
+    band rows, joined on (band, bucket)."""
+    corpus = spark.read.parquet(path)
+    probe = minhash_band_rows(batch, id_col, text_col, bands, rows_per_band)
+    return (
+        probe.select(
+            F.col("docid").alias("batch_docid"), "band", "bucket"
+        )
+        .join(
+            corpus.select(
+                F.col("docid").alias("corpus_docid"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select("batch_docid", "corpus_docid")
         .distinct()
     )
 

@@ -789,3 +789,56 @@ def test_bpe_token_count_parity(spark):
             [text, BPE_TOKEN_PATTERN],
         ).fetchone()[0]
         assert duck == got[rid], (rid, duck, got[rid])
+
+
+def test_incremental_minhash_store(spark, docs, tmp_path):
+    """write_minhash_store + probe_minhash_store: probing a batch
+    against the persisted corpus bands finds exactly the cross-pairs
+    minhash_lsh_pairs finds on the union — without re-shingling the
+    corpus; append folds an accepted batch in for the next probe."""
+    from seekstorm_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        probe_minhash_store,
+        write_minhash_store,
+    )
+
+    corpus = docs.filter(F.col("doc_id") < 3)  # 0,1 dups; 2 near-dup
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (10, "alpha beta gamma delta epsilon"),  # dup of 0/1
+                (11, "totally novel content right here"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    path = str(tmp_path / "mh")
+    write_minhash_store(corpus, path)
+    got = {
+        (r["batch_docid"], r["corpus_docid"])
+        for r in probe_minhash_store(spark, path, batch).collect()
+    }
+    want = {
+        (a, b)
+        for r in minhash_lsh_pairs(corpus.unionByName(batch)).collect()
+        for a, b in [(r["docid_a"], r["docid_b"])]
+        if a < 10 <= b or b < 10 <= a
+        for a, b in [(max(a, b), min(a, b))]
+    }
+    assert got == want
+    assert (10, 0) in got and (10, 1) in got
+    assert not any(b == 11 for b, _c in got)
+
+    # append the accepted batch; a later copy of doc 11 now collides
+    write_minhash_store(batch, path, mode="append")
+    batch2 = spark.createDataFrame(
+        pd.DataFrame(
+            [(20, "totally novel content right here")],
+            columns=["doc_id", "text"],
+        )
+    )
+    got2 = {
+        (r["batch_docid"], r["corpus_docid"])
+        for r in probe_minhash_store(spark, path, batch2).collect()
+    }
+    assert (20, 11) in got2
