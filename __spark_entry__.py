@@ -2306,6 +2306,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_incremental_minhash"] = dedup_incremental
+
+    # robots.txt crawl filtering (RFC 9309, functions/robots.py): the
+    # Spark side parses real robots documents and evaluates the
+    # longest-match/allow-wins precedence through the broadcast-join
+    # UDF; the oracle replays the same precedence over the rule
+    # prefixes in SQL. Host h4 has no robots row (⇒ allowed).
+    def crawl_robots_filter(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.functions.robots import filter_by_robots
+
+        i5 = (F.col("doc_id") % 5).cast("int").cast("string")
+        did = F.col("doc_id").cast("string")
+        host = F.concat(F.lit("h"), i5)
+        path = (
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("/d"), i5, F.lit("/okpage"), did),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(F.lit("/d"), i5, F.lit("/x"), did),
+            )
+            .otherwise(F.concat(F.lit("/free/"), did))
+        )
+        pages = (
+            _docs(s, d)
+            .filter(F.col("doc_id") < 200)
+            .select(
+                "doc_id",
+                host.alias("host"),
+                F.concat(
+                    F.lit("http://"), host, F.lit(".test"), path
+                ).alias("url"),
+            )
+        )
+        robots = s.createDataFrame(
+            [
+                (
+                    f"h{i}",
+                    f"User-agent: *\nDisallow: /d{i}/\nAllow: /d{i}/ok\n",
+                )
+                for i in range(4)
+            ],
+            "host string, robots_txt string",
+        )
+        return (
+            filter_by_robots(pages, robots, keep_flag=True)
+            .select("doc_id", "allowed")
+            .orderBy("doc_id")
+        )
+
+    q["crawl_robots_filter"] = crawl_robots_filter
     q["dedup_minhash_candidates"] = lambda s, d: minhash_lsh_pairs(
         _docs(s, d).filter(F.col("doc_id") < 60)
     ).orderBy("docid_a", "docid_b")
@@ -2942,6 +2993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize",
         "ingest_pdf_meta",
         "dedup_incremental_minhash",
+        "crawl_robots_filter",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3831,6 +3883,32 @@ SELECT DISTINCT b.doc_id AS batch_docid, c.doc_id AS corpus_docid
 FROM bands b JOIN bands c ON b.band = c.band AND b.bucket = c.bucket
 WHERE b.src = 1 AND c.src = 0
 ORDER BY batch_docid, corpus_docid
+"""
+
+    _robots_rules = ", ".join(
+        f"('h{i}', '/d{i}/', false), ('h{i}', '/d{i}/ok', true)"
+        for i in range(4)
+    )
+    o["crawl_robots_filter"] = f"""
+WITH pages AS (
+  SELECT doc_id,
+    'h' || (doc_id % 5)::VARCHAR AS host,
+    CASE WHEN doc_id % 3 = 0
+           THEN '/d' || (doc_id % 5)::VARCHAR || '/okpage'
+                || doc_id::VARCHAR
+         WHEN doc_id % 3 = 1
+           THEN '/d' || (doc_id % 5)::VARCHAR || '/x' || doc_id::VARCHAR
+         ELSE '/free/' || doc_id::VARCHAR END AS path
+  FROM documents WHERE doc_id < 200),
+rules(host, prefix, allow) AS (VALUES {_robots_rules}),
+m AS (SELECT p.doc_id, r.allow,
+             row_number() OVER (PARTITION BY p.doc_id
+               ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+      FROM pages p JOIN rules r
+        ON p.host = r.host AND starts_with(p.path, r.prefix))
+SELECT p.doc_id, coalesce(m.allow, true) AS allowed
+FROM pages p LEFT JOIN m ON m.doc_id = p.doc_id AND m.rn = 1
+ORDER BY p.doc_id
 """
 
     o["ann_cosine_topk"] = """
