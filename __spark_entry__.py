@@ -2357,6 +2357,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["crawl_robots_filter"] = crawl_robots_filter
+
+    # sitemap acquisition (sources/sitemap.py, sitemaps.org protocol):
+    # urlset + gzipped urlset + sitemapindex fixtures round-trip
+    # through binaryFile + the Arrow-batched parser; lastmod dates and
+    # the None-lastmod rows are derived from doc_id on both sides.
+    def ingest_sitemap(s: SparkSession, d: str) -> DataFrame:
+        import os
+        from datetime import date, timedelta
+
+        from seekstorm_spark.sources.sitemap import (
+            build_sitemap,
+            read_sitemaps,
+        )
+
+        name = os.path.basename(d.rstrip("/")) or "sf"
+        path = f"/tmp/seekstorm_sitemap_{name}"
+        if not os.path.exists(os.path.join(path, "smindex.xml")):
+            os.makedirs(path, exist_ok=True)
+            ids = sorted(
+                r["doc_id"]
+                for r in _docs(s, d)
+                .filter(F.col("doc_id") < 120)
+                .select("doc_id")
+                .collect()
+            )
+
+            def lastmod(i: int) -> str | None:
+                if i >= 60 and i % 4 == 0:
+                    return None
+                return (date(2024, 1, 1) + timedelta(days=int(i))).strftime(
+                    "%Y-%m-%d"
+                )
+
+            files = [
+                ("sm0.xml", [
+                    (f"http://site.test/page{i}", lastmod(i))
+                    for i in ids if i < 60
+                ], False),
+                ("sm1.xml.gz", [
+                    (f"http://site.test/page{i}", lastmod(i))
+                    for i in ids if i >= 60
+                ], True),
+            ]
+            for fname, entries, gz in files:
+                tmp = os.path.join(path, f".{fname}.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(build_sitemap(entries, compress=gz))
+                os.replace(tmp, os.path.join(path, fname))
+            idx = build_sitemap(
+                [
+                    ("http://site.test/sm0.xml", "2024-06-01"),
+                    ("http://site.test/sm1.xml.gz", "2024-06-01"),
+                ],
+                index=True,
+            )
+            tmp = os.path.join(path, ".smindex.xml.tmp")
+            with open(tmp, "wb") as f:
+                f.write(idx)
+            os.replace(tmp, os.path.join(path, "smindex.xml"))
+        return (
+            read_sitemaps(s, path)
+            .select("kind", "loc", "lastmod")
+            .orderBy("kind", "loc")
+        )
+
+    q["ingest_sitemap"] = ingest_sitemap
     q["dedup_minhash_candidates"] = lambda s, d: minhash_lsh_pairs(
         _docs(s, d).filter(F.col("doc_id") < 60)
     ).orderBy("docid_a", "docid_b")
@@ -2994,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_pdf_meta",
         "dedup_incremental_minhash",
         "crawl_robots_filter",
+        "ingest_sitemap",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3909,6 +3976,22 @@ m AS (SELECT p.doc_id, r.allow,
 SELECT p.doc_id, coalesce(m.allow, true) AS allowed
 FROM pages p LEFT JOIN m ON m.doc_id = p.doc_id AND m.rn = 1
 ORDER BY p.doc_id
+"""
+
+    o["ingest_sitemap"] = """
+WITH u AS (
+  SELECT 'url' AS kind,
+         'http://site.test/page' || doc_id::VARCHAR AS loc,
+         CASE WHEN doc_id >= 60 AND doc_id % 4 = 0 THEN NULL
+              ELSE strftime(DATE '2024-01-01'
+                            + INTERVAL (doc_id) DAY, '%Y-%m-%d')
+         END AS lastmod
+  FROM documents WHERE doc_id < 120
+  UNION ALL
+  SELECT 'sitemap', 'http://site.test/sm0.xml', '2024-06-01'
+  UNION ALL
+  SELECT 'sitemap', 'http://site.test/sm1.xml.gz', '2024-06-01')
+SELECT kind, loc, lastmod FROM u ORDER BY kind, loc
 """
 
     o["ann_cosine_topk"] = """
