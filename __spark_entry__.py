@@ -909,6 +909,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_facet_count"] = wand_facet_count
 
+    # QueryFacet prefix + length options (search.rs:335-369): filter
+    # returned facet values by prefix / cap to the top-N by (count
+    # desc, value asc) — counts per value unchanged
+    def wand_facet_prefix(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import facet_counts
+
+        return facet_counts(
+            s, _wand_store(s, d), "fast", ["lang"],
+            prefix={"lang": "e"},
+        ).select(
+            "value", F.col("n").cast("long").alias("n")
+        ).orderBy("value")
+
+    q["wand_facet_prefix"] = wand_facet_prefix
+
+    def wand_facet_topn(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import facet_counts
+
+        return facet_counts(
+            s, _wand_store(s, d), "fast", ["lang"], length=3
+        ).select(
+            "value", F.col("n").cast("long").alias("n")
+        ).orderBy(F.col("n").desc(), F.col("value").asc())
+
+    q["wand_facet_topn"] = wand_facet_topn
+
     # numeric RANGE facet counting inside the scan, with cumulative
     # mode (reference RangeType + CountWithinRange, search.rs:3598-3764)
     def wand_facet_range(s: SparkSession, d: str) -> DataFrame:
@@ -989,6 +1015,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["wand_geo_radius"] = wand_geo_radius
+
+    # geo distance-bucket facet counting (reference QueryFacet::Point /
+    # Ranges::Point, search.rs:330-420): per-bucket tallies of ALL
+    # matches from a base point, computed inside the pruned scan with
+    # the same haversine as the geo filter; cumulative =
+    # CountWithinRange running sums
+    def wand_geo_range_facet(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import geo_range_counts
+
+        return (
+            geo_range_counts(
+                s, _wandgeo_store(s, d), "fast", (48.8566, 2.3522),
+                [0.0, 3000.0, 8000.0, 15000.0], lat="lat", lon="lon",
+                cumulative=True,
+            )
+            .select(
+                "bucket_lo",
+                F.col("n").cast("long").alias("n"),
+                F.col("n_cumulative").cast("long").alias("n_cum"),
+            )
+            .orderBy("bucket_lo")
+        )
+
+    q["wand_geo_range_facet"] = wand_geo_range_facet
 
     # distance result-sort (reference Point facet ResultSort,
     # min_heap.rs Point comparator): nearest matches first, distance
@@ -3061,6 +3111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_minhash",
         "crawl_robots_filter",
         "ingest_sitemap",
+        "wand_geo_range_facet",
+        "wand_facet_prefix",
+        "wand_facet_topn",
     ]
     ordered = {k: q[k] for k in priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3194,6 +3247,48 @@ GROUP BY tag
     o["wand_geo_radius"] = _wand_bm25_sql(
         ["fast"], "union", extra_where=geo_where,
     )
+    # geo distance-bucket facet: the kernel's haversine mirrored in
+    # DuckDB trig over the match set, bucketed by the same lower
+    # bounds, with CountWithinRange cumulative sums
+    o["wand_geo_range_facet"] = f"""
+WITH m AS (
+  SELECT doc_id,
+         2.0 * 6371.0 * asin(sqrt(
+           pow(sin(radians(48.8566 - ((doc_id * 37 % 18000) / 100.0 - 90.0)) / 2), 2)
+           + cos(radians((doc_id * 37 % 18000) / 100.0 - 90.0))
+             * cos(radians(48.8566))
+             * pow(sin(radians(2.3522 - ((doc_id * 73 % 36000) / 100.0 - 180.0)) / 2), 2)
+         )) AS dist_km
+  FROM documents
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM {_TOKS}
+                   WHERE term = 'fast')),
+b AS (SELECT CASE WHEN dist_km >= 15000 THEN 15000.0
+                  WHEN dist_km >= 8000 THEN 8000.0
+                  WHEN dist_km >= 3000 THEN 3000.0
+                  ELSE 0.0 END AS bucket_lo,
+             count(*)::BIGINT AS n
+      FROM m GROUP BY 1)
+SELECT bucket_lo, n,
+       (sum(n) OVER (ORDER BY bucket_lo))::BIGINT AS n_cum
+FROM b ORDER BY bucket_lo
+"""
+    o["wand_facet_prefix"] = f"""
+SELECT lang AS value, count(*)::BIGINT AS n
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM {_TOKS} WHERE term = 'fast')
+  AND lang LIKE 'e%'
+GROUP BY lang ORDER BY value
+"""
+    o["wand_facet_topn"] = f"""
+SELECT lang AS value, n FROM (
+  SELECT lang, count(*)::BIGINT AS n,
+         row_number() OVER (ORDER BY count(*) DESC, lang ASC) AS rk
+  FROM documents
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM {_TOKS}
+                   WHERE term = 'fast')
+  GROUP BY lang)
+WHERE rk <= 3 ORDER BY n DESC, value ASC
+"""
     o["wand_multi_geo"] = "\nUNION ALL\n".join(
         f"SELECT {i} AS query_id, * FROM (" + sql + ")"
         for i, sql in enumerate(

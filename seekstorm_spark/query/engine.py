@@ -2426,15 +2426,46 @@ def facet_counts(
     facets: list[str],
     default_type: str = "union",
     staged: list | None = None,
+    prefix: dict[str, str] | None = None,
+    length: int | dict[str, int] | None = None,
 ) -> DataFrame:
     """String-facet value counts over ALL matching docs, computed
     INSIDE the pruned postings scan (the reference counts facets
     during result collection, add_result.rs:487-646) →
-    DataFrame(facet, value, n)."""
-    return _facet_count_run(
+    DataFrame(facet, value, n).
+
+    ``prefix`` / ``length`` mirror the reference QueryFacet options
+    (search.rs:335-369: "Prefix filter of facet values to return" +
+    "maximum number of facet values to return" — a type-ahead aid
+    when a facet has too many distinct values): ``prefix`` maps a
+    facet to the value prefix it must keep; ``length`` caps each
+    facet's returned values to its top-N by (count desc, value asc).
+    Both filter what RETURNS — counts per value are unchanged."""
+    out = _facet_count_run(
         spark, store, query, default_type, staged,
         string_facets=facets, range_facets=None,
     )
+    for fc, p in (prefix or {}).items():
+        out = out.filter(
+            (F.col("facet") != fc) | F.col("value").startswith(p)
+        )
+    if length is not None:
+        caps = (
+            {fc: int(length) for fc in facets}
+            if isinstance(length, int)
+            else {fc: int(n) for fc, n in length.items()}
+        )
+        w = Window.partitionBy("facet").orderBy(
+            F.col("n").desc(), F.col("value").asc()
+        )
+        ranked = out.withColumn("_rk", F.row_number().over(w))
+        cap_expr = None
+        for fc, n in caps.items():
+            c = (F.col("facet") == fc) & (F.col("_rk") <= n)
+            cap_expr = c if cap_expr is None else (cap_expr | c)
+        cap_expr = cap_expr | ~F.col("facet").isin(list(caps))
+        out = ranked.filter(cap_expr).drop("_rk")
+    return out
 
 
 def facet_range_counts(
@@ -2468,6 +2499,75 @@ def facet_range_counts(
     return out
 
 
+def geo_range_counts(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    base: tuple[float, float],
+    ranges: list[float],
+    facet: str | None = None,
+    lat: str | None = None,
+    lon: str | None = None,
+    unit: str = "km",
+    default_type: str = "union",
+    staged: list | None = None,
+    cumulative: bool = False,
+) -> DataFrame:
+    """Distance-bucket facet counts from ``base`` over ALL matching
+    docs (reference QueryFacet::Point / Ranges::Point with
+    DistanceUnit, search.rs:330-420 — "distance between base of type
+    Point and facet field of type Point"), computed INSIDE the pruned
+    scan like every other facet tally. ``ranges`` = ascending lower
+    bucket bounds in ``unit`` ("km" | "mi"); docs nearer than the
+    first bound are uncounted, the last bucket is open-ended;
+    ``cumulative`` adds the CountWithinRange running sum. The facet is
+    a Point/packed-Morton column (``facet=``) or a split lat/lon pair
+    (``lat=``/``lon=``); distances use the identical haversine the
+    geo filter and geo_dist sort use, so the three agree to the bit.
+    → DataFrame(facet, bucket_lo, n[, n_cumulative]); bucket_lo in
+    ``unit``."""
+    from seekstorm_spark.functions.geo import KM_PER_MILE
+
+    if unit not in ("km", "mi"):
+        raise ValueError(f"unit must be 'km' or 'mi', got {unit!r}")
+    specs: dict = store.meta.get("facets") or {}
+    out_bounds = [float(b) for b in sorted(ranges)]
+    scale = KM_PER_MILE if unit == "mi" else 1.0
+    bounds_km = [b * scale for b in out_bounds]
+    if facet is not None:
+        kind = facet_kind(specs[facet]) if facet in specs else None
+        if kind not in ("point", "morton"):
+            raise ValueError(
+                f"{facet!r} is not an indexed Point/Morton facet"
+            )
+        label, mode, cols = facet, kind, [facet]
+    else:
+        if lat is None or lon is None:
+            raise ValueError("give facet= or both lat= and lon=")
+        for c in (lat, lon):
+            if c not in specs or facet_kind(specs[c]) != "numeric":
+                raise ValueError(f"{c!r} is not an indexed numeric facet")
+        label, mode, cols = f"{lat},{lon}", "pair", [lat, lon]
+    out = _facet_count_run(
+        spark, store, query, default_type, staged,
+        string_facets=None, range_facets=None,
+        geo_facets={
+            label: (mode, cols, base[0], base[1], bounds_km, out_bounds)
+        },
+    )
+    if cumulative:
+        w = (
+            Window.partitionBy("facet")
+            .orderBy("bucket_lo")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.select(
+            "facet", "bucket_lo", "n",
+            F.sum("n").over(w).cast("long").alias("n_cumulative"),
+        )
+    return out
+
+
 def _facet_count_run(
     spark: SparkSession,
     store: IndexStore,
@@ -2476,6 +2576,7 @@ def _facet_count_run(
     staged: list | None,
     string_facets: list[str] | None,
     range_facets: dict[str, list[float]] | None,
+    geo_facets: dict | None = None,
 ) -> DataFrame:
     staged = list(staged) if staged else None
     specs: dict = store.meta.get("facets") or {}
@@ -2491,6 +2592,25 @@ def _facet_count_run(
         if fc not in specs or facet_kind(specs[fc]) != "numeric":
             raise ValueError(f"{fc!r} is not an indexed numeric facet")
         count_spec[fc] = ("numeric", np.asarray(sorted(bounds), dtype=np.float64))
+    # geo distance buckets: label -> (mode, cols, lat0, lon0,
+    # bounds_km, out_bounds) — bucketed in km inside the kernel,
+    # decoded to the CALLER's unit bounds
+    kernel_geo: dict = {}
+    geo_out_bounds: dict[str, np.ndarray] = {}
+    geo_join_cols: list[str] = []
+    for label, (mode, cols, lat0, lon0, bounds_km, out_bounds) in (
+        geo_facets or {}
+    ).items():
+        kernel_geo[label] = (
+            np.asarray(bounds_km, dtype=np.float64),
+            mode,
+            f"fb_{cols[0]}",
+            f"fb_{cols[1]}" if len(cols) > 1 else None,
+            float(lat0),
+            float(lon0),
+        )
+        geo_out_bounds[label] = np.asarray(out_bounds, dtype=np.float64)
+        geo_join_cols.extend(c for c in cols if c not in geo_join_cols)
 
     plan = _plan(spark, store, query, default_type, staged)
     if string_facets:
@@ -2504,13 +2624,15 @@ def _facet_count_run(
     _n, avgdl = _effective_stats(store, staged)
     rows = _annotated_postings(
         spark, store, plan, boosts, allowed,
-        facet_cols=sorted(count_spec), staged=staged, avgdl=avgdl,
+        facet_cols=sorted(count_spec) + geo_join_cols,
+        staged=staged, avgdl=avgdl,
     )
     kernel = _make_kernel(
         plan, 0, False, avgdl, count_only=True,
         block_size=int(store.meta.get('block_size', ROARING_BLOCK_SIZE)),
         deletes=_load_delete_set(spark, store),
         count_facets=count_spec,
+        count_geo=kernel_geo or None,
         facet_sizes=fsizes,
     )
     agg = (
@@ -2529,7 +2651,11 @@ def _facet_count_run(
         )
         return decoded.select("facet", "value", "n")
     bounds_arr = None
-    for fc, (_k, bounds) in count_spec.items():
+    decode_bounds = {
+        fc: bounds for fc, (_k, bounds) in count_spec.items()
+    }
+    decode_bounds.update(geo_out_bounds)
+    for fc, bounds in decode_bounds.items():
         arr = F.array(*[F.lit(float(b)) for b in bounds])
         expr = F.element_at(arr, F.col("code").cast("int") + 1)
         bounds_arr = (
@@ -3053,6 +3179,7 @@ def _make_kernel(
     facet_sizes: dict[str, int] | None = None,
     emit_all: bool = False,
     count_facets: dict | None = None,
+    count_geo: dict | None = None,
     geo: dict | None = None,
     emit_dist: bool = False,
     sort_prune: tuple[str, str, int] | None = None,
@@ -3095,6 +3222,11 @@ def _make_kernel(
     kinds = facet_kinds or {}
     emit_cols = [(f"fb_{name}", kinds.get(name, "string")) for name in (emit_facets or [])]
     cfacets = dict(count_facets or {})
+    # geo distance-bucket counting (reference QueryFacet::Point /
+    # Ranges::Point): label -> (bounds_km, mode, col1, col2, lat0,
+    # lon0); tallied like a numeric range facet over the haversine
+    # distance
+    cgeo = dict(count_geo or {})
     geo_cfg = None
     if geo:
         # three storage modes: separate lat/lon f64 facets ("pair"),
@@ -3126,6 +3258,12 @@ def _make_kernel(
         )
     for name, (kind, _b) in cfacets.items():
         facet_buf_kinds[f"fb_{name}"] = (kind, sizes.get(name, 0))
+    for _label, (_b, gmode, c1, c2, _la, _lo) in cgeo.items():
+        facet_buf_kinds[c1] = (
+            "numeric" if gmode == "pair" else gmode, 0
+        )
+        if c2 is not None:
+            facet_buf_kinds[c2] = ("numeric", 0)
     if geo_cfg is not None:
         facet_buf_kinds[geo_cfg[1]] = (
             "numeric" if geo_cfg[0] == "pair" else geo_cfg[0], 0
@@ -3175,6 +3313,12 @@ def _make_kernel(
             )
             for fc, (kind, bounds) in cfacets.items()
         }
+        facet_tallies.update(
+            {
+                label: np.zeros(len(spec[0]) + 1, dtype=np.int64)
+                for label, spec in cgeo.items()
+            }
+        )
         pending: list[pd.DataFrame] = []
         pending_block = None
 
@@ -3329,24 +3473,23 @@ def _make_kernel(
                 if cand.size == 0:
                     return
 
-            # geo radius filter over numeric lat/lon facet arrays
-            # (reference stores Point facets and filters/sorts by
-            # haversine distance, search.rs:2712-2724)
-            dists = None
-            if geo_cfg is not None:
-                mode = geo_cfg[0]
+            def latlon_of(mode, c1, c2, c):
+                """(lat, lon) arrays at local docids ``c`` from one of
+                the three geo storage modes; (None, None) when the
+                block carries no buffer."""
                 if mode == "point":
                     # Point facet: interleaved pair gather
-                    buf = fbufs[geo_cfg[1]]
+                    buf = fbufs[c1]
                     if buf is None:
-                        return
+                        return None, None
                     n_pts = len(buf) // 2
-                    lat = np.full(cand.size, np.nan)
-                    lon = np.full(cand.size, np.nan)
-                    ok = cand < n_pts
-                    lat[ok] = buf[2 * cand[ok]]
-                    lon[ok] = buf[2 * cand[ok] + 1]
-                elif mode == "morton":
+                    la = np.full(c.size, np.nan)
+                    lo = np.full(c.size, np.nan)
+                    ok = c < n_pts
+                    la[ok] = buf[2 * c[ok]]
+                    lo[ok] = buf[2 * c[ok] + 1]
+                    return la, lo
+                if mode == "morton":
                     # packed u64 gather (one 8-byte read per doc),
                     # code 0 = missing; distances run on the DECODED
                     # (i32×10^7-quantized) coordinates
@@ -3354,30 +3497,41 @@ def _make_kernel(
                         morton_decode,
                     )
 
-                    buf = fbufs[geo_cfg[1]]
+                    buf = fbufs[c1]
                     if buf is None:
-                        return
-                    codes = np.zeros(cand.size, dtype=np.uint64)
-                    ok = cand < len(buf)
-                    codes[ok] = buf[cand[ok]]
-                    lat = np.full(cand.size, np.nan)
-                    lon = np.full(cand.size, np.nan)
+                        return None, None
+                    codes = np.zeros(c.size, dtype=np.uint64)
+                    ok = c < len(buf)
+                    codes[ok] = buf[c[ok]]
+                    la = np.full(c.size, np.nan)
+                    lo = np.full(c.size, np.nan)
                     has = codes != 0
                     if has.any():
-                        lat[has], lon[has] = morton_decode(codes[has])
-                else:
-                    lat = fbuf_at(geo_cfg[1], cand)
-                    lon = fbuf_at(geo_cfg[2], cand)
-                    if lat is None or lon is None:
-                        return
-                lat0, lon0, radius = geo_cfg[3], geo_cfg[4], geo_cfg[5]
+                        la[has], lo[has] = morton_decode(codes[has])
+                    return la, lo
+                return fbuf_at(c1, c), fbuf_at(c2, c)
+
+            def hav_km(la, lo, lat0, lon0):
                 a = (
-                    np.sin(np.radians(lat0 - lat) / 2.0) ** 2
-                    + np.cos(np.radians(lat))
+                    np.sin(np.radians(lat0 - la) / 2.0) ** 2
+                    + np.cos(np.radians(la))
                     * math.cos(math.radians(lat0))
-                    * np.sin(np.radians(lon0 - lon) / 2.0) ** 2
+                    * np.sin(np.radians(lon0 - lo) / 2.0) ** 2
                 )
-                d_km = 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(a))
+                return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(a))
+
+            # geo radius filter over numeric lat/lon facet arrays
+            # (reference stores Point facets and filters/sorts by
+            # haversine distance, search.rs:2712-2724)
+            dists = None
+            if geo_cfg is not None:
+                lat, lon = latlon_of(
+                    geo_cfg[0], geo_cfg[1], geo_cfg[2], cand
+                )
+                if lat is None or lon is None:
+                    return
+                lat0, lon0, radius = geo_cfg[3], geo_cfg[4], geo_cfg[5]
+                d_km = hav_km(lat, lon, lat0, lon0)
                 keep = ~np.isnan(d_km) & (d_km <= radius)
                 cand = cand[keep]
                 dists = d_km[keep]
@@ -3422,6 +3576,16 @@ def _make_kernel(
                     facet_tallies[fc] += np.bincount(
                         bins, minlength=len(bounds) + 1
                     )
+            for label, (gb, gmode, c1, c2, glat, glon) in cgeo.items():
+                la, lo = latlon_of(gmode, c1, c2, cand)
+                if la is None or lo is None:
+                    continue
+                gd = hav_km(la, lo, glat, glon)
+                ok = ~np.isnan(gd) & (gd >= gb[0])
+                bins = np.searchsorted(gb, gd[ok], side="right") - 1
+                facet_tallies[label] += np.bincount(
+                    bins, minlength=len(gb) + 1
+                )
             if count_only:
                 return
 
@@ -3500,7 +3664,7 @@ def _make_kernel(
         if pending:
             process_block(pd.concat(pending))
 
-        if cfacets:
+        if cfacets or cgeo:
             out_f, out_c, out_n = [], [], []
             for fc, tally in facet_tallies.items():
                 for code in np.flatnonzero(tally):

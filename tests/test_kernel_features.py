@@ -401,3 +401,89 @@ def test_rewrite_options_reference_knobs(spark, geo_store):
         ).collect()
         == []
     )
+
+
+def test_geo_range_counts_matches_emitted_distances(spark, geo_store):
+    """Distance-bucket counts (reference QueryFacet::Point) tallied
+    inside the kernel ≡ bucketing the distances the geo_dist sort
+    emits — same haversine, same docs."""
+    from seekstorm_spark.query.engine import geo_range_counts, search
+
+    store, _docs = geo_store
+    base = (48.8566, 2.3522)
+    bounds = [0.0, 2000.0, 6000.0, 12000.0]
+    got = {
+        (r["bucket_lo"], r["n"])
+        for r in geo_range_counts(
+            spark, store, "term00000", base, bounds,
+            lat="lat", lon="lon",
+        ).collect()
+    }
+    rows = search(
+        spark, store, "term00000", top_k=100000, default_type="union",
+        geo_filter={"lat": "lat", "lon": "lon", "at": base,
+                    "radius_km": 1e9},
+        result_sort=[("geo_dist", "asc")],
+    ).collect()
+    import numpy as np
+
+    d = np.array([r["geo_dist"] for r in rows])
+    b = np.asarray(bounds)
+    bins = np.searchsorted(b, d[d >= b[0]], side="right") - 1
+    want = {
+        (bounds[i], int(c))
+        for i, c in enumerate(np.bincount(bins, minlength=len(bounds)))
+        if c
+    }
+    assert got == want
+    assert sum(n for _b, n in got) == len(rows)
+
+    # cumulative mode = CountWithinRange running sums
+    cum = {
+        r["bucket_lo"]: r["n_cumulative"]
+        for r in geo_range_counts(
+            spark, store, "term00000", base, bounds,
+            lat="lat", lon="lon", cumulative=True,
+        ).collect()
+    }
+    assert cum[bounds[-1]] == len(rows)
+
+    # miles: bucket bounds rescale, totals are unit-invariant
+    mi = {
+        r["bucket_lo"]: r["n"]
+        for r in geo_range_counts(
+            spark, store, "term00000", base,
+            [0.0, 2000.0 / 1.609344], lat="lat", lon="lon", unit="mi",
+        ).collect()
+    }
+    assert sum(mi.values()) == len(rows)
+    # the mile bound converts to exactly 2000 km, so the first-bucket
+    # count (possibly zero/absent) matches the km run's
+    assert mi.get(0.0, 0) == dict(got).get(0.0, 0)
+
+
+def test_facet_counts_prefix_and_length(spark, geo_store):
+    """QueryFacet prefix/length options (search.rs:335-369): filter
+    returned values by prefix, cap to top-N by count — counts per
+    value unchanged vs the unfiltered call."""
+    from seekstorm_spark.query.engine import facet_counts
+
+    store, _docs = geo_store
+    full = {
+        r["value"]: r["n"]
+        for r in facet_counts(spark, store, "term00000", ["lang"]).collect()
+    }
+    assert set(full) == {"de", "en", "fr"}
+    pre = {
+        r["value"]: r["n"]
+        for r in facet_counts(
+            spark, store, "term00000", ["lang"], prefix={"lang": "e"}
+        ).collect()
+    }
+    assert pre == {"en": full["en"]}
+    top2 = facet_counts(
+        spark, store, "term00000", ["lang"], length=2
+    ).collect()
+    assert len(top2) == 2
+    want_top2 = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert {(r["value"], r["n"]) for r in top2} == set(want_top2)
