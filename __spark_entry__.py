@@ -1040,6 +1040,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_geo_range_facet"] = wand_geo_range_facet
 
+    # batched geo distance-bucket facets: N queries' tallies in ONE
+    # action (per-query bases and bucket sets), fused like every other
+    # batched count — per-query ≡ geo_range_counts (pytest)
+    def wand_multi_geo_range(s: SparkSession, d: str) -> DataFrame:
+        from seekstorm_spark.query.engine import geo_range_counts_many
+
+        reqs = [
+            ("fast", {"base": (48.8566, 2.3522),
+                      "ranges": [0.0, 3000.0, 8000.0, 15000.0],
+                      "lat": "lat", "lon": "lon"}),
+            ("fast table", {"base": (-20.0, 130.0),
+                            "ranges": [0.0, 6000.0],
+                            "lat": "lat", "lon": "lon"}),
+        ]
+        return (
+            geo_range_counts_many(s, _wandgeo_store(s, d), reqs)
+            .select(
+                "query_id", "bucket_lo",
+                F.col("n").cast("long").alias("n"),
+            )
+            .orderBy("query_id", "bucket_lo")
+        )
+
+    q["wand_multi_geo_range"] = wand_multi_geo_range
+
     # distance result-sort (reference Point facet ResultSort,
     # min_heap.rs Point comparator): nearest matches first, distance
     # values emitted by the kernel and checked against DuckDB trig
@@ -3112,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_filter",
         "ingest_sitemap",
         "wand_geo_range_facet",
+        "wand_multi_geo_range",
         "wand_facet_prefix",
         "wand_facet_topn",
     ]
@@ -3272,6 +3298,45 @@ SELECT bucket_lo, n,
        (sum(n) OVER (ORDER BY bucket_lo))::BIGINT AS n_cum
 FROM b ORDER BY bucket_lo
 """
+    def _geo_bucket_block(qid, term_pred, lat0, lon0, bounds):
+        cases = " ".join(
+            f"WHEN dist_km >= {b} THEN {float(b)}"
+            for b in sorted(bounds, reverse=True)[:-1]
+        )
+        return f"""
+SELECT {qid} AS query_id, bucket_lo, count(*)::BIGINT AS n
+FROM (
+  SELECT CASE {cases} ELSE {float(min(bounds))} END AS bucket_lo
+  FROM (
+    SELECT doc_id,
+           2.0 * 6371.0 * asin(sqrt(
+             pow(sin(radians({lat0} - ((doc_id * 37 % 18000) / 100.0 - 90.0)) / 2), 2)
+             + cos(radians((doc_id * 37 % 18000) / 100.0 - 90.0))
+               * cos(radians({lat0}))
+               * pow(sin(radians({lon0} - ((doc_id * 73 % 36000) / 100.0 - 180.0)) / 2), 2)
+           )) AS dist_km
+    FROM documents
+    WHERE doc_id IN (SELECT DISTINCT doc_id FROM {_TOKS}
+                     WHERE term IN ({term_pred}))))
+GROUP BY bucket_lo
+"""
+
+    o["wand_multi_geo_range"] = (
+        "SELECT * FROM (\n"
+        + "\nUNION ALL\n".join(
+            [
+                _geo_bucket_block(
+                    0, "'fast'", 48.8566, 2.3522,
+                    [0.0, 3000.0, 8000.0, 15000.0],
+                ),
+                _geo_bucket_block(
+                    1, "'fast', 'table'", -20.0, 130.0, [0.0, 6000.0]
+                ),
+            ]
+        )
+        + "\n) ORDER BY query_id, bucket_lo"
+    )
+
     o["wand_facet_prefix"] = f"""
 SELECT lang AS value, count(*)::BIGINT AS n
 FROM documents

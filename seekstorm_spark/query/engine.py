@@ -1625,8 +1625,15 @@ def _search_many_fused(
         geo_cols |= (
             {gf["point"]} if "point" in gf else {gf["lat"], gf["lon"]}
         )
+    count_cols: set[str] = set()
+    for spec in (count_facets_by_q or {}).values():
+        for fc, (kind, b) in spec.items():
+            if kind == "geo":  # label, not a column: join its cols
+                count_cols.update(c for c in b[2] if c is not None)
+            else:
+                count_cols.add(fc)
     facet_cols = sorted(
-        {fc for spec in (count_facets_by_q or {}).values() for fc in spec}
+        count_cols
         | {
             fc
             for spec in (facet_filters_by_q or {}).values()
@@ -1784,7 +1791,16 @@ def _make_multi_kernel(
     facet_buf_kinds: dict[str, tuple[str, int]] = {}
     for spec in cfacets_by_q.values():
         for name, (kind, _b) in spec.items():
-            facet_buf_kinds[f"fb_{name}"] = (kind, sizes.get(name, 0))
+            if kind == "geo":
+                # _b = (bounds_km, mode, (col1, col2|None), lat0, lon0)
+                _bk, gmode, gcols = _b[0], _b[1], _b[2]
+                facet_buf_kinds[f"fb_{gcols[0]}"] = (
+                    "numeric" if gmode == "pair" else gmode, 0
+                )
+                if gcols[1] is not None:
+                    facet_buf_kinds[f"fb_{gcols[1]}"] = ("numeric", 0)
+            else:
+                facet_buf_kinds[f"fb_{name}"] = (kind, sizes.get(name, 0))
     for fspec in ffilters_by_q.values():
         for name, fs in fspec:
             facet_buf_kinds[f"fb_{name}"] = (fs[0], sizes.get(name, 0))
@@ -1872,6 +1888,8 @@ def _make_multi_kernel(
                 fc: np.zeros(
                     sizes.get(fc, 0)
                     if kind in ("string", "string_set")
+                    else len(bounds[0]) + 1
+                    if kind == "geo"
                     else len(bounds) + 1,
                     dtype=np.int64,
                 )
@@ -1935,6 +1953,50 @@ def _make_multi_kernel(
                     pad[: len(fv)] = fv
                     fv = pad
                 return fv[idx]
+
+            def latlon_of(gmode, c1, c2, c):
+                """(lat, lon) at local docids ``c`` from pair /
+                Point / packed-Morton storage; (None, None) when the
+                block carries no buffer — same decode the single-query
+                kernel uses."""
+                if gmode == "point":
+                    buf = fbufs[c1]
+                    if buf is None:
+                        return None, None
+                    n_pts = len(buf) // 2
+                    la = np.full(c.size, np.nan)
+                    lo = np.full(c.size, np.nan)
+                    ok = c < n_pts
+                    la[ok] = buf[2 * c[ok]]
+                    lo[ok] = buf[2 * c[ok] + 1]
+                    return la, lo
+                if gmode == "morton":
+                    from seekstorm_spark.functions.geo import (
+                        morton_decode,
+                    )
+
+                    buf = fbufs[c1]
+                    if buf is None:
+                        return None, None
+                    codes = np.zeros(c.size, dtype=np.uint64)
+                    ok = c < len(buf)
+                    codes[ok] = buf[c[ok]]
+                    la = np.full(c.size, np.nan)
+                    lo = np.full(c.size, np.nan)
+                    has = codes != 0
+                    if has.any():
+                        la[has], lo[has] = morton_decode(codes[has])
+                    return la, lo
+                return fbuf_at(c1, c), fbuf_at(c2, c)
+
+            def hav_km(la, lo, lat0, lon0):
+                a = (
+                    np.sin(np.radians(lat0 - la) / 2.0) ** 2
+                    + np.cos(np.radians(la))
+                    * math.cos(math.radians(lat0))
+                    * np.sin(np.radians(lon0 - lo) / 2.0) ** 2
+                )
+                return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(a))
             # shared per-block bound pieces: one f64 ub per posting row
             # (gram rows also carry per-partial-term ubs for the gram
             # bound = Σ parts' idf·comp_ub, as in _annotated_postings)
@@ -2168,6 +2230,28 @@ def _make_multi_kernel(
                         qi, {}
                     ).items():
                         nv = sizes.get(fc, 0)
+                        if kind == "geo":
+                            gb, gmode, gcols, glat, glon = bounds
+                            la, lo = latlon_of(
+                                gmode,
+                                f"fb_{gcols[0]}",
+                                f"fb_{gcols[1]}"
+                                if gcols[1] is not None
+                                else None,
+                                cand,
+                            )
+                            if la is None or lo is None:
+                                continue
+                            gd = hav_km(la, lo, glat, glon)
+                            gok = ~np.isnan(gd) & (gd >= gb[0])
+                            gbins = (
+                                np.searchsorted(gb, gd[gok], side="right")
+                                - 1
+                            )
+                            facet_tallies[qi][fc] += np.bincount(
+                                gbins, minlength=len(gb) + 1
+                            )
+                            continue
                         if kind == "string_set":
                             buf = fbufs[f"fb_{fc}"]
                             if buf is None:
@@ -2566,6 +2650,118 @@ def geo_range_counts(
             F.sum("n").over(w).cast("long").alias("n_cumulative"),
         )
     return out
+
+
+def geo_range_counts_many(
+    spark: SparkSession,
+    store: IndexStore,
+    requests: list[tuple[str, dict]],
+    default_type: str = "union",
+    staged: list | None = None,
+) -> DataFrame:
+    """Geo distance-bucket counts for N queries in ONE Spark action
+    → DataFrame(query_id, facet, bucket_lo, n). ``requests`` =
+    [(query, spec)] with spec = {"base": (lat, lon), "ranges": [...],
+    "facet": point_col | ("lat": .., "lon": ..), "unit": "km"|"mi"} —
+    per-query bases/buckets/units may differ. Same fused scan +
+    shared per-block buffer decode as :func:`facet_counts_many`;
+    per-query ≡ :func:`geo_range_counts`. ``staged`` falls back per
+    query."""
+    from functools import reduce
+
+    from seekstorm_spark.functions.geo import KM_PER_MILE
+
+    staged = list(staged) if staged else None
+    specs: dict = store.meta.get("facets") or {}
+    empty = spark.createDataFrame(
+        [], "query_id int, facet string, bucket_lo double, n long"
+    )
+
+    def _norm_req(spec: dict):
+        unit = spec.get("unit", "km")
+        if unit not in ("km", "mi"):
+            raise ValueError(f"unit must be 'km' or 'mi', got {unit!r}")
+        out_bounds = [float(b) for b in sorted(spec["ranges"])]
+        scale = KM_PER_MILE if unit == "mi" else 1.0
+        bounds_km = np.asarray(
+            [b * scale for b in out_bounds], dtype=np.float64
+        )
+        if "facet" in spec:
+            fc = spec["facet"]
+            kind = facet_kind(specs[fc]) if fc in specs else None
+            if kind not in ("point", "morton"):
+                raise ValueError(
+                    f"{fc!r} is not an indexed Point/Morton facet"
+                )
+            label, mode, cols = fc, kind, (fc, None)
+        else:
+            la, lo = spec["lat"], spec["lon"]
+            for c in (la, lo):
+                if c not in specs or facet_kind(specs[c]) != "numeric":
+                    raise ValueError(
+                        f"{c!r} is not an indexed numeric facet"
+                    )
+            label, mode, cols = f"{la},{lo}", "pair", (la, lo)
+        base = spec["base"]
+        return label, (
+            bounds_km, mode, cols, float(base[0]), float(base[1])
+        ), out_bounds
+
+    if staged:
+        outs = []
+        for i, (qstr, spec) in enumerate(requests):
+            kwargs = (
+                {"facet": spec["facet"]}
+                if "facet" in spec
+                else {"lat": spec["lat"], "lon": spec["lon"]}
+            )
+            outs.append(
+                geo_range_counts(
+                    spark, store, qstr, spec["base"], spec["ranges"],
+                    unit=spec.get("unit", "km"),
+                    default_type=default_type, staged=staged, **kwargs,
+                ).select(F.lit(int(i)).alias("query_id"), "*")
+            )
+        return reduce(lambda a, b: a.unionByName(b), outs) if outs else empty
+
+    plans = [
+        _plan(spark, store, qstr, default_type, None)
+        for qstr, _s in requests
+    ]
+    boosts, allowed = _resolve_fields(store, None, None)
+    _n, avgdl = _effective_stats(store, None)
+    fused: list[tuple[int, QueryPlan]] = []
+    count_facets_by_q: dict[int, dict] = {}
+    bounds_by_qf: dict[tuple[int, str], list[float]] = {}
+    for i, plan in enumerate(plans):
+        if plan.missing_required or not plan.pos_terms:
+            continue
+        fused.append((i, plan))
+        label, gspec, out_bounds = _norm_req(requests[i][1])
+        count_facets_by_q[i] = {label: ("geo", gspec)}
+        bounds_by_qf[(i, label)] = out_bounds
+    if not fused:
+        return empty
+    agg = (
+        _search_many_fused(
+            spark, store, fused, 0, False, boosts, allowed, avgdl,
+            count_only=True,
+            count_facets_by_q=count_facets_by_q,
+            facet_sizes={},
+        )
+        .groupBy("query_id", "facet", "code")
+        .agg(F.sum("matches").cast("long").alias("n"))
+    )
+    decode = F.lit(None).cast("double")
+    for (qi, fc), bs in bounds_by_qf.items():
+        arr = F.array(*[F.lit(float(b)) for b in bs])
+        decode = F.when(
+            (F.col("query_id") == qi) & (F.col("facet") == fc),
+            F.element_at(arr, F.col("code").cast("int") + 1),
+        ).otherwise(decode)
+    return agg.select(
+        "query_id", "facet", decode.alias("bucket_lo"), "n"
+    )
 
 
 def _facet_count_run(

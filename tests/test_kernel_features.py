@@ -487,3 +487,43 @@ def test_facet_counts_prefix_and_length(spark, geo_store):
     assert len(top2) == 2
     want_top2 = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
     assert {(r["value"], r["n"]) for r in top2} == set(want_top2)
+
+
+def test_geo_range_counts_many_matches_single(spark, geo_store):
+    """Fused N-query geo distance-bucket counts ≡ per-query
+    geo_range_counts (one action, shared buffer decode, per-query
+    bases/buckets/units)."""
+    from seekstorm_spark.query.engine import (
+        geo_range_counts,
+        geo_range_counts_many,
+    )
+
+    store, _docs = geo_store
+    reqs = [
+        ("term00000", {"base": (48.8566, 2.3522),
+                       "ranges": [0.0, 3000.0, 9000.0],
+                       "lat": "lat", "lon": "lon"}),
+        ("term00000 term00001", {"base": (-10.0, 100.0),
+                                 "ranges": [0.0, 5000.0],
+                                 "lat": "lat", "lon": "lon",
+                                 "unit": "mi"}),
+        ("zzz_missing_term", {"base": (0.0, 0.0), "ranges": [0.0],
+                              "lat": "lat", "lon": "lon"}),
+    ]
+    fused = geo_range_counts_many(spark, store, reqs)
+    by_q = {}
+    for r in fused.collect():
+        by_q.setdefault(r["query_id"], set()).add(
+            (r["bucket_lo"], r["n"])
+        )
+    for i, (qstr, spec) in enumerate(reqs):
+        single = {
+            (r["bucket_lo"], r["n"])
+            for r in geo_range_counts(
+                spark, store, qstr, spec["base"], spec["ranges"],
+                lat=spec["lat"], lon=spec["lon"],
+                unit=spec.get("unit", "km"),
+            ).collect()
+        }
+        assert by_q.get(i, set()) == single, i
+    assert 2 not in by_q  # missing term -> no rows
