@@ -192,8 +192,22 @@ class StaticEmbedder:
 _MODEL_CACHE: dict[tuple[str, float], StaticEmbedder] = {}
 
 
+def _model_mtime(path: str) -> float:
+    """Max mtime across ALL files in the model dir (same pattern as
+    engine._dir_mtime): replacing embeddings.npy / vocab.txt /
+    model.safetensors in place without touching the meta file must
+    still invalidate warm-executor caches."""
+    mt = os.path.getmtime(path)
+    for name in os.listdir(path):
+        try:
+            mt = max(mt, os.path.getmtime(os.path.join(path, name)))
+        except OSError:
+            continue
+    return mt
+
+
 def _load_cached(path: str) -> StaticEmbedder:
-    key = (path, os.path.getmtime(os.path.join(path, META_NAME)))
+    key = (path, _model_mtime(path))
     model = _MODEL_CACHE.get(key)
     if model is None:
         model = StaticEmbedder(path)

@@ -35,14 +35,42 @@ from pyspark.sql.types import BooleanType
 # parsing
 
 
+_UA_TOKEN_RE = re.compile(r"[a-z0-9_-]+")
+
+
+def _ua_token(value: str) -> str:
+    """Leading product token of a ``User-agent`` line value
+    (RFC 9309 §2.2.1 ignores trailing version/comment text, e.g.
+    ``googlebot/2.1`` → ``googlebot``)."""
+    m = _UA_TOKEN_RE.match(value)
+    return m.group(0) if m else ""
+
+
+def _ua_matches(token: str, agent_l: str) -> bool:
+    """Case-insensitive match of a group's product token against the
+    crawler's user-agent string, anchored at a product-token BOUNDARY
+    (start of string or after a non-token char) — a raw substring
+    test would let ``oo`` match ``foobot`` mid-token."""
+    start = 0
+    while True:
+        i = agent_l.find(token, start)
+        if i < 0:
+            return False
+        if i == 0 or not _UA_TOKEN_RE.match(agent_l[i - 1]):
+            return True
+        start = i + 1
+
+
 def parse_robots(
     text: str | None, agent: str = "*"
 ) -> tuple[tuple[str, bool], ...]:
-    """Rules of the group governing ``agent``: a tuple of
-    ``(path_pattern, allow)``. Group selection per RFC 9309 §2.2.1:
-    the group whose user-agent token is the longest case-insensitive
-    match for ``agent`` (substring token match), else the ``*``
-    group, else no rules (everything allowed)."""
+    """Rules governing ``agent``: a tuple of ``(path_pattern, allow)``.
+    Group selection per RFC 9309 §2.2.1: the longest case-insensitive
+    product-token match for ``agent`` wins, else the ``*`` groups,
+    else no rules (everything allowed). Rules are MERGED across ALL
+    groups that match at the winning specificity (robots.txt files
+    with repeated ``User-agent: *`` sections are common in the wild
+    and the RFC combines them)."""
     groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[str, bool]] = []
@@ -69,19 +97,30 @@ def parse_robots(
     if cur_agents or cur_rules:
         groups.append((cur_agents, cur_rules))
 
-    a = agent.lower()
-    best: list[tuple[str, bool]] | None = None
+    a = (agent or "*").lower()
     best_len = -1
-    star: list[tuple[str, bool]] | None = None
-    for agents, rules in groups:
+    for agents, _rules in groups:
         for g in agents:
             if g == "*":
-                if star is None:
-                    star = rules
-            elif g in a and len(g) > best_len:
-                best, best_len = rules, len(g)
-    chosen = best if best is not None else star
-    return tuple(chosen or ())
+                continue
+            tok = _ua_token(g)
+            if tok and _ua_matches(tok, a) and len(tok) > best_len:
+                best_len = len(tok)
+    merged: list[tuple[str, bool]] = []
+    if best_len >= 0:
+        for agents, rules in groups:
+            if any(
+                g != "*"
+                and len(_ua_token(g)) == best_len
+                and _ua_matches(_ua_token(g), a)
+                for g in agents
+            ):
+                merged.extend(rules)
+    else:
+        for agents, rules in groups:
+            if "*" in agents:
+                merged.extend(rules)
+    return tuple(merged)
 
 
 def _pattern_regex(pattern: str) -> re.Pattern:

@@ -519,6 +519,38 @@ def _resolve_facets(
     return filters_k, emit, dicts, kinds
 
 
+def _fallback_union_query(query: str) -> str:
+    """Strip the required-term operator from every token: the AND→OR
+    fallback retry scores the same terms under union semantics
+    (reference search.rs:3555-3559). Intersection queries carry no
+    quoted phrases (those plan as qtype phrase/ngram and are excluded
+    from fallback), so whitespace tokenization is exact here."""
+    out = []
+    for tok in query.split():
+        out.append(tok[1:] if tok.startswith("+") and len(tok) > 1 else tok)
+    return " ".join(out)
+
+
+def _dict_bmp_only(
+    store: IndexStore, facet: str, dicts: dict[str, list[str] | None]
+) -> bool:
+    """True iff every value of ``facet``'s frozen dictionary is in the
+    Basic Multilingual Plane. Memoized on the store object (the
+    dictionary is frozen for the life of the index — appends reject
+    out-of-dictionary values — so the flag never changes)."""
+    cache = getattr(store, "_bmp_only_cache", None)
+    if cache is None:
+        cache = store._bmp_only_cache = {}
+    flag = cache.get(facet)
+    if flag is None:
+        values = dicts.get(facet) or ()
+        flag = all(
+            (not v) or max(map(ord, v)) <= 0xFFFF for v in values
+        )
+        cache[facet] = flag
+    return flag
+
+
 def _normalize_geo(gf: dict | None) -> tuple[dict | None, str]:
     """Accept the radius in km (``radius_km``) or miles
     (``radius_mi``, reference DistanceUnit) and an optional ``unit``
@@ -580,6 +612,7 @@ def search(
     vectors: DataFrame | None = None,
     rrf_k: float | None = None,
     similarity: str = "bm25f",
+    enable_fallback: bool = False,
 ) -> DataFrame:
     """Top-k BM25(F) search → DataFrame(docid[, sort facets…], score),
     score f32. ``prune=False`` disables the WAND threshold (used to
@@ -617,7 +650,16 @@ def search(
     n-gram postings score with the GRAM's df/tf instead of the
     partial terms' — adjacent terms rank by the (rarer) gram idf, so
     proximity is honored in relevance (NGRAM_SEARCH.md "N-grams and
-    BM25"). Queries with no gram unit score identically to "bm25f"."""
+    BM25"). Queries with no gram unit score identically to "bm25f".
+
+    ``enable_fallback=True`` (the reference's default-off
+    ``Index.enable_fallback``, search.rs:3555-3559): an intersection
+    yielding fewer than ``top_k`` results is retried as a UNION of
+    the same terms (AND→OR), filling the page with partial matches.
+    Phrase queries and queries with a missing required term are not
+    retried (a tokenizer miss breaks the reference's fallback loop,
+    search.rs:3290-3294). Costs one bounded count action on the
+    strict result when enabled."""
     if mode not in ("lexical", "hybrid"):
         raise ValueError(f"unknown search mode {mode!r}")
     if similarity not in ("bm25f", "bm25f_proximity"):
@@ -651,6 +693,34 @@ def search(
             lex, vec.withColumnRenamed("vec_id", "docid"), id_col="docid",
             top_k=top_k, k=RRF_K if rrf_k is None else float(rrf_k),
         )
+    if enable_fallback:
+        base_kwargs = dict(
+            top_k=top_k, offset=offset, prune=prune, fields=fields,
+            field_filter=field_filter, facet_filters=facet_filters,
+            result_sort=result_sort, staged=staged, rewrite=rewrite,
+            rewrite_options=rewrite_options, geo_filter=geo_filter,
+            ngram_rewrite=ngram_rewrite, similarity=similarity,
+        )
+        strict = search(
+            spark, store, query, default_type=default_type, **base_kwargs
+        )
+        fb_plan = _plan(
+            spark, store, query, default_type,
+            list(staged) if staged else None, rewrite,
+            ngram_rewrite=ngram_rewrite, similarity=similarity,
+            rewrite_options=rewrite_options,
+        )
+        if (
+            fb_plan.qtype == "intersection"
+            and not fb_plan.missing_required
+            and fb_plan.pos_terms
+            and len(strict.take(top_k)) < top_k
+        ):
+            return search(
+                spark, store, _fallback_union_query(query),
+                default_type="union", **base_kwargs,
+            )
+        return strict
     staged = list(staged) if staged else None
     geo_filter, geo_unit = _normalize_geo(geo_filter)
     filters_k, emit_facets, dicts, kinds = _resolve_facets(
@@ -764,6 +834,21 @@ def search(
         and not staged  # a staged slice may lack zone bounds
         and result_sort[0][0] in kinds
         and kinds[result_sort[0][0]] in ("numeric", "string")
+        and (
+            kinds[result_sort[0][0]] == "numeric"
+            # string keys: code order == value order holds only while
+            # every comparison backend agrees on the order of the
+            # VALUES themselves. The dictionary is sorted in Python
+            # (code-point order); Spark's final orderBy may compare
+            # UTF-16 code units, which diverges from code-point order
+            # exactly when supplementary-plane characters are present
+            # (they sort before U+E000..U+FFFF in UTF-16). Engage the
+            # code-zone skip only for BMP-only dictionaries, where all
+            # three orders (code point, UTF-8 byte, UTF-16 unit)
+            # coincide; otherwise fall back to the unpruned emit-all
+            # path (correct, just slower).
+            or _dict_bmp_only(store, result_sort[0][0], dicts)
+        )
     ):
         sort_prune = (result_sort[0][0], result_sort[0][1], need_k)
     rows = _annotated_postings(

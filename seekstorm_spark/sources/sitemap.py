@@ -21,6 +21,7 @@ is the real sitemap layout (one-to-few files per host).
 from __future__ import annotations
 
 import gzip
+import io
 import xml.etree.ElementTree as ET
 from typing import Iterator
 
@@ -45,6 +46,11 @@ SITEMAP_SCHEMA = StructType(
 
 _GZ_MAGIC = b"\x1f\x8b"
 
+# The protocol caps a sitemap at 50 MB *uncompressed*; crawl bytes are
+# untrusted, so enforce a hard ceiling on decompression (a hostile
+# member can otherwise expand to gigabytes inside an executor task).
+MAX_UNCOMPRESSED = 64 * 1024 * 1024
+
 
 def _localname(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
@@ -57,9 +63,19 @@ def parse_sitemap(data: bytes) -> list[tuple[str, str, str | None]]:
     return [] (a crawl drops them, it doesn't die)."""
     if data[:2] == _GZ_MAGIC:
         try:
-            data = gzip.decompress(data)
+            # bounded streaming decompress: read one byte past the cap
+            # so an over-limit document is detected and dropped rather
+            # than ballooning executor memory
+            with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+                data = gz.read(MAX_UNCOMPRESSED + 1)
         except OSError:
             return []
+        if len(data) > MAX_UNCOMPRESSED:
+            return []
+    # reject DTDs outright: the spec never uses them and expat entity
+    # expansion (billion laughs) is the classic XML OOM on old builds
+    if b"<!DOCTYPE" in data[:4096] or b"<!ENTITY" in data[:4096]:
+        return []
     try:
         root = ET.fromstring(data)
     except ET.ParseError:
