@@ -3142,58 +3142,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # The correctness driver samples the FIRST 50 keys in registration
-    # order. Rotate rows that have never produced a hard driver
-    # CORRECTNESS row (plus this round's new rows) to the front so the
-    # next artifact covers them; everything else keeps its relative
-    # order in the remaining slots.
-    priority = [
-        # never driver-sampled through round 3 (VERDICT r03)
-        "wand_index_facet_stats",
-        "wand_count_filtered",
-        "doc_store_get",
-        "ingest_fvecs",
-        "ingest_html_extract",
-        "dedup_embedding_pairs",
-        "decontaminate_overlap",
-        "highlight_kwic_phrase",
-        "ann_dot_topk",
-        "ann_euclidean_topk",
-        "ann_quantized_cosine",
-        "ann_ivf_topk",
-        # new in round 4
-        "wand_hybrid_rrf",
-        "wand_multi_geo_sort",
-        "ann_chunked_topk",
-        "wand_cached_frequent",
-        "wand_numeric_sort_pruned",
-        "ann_affine_cosine",
-        "ann_turboquant_topk",
-        "wand_phrase_proximity",
-        "wand_multi_hybrid",
-        "ingest_warc",
-        "pii_redact",
-        "quality_repetition",
-        "token_count_bpe",
-        "ingest_pdf",
-        "dedup_components",
-        "url_canonicalize",
-        "quality_c4",
-        "dedup_spans",
-        "sample_stratified",
-        "pack_sequences",
-        "quality_bigram_nll",
-        "ann_model2vec_topk",
-        "text_normalize",
-        "ingest_pdf_meta",
-        "dedup_incremental_minhash",
-        "crawl_robots_filter",
-        "ingest_sitemap",
-        "wand_geo_range_facet",
-        "wand_multi_geo_range",
-        "wand_facet_prefix",
-        "wand_facet_topn",
-    ]
-    ordered = {k: q[k] for k in priority if k in q}
+    # order. Round-5 rotation (round-4 verdict item 10): the 50 rows
+    # the round-4 artifact sampled go to the BACK; everything else —
+    # the rows whose freshest driver evidence is r01-r03, plus this
+    # round's new rows — fills the front slots, so r05's sample
+    # re-covers the oldest evidence with minimal overlap.
+    sampled_r04 = {
+        "wand_index_facet_stats", "wand_count_filtered", "doc_store_get",
+        "ingest_fvecs", "ingest_html_extract", "dedup_embedding_pairs",
+        "decontaminate_overlap", "highlight_kwic_phrase", "ann_dot_topk",
+        "ann_euclidean_topk", "ann_quantized_cosine", "ann_ivf_topk",
+        "wand_hybrid_rrf", "wand_multi_geo_sort", "ann_chunked_topk",
+        "wand_cached_frequent", "wand_numeric_sort_pruned",
+        "ann_affine_cosine", "ann_turboquant_topk", "wand_phrase_proximity",
+        "wand_multi_hybrid", "ingest_warc", "pii_redact",
+        "quality_repetition", "token_count_bpe", "ingest_pdf",
+        "dedup_components", "url_canonicalize", "quality_c4", "dedup_spans",
+        "sample_stratified", "pack_sequences", "quality_bigram_nll",
+        "ann_model2vec_topk", "text_normalize", "ingest_pdf_meta",
+        "dedup_incremental_minhash", "crawl_robots_filter", "ingest_sitemap",
+        "wand_geo_range_facet", "wand_multi_geo_range", "wand_facet_prefix",
+        "wand_facet_topn", "tokenize_count", "term_df",
+        "doc_length_quantized", "corpus_stats", "bm25_topk_and",
+        "bm25_topk_or", "bm25_topk_or3",
+    }
+    # exception: ann_ivf_topk was r04's one no_oracle row and is now
+    # hash-checkable — pin it FIRST so r05 certainly records the hash
+    ordered = {"ann_ivf_topk": q["ann_ivf_topk"]}
+    ordered.update(
+        (k, v) for k, v in q.items() if k not in sampled_r04
+    )
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
     return ordered
 

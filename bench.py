@@ -55,6 +55,26 @@ LOAD_TOL = float(os.environ.get("BENCH_LOAD_TOL", "1.3"))
 # well under the best pair's is measuring the tenant mix, not the code.
 RATIO_TOL = float(os.environ.get("BENCH_RATIO_TOL", "0.10"))
 QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
+# round-4 verdict item 1: the within-run guards above are RELATIVE —
+# a run whose every rep lands in the same load phase converges on a
+# load-compressed estimate it cannot recognize. The ABSOLUTE guard
+# compares this run's per-level minimum walls against persisted
+# quiet-phase calibration (BENCH_CALIBRATION.json, recorded only from
+# reps with measured hypervisor steal < CAL_STEAL_PCT): minima beyond
+# CAL_TOL× calibration keep sampling past the soft cap (up to
+# HARD_MAX_BUILD_REPS) and, if still violated, the run FAILS (exit 1)
+# instead of finalizing a number that measures the tenant mix.
+CAL_FILE = os.environ.get(
+    "BENCH_CAL_FILE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "BENCH_CALIBRATION.json"),
+)
+CAL_TOL = float(os.environ.get("BENCH_CAL_TOL", "1.25"))
+CAL_STEAL_PCT = float(os.environ.get("BENCH_CAL_STEAL_PCT", "0.1"))
+HARD_MAX_BUILD_REPS = int(os.environ.get("BENCH_HARD_MAX_BUILD_REPS", "14"))
+# pre-flight steal gate: don't start timing inside a steal phase
+STEAL_GATE_PCT = float(os.environ.get("BENCH_STEAL_GATE_PCT", "0.5"))
+STEAL_WAIT_S = float(os.environ.get("BENCH_STEAL_WAIT_S", "600"))
 # Scaling levels: N and 4N cores. This sandbox advertises 32 vCPUs but
 # they are SMT threads on ~16 physical cores — a pure-Python burn test
 # (32 procs = 1.9x the total throughput of 8) shows >16 threads add no
@@ -100,6 +120,99 @@ WAND_QUERIES = [
         {"ngram_rewrite": False},
     ),
 ]
+
+
+def _cpu_totals() -> tuple[int, int]:
+    """(total jiffies, steal jiffies) from the aggregate /proc/stat
+    cpu line. Hypervisor steal is the ONLY guest-visible signal of the
+    host phases that run a 2-core job 17× slow on an 'idle' box
+    (CLAUDE.md sharp edge) — loadavg and PSI miss them entirely."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return sum(vals), steal
+    except (OSError, ValueError):
+        return 0, 0
+
+
+def _steal_pct(seconds: float = 5.0) -> float:
+    t0, s0 = _cpu_totals()
+    time.sleep(seconds)
+    t1, s1 = _cpu_totals()
+    dt = t1 - t0
+    return (100.0 * (s1 - s0) / dt) if dt > 0 else 0.0
+
+
+def _steal_pregate() -> dict:
+    """Block the timed phase until a ~5 s steal sample reads below
+    STEAL_GATE_PCT, waiting up to STEAL_WAIT_S (the formerly-manual
+    /proc/stat pre-check, now in-bench). Returns the gate record for
+    the JSON artifact."""
+    waited = 0.0
+    samples = []
+    while True:
+        pct = _steal_pct(5.0)
+        samples.append(round(pct, 3))
+        if pct < STEAL_GATE_PCT or waited >= STEAL_WAIT_S:
+            return {
+                "samples_pct": samples,
+                "passed": pct < STEAL_GATE_PCT,
+                "waited_s": round(waited, 1),
+            }
+        time.sleep(25.0)
+        waited += 30.0
+
+
+def _cal_key() -> str:
+    from seekstorm_spark.index.builder import INDEX_FORMAT_VERSION
+
+    return f"docs{BENCH_DOCS}_v{INDEX_FORMAT_VERSION}_c{SMALL_CORES}"
+
+
+def _load_calibration() -> dict | None:
+    try:
+        with open(CAL_FILE) as f:
+            return json.load(f).get(_cal_key())
+    except (OSError, ValueError):
+        return None
+
+
+def _update_calibration(
+    small_wall: float, big_wall: float, steal_ok: bool
+) -> bool:
+    """Record quiet-phase per-level minimum walls — only from reps
+    whose own steal measurement was < CAL_STEAL_PCT, and only ever
+    IMPROVING (min walls are a floor estimate: a slower 'quiet' run
+    must not loosen the guard)."""
+    if not steal_ok:
+        return False
+    try:
+        with open(CAL_FILE) as f:
+            all_cal = json.load(f)
+    except (OSError, ValueError):
+        all_cal = {}
+    cur = all_cal.get(_cal_key())
+    new = {
+        "small_min_wall_s": round(
+            min(small_wall, cur["small_min_wall_s"]) if cur else small_wall, 2
+        ),
+        "big_min_wall_s": round(
+            min(big_wall, cur["big_min_wall_s"]) if cur else big_wall, 2
+        ),
+        "steal_gate_pct": CAL_STEAL_PCT,
+        "small_cores": SMALL_CORES,
+        "bench_docs": BENCH_DOCS,
+    }
+    if cur == new:
+        return False
+    all_cal[_cal_key()] = new
+    tmp = CAL_FILE + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(all_cal, f, indent=1, sort_keys=True)
+    os.replace(tmp, CAL_FILE)
+    return True
 
 
 def _sf_from_dir(d: str) -> float:
@@ -201,8 +314,10 @@ class _OccupancyEqualizer:
 
 def _one_build(
     n_cores: int, corpus: str, equalize_to: int | None = None
-) -> float:
-    """One timed index build at local[n_cores]; returns wall seconds.
+) -> tuple[float, float]:
+    """One timed index build at local[n_cores]; returns (wall seconds,
+    hypervisor-steal % measured ACROSS the rep) — a rep that straddled
+    a steal phase is flagged by its own reading, not inferred.
     ``equalize_to`` fills the occupancy gap to that many busy cores
     with nice-19 spinners (see :class:`_OccupancyEqualizer`)."""
     import shutil
@@ -237,6 +352,7 @@ def _one_build(
         shutil.rmtree(path, ignore_errors=True)
         gap = (equalize_to - n_cores) if equalize_to else 0
         with _OccupancyEqualizer(gap):
+            j0, s0 = _cpu_totals()
             t0 = time.time()
             # frequent-term n-grams included: the timed build is the
             # full production shape (pre-joined stopword-pair postings
@@ -248,7 +364,10 @@ def _one_build(
                 n_buckets=64,
                 frequent_terms=[f"term{i:05d}" for i in range(20)],
             ).build(docs, text_col="text")
-            return time.time() - t0
+            wall = time.time() - t0
+            j1, s1 = _cpu_totals()
+            steal = 100.0 * (s1 - s0) / (j1 - j0) if j1 > j0 else 0.0
+            return wall, steal
     finally:
         spark.stop()
 
@@ -263,22 +382,41 @@ def bench_index_build(n_small: int, n_big: int) -> dict:
     never sped up past the true cost).
     """
     corpus = _materialize_corpus()
+    steal_gate = _steal_pregate()
+    cal = _load_calibration()
     walls: dict[str, list[float]] = {"small": [], "big": []}
+    steals: dict[str, list[float]] = {"small": [], "big": []}
 
     def eff() -> float:
         ratio = n_big / n_small
         return (min(walls["small"]) / min(walls["big"])) / ratio
 
+    def cal_loaded() -> bool:
+        """Absolute guard: this run's per-level minima vs persisted
+        quiet-phase calibration. A run whose EVERY rep sits above
+        CAL_TOL× the known-quiet wall never saw a quiet phase — its
+        estimate measures the tenant mix, not the code."""
+        if cal is None:
+            return False
+        return (
+            min(walls["small"]) > CAL_TOL * cal["small_min_wall_s"]
+            or min(walls["big"]) > CAL_TOL * cal["big_min_wall_s"]
+        )
+
     reps = 0
     eff_history: list[float] = []
     while True:
-        walls["small"].append(
-            _one_build(n_small, corpus, equalize_to=n_big)
-        )
-        walls["big"].append(_one_build(n_big, corpus))
+        ws, ss = _one_build(n_small, corpus, equalize_to=n_big)
+        walls["small"].append(ws)
+        steals["small"].append(round(ss, 3))
+        wb, sb = _one_build(n_big, corpus)
+        walls["big"].append(wb)
+        steals["big"].append(round(sb, 3))
         reps += 1
         eff_history.append(round(eff(), 3))
-        if reps >= MAX_BUILD_REPS:
+        # the hard cap exists only as a runaway bound; the absolute
+        # guard may extend past the soft cap to reach a quiet phase
+        if reps >= (HARD_MAX_BUILD_REPS if cal_loaded() else MAX_BUILD_REPS):
             break
         stable = reps >= BUILD_REPS and len(eff_history) >= 2 and abs(
             eff_history[-1] - eff_history[-2]
@@ -295,7 +433,7 @@ def bench_index_build(n_small: int, n_big: int) -> dict:
             or walls["big"][-1] > LOAD_TOL * min(walls["big"])
             or ratios[-1] < (1.0 - RATIO_TOL) * max(ratios)
         )
-        if stable and not loaded:
+        if stable and not loaded and not cal_loaded():
             break
     out: dict = {}
     for level, n in (("small", n_small), ("big", n_big)):
@@ -304,6 +442,7 @@ def bench_index_build(n_small: int, n_big: int) -> dict:
             "cores": n,
             "wall_s": round(dt, 2),
             "walls_s": [round(w, 2) for w in walls[level]],
+            "steal_pct": steals[level],
             "docs_per_sec": round(BENCH_DOCS / dt, 1),
         }
     out["index_path"] = f"/dev/shm/bench_idx_{n_big}"
@@ -313,13 +452,36 @@ def bench_index_build(n_small: int, n_big: int) -> dict:
         f"between consecutive pairs AND the latest pair ran load-free "
         f"(walls within {LOAD_TOL}x of level minima AND the pair's "
         f"small/big wall ratio within {RATIO_TOL:.0%} of the best "
-        f"pair's); cap {MAX_BUILD_REPS}; the small level runs with "
-        f"{n_big - n_small} nice-19 occupancy spinners so both levels "
-        f"see the same package-occupancy (per-core speed cancels in "
-        f"the ratio, as on a real cluster)"
+        f"pair's) AND per-level minima within {CAL_TOL}x of persisted "
+        f"quiet-phase calibration (absolute guard; soft cap "
+        f"{MAX_BUILD_REPS} pairs extends to {HARD_MAX_BUILD_REPS} "
+        f"while calibration-violated, then the run FAILS rather than "
+        f"finalize); the small level runs with {n_big - n_small} "
+        f"nice-19 occupancy spinners so both levels see the same "
+        f"package-occupancy (per-core speed cancels in the ratio, as "
+        f"on a real cluster)"
     )
     out["eff_history"] = eff_history
     out["scaling_efficiency"] = round(eff(), 3)
+    out["steal_pregate"] = steal_gate
+    # record/refresh quiet-phase calibration from steal-clean minima
+    i_s = walls["small"].index(min(walls["small"]))
+    i_b = walls["big"].index(min(walls["big"]))
+    minima_clean = (
+        steals["small"][i_s] < CAL_STEAL_PCT
+        and steals["big"][i_b] < CAL_STEAL_PCT
+    )
+    out["calibration"] = {
+        "file": os.path.basename(CAL_FILE),
+        "key": _cal_key(),
+        "reference": cal,
+        "tolerance": CAL_TOL,
+        "violated": cal_loaded(),
+        "minima_steal_clean": minima_clean,
+        "updated": _update_calibration(
+            min(walls["small"]), min(walls["big"]), minima_clean
+        ) if not cal_loaded() else False,
+    }
     return out
 
 
@@ -383,6 +545,35 @@ def bench_wand_queries(index_path: str, cores: int) -> dict:
             "speedup_vs_sequential": round(seq_wall / batch_wall, 2),
         }
 
+        # large fused batch (round-4 verdict item 7): 100 mixed-shape
+        # queries through ONE action — throughput must GROW with batch
+        # size as the per-action scheduling floor amortizes
+        # (bit-identity per query at this batch size is pytest-gated,
+        # tests/test_search_many.py::test_batch_100_bit_identity)
+        big_qs = []
+        for i in range(100):
+            a, b = i % 40, (i * 7 + 3) % 40
+            shape = i % 4
+            if shape == 0:
+                big_qs.append(f"term{a:05d}")
+            elif shape == 1:
+                big_qs.append(f"term{a:05d} term{b:05d}")
+            elif shape == 2:
+                big_qs.append(f"+term{a:05d} +term{b:05d}")
+            else:
+                big_qs.append(f"term{a:05d} -term{b:05d}")
+        walls100 = []
+        for _ in range(QUERY_REPS):
+            t0 = time.time()
+            search_many(spark, store, big_qs, top_k=10).collect()
+            walls100.append(time.time() - t0)
+        wall100 = min(walls100)
+        batched_100 = {
+            "n_queries": len(big_qs),
+            "wall_s": round(wall100, 3),
+            "qps": round(len(big_qs) / wall100, 1),
+        }
+
         # frequent-term result cache: one fused action precomputes the
         # frequent terms' top-1000; a single-term hit then serves
         # driver-side (local-relation plan, no index scan) — measured
@@ -417,6 +608,7 @@ def bench_wand_queries(index_path: str, cores: int) -> dict:
             "per_query_s": lat,
             "p50_s": round(p50, 3),
             "batched": batched,
+            "batched_100": batched_100,
             "cached_frequent": cached_frequent,
         }
     finally:
@@ -518,7 +710,21 @@ def main() -> None:
         "doc_store": doc_store,
         "docs_per_sec": build["big"]["docs_per_sec"],
     }
+    result["index_build"]["steal_pregate"] = build["steal_pregate"]
+    result["index_build"]["calibration"] = build["calibration"]
     print(json.dumps(result))
+    if build["calibration"]["violated"]:
+        # never saw a quiet phase even past the extended cap: the
+        # printed walls are auditable but the efficiency estimate is
+        # load-compressed — refuse to bless it (round-4 verdict item 1)
+        print(
+            "BENCH FAILED: per-level minima exceed "
+            f"{CAL_TOL}x quiet-phase calibration — estimate measures "
+            "external load, not the code; re-run on a quieter phase",
+            file=sys.stderr,
+        )
+        return 1
+    return 0
 
 
 if __name__ == "__main__":

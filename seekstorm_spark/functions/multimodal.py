@@ -105,22 +105,69 @@ def decode_image_meta(
     return df.select(url_col, bin_col).mapInPandas(run, schema=IMAGE_META_SCHEMA)
 
 
+def _digest_vector(data: bytes, dim: int) -> list[float]:
+    """Deterministic pseudo-embedding from a content digest — the
+    documented IMAGE/AUDIO MODEL SLOT: no vision/audio encoder ships
+    in this container, so non-text payloads get a stable unit vector;
+    a real deployment swaps exactly this function for the model call
+    (batch shape and output schema unchanged)."""
+    digest = hashlib.sha256(data).digest()
+    seed = int.from_bytes(digest[:8], "big") % (2**32)
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim).astype(np.float32)
+    return (v / np.linalg.norm(v)).tolist()
+
+
 def extract_features(
-    df: DataFrame, url_col: str = "url", bin_col: str = "html", dim: int = 16
+    df: DataFrame,
+    url_col: str = "url",
+    bin_col: str = "html",
+    dim: int = 16,
+    model_path: str | None = None,
 ) -> DataFrame:
-    """STUB feature extractor: deterministic pseudo-embedding from a
-    content digest (real systems put the model call exactly here; the
-    batch shape and output schema would not change)."""
+    """Feature extraction over an opaque binary column.
+
+    With ``model_path`` (a :func:`seekstorm_spark.functions.embedder.
+    build_static_model` directory), TEXT-BEARING payloads — bytes that
+    strictly decode as UTF-8 — run through the REAL Model2Vec-style
+    static embedder (executor-cached model, Arrow-batched; reference
+    index.rs:2066-2203 StaticModel), and the output dimension is the
+    model's. Payloads that do not decode (images, audio) fall back to
+    :func:`_digest_vector` in the same dimension — the honest model
+    slot for modalities whose encoders aren't in this container.
+
+    Without ``model_path`` every payload takes the digest path at
+    ``dim`` (the pre-round-5 stub behavior, kept for tests)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = None
+        out_dim = dim
+        if model_path is not None:
+            from seekstorm_spark.functions.embedder import _load_cached
+
+            model = _load_cached(model_path)
+            out_dim = model.dim
         for pdf in batches:
-            feats = []
-            for data in pdf[bin_col].values:
-                digest = hashlib.sha256(bytes(data or b"")).digest()
-                seed = int.from_bytes(digest[:8], "big") % (2**32)
-                rng = np.random.default_rng(seed)
-                v = rng.standard_normal(dim).astype(np.float32)
-                feats.append((v / np.linalg.norm(v)).tolist())
+            feats: list[list[float] | None] = [None] * len(pdf)
+            texts: list[str] = []
+            text_idx: list[int] = []
+            for i, data in enumerate(pdf[bin_col].values):
+                data = bytes(data or b"")
+                text = None
+                if model is not None:
+                    try:
+                        text = data.decode("utf-8")
+                    except UnicodeDecodeError:
+                        text = None
+                if text is not None:
+                    texts.append(text)
+                    text_idx.append(i)
+                else:
+                    feats[i] = _digest_vector(data, out_dim)
+            if texts:
+                vecs = model.encode(texts)
+                for i, v in zip(text_idx, vecs):
+                    feats[i] = [float(x) for x in v]
             yield pd.DataFrame({"url": pdf[url_col].values, "feature": feats})
 
     return df.select(url_col, bin_col).mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1025,6 +1025,9 @@ _ROUTES = [
     # (http_server.rs:793 → add_synonyms_api); POST = set/replace
     ("PUT", re.compile(r"^/indices/([^/]+)/synonyms$"), "add_synonyms"),
     ("POST", re.compile(r"^/indices/([^/]+)/delete$"), "delete"),
+    # reference DELETE /api/v1/index/{id}/doc/{document_id}
+    # (api_endpoints "Delete Document by document ID")
+    ("DELETE", re.compile(r"^/indices/([^/]+)/doc/(\d+)$"), "delete_doc"),
     ("POST", re.compile(r"^/indices$"), "create_index"),
     ("DELETE", re.compile(r"^/indices/([^/]+)$"), "drop_index"),
     # reference PUT /api/v1/index/{id} = close (http_server.rs:603)
@@ -1084,7 +1087,8 @@ class _Handler(BaseHTTPRequestHandler):
         {
             "info", "query", "query_get", "count", "query_batch",
             "term_df", "suggest", "spell", "doc", "add_docs",
-            "update_docs", "commit", "delete", "drop_index", "clear",
+            "update_docs", "commit", "delete", "delete_doc",
+            "drop_index", "clear",
             "get_synonyms", "set_synonyms", "add_synonyms",
             "iterator", "iterator_get",
             "close_index", "index_file", "get_file",
@@ -1234,6 +1238,13 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, svc.set_synonyms(match.group(1), body))
         elif op == "delete":
             self._send(200, svc.delete(match.group(1), self._body()))
+        elif op == "delete_doc":
+            self._send(
+                200,
+                svc.delete(
+                    match.group(1), {"docids": [int(match.group(2))]}
+                ),
+            )
         elif op == "create_index":
             self._send(200, svc.create_index(self._body()))
         elif op == "drop_index":

@@ -158,6 +158,77 @@ def test_embedder_cache_keys_on_all_model_files(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# multimodal extract_features → real embedder (round-4 verdict item 8)
+
+
+def test_extract_features_delegates_to_embedder(spark, tmp_path):
+    from seekstorm_spark.functions.embedder import (
+        StaticEmbedder,
+        build_static_model,
+    )
+    from seekstorm_spark.functions.multimodal import extract_features
+
+    model = str(tmp_path / "model")
+    build_static_model(
+        model, ["fast", "join", "query", "merge", "table"], dim=8
+    )
+    rows = [
+        ("u0", b"fast query join"),
+        ("u1", b"merge table merge"),
+        ("u2", b"\x89PNG\r\n\x1a\n" + b"\x00" * 24),  # image: model slot
+    ]
+    docs = spark.createDataFrame(rows, "url string, html binary")
+    got = {
+        r["url"]: r["feature"]
+        for r in extract_features(docs, model_path=model).collect()
+    }
+    m = StaticEmbedder(model)
+    want = m.encode(["fast query join", "merge table merge"])
+    assert np.allclose(got["u0"], want[0], atol=1e-6)
+    assert np.allclose(got["u1"], want[1], atol=1e-6)
+    # the PNG payload takes the digest slot — same dim, unit norm,
+    # deterministic
+    assert len(got["u2"]) == m.dim
+    assert abs(float(np.linalg.norm(got["u2"])) - 1.0) < 1e-5
+    again = {
+        r["url"]: r["feature"]
+        for r in extract_features(docs, model_path=model).collect()
+    }
+    assert again["u2"] == got["u2"]
+
+
+def test_chunking_embedder_ann_pipeline(spark, tmp_path):
+    """Feature vectors flow chunking → static embedder → doc-level ANN
+    in one pipeline: the doc sharing the query's words ranks first."""
+    from seekstorm_spark.functions.chunking import chunk_docs, embed_chunks
+    from seekstorm_spark.functions.chunking import chunked_topk
+    from seekstorm_spark.functions.embedder import (
+        StaticEmbedder,
+        build_static_model,
+        model_embed_udf,
+    )
+
+    model = str(tmp_path / "model")
+    build_static_model(
+        model, ["fast", "join", "query", "merge", "table", "scan"], dim=8
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "fast query join. fast join runs."),
+            (1, "merge table merge. table scan merge."),
+            (2, "scan scan scan. table table."),
+        ],
+        "docid long, text string",
+    )
+    chunks = chunk_docs(docs, chunk_size=32)
+    vecs = embed_chunks(chunks, embed_udf=model_embed_udf(model))
+    q = [float(x) for x in StaticEmbedder(model).encode(["fast query"])[0]]
+    top = chunked_topk(vecs, q, k=3).collect()
+    assert top[0]["docid"] == 0
+    assert top[0]["sim"] > top[-1]["sim"]
+
+
+# ---------------------------------------------------------------------------
 # enable_fallback (reference Index.enable_fallback, search.rs:3555-3559)
 
 

@@ -57,6 +57,35 @@ def test_search_many_identical_to_search(spark, built):
         assert _batched_rows(batched, i) == single, q
 
 
+def test_batch_100_bit_identity(spark, built):
+    """The bench's 100-query fused batch (same generator as
+    bench.py's batched_100): every query's page must be bit-identical
+    to the sequential path at this batch size — per-query heaps,
+    thresholds and NOT-sets must not cross-talk as the batch grows."""
+    big_qs = []
+    for i in range(100):
+        a, b = i % 40, (i * 7 + 3) % 40
+        shape = i % 4
+        if shape == 0:
+            big_qs.append(f"term{a:05d}")
+        elif shape == 1:
+            big_qs.append(f"term{a:05d} term{b:05d}")
+        elif shape == 2:
+            big_qs.append(f"+term{a:05d} +term{b:05d}")
+        else:
+            big_qs.append(f"term{a:05d} -term{b:05d}")
+    batched = search_many(spark, built, big_qs, top_k=10).collect()
+    # spot-check every 7th query exactly (full 100 sequential runs
+    # would dominate suite time); the fused kernel treats all queries
+    # of a shape identically, so the stride covers each shape
+    for i in range(0, 100, 7):
+        single = _rows(search(spark, built, big_qs[i], top_k=10))
+        assert _batched_rows(batched, i) == single, big_qs[i]
+    # and all 100 produced a (possibly empty) page bounded by top_k
+    for i in range(100):
+        assert len(_batched_rows(batched, i)) <= 10
+
+
 def test_search_many_respects_deletes(spark, built):
     victims = [r["docid"] for r in
                search(spark, built, "term00000", top_k=3).collect()]
