@@ -60,7 +60,10 @@ def german_stem(word: str) -> str:
         ):
             chars[i] = chars[i].upper()
     w = "".join(chars)
-    r1, r2 = _r1_r2(w.lower(), _DE_VOWELS)
+    # regions on the MARKED word: uppercase U/Y are consonants exactly
+    # because they are not in the lowercase vowel set (oracle-caught
+    # round-5 fix: 'neue' → r1=3 → 'neu', not r1=len)
+    r1, r2 = _r1_r2(w, _DE_VOWELS)
     r1 = max(r1, 3)  # R1 begins no earlier than position 3
 
     def in_r1(pos: int) -> bool:
@@ -329,7 +332,9 @@ def spanish_stem(word: str) -> str:
                     step1_done = True  # a removal happened
                 break
 
-    # step 2b: other verb suffixes
+    # step 2b: other verb suffixes. Runs under `setlimit tomark pV`: a
+    # suffix starting before RV is NOT a match — fall back to the next
+    # shorter one ('vidas': 'idas' starts before RV, 'as' matches)
     if w == before1:
         for suf in sorted(
             set(_ES_STEP2B) | set(_ES_STEP2B_GU), key=len, reverse=True
@@ -337,21 +342,23 @@ def spanish_stem(word: str) -> str:
             if not w.endswith(suf):
                 continue
             pos = len(w) - len(suf)
-            if in_rv(pos):
-                w = w[:pos]
-                if suf in _ES_STEP2B_GU and w.endswith("gu"):
-                    w = w[:-1]
+            if not in_rv(pos):
+                continue
+            w = w[:pos]
+            if suf in _ES_STEP2B_GU and w.endswith("gu"):
+                w = w[:-1]
             break
     rv = min(rv, len(w))
 
-    # step 3: residual suffix
+    # step 3: residual suffix (same RV-limited matching)
     for suf in ("os", "a", "o", "á", "í", "ó", "e", "é"):
         if w.endswith(suf):
             pos = len(w) - len(suf)
-            if in_rv(pos):
-                w = w[:pos]
-                if suf in ("e", "é") and w.endswith("gu") and in_rv(len(w) - 1):
-                    w = w[:-1]
+            if not in_rv(pos):
+                continue
+            w = w[:pos]
+            if suf in ("e", "é") and w.endswith("gu") and in_rv(len(w) - 1):
+                w = w[:-1]
             break
 
     return w.translate(_ES_ACCENT)
@@ -378,19 +385,25 @@ def _fr_mark(word: str) -> str:
             or (i < n - 1 and chars[i + 1] in _FR_VOWELS)
         ):
             chars[i] = "Y"
-    return "".join(chars)
+    # diaeresis expansion (french.sbl prelude): ë → He, ï → Hi with H
+    # a consonant marker — this is what lets step 4's final-e deletion
+    # reach 'arûë' (→arûHe, e in RV) while 'arë' (→arHe, RV at end)
+    # keeps its ë; the postlude in french_stem restores them
+    return "".join(chars).replace("ë", "He").replace("ï", "Hi")
 
 
 def _fr_rv(w: str) -> int:
+    """RV on the MARKED word: I/U/Y consonant marks must count as
+    non-vowels here (lowercasing first silently re-vowels them and
+    shifts every region — oracle-caught round-5 fix)."""
     n = len(w)
-    lw = w.lower()
-    if n >= 2 and lw[0] in _FR_VOWELS and lw[1] in _FR_VOWELS:
+    if n >= 2 and w[0] in _FR_VOWELS and w[1] in _FR_VOWELS:
         return min(3, n)
-    if lw.startswith(("par", "col", "tap")):
+    if w.lower().startswith(("par", "col", "tap")):
         return min(3, n)
     # after the first vowel not at the beginning
     for i in range(1, n):
-        if lw[i] in _FR_VOWELS:
+        if w[i] in _FR_VOWELS:
             return min(i + 1, n)
     return n
 
@@ -420,10 +433,12 @@ _FR_STEP2B_E = (
 
 
 def french_stem(word: str) -> str:
+    # regions AND vowel-adjacency tests run on the MARKED word: the
+    # uppercase I/U/Y marks are consonants precisely because they are
+    # not members of the lowercase vowel set
     w = _fr_mark(word)
-    lw = w.lower()
     rv = _fr_rv(w)
-    r1, r2 = _r1_r2(lw, _FR_VOWELS)
+    r1, r2 = _r1_r2(w, _FR_VOWELS)
 
     def in_rv(pos: int) -> bool:
         return pos >= rv
@@ -539,7 +554,7 @@ def french_stem(word: str) -> str:
                 w = w[:pos] + "eux"
                 changed = True
         elif suf in ("issement", "issements"):
-            if in_r1(pos) and pos > 0 and lw[pos - 1] not in _FR_VOWELS:
+            if in_r1(pos) and pos > 0 and w[pos - 1] not in _FR_VOWELS:
                 w = w[:pos]
                 changed = True
         elif suf == "amment":
@@ -553,23 +568,34 @@ def french_stem(word: str) -> str:
                 changed = True
                 did_mandatory_2a = True
         elif suf in ("ment", "ments"):
-            if pos > 0 and lw[pos - 1] in _FR_VOWELS and in_rv(pos - 1):
+            if pos > 0 and w[pos - 1] in _FR_VOWELS and in_rv(pos - 1):
                 w = w[:pos]
                 changed = True
                 did_mandatory_2a = True
         break
-    lw = w.lower()
     rv = min(rv, len(w))
 
     # --- step 2a: verb suffixes beginning i ---
+    # steps 2a/2b run under `setlimit tomark pV`: a suffix extending
+    # past RV does not MATCH at all and the among falls back to the
+    # next shorter suffix ('viez' → 'ez' matches though 'iez' is
+    # longer); only a post-match condition failure ends the step
     step2_changed = False
     if not changed or did_mandatory_2a:
         for suf in _FR_STEP2A:
             if not w.endswith(suf):
                 continue
             pos = len(w) - len(suf)
-            if in_rv(pos) and pos > 0 and lw[pos - 1] not in _FR_VOWELS \
-                    and in_rv(pos - 1):
+            if not in_rv(pos):
+                continue  # outside the RV limit: not a match
+            # the preceding char must be a non-vowel in RV, and NOT
+            # the H diaeresis marker — 'haï' keeps its i (oracle)
+            if (
+                pos > 0
+                and w[pos - 1] not in _FR_VOWELS
+                and w[pos - 1] != "H"
+                and in_rv(pos - 1)
+            ):
                 w = w[:pos]
                 step2_changed = True
             break
@@ -583,22 +609,21 @@ def french_stem(word: str) -> str:
                 if not w.endswith(suf):
                     continue
                 pos = len(w) - len(suf)
+                if not in_rv(pos):
+                    continue  # outside the RV limit: not a match
                 if suf == "ions":
                     if in_r2(pos):
                         w = w[:pos]
                         step2_changed = True
                 elif suf in _FR_STEP2B_RV:
-                    if in_rv(pos):
-                        w = w[:pos]
-                        step2_changed = True
+                    w = w[:pos]
+                    step2_changed = True
                 else:
-                    if in_rv(pos):
-                        w = w[:pos]
-                        step2_changed = True
-                        if w.endswith("e") and in_rv(len(w) - 1):
-                            w = w[:-1]
+                    w = w[:pos]
+                    step2_changed = True
+                    if w.endswith("e") and in_rv(len(w) - 1):
+                        w = w[:-1]
                 break
-        lw = w.lower()
         rv = min(rv, len(w))
 
     altered = changed or step2_changed
@@ -609,26 +634,25 @@ def french_stem(word: str) -> str:
         elif w.endswith("ç"):
             w = w[:-1] + "c"
     else:
-        # step 4
-        if w.endswith("s") and len(w) >= 2 and lw[-2] not in "aiouès":
+        # step 4: final s deleted when preceded by Hi (a former ï) or
+        # by none of a,i,o,u,è,s — marked-text tests throughout
+        if w.endswith("s") and len(w) >= 2 and (
+            w.endswith("His") or w[-2] not in "aiouès"
+        ):
             w = w[:-1]
-            lw = w.lower()
-        for suf in ("Ière", "ière", "Ier", "ier", "ion", "e", "ë"):
+        for suf in ("Ière", "ière", "Ier", "ier", "ion", "e"):
             if not w.endswith(suf):
                 continue
             pos = len(w) - len(suf)
             if suf == "ion":
-                if in_r2(pos) and pos > 0 and lw[pos - 1] in "st":
+                if in_r2(pos) and pos > 0 and w[pos - 1] in "st":
                     w = w[:pos]
             elif suf in ("ier", "ière", "Ier", "Ière"):
                 if in_rv(pos):
                     w = w[:pos] + "i"
-            elif suf == "e":
+            else:  # e
                 if in_rv(pos):
                     w = w[:pos]
-            else:  # ë
-                if w.lower().endswith("guë") and in_rv(len(w) - 1):
-                    w = w[:-1]
             break
 
     # step 5: undouble
@@ -637,17 +661,21 @@ def french_stem(word: str) -> str:
             w = w[:-1]
             break
 
-    # step 6: un-accent (é/è before final non-vowel run → e)
+    # step 6: un-accent (é/è before final non-vowel run → e); marked
+    # I/U/Y count as non-vowels here too
     i = len(w) - 1
     seen_nonvowel = False
     while i >= 0:
-        if w[i].lower() in _FR_VOWELS:
+        if w[i] in _FR_VOWELS:
             break
         seen_nonvowel = True
         i -= 1
     if seen_nonvowel and i >= 0 and w[i] in "éè":
         w = w[:i] + "e" + w[i + 1 :]
 
+    # postlude: restore diaereses (He → ë, Hi → ï), drop orphan H
+    # markers whose vowel was stripped, un-mark I/U/Y via lower()
+    w = w.replace("He", "ë").replace("Hi", "ï").replace("H", "")
     return w.lower()
 
 
@@ -789,12 +817,15 @@ def danish_stem(word: str) -> str:
     elif suf is not None:
         w = w[: len(w) - len(suf)]
         w = consonant_pair(w)
-    # step 4 (undouble): trim an in-R1 final double consonant
+    # step 4 (undouble): trim a final double consonant whose LAST
+    # letter lies in R1 — the single-char backward match runs under
+    # the R1 limit, so only the deleted letter must be in R1 (oracle:
+    # 'hedder'→'hed' with r1=3; dict_snowball.so, danish_stem)
     if (
         len(w) >= 2
         and w[-1] == w[-2]
         and w[-1] not in _DA_VOWELS
-        and len(w) - 2 >= r1
+        and len(w) - 1 >= r1
     ):
         w = w[:-1]
     return w
@@ -830,8 +861,22 @@ def dutch_stem(word: str) -> str:
         ):
             chars[i] = "I"
     w = "".join(chars)
-    r1, r2 = _r1_r2(w.lower(), _NL_VOWELS)
-    r1 = max(r1, 3)  # as in German: R1 begins no earlier than position 3
+    # regions AND vowel tests on the MARKED word (uppercase Y/I are
+    # consonants because they are not in the lowercase vowel set) —
+    # lowercasing first re-vowels them (oracle-caught round-5 fix:
+    # 'soye' → final e after consonant Y is deleted)
+    r1, r2 = _r1_r2(w, _NL_VOWELS)
+    # dutch.sbl's R1 floor is the literal `$p1 < 3  $p1 = 3` — a BYTE
+    # comparison in the Snowball runtime, so a multibyte char ('è')
+    # before R1 counts as two ('èrs' drops its s, 'ers' keeps it —
+    # oracle-verified; the hop-based Scandinavian floors are per-CHAR)
+    offs = [0]
+    for ch in w:
+        offs.append(offs[-1] + len(ch.encode("utf-8")))
+    r1b = max(offs[r1], 3)
+    r1 = next(
+        (c for c in range(len(offs)) if offs[c] >= r1b), len(w)
+    )
 
     def in_r1(pos: int) -> bool:
         return pos >= r1
@@ -840,12 +885,12 @@ def dutch_stem(word: str) -> str:
         return pos >= r2
 
     def valid_s_ending(pos: int) -> bool:
-        return pos > 0 and w[pos - 1].lower() not in _NL_VOWELS + "j"
+        return pos > 0 and w[pos - 1] not in _NL_VOWELS + "j"
 
     def valid_en_ending(pos: int) -> bool:
         return (
             pos > 0
-            and w[pos - 1].lower() not in _NL_VOWELS
+            and w[pos - 1] not in _NL_VOWELS
             and w[max(0, pos - 3) : pos] != "gem"
         )
 
@@ -871,7 +916,7 @@ def dutch_stem(word: str) -> str:
         w.endswith("e")
         and in_r1(len(w) - 1)
         and len(w) >= 2
-        and w[-2].lower() not in _NL_VOWELS
+        and w[-2] not in _NL_VOWELS
     ):
         w = _nl_undouble(w[:-1])
         e_removed = True
@@ -913,7 +958,7 @@ def dutch_stem(word: str) -> str:
                     w.endswith("e")
                     and in_r1(len(w) - 1)
                     and len(w) >= 2
-                    and w[-2].lower() not in _NL_VOWELS
+                    and w[-2] not in _NL_VOWELS
                 ):
                     w = _nl_undouble(w[:-1])
         elif suf == "baar":
@@ -927,11 +972,11 @@ def dutch_stem(word: str) -> str:
     # step 4 — undouble vowel: C + aa/ee/oo/uu + non-vowel(≠I) → drop one
     if (
         len(w) >= 4
-        and w[-1].lower() not in _NL_VOWELS
+        and w[-1] not in _NL_VOWELS
         and w[-1] != "I"
         and w[-2] == w[-3]
         and w[-2] in "aeou"
-        and w[-4].lower() not in _NL_VOWELS
+        and w[-4] not in _NL_VOWELS
     ):
         w = w[:-2] + w[-1]
 
@@ -990,7 +1035,6 @@ def _pt_rv(w: str) -> int:
     return 3
 
 
-_PT_ACCENT = str.maketrans("áéíóúâêô", "aeiouaeo")
 
 
 def portuguese_stem(word: str) -> str:
@@ -1120,7 +1164,10 @@ def portuguese_stem(word: str) -> str:
     elif w.endswith("ç"):
         w = w[:-1] + "c"
 
-    return w.translate(_PT_ACCENT).replace("a~", "a").replace("o~", "o")
+    # final step is ONLY the nasal-marker restore (a~ → ã, o~ → õ);
+    # the algorithm never strips acute/circumflex accents — oracle-
+    # caught round-5 fix ('cantável' keeps its accent)
+    return w.replace("a~", "ã").replace("o~", "õ")
 
 
 # ---------------------------------------------------------------------------
@@ -1145,7 +1192,7 @@ _IT_STEP1_DELETE_R2 = (
 )
 _IT_STEP2 = (
     "erebbero", "irebbero", "assimo", "eranno", "erebbe", "eremmo",
-    "ereste", "eresti", "essero", "iranno", "irebbe", "iremmo",
+    "ereste", "eresti", "essero", "assero", "iranno", "irebbe", "iremmo",
     "ireste", "iresti", "iscano", "iscono", "issero", "arono",
     "avamo", "avano", "avate", "eremo", "erete", "erono", "evamo",
     "evano", "evate", "iremo", "irete", "irono", "ivamo", "ivano",
@@ -1160,19 +1207,19 @@ _IT_STEP2 = (
 
 
 def _it_rv(w: str) -> int:
-    # same region definition as Spanish (shared Romance RV)
+    # same region definition as Spanish (shared Romance RV); computed
+    # on the MARKED word — uppercase I/U marks are consonants here
     n = len(w)
-    lw = w.lower()
     if n < 3:
         return n
-    if lw[1] not in _IT_VOWELS:
+    if w[1] not in _IT_VOWELS:
         i = 2
-        while i < n and lw[i] not in _IT_VOWELS:
+        while i < n and w[i] not in _IT_VOWELS:
             i += 1
         return min(i + 1, n)
-    if lw[0] in _IT_VOWELS and lw[1] in _IT_VOWELS:
+    if w[0] in _IT_VOWELS and w[1] in _IT_VOWELS:
         i = 2
-        while i < n and lw[i] in _IT_VOWELS:
+        while i < n and w[i] in _IT_VOWELS:
             i += 1
         return min(i + 1, n)
     return 3
@@ -1189,13 +1236,14 @@ def italian_stem(word: str) -> str:
         elif (
             c in "iu"
             and 0 < i < n - 1
-            and chars[i - 1].lower() in _IT_VOWELS
-            and chars[i + 1].lower() in _IT_VOWELS
+            and chars[i - 1] in _IT_VOWELS
+            and chars[i + 1] in _IT_VOWELS
         ):
             chars[i] = c.upper()
     w = "".join(chars)
+    # regions on the MARKED word (uppercase I/U = consonants)
     rv = _it_rv(w)
-    r1, r2 = _r1_r2(w.lower(), _IT_VOWELS)
+    r1, r2 = _r1_r2(w, _IT_VOWELS)
 
     def in_rv(pos: int) -> bool:
         return pos >= rv
@@ -1288,13 +1336,18 @@ def italian_stem(word: str) -> str:
         break
     rv = min(rv, len(w))
 
-    # step 2: verb suffixes (only if step 1 removed nothing)
+    # step 2: verb suffixes (only if step 1 removed nothing). Runs
+    # under `setlimit tomark pV`: a suffix extending past RV is NOT a
+    # match and the among falls back to the next shorter one
+    # ('vivano': 'ivano' starts before RV, 'ano' matches — oracle-
+    # caught round-5 fix)
     if w == before:
-        for suf in _IT_STEP2:
+        for suf in sorted(_IT_STEP2, key=len, reverse=True):
             if w.endswith(suf):
                 pos = len(w) - len(suf)
-                if in_rv(pos):
-                    w = w[:pos]
+                if not in_rv(pos):
+                    continue
+                w = w[:pos]
                 break
         rv = min(rv, len(w))
 
@@ -1378,6 +1431,10 @@ def russian_stem(word: str) -> str:
                 and in_rv(pos)
                 and pos > 0
                 and word_[pos - 1] in "ая"
+                # the а/я precondition char is part of the backward
+                # match under the RV limit — it must be in RV too
+                # (oracle: 'дала' keeps 'ла', noun 'а' strips instead)
+                and in_rv(pos - 1)
                 and (best is None or len(suf) > len(best[1]))
             ):
                 best = (pos, suf)

@@ -155,7 +155,7 @@ DA_VECTORS = {
     "bogen": "bog",
     "husene": "hus",
     "venligst": "ven",
-    "hallen": "hall",
+    "hallen": "hal",  # undouble: last char of the double pair is in R1
     "forløst": "forløs",
     "hundens": "hund",
     "kagerne": "kag",
