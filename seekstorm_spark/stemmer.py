@@ -187,4 +187,9 @@ def stem(word: str, lang: str = "en") -> str:
             "it": sb.italian_stem,
             "ru": sb.russian_stem,
         }[lang](word)
+    from seekstorm_spark.snowball_extra import EXTRA_CODES
+
+    fn = EXTRA_CODES.get(lang)
+    if fn is not None:
+        return fn(word)
     return word
