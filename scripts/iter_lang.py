@@ -18,6 +18,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from snowball_oracle import stem_words  # noqa: E402
 
 CFG = {
+    "hungarian": {
+        "alpha": "abdeghiklmnoprstvzáéíóöőúüű",
+        "bases": [
+            "ház", "alma", "könyv", "kert", "autó", "város", "tűz",
+            "víz", "barát", "asztal", "ember", "gyerek", "iskola",
+            "szép", "gyors", "fa", "kéz", "út", "sör", "ökör",
+        ],
+        "words": (
+            "házakkal házban házakat barátokkal asztalon könyvek "
+            "könyveim könyveink házaink fákkal emberekkel gyerekeknek "
+            "iskolában szépen gyorsan almát almák kertjében autójával "
+            "városokból tűzzel vízzel házé házaké barátoké kezünk "
+            "kezetek kezeik útjaink söröket ökröt legnagyobb "
+            "legszebbik hatalmasabb állatokként emberiségnek "
+            "nemzetközi magyarországon"
+        ).split(),
+    },
     "romanian": {
         "alpha": "abcdeghilmnoprstuvzăâîşţșț",
         "bases": [
@@ -43,7 +60,7 @@ CFG = {
 def suffixes_from_module(lang: str) -> list[str]:
     import seekstorm_spark.snowball_extra as mod
 
-    pref = {"romanian": "_RO_"}[lang]
+    pref = {"romanian": "_RO_", "hungarian": "_HU_"}[lang]
     out: set[str] = set()
     for name, val in vars(mod).items():
         if not name.startswith(pref):

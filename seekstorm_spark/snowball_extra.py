@@ -243,11 +243,165 @@ def romanian_stem(word: str) -> str:
     return w.lower()
 
 
+# ---------------------------------------------------------------------------
+# Hungarian
+# ---------------------------------------------------------------------------
+
+_HU_VOWELS = "aáeéiíoóöőuúüű"
+_HU_DIGRAPHS = ("dzs", "cs", "dz", "gy", "ly", "ny", "sz", "ty", "zs")
+# doubled consonants (incl. doubled digraphs, written with the first
+# letter repeated: ssz = sz+sz etc.)
+_HU_DOUBLE = (
+    "bb", "cc", "ccs", "dd", "ff", "gg", "ggy", "jj", "kk", "ll",
+    "lly", "mm", "nn", "nny", "pp", "rr", "ss", "ssz", "tt", "tty",
+    "vv", "zz", "zzs",
+)
+
+
+def _hu_r1(w: str) -> int:
+    n = len(w)
+    if not w:
+        return 0
+    if w[0] in _HU_VOWELS:
+        # after the first consonant or digraph
+        i = 1
+        while i < n:
+            if w[i] not in _HU_VOWELS:
+                for d in _HU_DIGRAPHS:
+                    if w.startswith(d, i):
+                        return min(i + len(d), n)
+                return i + 1
+            i += 1
+        return n
+    # begins with a consonant: after the first vowel
+    for i in range(1, n):
+        if w[i] in _HU_VOWELS:
+            return i + 1
+    return n
+
+
+def _hu_undouble(w: str) -> str:
+    for d in sorted(_HU_DOUBLE, key=len, reverse=True):
+        if w.endswith(d):
+            # remove the FIRST letter of the doubled pair
+            return w[: len(w) - len(d)] + d[1:]
+    return w
+
+
+_HU_CASE = (
+    "ban", "ben", "ba", "be", "ra", "re", "nak", "nek", "val", "vel",
+    "tól", "től", "ról", "ről", "ból", "ből", "hoz", "hez", "höz",
+    "nál", "nél", "ig", "at", "et", "ot", "öt", "ért", "képp",
+    "képpen", "kor", "ul", "ül", "vá", "vé", "onként", "enként",
+    "anként", "ként", "en", "on", "an", "ön", "n", "t",
+)
+_HU_CASE_SPECIAL = {"én": "e", "án": "a", "ánként": "a"}
+_HU_CASE_OTHER = {
+    "astul": "", "estül": "", "ástul": "a", "éstül": "e",
+    "stul": "", "stül": "",
+}
+# tables decoded entry-by-entry (with their branch codes) from the
+# among structs inside dict_snowball.so, then behavior-verified via
+# the live oracle. Notable: owned has NO 'áé' entry ('é' deletes and
+# sing_owner's 'á'→a finishes the job), sing_owner DOES carry 'é'→e
+# (reachable only when owned's longest match fails its R1 test, e.g.
+# 'faké'→'fake'), and the 'tok' owner forms exist only with back
+# vowels ('aitok'/'áitok' but 'eitek'/'éitek').
+_HU_OWNED = {
+    "éi": "", "áéi": "a", "ééi": "e",
+    "é": "", "ké": "", "aké": "", "eké": "", "oké": "", "öké": "",
+    "áké": "a", "éké": "e", "éé": "e",
+}
+_HU_SING_OWNER = {
+    "a": "", "ja": "", "d": "", "ad": "", "ed": "", "od": "",
+    "ád": "a", "éd": "e", "öd": "",
+    "e": "", "je": "",
+    "nk": "", "unk": "", "ánk": "a", "énk": "e", "ünk": "",
+    "uk": "", "juk": "", "ájuk": "a",
+    "ük": "", "jük": "", "éjük": "e",
+    "m": "", "am": "", "em": "", "om": "", "ám": "a", "ém": "e",
+    "o": "", "á": "a", "é": "e",
+}
+_HU_PLUR_OWNER = {
+    "id": "", "aid": "", "jaid": "", "eid": "", "jeid": "",
+    "áid": "a", "éid": "e",
+    "i": "", "ai": "", "jai": "", "ei": "", "jei": "",
+    "ái": "a", "éi": "e",
+    "itek": "", "eitek": "", "jeitek": "", "éitek": "e",
+    "ik": "", "aik": "", "jaik": "", "eik": "", "jeik": "",
+    "áik": "a", "éik": "e",
+    "ink": "", "aink": "", "jaink": "", "eink": "", "jeink": "",
+    "áink": "a", "éink": "e",
+    "aitok": "", "jaitok": "", "áitok": "a",
+    "im": "", "aim": "", "jaim": "", "eim": "", "jeim": "",
+    "áim": "a", "éim": "e",
+}
+_HU_PLURAL = {
+    "ák": "a", "ék": "e", "ök": "", "ok": "", "ek": "", "ak": "",
+    "k": "",
+}
+
+
+def hungarian_stem(word: str) -> str:
+    w = word.lower()
+    r1 = _hu_r1(w)
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def apply(cur: str, table: dict[str, str]) -> tuple[str, bool]:
+        """Plain backwardmode among: commit to the LONGEST matching
+        suffix; its R1 failure fails the whole step (no fallback)."""
+        for suf in sorted(table, key=len, reverse=True):
+            if cur.endswith(suf):
+                pos = len(cur) - len(suf)
+                if not in_r1(pos):
+                    return cur, False
+                return cur[:pos] + table[suf], True
+        return cur, False
+
+    # instrumental: al/el in R1, preceded by a double consonant →
+    # delete + undouble
+    for suf in ("al", "el"):
+        if w.endswith(suf) and in_r1(len(w) - 2):
+            head = w[:-2]
+            if any(head.endswith(d) for d in _HU_DOUBLE):
+                w = _hu_undouble(head)
+            break
+
+    # case endings, then v_ending (final á→a / é→e, in R1)
+    w, fired = apply(w, {s: "" for s in _HU_CASE})
+    if fired:
+        if w.endswith("á") and in_r1(len(w) - 1):
+            w = w[:-1] + "a"
+        elif w.endswith("é") and in_r1(len(w) - 1):
+            w = w[:-1] + "e"
+
+    w, _ = apply(w, _HU_CASE_SPECIAL)
+    w, _ = apply(w, _HU_CASE_OTHER)
+
+    # factive á/é in R1 preceded by double consonant → delete+undouble
+    for suf in ("á", "é"):
+        if w.endswith(suf) and in_r1(len(w) - 1):
+            head = w[:-1]
+            if any(head.endswith(d) for d in _HU_DOUBLE):
+                w = _hu_undouble(head)
+            break
+
+    w, _ = apply(w, _HU_OWNED)
+    w, _ = apply(w, _HU_SING_OWNER)
+    w, _ = apply(w, _HU_PLUR_OWNER)
+    w, _ = apply(w, _HU_PLURAL)
+    return w
+
+
 EXTRA_STEMMERS = {
     "romanian": romanian_stem,
+    "hungarian": hungarian_stem,
 }
 
 # ISO-639-1 codes for stemmer.stem() dispatch
 EXTRA_CODES = {
     "ro": romanian_stem,
+    "hu": hungarian_stem,
 }
