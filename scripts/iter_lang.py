@@ -18,6 +18,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from snowball_oracle import stem_words  # noqa: E402
 
 CFG = {
+    "finnish": {
+        "alpha": "adehijklmnoprstuvyäö",
+        "bases": [
+            "talo", "kirja", "kaupunki", "edeltäjä", "nopea", "suuri",
+            "pieni", "vesi", "käsi", "maa", "tie", "yö", "työ", "poika",
+            "tyttö", "ystävä", "opettaja", "koulu", "järvi", "joki",
+        ],
+        "words": (
+            "taloissa taloissakin talossa talosta taloon taloihin "
+            "kirjoissa kirjasta kirjaan kirjojen kaupungeissa "
+            "kaupunkiin edeltäjistään nopeasti suurimmat pienemmät "
+            "vesien käsissä maiden teiden öiden poikien tyttöjen "
+            "ystävänsä opettajien kouluissa järvillä jokien "
+            "sanoittensa sanoittens sanojensa taloineen taloinensa "
+            "pojalla pojalta pojaksi isompi isoimmat kaunein "
+            "kauneimmat juoksee juoksi juossut syöneet syömme "
+            "olemme olette olivat menisimme menisitte"
+        ).split(),
+    },
     "hungarian": {
         "alpha": "abdeghiklmnoprstvzáéíóöőúüű",
         "bases": [
@@ -60,7 +79,7 @@ CFG = {
 def suffixes_from_module(lang: str) -> list[str]:
     import seekstorm_spark.snowball_extra as mod
 
-    pref = {"romanian": "_RO_", "hungarian": "_HU_"}[lang]
+    pref = {"romanian": "_RO_", "hungarian": "_HU_", "finnish": "_FI_"}[lang]
     out: set[str] = set()
     for name, val in vars(mod).items():
         if not name.startswith(pref):

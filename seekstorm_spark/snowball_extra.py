@@ -398,10 +398,222 @@ def hungarian_stem(word: str) -> str:
 EXTRA_STEMMERS = {
     "romanian": romanian_stem,
     "hungarian": hungarian_stem,
+    "finnish": lambda w: finnish_stem(w),
 }
 
 # ISO-639-1 codes for stemmer.stem() dispatch
 EXTRA_CODES = {
     "ro": romanian_stem,
     "hu": hungarian_stem,
+    "fi": lambda w: finnish_stem(w),
 }
+
+
+# ---------------------------------------------------------------------------
+# Finnish
+# ---------------------------------------------------------------------------
+
+_FI_V = "aeiouyäö"          # v: full vowel set
+_FI_V1 = "aeiouäö"          # restricted vowels (no y)
+_FI_LV = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")  # long vowels
+
+_FI_PARTICLES = ("kään", "kaan", "han", "hän", "kin", "ko", "kö",
+                 "pa", "pä")
+_FI_AN_PRE = ("ta", "ssa", "sta", "lla", "lta", "na")
+_FI_AN_PRE_F = ("tä", "ssä", "stä", "llä", "ltä", "nä")
+_FI_EN_PRE = ("lle", "ine")
+_FI_CASE_PLAIN = (
+    "lla", "llä", "na", "nä", "ssa", "ssä", "ta", "tä", "lta", "ltä",
+    "sta", "stä", "lle", "ine", "ksi",
+)
+_FI_HARMONY = {"han": "a", "hen": "e", "hin": "i", "hon": "o",
+               "hän": "ä", "hön": "ö"}
+
+
+def finnish_stem(word: str) -> str:
+    w = word.lower()
+    r1, r2 = _r1_r2(w, _FI_V)
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # --- step 1: particles etc (R1-limited matching) ---
+    s1 = sorted(set(_FI_PARTICLES) | {"sti"}, key=len, reverse=True)
+    for suf in s1:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if not in_r1(pos):
+            continue
+        if suf == "sti":
+            if in_r2(pos):
+                w = w[:pos]
+            break
+        if pos > 0 and (w[pos - 1] in "nt" or w[pos - 1] in _FI_V):
+            w = w[:pos]
+        break
+
+    # --- step 2: possessives (R1) ---
+    for suf in sorted(
+        ("si", "ni", "nsa", "nsä", "mme", "nne", "an", "än", "en"),
+        key=len, reverse=True,
+    ):
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if not in_r1(pos):
+            continue
+        if suf == "si":
+            if not (pos > 0 and w[pos - 1] == "k"):
+                w = w[:pos]
+        elif suf == "ni":
+            w = w[:pos]
+            if w.endswith("kse"):
+                w = w[:-1] + "i"
+        elif suf == "an":
+            if any(w[:pos].endswith(p) for p in _FI_AN_PRE):
+                w = w[:pos]
+        elif suf == "än":
+            if any(w[:pos].endswith(p) for p in _FI_AN_PRE_F):
+                w = w[:pos]
+        elif suf == "en":
+            if any(w[:pos].endswith(p) for p in _FI_EN_PRE):
+                w = w[:pos]
+        else:
+            w = w[:pos]
+        break
+
+    # --- step 3: cases (R1) ---
+    ending_removed = False
+    s3 = sorted(
+        set(_FI_CASE_PLAIN) | set(_FI_HARMONY) | {
+            "seen", "siin", "den", "tten", "tta", "ttä", "a", "ä", "n",
+        },
+        key=len, reverse=True,
+    )
+    # among semantics here follow the compiled sub_i fallback chains:
+    # a failed CONDITION falls back to the longest proper-suffix entry
+    # ('siin' with no Vi before it falls back to 'n'; 'tta' without a
+    # preceding 'e' falls back to 'ta') — hence continue, not break
+    for suf in s3:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if not in_r1(pos):
+            continue
+        if suf in _FI_HARMONY:
+            # harmony test lives in the BRANCH (fn=False in the
+            # compiled among): failure ends the step, no fallback
+            if not (pos > 0 and w[pos - 1] == _FI_HARMONY[suf]):
+                break
+            w = w[:pos]
+            ending_removed = True
+        elif suf in ("siin", "den", "tten"):
+            # preceded by Vi (restricted vowel + i)
+            if not (
+                pos >= 2
+                and w[pos - 1] == "i"
+                and w[pos - 2] in _FI_V1
+            ):
+                continue
+            w = w[:pos]
+            ending_removed = True
+        elif suf == "seen":
+            if not (pos >= 2 and w[pos - 2:pos] in _FI_LV):
+                continue
+            w = w[:pos]
+            ending_removed = True
+        elif suf in ("tta", "ttä"):
+            if not (pos > 0 and w[pos - 1] == "e"):
+                break
+            w = w[:pos]
+            ending_removed = True
+        elif suf in ("a", "ä"):
+            # preceded by cv (consonant, then any FULL-set vowel —
+            # 'y' counts here: oracle 'elkvya' → 'elkvy')
+            if not (
+                pos >= 2
+                and w[pos - 1] in _FI_V
+                and w[pos - 2] not in _FI_V
+            ):
+                break
+            w = w[:pos]
+            ending_removed = True
+        elif suf == "n":
+            w = w[:pos]
+            ending_removed = True
+            if w.endswith("ie") or w[-2:] in _FI_LV:
+                w = w[:-1]
+        else:
+            w = w[:pos]
+            ending_removed = True
+        break
+
+    # --- step 4: other endings (R2) ---
+    s4 = sorted(
+        ("mpi", "mpa", "mpä", "mmi", "mma", "mmä",
+         "impi", "impa", "impä", "immi", "imma", "immä",
+         "eja", "ejä"),
+        key=len, reverse=True,
+    )
+    for suf in s4:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if not in_r2(pos):
+            continue
+        if suf in ("mpi", "mpa", "mpä", "mmi", "mma", "mmä"):
+            if not w[:pos].endswith("po"):
+                w = w[:pos]
+        else:
+            w = w[:pos]
+        break
+
+    # --- step 5: plurals ---
+    if ending_removed:
+        if w and w[-1] in "ij" and in_r1(len(w) - 1):
+            w = w[:-1]
+    else:
+        if (
+            w.endswith("t")
+            and in_r1(len(w) - 1)
+            and len(w) >= 2
+            and w[-2] in _FI_V
+        ):
+            w = w[:-1]
+            for suf in ("imma", "mma"):
+                if w.endswith(suf) and in_r2(len(w) - len(suf)):
+                    if suf == "mma" and w[: len(w) - 3].endswith("po"):
+                        break
+                    w = w[: len(w) - len(suf)]
+                    break
+
+    # --- step 6: tidy ---
+    # a) R1 ends with a long vowel → remove the last letter
+    if len(w) >= 2 and w[-2:] in _FI_LV and in_r1(len(w) - 2):
+        w = w[:-1]
+    # b) R1 ends with consonant + one of a/ä/e/i → remove last letter
+    if (
+        len(w) >= 2
+        and w[-1] in "aäei"
+        and w[-2] not in _FI_V
+        and in_r1(len(w) - 2)
+    ):
+        w = w[:-1]
+    # c) R1 ends oj / uj → remove the j
+    if len(w) >= 2 and w[-1] == "j" and w[-2] in "ou" and in_r1(len(w) - 2):
+        w = w[:-1]
+    # d) R1 ends jo → remove the o
+    if len(w) >= 2 and w[-1] == "o" and w[-2] == "j" and in_r1(len(w) - 2):
+        w = w[:-1]
+    # e) word ends double consonant + zero or more vowels → remove the
+    # second consonant of the pair (not region-limited)
+    i = len(w)
+    while i > 0 and w[i - 1] in _FI_V:
+        i -= 1
+    if i >= 2 and w[i - 1] == w[i - 2] and w[i - 1] not in _FI_V:
+        w = w[: i - 1] + w[i:]
+    return w
