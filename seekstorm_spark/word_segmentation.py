@@ -37,14 +37,20 @@ def segment(
         return []
     if total is None:
         total = max(sum(dictionary.values()), 1)
-    log_total = math.log(total)
+    # the reference's probability model (word_segmentation.rs:80-89):
+    # n = 3 × Σcounts; P(word) = count / n; the unknown-word estimate
+    # is 10·log10(10 / n / len^10) — drastically harsher than the
+    # classic SymSpell 10/(N·10^len), so ANY known decomposition beats
+    # an unknown span (round-5 fix: the earlier formula let length-8
+    # unknowns outbid several mid-frequency words)
+    n = 3.0 * total
+    log_n = math.log10(n)
 
     def log_p(word: str) -> float:
         c = dictionary.get(word)
         if c:
-            return math.log(c) - log_total
-        # unknown-word penalty: 10 / (total * 10^len)
-        return math.log(10.0) - log_total - len(word) * math.log(10.0)
+            return math.log10(c) - log_n
+        return 10.0 * (1.0 - log_n - 10.0 * math.log10(len(word)))
 
     n = len(text)
     best = [0.0] + [-math.inf] * n
