@@ -395,18 +395,6 @@ def hungarian_stem(word: str) -> str:
     return w
 
 
-EXTRA_STEMMERS = {
-    "romanian": romanian_stem,
-    "hungarian": hungarian_stem,
-    "finnish": lambda w: finnish_stem(w),
-}
-
-# ISO-639-1 codes for stemmer.stem() dispatch
-EXTRA_CODES = {
-    "ro": romanian_stem,
-    "hu": hungarian_stem,
-    "fi": lambda w: finnish_stem(w),
-}
 
 
 # ---------------------------------------------------------------------------
@@ -617,3 +605,236 @@ def finnish_stem(word: str) -> str:
     if i >= 2 and w[i - 1] == w[i - 2] and w[i - 1] not in _FI_V:
         w = w[: i - 1] + w[i:]
     return w
+
+
+# ---------------------------------------------------------------------------
+# English (Porter2 — the reference's StemmerType::English; our
+# stemmer.py 'en' remains the original 1980 Porter = StemmerType::Porter)
+# ---------------------------------------------------------------------------
+
+_EN_V = "aeiouy"
+_EN_DOUBLE = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_EN_LI = "cdeghkmnrt"
+_EN_EXCEPTIONS = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_EN_EXCEPTIONS_1A = frozenset(
+    ("inning", "outing", "canning", "herring", "earring", "proceed",
+     "exceed", "succeed")
+)
+_EN_STEP2 = {
+    "ational": "ate", "tional": "tion", "enci": "ence", "anci": "ance",
+    "abli": "able", "entli": "ent", "izer": "ize", "ization": "ize",
+    "ational_": "", "ation": "ate", "ator": "ate", "alism": "al",
+    "aliti": "al", "alli": "al", "fulness": "ful", "ousli": "ous",
+    "ousness": "ous", "iveness": "ive", "iviti": "ive",
+    "biliti": "ble", "bli": "ble", "fulli": "ful", "lessli": "less",
+}
+_EN_STEP3 = {
+    "ational": "ate", "tional": "tion", "alize": "al", "icate": "ic",
+    "iciti": "ic", "ical": "ic", "ful": "", "ness": "",
+}
+_EN_STEP4 = (
+    "ement", "ance", "ence", "able", "ible", "ment", "ant", "ent",
+    "ism", "ate", "iti", "ous", "ive", "ize", "ion", "al", "er", "ic",
+)
+
+
+def _en_is_vowel(w: str, i: int) -> bool:
+    return w[i] in "aeiouy"
+
+
+def _en_short_syllable(w: str, end: int) -> bool:
+    """True iff w[:end] ends in a short syllable: (a) non-vowel +
+    vowel + non-vowel(not w/x/Y), or (b) vowel + non-vowel at the
+    word's start."""
+    if end >= 3:
+        a, b, c = w[end - 3], w[end - 2], w[end - 1]
+        if (
+            b in "aeiouy"
+            and a not in "aeiouy"
+            and c not in "aeiouy"
+            and c not in "wxY"
+        ):
+            return True
+    if end == 2 and w[0] in "aeiouy" and w[1] not in "aeiouy":
+        return True
+    return False
+
+
+def porter2_stem(word: str) -> str:
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+    if w.startswith("'"):
+        w = w[1:]
+    if w in _EN_EXCEPTIONS:
+        return _EN_EXCEPTIONS[w]
+    # mark consonant-y
+    chars = list(w)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in "aeiouy":
+            chars[i] = "Y"
+    w = "".join(chars)
+
+    # R1 (special prefixes gener-/commun-/arsen- cap it); R2 is then
+    # computed CONTINUING from R1 (english.sbl mark_regions), so the
+    # prefix exception shifts both regions ('generous' keeps 'ous')
+    r1 = None
+    for pre in ("gener", "commun", "arsen"):
+        if w.startswith(pre):
+            r1 = len(pre)
+            break
+    if r1 is None:
+        r1, _ = _r1_r2(w, _EN_V)
+
+    def _after_vc(start: int) -> int:
+        i, nn = start, len(w)
+        while i < nn and w[i] not in _EN_V:
+            i += 1
+        while i < nn and w[i] in _EN_V:
+            i += 1
+        return min(i + 1, nn) if i < nn else nn
+
+    r2 = _after_vc(r1)
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # step 0
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[: len(w) - len(suf)]
+            break
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith(("ied", "ies")):
+        w = w[:-3] + ("i" if len(w) > 4 else "ie")
+    elif w.endswith(("ss", "us")):
+        pass
+    elif w.endswith("s"):
+        if any(c in "aeiouy" for c in w[:-2]):
+            w = w[:-1]
+
+    if w in _EN_EXCEPTIONS_1A:
+        return w.lower()
+
+    # step 1b
+    ed_like = None
+    for suf in ("eedly", "ingly", "edly", "eed", "ing", "ed"):
+        if w.endswith(suf):
+            ed_like = suf
+            break
+    if ed_like in ("eed", "eedly"):
+        if in_r1(len(w) - len(ed_like)):
+            w = w[: len(w) - len(ed_like)] + "ee"
+    elif ed_like is not None:
+        stem_part = w[: len(w) - len(ed_like)]
+        if any(c in "aeiouy" for c in stem_part):
+            w = stem_part
+            if w.endswith(("at", "bl", "iz")):
+                w = w + "e"
+            elif w.endswith(_EN_DOUBLE):
+                w = w[:-1]
+            elif r1 >= len(w) and _en_short_syllable(w, len(w)):
+                w = w + "e"
+
+    # step 1c: y/Y → i after a non-vowel that is not the first letter
+    if (
+        len(w) > 2
+        and w[-1] in "yY"
+        and w[-2] not in "aeiouy"
+    ):
+        w = w[:-1] + "i"
+
+    # step 2 (R1)
+    s2 = sorted(
+        [k for k in _EN_STEP2 if k != "ational_"] + ["ogi", "li"],
+        key=len, reverse=True,
+    )
+    for suf in s2:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if not in_r1(pos):
+            break
+        if suf == "ogi":
+            if pos > 0 and w[pos - 1] == "l":
+                w = w[:pos] + "og"
+        elif suf == "li":
+            if pos > 0 and w[pos - 1] in _EN_LI:
+                w = w[:pos]
+        else:
+            w = w[:pos] + _EN_STEP2[suf]
+        break
+
+    # step 3 (R1; 'ative' needs R2)
+    for suf in sorted(list(_EN_STEP3) + ["ative"], key=len, reverse=True):
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if not in_r1(pos):
+            break
+        if suf == "ative":
+            if in_r2(pos):
+                w = w[:pos]
+        else:
+            w = w[:pos] + _EN_STEP3[suf]
+        break
+
+    # step 4 (R2)
+    for suf in sorted(_EN_STEP4, key=len, reverse=True):
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if not in_r2(pos):
+            break
+        if suf == "ion":
+            if pos > 0 and w[pos - 1] in "st":
+                w = w[:pos]
+        else:
+            w = w[:pos]
+        break
+
+    # step 5
+    if w.endswith("e"):
+        pos = len(w) - 1
+        if in_r2(pos) or (
+            in_r1(pos) and not _en_short_syllable(w, pos)
+        ):
+            w = w[:pos]
+    elif w.endswith("l"):
+        pos = len(w) - 1
+        if in_r2(pos) and pos > 0 and w[pos - 1] == "l":
+            w = w[:pos]
+
+    return w.lower()
+
+
+EXTRA_STEMMERS = {
+    "romanian": romanian_stem,
+    "hungarian": hungarian_stem,
+    "finnish": finnish_stem,
+    "english": porter2_stem,
+}
+
+# ISO-639-1 codes for stemmer.stem() dispatch
+EXTRA_CODES = {
+    "ro": romanian_stem,
+    "hu": hungarian_stem,
+    "fi": finnish_stem,
+    # Porter2 = the reference's StemmerType::English; plain "en" stays
+    # the original Porter (StemmerType::Porter)
+    "en2": porter2_stem,
+}

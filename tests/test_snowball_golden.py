@@ -25,15 +25,14 @@ DATA = pathlib.Path(__file__).parent / "data" / "snowball"
 
 def _stemmer(lang: str):
     from seekstorm_spark import snowball as sb
-    from seekstorm_spark import stemmer
+    from seekstorm_spark.snowball_extra import EXTRA_STEMMERS
 
-    if lang == "english":
-        return lambda w: stemmer.stem(w, "en")
-    fn = getattr(sb, f"{lang}_stem", None)
+    # EXTRA_STEMMERS wins: "english" there is Porter2 (the oracle's
+    # english_stem = StemmerType::English); stemmer.stem(w, "en")
+    # stays the original 1980 Porter (StemmerType::Porter)
+    fn = EXTRA_STEMMERS.get(lang)
     if fn is None:
-        from seekstorm_spark.snowball_extra import EXTRA_STEMMERS
-
-        fn = EXTRA_STEMMERS[lang]
+        fn = getattr(sb, f"{lang}_stem")
     return fn
 
 
