@@ -18,6 +18,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from snowball_oracle import stem_words  # noqa: E402
 
 CFG = {
+    "irish": {
+        "alpha": "abcdefghilmnoprstuáéíóú'-",
+        "bases": [
+            "scoil", "fuinneog", "carraig", "doras", "bord", "sagart",
+            "athair", "oibr", "náisiún", "beann", "ceol", "feirmeoir",
+            "pat", "arc", "gin", "graf", "óid", "leabhar", "litir",
+        ],
+        "words": (
+            "bhfuinneog gcarraig ndoras mbord tsagart n-athair "
+            "fheirmeoirí d'fhear scoileanna oibrithe imeachtaí "
+            "náisiúnta grafaíochta patacha beannachtaí ceolteoirí "
+            "múinteoirí imímid ceannaímid díolaimid glantar deirtear "
+            "oscailteadh briseadh marcáil"
+        ).split(),
+    },
     "finnish": {
         "alpha": "adehijklmnoprstuvyäö",
         "bases": [
@@ -79,7 +94,7 @@ CFG = {
 def suffixes_from_module(lang: str) -> list[str]:
     import seekstorm_spark.snowball_extra as mod
 
-    pref = {"romanian": "_RO_", "hungarian": "_HU_", "finnish": "_FI_"}[lang]
+    pref = {"romanian": "_RO_", "hungarian": "_HU_", "finnish": "_FI_", "irish": "_GA_"}[lang]
     out: set[str] = set()
     for name, val in vars(mod).items():
         if not name.startswith(pref):

@@ -8,9 +8,14 @@ rust-stemmers for 38 languages when a stemmer is configured
 (`/root/reference/seekstorm/src/tokenizer.rs:576-592`,
 `index.rs:641-722`). This container has no stemmer package, so the
 highest-traffic European languages are implemented from the specs;
-``stemmer.stem(word, lang)`` dispatches en→Porter (stemmer.py) and
-de/fr/es/sv/no/da/nl/pt/it/ru here. Remaining Snowball languages pass
-through unchanged (documented gap behind the same hook).
+``stemmer.stem(word, lang)`` dispatches en→Porter (stemmer.py),
+de/fr/es/sv/no/da/nl/pt/it/ru here, and ro/hu/fi/en2 (Porter2) via
+snowball_extra.py. Round 5 validated every port against the GENUINE
+compiled Snowball stemmers (postgres dict_snowball.so oracle,
+scripts/snowball_oracle.py) to zero mismatches on thousands of fuzz
+words per language; frozen golden vectors gate them in
+tests/test_snowball_golden.py. Remaining languages pass through
+unchanged (documented gap behind the same hook).
 
 All three follow the shared Snowball skeleton: compute R1/R2 (and RV
 for the Romance languages), then apply ordered longest-match suffix

@@ -822,11 +822,102 @@ def porter2_stem(word: str) -> str:
     return w.lower()
 
 
+
+
+# ---------------------------------------------------------------------------
+# Irish
+# ---------------------------------------------------------------------------
+
+_GA_V = "aeiouáéíóú"
+# initial mutations (forward prelude): eclipsis/lenition prefixes →
+# their radical (decoded from dict_snowball.so; e.g. bhf→f, gc→c)
+_GA_INITIAL = {
+    "b'": "", "bhf": "f", "bh": "b", "bp": "p", "ch": "c",
+    "d'fh": "f", "d'": "", "dh": "d", "dt": "t", "fh": "f",
+    "gc": "c", "gh": "g", "h-": "", "m'": "", "mb": "b", "mh": "m",
+    "n-": "", "nd": "d", "ng": "g", "ph": "p", "sh": "s", "t-": "",
+    "th": "t", "ts": "s",
+}
+_GA_NOUN = {
+    "amh": "", "eamh": "", "abh": "", "eabh": "", "ibh": "",
+    "aibh": "", "imh": "", "aimh": "", "íocht": "", "aíocht": "",
+    "íochta": "", "aíochta": "",
+    "ire": "", "aire": "", "irí": "", "airí": "",
+}
+_GA_NOUN_R2 = frozenset(("ire", "aire", "irí", "airí"))
+_GA_DERIV = {
+    "acht": "", "eacht": "", "ach": "", "each": "", "achta": "",
+    "eachta": "", "achtúil": "", "eachtúil": "",
+    "arcacht": "arc", "arcachta": "arc", "arcachtaí": "arc",
+    "gineach": "gin", "gineas": "gin", "ginis": "gin",
+    "grafaíoch": "graf", "grafaíocht": "graf", "grafaíochta": "graf",
+    "grafaíochtaí": "graf",
+    "paite": "paite", "patach": "paite", "patacha": "paite",
+    "pataigh": "paite",
+    "óideach": "óid", "óideacha": "óid", "óidigh": "óid",
+}
+_GA_VERB = {
+    "imid": "", "aimid": "", "ímid": "", "aímid": "",
+    "tear": "", "tar": "",
+    "adh": "", "eadh": "", "áil": "", "ain": "",
+    "faidh": "", "fidh": "",
+}
+# per-entry region requirement (fit against the oracle)
+_GA_VERB_R1 = frozenset(("imid", "aimid", "ímid", "aímid", "tear", "tar"))
+
+
+def irish_stem(word: str) -> str:
+    w = word.lower()
+    for pre in sorted(_GA_INITIAL, key=len, reverse=True):
+        if w.startswith(pre) and (
+            _GA_INITIAL[pre] or len(w) > len(pre)
+        ):
+            w = _GA_INITIAL[pre] + w[len(pre):]
+            break
+    r1, r2 = _r1_r2(w, _GA_V)
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # noun suffixes (delete; -ire family needs R2, the rest R1)
+    for suf in sorted(_GA_NOUN, key=len, reverse=True):
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            need = in_r2(pos) if suf in _GA_NOUN_R2 else in_r1(pos)
+            if need:
+                w = w[:pos]
+            break
+
+    # derivational (R2; named-stem replacements unconditional?)
+    for suf in sorted(_GA_DERIV, key=len, reverse=True):
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            rep = _GA_DERIV[suf]
+            if rep:
+                w = w[:pos] + rep
+            elif in_r2(pos):
+                w = w[:pos]
+            break
+
+    # verb suffixes (R1)
+    for suf in sorted(_GA_VERB, key=len, reverse=True):
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if in_r1(pos):
+                w = w[:pos]
+            break
+    return w
+
+
 EXTRA_STEMMERS = {
     "romanian": romanian_stem,
     "hungarian": hungarian_stem,
     "finnish": finnish_stem,
     "english": porter2_stem,
+    "irish": irish_stem,
 }
 
 # ISO-639-1 codes for stemmer.stem() dispatch
@@ -837,4 +928,5 @@ EXTRA_CODES = {
     # Porter2 = the reference's StemmerType::English; plain "en" stays
     # the original Porter (StemmerType::Porter)
     "en2": porter2_stem,
+    "ga": irish_stem,
 }

@@ -162,14 +162,16 @@ def porter_stem(w: str) -> str:
 
 
 def stem(word: str, lang: str = "en") -> str:
-    """Stem ``word``: ``en`` → Porter (here); ``de``/``fr``/``es``,
-    ``sv``/``no``/``da``, ``nl``/``pt``/``it`` and ``ru`` → Snowball
-    (snowball.py, implemented from the published specs). Other Snowball languages pass through unchanged
-    (documented gap — the reference ships 38 rust-stemmers languages
-    behind this same per-index hook, index.rs:641-722). For a
-    multilingual corpus, route each language partition through its own
-    index (the corpus schema's ``lang`` column is the natural
-    partition key)."""
+    """Stem ``word``: ``en`` → original Porter (here; the reference's
+    StemmerType::Porter), ``en2`` → Porter2 (StemmerType::English),
+    ``de``/``fr``/``es``/``sv``/``no``/``da``/``nl``/``pt``/``it``/
+    ``ru`` → snowball.py, ``ro``/``hu``/``fi`` → snowball_extra.py —
+    all oracle-verified against the compiled Snowball stemmers. Other
+    languages pass through unchanged (documented gap — the reference
+    ships 38 rust-stemmers languages behind this same per-index hook,
+    index.rs:641-722). For a multilingual corpus, route each language
+    partition through its own index (the corpus schema's ``lang``
+    column is the natural partition key)."""
     if lang == "en":
         return porter_stem(word)
     if lang in ("de", "fr", "es", "sv", "no", "da", "nl", "pt", "it", "ru"):
