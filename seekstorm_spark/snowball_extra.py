@@ -912,12 +912,298 @@ def irish_stem(word: str) -> str:
     return w
 
 
+# ---------------------------------------------------------------------------
+# Armenian (tables decoded from dict_snowball.so; all actions delete)
+# ---------------------------------------------------------------------------
+
+_HY_VOWELS = "աեէըիոուօւ"
+_HY_CASE = (
+    "եր", "ներ", "ց", "ուց", "ից", "երից",
+    "ներից", "ցից", "վանից", "ոջից", "վից", "ոց",
+    "սա", "վա", "ամբ", "դ", "երդ", "ներդ",
+    "ուդ", "անդ", "ությանդ", "վանդ", "ոջդ", "ը",
+    "երը", "ները", "անը", "ությանը", "վանը", "ոջը",
+    "ի", "երի", "ների", "վի", "երում", "ներում",
+    "անում", "ն", "երն", "ներն", "ուն", "ան",
+    "ության", "վան", "ին", "երին", "ներին", "ությանն",
+    "ոջ", "ությանս", "վանս", "ոջս", "ով", "երով",
+    "ներով", "անով", "վով",
+)
+
+_HY_VERB = (
+    "ար", "ացար", "եցար", "ացրիր", "ացիր", "եցիր",
+    "վեցիր", "ալուց", "ելուց", "աց", "եց", "ացրեց",
+    "ալու", "ելու", "աք", "ցաք", "ացաք", "ացրիք",
+    "ացիք", "եցիք", "վեցիք", "անք", "ցանք", "ացանք",
+    "ացրինք", "ացինք", "եցինք", "վեցինք", "ա", "ացա",
+    "եցա", "վե", "ացրի", "ացի", "եցի", "վեցի",
+    "ալ", "ըալ", "ացնալ", "անալ", "ենալ", "ել",
+    "ըել", "նել", "ցնել", "եցնել", "չել", "վել",
+    "ացվել", "եցվել", "տել", "ատել", "ոտել", "կոտել",
+    "ված", "ում", "վում", "ան", "ցան", "ացան",
+    "ացրին", "ացին", "եցին", "վեցին", "ալիս", "ելիս",
+    "ավ", "ացավ", "եցավ", "ալով", "ելով",
+)
+
+_HY_ADJ = (
+    "բար", "րորդ", "երորդ", "ալի", "ակի", "որակ",
+    "եղ", "վուն", "արան", "ական", "են", "երեն",
+    "եկեն", "որէն", "ին", "գին", "ովին", "լայն",
+    "պես", "իվ", "ատ", "ավետ", "կոտ",
+)
+
+_HY_NOUN = (
+    "գար", "վոր", "ավոր", "անօց", "ոց", "ու",
+    "ք", "արք", "չեք", "իք", "ալիք", "անիք",
+    "վածք", "ույք", "ունք", "մունք", "ենք", "ոնք",
+    "իչք", "որդ", "ույթ", "ցի", "ուհի", "իլ",
+    "ուկ", "ակ", "յակ", "անակ", "իկ", "յուն",
+    "ություն", "ան", "արան", "պան", "ստան", "եղէն",
+    "ածո", "իչ", "ուս", "ուստ",
+)
+
+
+def armenian_stem(word: str) -> str:
+    w = word.lower()
+    # oracle-fit regions: the CASE among runs in the standard VC-based
+    # R2; verb/adjective/noun amongs in a pV region (after the FIRST
+    # vowel). All four fall back to shorter entries on region failure.
+    _r1_vc, r2_vc = _r1_r2(w, _HY_VOWELS)
+    pv = len(w)
+    for i, c in enumerate(w):
+        if c in _HY_VOWELS:
+            pv = i + 1
+            break
+
+    def cut(cur: str, table: tuple, bound: int) -> str:
+        for suf in sorted(table, key=len, reverse=True):
+            if cur.endswith(suf):
+                pos = len(cur) - len(suf)
+                if pos >= bound:
+                    return cur[:pos]
+                continue
+        return cur
+
+    w = cut(w, _HY_CASE, r2_vc)
+    w = cut(w, _HY_VERB, pv)
+    w = cut(w, _HY_ADJ, pv)
+    w = cut(w, _HY_NOUN, pv)
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Catalan (tables decoded from dict_snowball.so; semantics fit
+# against the oracle — standard/residual amongs FALL BACK to shorter
+# entries on region failure, unlike Romanian's commit-style steps)
+# ---------------------------------------------------------------------------
+
+_CA_VOWELS = "aeiouàáèéíòóúüï"
+_CA_PRON = (
+    'la', '-la', 'sela', 'le', 'me', '-me',
+    'se', '-te', 'hi', "'hi", 'li', '-li',
+    "'l", "'m", '-m', "'n", '-n', 'ho',
+    "'ho", 'lo', 'selo', "'s", 'las', 'selas',
+    'les', '-les', "'ls", '-ls', "'ns", '-ns',
+    'ens', 'los', 'selos', 'nos', '-nos', 'vos',
+    'us', '-us', "'t",
+)
+
+_CA_STD = {
+    "ica": 4, "lógica": 3, "enca": 1, "ada": 2,
+    "ancia": 1, "encia": 1, "ència": 1, "ícia": 1,
+    "logia": 3, "inia": 1, "íinia": 1, "eria": 1,
+    "ària": 1, "atòria": 1, "alla": 1, "ella": 1,
+    "ívola": 1, "ima": 1, "íssima": 1, "quíssima": 5,
+    "ana": 1, "ina": 1, "era": 1, "sfera": 1,
+    "ora": 1, "dora": 1, "adora": 1, "adura": 1,
+    "esa": 1, "osa": 1, "assa": 1, "essa": 1,
+    "issa": 1, "eta": 1, "ita": 1, "ota": 1,
+    "ista": 1, "ialista": 1, "ionista": 1, "iva": 1,
+    "ativa": 1, "nça": 1, "logía": 3, "ic": 4,
+    "ístic": 1, "enc": 1, "esc": 1, "ud": 1,
+    "atge": 1, "ble": 1, "able": 1, "ible": 1,
+    "isme": 1, "ialisme": 1, "ionisme": 1, "ivisme": 1,
+    "aire": 1, "icte": 1, "iste": 1, "ici": 1,
+    "íci": 1, "logi": 3, "ari": 1, "tori": 1,
+    "al": 1, "il": 1, "all": 1, "ell": 1,
+    "ívol": 1, "isam": 1, "issem": 1, "ìssem": 1,
+    "íssem": 1, "íssim": 1, "quíssim": 5, "amen": 1,
+    "ìssin": 1, "ar": 1, "ificar": 1, "egar": 1,
+    "ejar": 1, "itar": 1, "itzar": 1, "fer": 1,
+    "or": 1, "dor": 1, "dur": 1, "doras": 1,
+    "ics": 4, "lógics": 3, "uds": 1, "nces": 1,
+    "ades": 2, "ancies": 1, "encies": 1, "ències": 1,
+    "ícies": 1, "logies": 3, "inies": 1, "ínies": 1,
+    "eries": 1, "àries": 1, "atòries": 1, "bles": 1,
+    "ables": 1, "ibles": 1, "imes": 1, "íssimes": 1,
+    "quíssimes": 5, "formes": 1, "ismes": 1, "ialismes": 1,
+    "ines": 1, "eres": 1, "ores": 1, "dores": 1,
+    "idores": 1, "dures": 1, "eses": 1, "oses": 1,
+    "asses": 1, "ictes": 1, "ites": 1, "otes": 1,
+    "istes": 1, "ialistes": 1, "ionistes": 1, "iques": 4,
+    "lógiques": 3, "ives": 1, "atives": 1, "logíes": 3,
+    "allengües": 1, "icis": 1, "ícis": 1, "logis": 3,
+    "aris": 1, "toris": 1, "ls": 1, "als": 1,
+    "ells": 1, "ims": 1, "íssims": 1, "quíssims": 5,
+    "ions": 1, "cions": 1, "acions": 2, "esos": 1,
+    "osos": 1, "assos": 1, "issos": 1, "ers": 1,
+    "ors": 1, "dors": 1, "adors": 1, "idors": 1,
+    "ats": 1, "itats": 1, "bilitats": 1, "ivitats": 1,
+    "ativitats": 1, "ïtats": 1, "ets": 1, "ants": 1,
+    "ents": 1, "ments": 1, "aments": 1, "ots": 1,
+    "uts": 1, "ius": 1, "trius": 1, "atius": 1,
+    "ès": 1, "és": 1, "ís": 1, "dís": 1,
+    "ós": 1, "itat": 1, "bilitat": 1, "ivitat": 1,
+    "ativitat": 1, "ïtat": 1, "et": 1, "ant": 1,
+    "ent": 1, "ient": 1, "ment": 1, "ament": 1,
+    "isament": 1, "ot": 1, "isseu": 1, "ìsseu": 1,
+    "ísseu": 1, "triu": 1, "íssiu": 1, "atiu": 1,
+    "ó": 1, "ió": 1, "ció": 1, "ació": 1,
+}
+
+_CA_VERB = (
+    "ada", "ida", "uda", "ïda", "ia", "aria",
+    "iria", "ara", "iera", "ira", "adora", "ïra",
+    "ava", "ixa", "itza", "ía", "aría", "ería",
+    "iría", "ïa", "isc", "ïsc", "ad", "ed",
+    "id", "ie", "re", "dre", "ase", "iese",
+    "aste", "iste", "ii", "ini", "esqui", "eixi",
+    "itzi", "am", "em", "arem", "irem", "àrem",
+    "írem", "àssem", "éssem", "iguem", "ïguem", "avem",
+    "àvem", "ávem", "irìem", "íem", "aríem", "iríem",
+    "assim", "essim", "issim", "àssim", "èssim", "éssim",
+    "íssim", "ïm", "an", "aban", "arian", "aran",
+    "ieran", "iran", "ían", "arían", "erían", "irían",
+    "en", "ien", "arien", "irien", "aren", "eren",
+    "iren", "àren", "ïren", "asen", "iesen", "assen",
+    "essen", "issen", "éssen", "ïssen", "esquen", "isquen",
+    "ïsquen", "aven", "ixen", "eixen", "ïxen", "ïen",
+    "in", "inin", "sin", "isin", "assin", "essin",
+    "issin", "ïssin", "esquin", "eixin", "aron", "ieron",
+    "arán", "erán", "irán", "iïn", "ado", "ido",
+    "ando", "iendo", "io", "ixo", "eixo", "ïxo",
+    "itzo", "ar", "tzar", "er", "eixer", "ir",
+    "ador", "as", "abas", "adas", "idas", "aras",
+    "ieras", "ías", "arías", "erías", "irías", "ids",
+    "es", "ades", "ides", "udes", "ïdes", "atges",
+    "ies", "aries", "iries", "ares", "ires", "adores",
+    "ïres", "ases", "ieses", "asses", "esses", "isses",
+    "ïsses", "ques", "esques", "ïsques", "aves", "ixes",
+    "eixes", "ïxes", "ïes", "abais", "arais", "ierais",
+    "íais", "aríais", "eríais", "iríais", "aseis", "ieseis",
+    "asteis", "isteis", "inis", "sis", "isis", "assis",
+    "essis", "issis", "ïssis", "esquis", "eixis", "itzis",
+    "áis", "aréis", "eréis", "iréis", "ams", "ados",
+    "idos", "amos", "ábamos", "áramos", "iéramos", "íamos",
+    "aríamos", "eríamos", "iríamos", "aremos", "eremos", "iremos",
+    "ásemos", "iésemos", "imos", "adors", "ass", "erass",
+    "ess", "ats", "its", "ents", "às", "aràs",
+    "iràs", "arás", "erás", "irás", "és", "arés",
+    "ís", "iïs", "at", "it", "ant", "ent",
+    "int", "ut", "ït", "au", "erau", "ieu",
+    "ineu", "areu", "ireu", "àreu", "íreu", "asseu",
+    "esseu", "eresseu", "àsseu", "ésseu", "igueu", "ïgueu",
+    "àveu", "áveu", "itzeu", "ìeu", "irìeu", "íeu",
+    "aríeu", "iríeu", "assiu", "issiu", "àssiu", "èssiu",
+    "éssiu", "íssiu", "ïu", "ix", "eix", "ïx",
+    "itz", "ià", "arà", "irà", "itzà", "ará",
+    "erá", "irá", "irè", "aré", "eré", "iré",
+    "í", "iï", "ió",
+)
+
+# residual endings (delete unless mapped); probe-extracted — entries
+# that actually live in the verb among (es/as/au/in/itz) are excluded
+_CA_RESID = {
+    "a": "", "e": "", "i": "", "o": "", "à": "", "á": "", "é": "",
+    "í": "", "ì": "", "ó": "", "s": "", "is": "",
+    "os": "", "ès": "", "eu": "", "iu": "",
+    "ï": "", "ïn": "", "ïs": "", "iqu": "ic",
+    "els": "",
+}
+_CA_CLEAN = str.maketrans({
+    "à": "a", "á": "a", "è": "e", "é": "e", "ì": "i", "í": "i",
+    "ï": "i", "ò": "o", "ó": "o", "ú": "u", "ü": "u", "·": ".",
+})
+
+
+def catalan_stem(word: str) -> str:
+    w = word.lower()
+    r1, r2 = _r1_r2(w, _CA_VOWELS)
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # attached pronouns (R1? fall back on region failure)
+    for suf in sorted(_CA_PRON, key=len, reverse=True):
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if not in_r1(pos):
+                continue
+            w = w[:pos]
+            break
+
+    # standard OR verb (catalan.sbl: `do(standard_suffix or
+    # verb_suffix)`): each among COMMITS to its longest match — a
+    # region failure fails that among (no fallback), letting the
+    # `or` try the verb table. Classes: 1/2 delete R1; 3 'log' R2;
+    # 4 'ic' R1; 5 'c' R1 (quíssim family).
+    changed = False
+    for suf in sorted(_CA_STD, key=len, reverse=True):
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        cls = _CA_STD[suf]
+        if cls == 3:
+            if in_r2(pos):
+                w = w[:pos] + "log"
+                changed = True
+        elif cls == 4:
+            if in_r1(pos):
+                w = w[:pos] + "ic"
+                changed = True
+        elif cls == 5:
+            if in_r1(pos):
+                w = w[:pos] + "c"
+                changed = True
+        else:
+            if in_r1(pos):
+                w = w[:pos]
+                changed = True
+        break
+
+    if not changed:
+        for suf in sorted(set(_CA_VERB), key=len, reverse=True):
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if in_r1(pos):
+                    w = w[:pos]
+                break
+
+    # residual endings (R1; falls back to shorter entries when the
+    # longest match sits outside R1 — 'tmméuels' drops only its 's')
+    for suf in sorted(_CA_RESID, key=len, reverse=True):
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if not in_r1(pos):
+                continue
+            w = w[:pos] + _CA_RESID[suf]
+            break
+
+    # cleaning: de-accent everywhere
+    return w.translate(_CA_CLEAN)
+
+
 EXTRA_STEMMERS = {
     "romanian": romanian_stem,
     "hungarian": hungarian_stem,
     "finnish": finnish_stem,
     "english": porter2_stem,
     "irish": irish_stem,
+    "armenian": armenian_stem,
+    "catalan": catalan_stem,
 }
 
 # ISO-639-1 codes for stemmer.stem() dispatch
@@ -929,4 +1215,6 @@ EXTRA_CODES = {
     # the original Porter (StemmerType::Porter)
     "en2": porter2_stem,
     "ga": irish_stem,
+    "hy": armenian_stem,
+    "ca": catalan_stem,
 }
