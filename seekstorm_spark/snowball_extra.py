@@ -1196,6 +1196,209 @@ def catalan_stem(word: str) -> str:
     return w.translate(_CA_CLEAN)
 
 
+# ---------------------------------------------------------------------------
+# Hindi
+# ---------------------------------------------------------------------------
+# Snowball 'hindi' (A. Ramanathan & D. Rao's lightweight stemmer as
+# adopted by Snowball): ONE suffix among (132 entries, decoded from
+# dict_snowball.so via scripts/decode_snowball_tables.py), all-delete.
+# The stem() routine advances one character before entering backwards
+# mode, so the FIRST character is protected: a suffix may never
+# consume it, and the consonant precondition fails at that limit
+# (oracle: 'सता' -> 'सत', not 'स', even though स IS a consonant).
+
+# consonant grouping (oracle-probed): क..ह, nukta, क़..य़
+_HI_CONS = frozenset(
+    [chr(c) for c in range(0x0915, 0x093A)]
+    + ["़"]
+    + [chr(c) for c in range(0x0958, 0x0960)]
+)
+
+# suffix try order: longest-first; the among fallback chain ==
+# nested-suffix order, so a longest-first scan with condition skip
+# reproduces find_among_b exactly. All 132 entries delete.
+_HI_TRY = [
+    "अताएं", "अताओं", "अनाएं", "अनाओं", "आइयाँ", "आइयां", "आइयों",
+    "आऊंगा", "आऊंगी", "आएंगी", "आएंगे", "ाइयाँ", "ाइयां", "ाइयों",
+    "ाऊंगा", "ाऊंगी", "ाएंगी", "ाएंगे", "अतीं", "आएगा", "आएगी", "आओगी",
+    "आओगे", "आतीं", "इयाँ", "इयां", "इयों", "ऊंगा", "ऊंगी", "एंगी",
+    "एंगे", "ताएं", "ताओं", "नाएं", "नाओं", "ाएगा", "ाएगी", "ाओगी",
+    "ाओगे", "ातीं", "ियाँ", "ियां", "ियों", "ूंगा", "ूंगी", "ेंगी",
+    "ेंगे", "अकर", "अता", "अती", "अते", "अना", "अनी", "अने", "आइए",
+    "आईं", "आएं", "आओं", "आकर", "आता", "आती", "आते", "आना", "आने",
+    "आया", "उआं", "उएं", "उओं", "एगा", "एगी", "ओगी", "ओगे", "तीं",
+    "ाइए", "ाईं", "ाएं", "ाओं", "ाकर", "ाता", "ाती", "ाते", "ाना",
+    "ाने", "ाया", "ुआं", "ुएं", "ुओं", "ेगा", "ेगी", "ोगी", "ोगे",
+    "आँ", "आं", "आई", "आए", "आओ", "इए", "ईं", "एं", "ओं", "कर", "ता",
+    "ती", "ते", "ना", "नी", "ने", "ाँ", "ां", "ाई", "ाए", "ाओ", "िए",
+    "ीं", "ें", "ों", "अ", "आ", "इ", "ई", "उ", "ऊ", "ए", "ओ", "ा", "ि",
+    "ी", "ु", "ू", "े", "ो", "्",
+]
+_HI_NEED_CONS = frozenset((
+    "कर", "ता", "ताएं", "ताओं", "ती", "तीं", "ते",
+    "ना", "नाएं", "नाओं", "नी", "ने",
+))
+
+
+def hindi_stem(word: str) -> str:
+    w = word
+    for suf in _HI_TRY:
+        pos = len(w) - len(suf)
+        if pos < 1 or not w.endswith(suf):
+            continue
+        if suf in _HI_NEED_CONS:
+            # condition inspects the char before the suffix; at the
+            # protected limit (pos == 1) the grouping test fails and
+            # the among falls through to the next nested suffix
+            if pos < 2 or w[pos - 1] not in _HI_CONS:
+                continue
+        return w[:pos]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Indonesian
+# ---------------------------------------------------------------------------
+# Snowball 'indonesian' (Tala's CS stemmer as adopted by Snowball;
+# tables decoded from dict_snowball.so). measure = vowel count; a
+# word is only stemmed while measure > 2. Steps: particle,
+# possessive pronoun, then first-order prefix / suffix /
+# second-order prefix with combination constraints carried in
+# `prefix` (oracle-fit below).
+
+_ID_V = frozenset("aeiou")
+
+
+def _id_measure(w: str) -> int:
+    return sum(1 for ch in w if ch in _ID_V)
+
+
+def indonesian_stem(word: str) -> str:
+    w = word
+    if _id_measure(w) <= 2:
+        return w
+    # particles
+    for suf in ("kah", "lah", "pun"):
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+    if _id_measure(w) <= 2:
+        return w
+    # possessive pronouns
+    for suf in ("nya", "ku", "mu"):
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+    if _id_measure(w) <= 2:
+        return w
+
+    # prefix classes (oracle-probed constraint matrix):
+    #   1 = di/me(m|n|ng|ny)/ter  -> blocks -an
+    #   2 = ke/pe(m|n|ng|ny)     -> blocks -kan and -i
+    #   3 = ber/be..er           -> blocks -i
+    #   4 = per/pe/pelajar       -> blocks -kan
+    # remove_suffix is one among with a kan->an fallback chain; -i is
+    # additionally protected after 's' ('-si' never loses its i).
+    prefix = 0
+
+    def remove_suffix(w: str, prefix: int) -> tuple[str, bool]:
+        if w.endswith("kan"):
+            if prefix not in (2, 4):
+                return w[:-3], True
+            if prefix != 1:  # among fallback: kan -> an
+                return w[:-2], True
+            return w, False
+        if w.endswith("an"):
+            if prefix != 1:
+                return w[:-2], True
+            return w, False
+        if w.endswith("i"):
+            if prefix not in (2, 3) and not w.endswith("si"):
+                return w[:-1], True
+            return w, False
+        return w, False
+
+    # first-order prefix (longest-match among; meny/peny before a
+    # vowel restore 's', mem/pem before a vowel restore 'p'; a
+    # failed vowel condition falls back to the men/pen entry)
+    fo = False
+    restored = False  # s/p restoration leaves the cursor at 1, so the
+    # second-order prefix among (which would have to match at that
+    # cursor) can never fire afterwards
+    if w.startswith("meny") and len(w) > 4 and w[4] in _ID_V:
+        w, prefix, fo, restored = "s" + w[4:], 1, True, True
+    elif w.startswith("peny") and len(w) > 4 and w[4] in _ID_V:
+        w, prefix, fo, restored = "s" + w[4:], 2, True, True
+    elif w.startswith("meng"):
+        w, prefix, fo = w[4:], 1, True
+    elif w.startswith("peng"):
+        w, prefix, fo = w[4:], 2, True
+    elif w.startswith("mem"):
+        prefix, fo = 1, True
+        if len(w) > 3 and w[3] in _ID_V:
+            w = "p" + w[3:]
+            restored = True
+        else:
+            w = w[3:]
+    elif w.startswith("pem"):
+        prefix, fo = 2, True
+        if len(w) > 3 and w[3] in _ID_V:
+            w = "p" + w[3:]
+            restored = True
+        else:
+            w = w[3:]
+    elif w.startswith("men"):
+        w, prefix, fo = w[3:], 1, True
+    elif w.startswith("pen"):
+        w, prefix, fo = w[3:], 2, True
+    elif w.startswith("me"):
+        w, prefix, fo = w[2:], 1, True
+    elif w.startswith("di"):
+        w, prefix, fo = w[2:], 1, True
+    elif w.startswith("ter"):
+        w, prefix, fo = w[3:], 1, True
+    elif w.startswith("ke"):
+        w, prefix, fo = w[2:], 2, True
+
+    if fo:
+        # suffix, then (only if a suffix came off) second-order prefix
+        if _id_measure(w) > 2:
+            w, removed = remove_suffix(w, prefix)
+            if removed and not restored and _id_measure(w) > 2:
+                w, _ = _id_second_order(w)
+        return w
+
+    # no first-order prefix: second-order prefix, then suffix
+    w2, p2 = _id_second_order(w)
+    if p2 is not None:
+        w = w2
+        prefix = p2
+    if _id_measure(w) > 2:
+        w, _ = remove_suffix(w, prefix)
+    return w
+
+
+def _id_second_order(w: str) -> tuple[str, int | None]:
+    if w.startswith("belajar"):
+        return w[3:], 3
+    if w.startswith("ber"):
+        return w[3:], 3
+    if (
+        w.startswith("be")
+        and len(w) > 4
+        and w[2] not in _ID_V
+        and w[3:5] == "er"
+    ):
+        return w[2:], 3
+    if w.startswith("pelajar"):
+        return w[3:], 4
+    if w.startswith("per"):
+        return w[3:], 4
+    if w.startswith("pe"):
+        return w[2:], 4
+    return w, None
+
+
 EXTRA_STEMMERS = {
     "romanian": romanian_stem,
     "hungarian": hungarian_stem,
@@ -1204,6 +1407,8 @@ EXTRA_STEMMERS = {
     "irish": irish_stem,
     "armenian": armenian_stem,
     "catalan": catalan_stem,
+    "hindi": hindi_stem,
+    "indonesian": indonesian_stem,
 }
 
 # ISO-639-1 codes for stemmer.stem() dispatch
@@ -1217,4 +1422,6 @@ EXTRA_CODES = {
     "ga": irish_stem,
     "hy": armenian_stem,
     "ca": catalan_stem,
+    "hi": hindi_stem,
+    "id": indonesian_stem,
 }
