@@ -82,9 +82,14 @@ def _psql_json(sql: str) -> str:
     return r.stdout
 
 
-def stem_words(lang: str, words: list[str]) -> list[str | None]:
+def stem_words(
+    lang: str, words: list[str], nostop: bool = False
+) -> list[str | None]:
     """Oracle stems for ``words`` (order-preserving; None = the
-    dictionary dropped the token, e.g. a stopword-like result)."""
+    dictionary dropped the token — for some languages postgres
+    attaches a stopword list to ``<lang>_stem``). ``nostop=True``
+    uses a stopword-free dictionary ``<lang>_ns`` (created on
+    demand), so every word gets a real stem."""
     import json as _json
     import tempfile
 
@@ -95,9 +100,19 @@ def stem_words(lang: str, words: list[str]) -> list[str | None]:
         _json.dump(words, f, ensure_ascii=False)
         path = f.name
     os.chmod(path, 0o644)
+    dname = lang + ("_ns" if nostop else "_stem")
+    if nostop:
+        try:
+            _psql_json(
+                f"CREATE TEXT SEARCH DICTIONARY {dname} "
+                f"(TEMPLATE=snowball, language='{lang}')"
+            )
+        except RuntimeError as e:
+            if "already exists" not in str(e):
+                raise
     try:
         sql = (
-            "SELECT COALESCE((ts_lexize('" + lang + "_stem', w))[1], '')"
+            "SELECT COALESCE((ts_lexize('" + dname + "', w))[1], '')"
             " FROM (SELECT json_array_elements_text(pg_read_file("
             f"'{path}')::json) AS w) t"
         )

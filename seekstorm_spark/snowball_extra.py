@@ -1399,6 +1399,67 @@ def _id_second_order(w: str) -> tuple[str, int | None]:
     return w, None
 
 
+# ---------------------------------------------------------------------------
+# Nepali
+# ---------------------------------------------------------------------------
+# Snowball 'nepali' (Shrestha & Dhakal's stemmer as adopted by
+# Snowball; reference StemmerType::Nepali, seekstorm/src/index.rs
+# language table). Tables + conditions decoded from dict_snowball.so
+# (nepali_UTF_8_stem disassembly): one category-1 postposition among
+# (17 entries; को/का/की/कै/कि delete only when NOT preceded by ए or
+# े), then a loop of {conditional nasal/ै drop, category-3 among}:
+# ँ/ं drop only after यौ/छौ/नौ/थे, ै only after त्र; the loop runs
+# while the category-3 among keeps deleting. ts_lexize parity: a stem
+# that comes out EMPTY returns the original word (postgres wrapper
+# semantics; 'भयो', 'थेँ', whole-word suffixes stay unchanged).
+# Oracle-verified 0 mismatches on 13k fuzz+real words.
+
+_NE_CAT1 = [
+    "मार्फत", "द्वारा", "सँगै", "लाइ", "लाई", "सँग", "संग", "पछि", "की",
+    "ले", "कै", "मै", "को", "रत", "का", "मा", "कि",
+]
+_NE_CAT3 = [
+    "नेछस्", "नेछन्", "हुन्छ", "हुनेछ", "थिइस्", "इछस्", "दियो", "थ्यौ",
+    "िछस्", "इएका", "इएको", "नेकै", "देखि", "थियो", "िछन्", "छिन्", "होस्",
+    "नेछु", "ेछन्", "माथि", "थिन्", "िएकी", "िएको", "इन्छ", "छ्यौ", "नेछौ",
+    "थिस्", "ेछस्", "इएकी", "िन्छ", "नेका", "नेको", "िएका", "एछन्", "थ्यो",
+    "इछन्", "थियौ", "लान्", "देखी", "एछस्", "छेस्", "एका", "ेछौ", "एको",
+    "हरु", "िदो", "ेकै", "इस्", "पर्", "ेछु", "इछौ", "एछौ", "छन्", "एकी",
+    "िदै", "इदा", "ेकी", "थिए", "ेको", "भयो", "इदो", "इयो", "हरू", "ेका",
+    "एछु", "िस्", "इदै", "ियो", "छस्", "नेछ", "एकै", "िछौ", "िदा", "दो",
+    "छे", "नु", "थे", "थी", "यो", "ेछ", "दै", "इछ", "ने", "छौ", "यौ", "दा",
+    "छु", "िछ", "एछ", "दी", "छ",
+]
+_NE_COND1 = frozenset(("को", "का", "की", "कै", "कि"))
+
+
+def nepali_stem(word: str) -> str:
+    w = word
+    for suf in _NE_CAT1:
+        if w.endswith(suf):
+            pre = w[: -len(suf)]
+            if suf in _NE_COND1 and pre.endswith(("ए", "े")):
+                pass  # among action fails: no fallback to shorter
+            else:
+                w = pre
+            break
+    while True:
+        if w and w[-1] in "ँंै":
+            pre = w[:-1]
+            if w[-1] in "ँं":
+                if pre.endswith(("यौ", "छौ", "नौ", "थे")):
+                    w = pre
+            elif pre.endswith("त्र"):
+                w = pre
+        for suf in _NE_CAT3:
+            if w.endswith(suf):
+                w = w[: -len(suf)]
+                break
+        else:
+            break
+    return word if w == "" else w
+
+
 EXTRA_STEMMERS = {
     "romanian": romanian_stem,
     "hungarian": hungarian_stem,
@@ -1409,6 +1470,7 @@ EXTRA_STEMMERS = {
     "catalan": catalan_stem,
     "hindi": hindi_stem,
     "indonesian": indonesian_stem,
+    "nepali": nepali_stem,
 }
 
 # ISO-639-1 codes for stemmer.stem() dispatch
@@ -1424,4 +1486,5 @@ EXTRA_CODES = {
     "ca": catalan_stem,
     "hi": hindi_stem,
     "id": indonesian_stem,
+    "ne": nepali_stem,
 }
