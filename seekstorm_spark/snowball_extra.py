@@ -1661,6 +1661,114 @@ def basque_stem(word: str) -> str:
 
 
 
+# ---------------------------------------------------------------------------
+# Lithuanian
+# ---------------------------------------------------------------------------
+# Snowball 'lithuanian' (reference StemmerType::Lithuanian). Tables +
+# flow decoded from dict_snowball.so (lithuanian_UTF_8_stem
+# disassembly): R1 computed after an optional skip of a leading 'a'
+# when the word is longer than 6 chars; backwards: fix_conflicts
+# conversions, one R1-limited step-1 delete, fix_chdz, repeated
+# R1-limited step-2 deletes, fix_chdz again, then gd -> g.
+# Oracle-verified (scripts/snowball_oracle.py).
+
+_LT_VOWELS = "aeiouy\u0105\u0117\u0119\u012f\u016b\u0173"
+
+_LT_CONFLICTS = (
+    ("okat\u0117s", "okat\u0117"), ("ait\u0117s", "ait\u0117"),
+    ("uot\u0117s", "uot\u0117"), ("\u0117jime", "\u0117jimas"),
+    ("okate", "okat\u0117"), ("asius", "asys"),
+    ("avime", "avimas"), ("ojime", "ojimas"),
+    ("aite", "ait\u0117"), ("uote", "uot\u0117"),
+    ("esiu", "esys"),
+)
+
+_LT_STEP1 = (
+    'tumeisi', 'tumėmės', 'tumėtės', 'enimis', 'iuosna', 'siuosi', 
+    'telėti', 'terėti', 'tumeis', 'tumėme', 'tumėte', 'čiausi', 'enims', 
+    'eniui', 'enyje', 'enyse', 'eriai', 'erimi', 'erims', 'eryje', 
+    'eryse', 'iamės', 'iatės', 'iauti', 'inėti', 'iomis', 'iosna', 
+    'iuose', 'iuosi', 'iuoti', 'kimės', 'siesi', 'simės', 'sitės', 
+    'tumei', 'tumėm', 'tumėt', 'uosna', 'ėjosi', 'aisi', 'amės', 'asis', 
+    'atės', 'ausi', 'auti', 'eisi', 'enie', 'enio', 'enis', 'eniu', 
+    'enti', 'enys', 'eria', 'erie', 'erys', 'iais', 'iame', 'iams', 
+    'iasi', 'iate', 'iaus', 'iems', 'iesi', 'imis', 'imės', 'inti', 
+    'ioje', 'ioms', 'iose', 'ioti', 'iuje', 'iumi', 'iuos', 'kite', 
+    'omis', 'omės', 'osna', 'otės', 'sime', 'site', 'tute', 'tųsi', 
+    'uisi', 'umis', 'uose', 'uosi', 'uoti', 'ysis', 'ysna', 'čiau', 
+    'ėmis', 'ėmės', 'ėsna', 'ėtės', 'ais', 'ame', 'ams', 'asi', 'ate', 
+    'aus', 'ens', 'enį', 'ers', 'erį', 'erų', 'esi', 'iai', 'iam', 'ias', 
+    'iat', 'iau', 'iem', 'ies', 'imi', 'ims', 'ion', 'ios', 'isi', 'ite', 
+    'iui', 'iun', 'ius', 'iąs', 'oje', 'ome', 'oms', 'ose', 'osi', 'ote', 
+    'oti', 'sim', 'sit', 'siu', 'tum', 'tųs', 'uje', 'umi', 'ums', 'uos', 
+    'usi', 'yje', 'yse', 'yti', 'ąsi', 'ėje', 'ėjo', 'ėme', 'ėms', 'ėse', 
+    'ėsi', 'ėte', 'ėti', 'ųsi', 'ai', 'am', 'an', 'as', 'at', 'au', 'ei', 
+    'es', 'ia', 'ie', 'im', 'io', 'is', 'it', 'iu', 'ią', 'ių', 'ki', 
+    'oj', 'om', 'on', 'os', 'ot', 'si', 'ti', 'ui', 'un', 'uo', 'us', 
+    'ys', 'ąs', 'ėj', 'ėm', 'ėn', 'ės', 'ėt', 'įs', 'ūs', 'a', 'e', 'i', 
+    'k', 'o', 's', 'u', 'y', 'ą', 'ė', 'ę', 'į', 'ų', 
+)
+
+_LT_STEP2 = (
+    'utėait', 'siant', 'uliuk', 'učiuk', 'iais', 'iant', 'iaus', 'iuoj', 
+    'iuos', 'iuot', 'ykšt', 'ykšč', 'zgan', 'ain', 'ais', 'ant', 'auj', 
+    'aus', 'dam', 'dav', 'esn', 'iaj', 'ias', 'iau', 'iej', 'ies', 'ing', 
+    'int', 'ioj', 'iok', 'iop', 'ios', 'iuk', 'iul', 'iąj', 'iąs', 'išk', 
+    'iųj', 'jam', 'uoj', 'uos', 'uot', 'ėję', 'aj', 'am', 'oj', 'ok', 
+    'op', 'os', 'ot', 'sv', 'yl', 'yt', 'ąj', 'ąs', 'ėj', 'ėl', 'ėt', 
+    'ęs', 'šv', 'ųj', 'ę', 
+)
+
+
+
+def _lt_fix_chdz(w: str) -> str:
+    if w.endswith("\u010d"):
+        return w[:-1] + "t"
+    if w.endswith("d\u017e"):
+        return w[:-1]
+    return w
+
+
+def lithuanian_stem(word: str) -> str:
+    w = word
+    n = len(w)
+    # R1 (search starts past a leading 'a' when len > 6)
+    p1 = n
+    i = 1 if (n > 6 and w[:1] == "a") else 0
+    while i < n and w[i] not in _LT_VOWELS:
+        i += 1
+    if i < n:
+        i += 1
+        while i < n and w[i] in _LT_VOWELS:
+            i += 1
+        if i < n:
+            p1 = i + 1
+    # fix_conflicts (conversions, once)
+    for suf, repl in _LT_CONFLICTS:
+        if w.endswith(suf):
+            w = w[: -len(suf)] + repl
+            break
+    # step 1: one R1-limited delete
+    for suf in _LT_STEP1:
+        if w.endswith(suf) and len(w) - len(suf) >= p1:
+            w = w[: -len(suf)]
+            break
+    w = _lt_fix_chdz(w)
+    # step 2: repeated R1-limited deletes
+    while True:
+        for suf in _LT_STEP2:
+            if w.endswith(suf) and len(w) - len(suf) >= p1:
+                w = w[: -len(suf)]
+                break
+        else:
+            break
+    w = _lt_fix_chdz(w)
+    if w.endswith("gd"):
+        w = w[:-1]
+    return w
+
+
+
 EXTRA_STEMMERS = {
     "romanian": romanian_stem,
     "hungarian": hungarian_stem,
@@ -1673,6 +1781,7 @@ EXTRA_STEMMERS = {
     "indonesian": indonesian_stem,
     "nepali": nepali_stem,
     "basque": basque_stem,
+    "lithuanian": lithuanian_stem,
 }
 
 # ISO-639-1 codes for stemmer.stem() dispatch
@@ -1690,4 +1799,5 @@ EXTRA_CODES = {
     "id": indonesian_stem,
     "ne": nepali_stem,
     "eu": basque_stem,
+    "lt": lithuanian_stem,
 }
