@@ -1769,6 +1769,333 @@ def lithuanian_stem(word: str) -> str:
 
 
 
+# ---------------------------------------------------------------------------
+# Yiddish
+# ---------------------------------------------------------------------------
+# Snowball 'yiddish' (reference StemmerType::Yiddish). Tables, switch
+# actions and region logic decoded from dict_snowball.so
+# (yiddish_UTF_8_stem disassembly). Pipeline: prelude (digraph +
+# final-letter normalization, nikud removal), mark_regions (prefix
+# handling substitutes ASCII markers GE/TSU so suffix rules can see
+# them; p1 = 3-consonant / vowel-run / hop-3 maximum in BYTE space --
+# markers are 1-byte chars, so the whole stemmer runs on UTF-8 bytes
+# to keep offsets exact), main suffix among (strong-verb ablaut
+# restorations), noun/adjective amongs, postlude (drop markers).
+# Oracle-verified (scripts/snowball_oracle.py).
+
+_YI_CONS = frozenset("\u05d1\u05d2\u05d3\u05d4\u05d6\u05d7\u05d8\u05da\u05db\u05dc\u05dd\u05de\u05df\u05e0\u05e1\u05e3\u05e4\u05e5\u05e6\u05e7\u05e8\u05e9\u05ea\u05f0")
+_YI_VOWEL = frozenset("\u05d0\u05d5\u05d9\u05e2\u05f1\u05f2")
+_YI_NIKED = frozenset(
+    "\u05b0\u05b1\u05b2\u05b3\u05b4\u05b5\u05b6\u05b7\u05b8"
+    "\u05b9\u05bb\u05bc\u05bf\u05c1\u05c2"
+)
+_YI_FINALS = {"\u05da": "\u05db", "\u05dd": "\u05de",
+              "\u05df": "\u05e0", "\u05e3": "\u05e4",
+              "\u05e5": "\u05e6"}
+
+_YI_PREFIXES = (
+    'פונאנדער', 'אנטקעגנ', 'ארונטער', 'צוזאמענ', 'אונטער', 'אנידער', 
+    'אריבער', 'אדורכ', 'איבער', 'אקעגנ', 'פארבײ', 'פארױס', 'צונױפ', 
+    'צוריק', 'אהינ', 'אהער', 'אהײמ', 'אפיר', 'אראפ', 'ארומ', 'ארױס', 
+    'ארױפ', 'ארײנ', 'אװעק', 'דורכ', 'אומ', 'אנט', 'אױס', 'אױפ', 'אײנ', 
+    'דער', 'מיט', 'נאכ', 'פאר', 'אנ', 'אפ', 'בא', 'בײ', 'צו', 'צע', 
+)
+
+_YI_MAIN = (
+    ('פארלױרנ', 28), ('GEביטנ', 9), ('GEביסנ', 10), ('GEליטנ', 13), 
+    ('GEמיטנ', 8), ('GEריסנ', 16), ('גאנגענ', 5), ('טרונקנ', 23), 
+    ('צװונגנ', 24), ('שטאנענ', 29), ('שלונגנ', 25), ('בונדנ', 20), 
+    ('בראכט', 31), ('זונגנ', 22), ('טענעמ', 4), ('טענער', 4), 
+    ('טריבנ', 12), ('יזמענ', 1), ('נומענ', 6), ('ענערס', 1), 
+    ('קליבנ', 14), ('שמיסנ', 18), ('שניטנ', 19), ('שריבנ', 7), 
+    ('שװיגנ', 17), ('שװױרנ', 30), ('װוטשנ', 21), ('בױגנ', 26), 
+    ('הױבנ', 27), ('טענע', 4), ('יסטנ', 1), ('יקײט', 1), ('סטער', 1), 
+    ('עטער', 1), ('עלעכ', 1), ('עלענ', 1), ('עלעס', 1), ('ענעמ', 3), 
+    ('ענער', 3), ('ריבנ', 15), ('שאפט', 1), ('װיזנ', 11), ('גײנ', 5), 
+    ('הײט', 1), ('ונג', 1), ('טנס', 4), ('טער', 4), ('יזמ', 1), 
+    ('יסט', 33), ('יעס', 2), ('לעכ', 1), ('סטו', 1), ('סטנ', 1), 
+    ('סטע', 1), ('עטנ', 1), ('עטס', 1), ('עטע', 1), ('עלע', 1), 
+    ('ענס', 3), ('ענע', 3), ('ערס', 1), ('קײט', 1), ('ות', 32), 
+    ('טנ', 4), ('טס', 4), ('טע', 4), ('ימ', 1), ('יע', -1), ('נס', 1), 
+    ('סט', 1), ('עט', 1), ('עמ', 1), ('ענ', 1), ('עס', 1), ('ער', 1), 
+    ('ט', 1), ('נ', 1), ('ס', 1), ('ע', 1), 
+)
+
+_YI_VERBSTEM = (
+    ('פארלױר', 24), ('טרונק', 19), ('צװונג', 20), ('שלונג', 21), 
+    ('בונד', 16), ('גאנג', 1), ('זונג', 18), ('טריב', 7), ('קליב', 9), 
+    ('שטאנ', 25), ('שמיס', 13), ('שניט', 14), ('שריב', 15), ('שװיג', 12), 
+    ('שװױר', 26), ('װוטש', 17), ('ביט', 4), ('ביס', 5), ('בױג', 22), 
+    ('הױב', 23), ('ליט', 8), ('מיט', 3), ('נומ', 2), ('ריב', 10), 
+    ('ריס', 11), ('װיז', 6), 
+)
+
+_YI_NOUN = (
+    ('יקײט', 1), ('שאפט', 1), ('הײט', 1), ('ונג', 1), ('קײט', 1), 
+    ('ל', 2), 
+)
+
+_YI_ADJ = (
+    ('ענדיק', 1), ('בליק', -1), ('גליק', -1), ('נדיק', 1), ('דיק', 1), 
+    ('ניק', 1), ('יג', 1), ('יק', 1), ('יש', 1), 
+)
+
+
+
+_YI_MAIN_REPL = {
+    2: "\u05d9\u05e2", 5: "\u05d2\u05f2", 6: "\u05e0\u05e2\u05de",
+    7: "\u05e9\u05e8\u05f2\u05d1", 8: "\u05de\u05f2\u05d3",
+    9: "\u05d1\u05f2\u05d8", 10: "\u05d1\u05f2\u05e1",
+    11: "\u05f0\u05f2\u05d6", 12: "\u05d8\u05e8\u05f2\u05d1",
+    13: "\u05dc\u05f2\u05d8", 14: "\u05e7\u05dc\u05f2\u05d1",
+    15: "\u05e8\u05f2\u05d1", 16: "\u05e8\u05f2\u05e1",
+    17: "\u05e9\u05f0\u05f2\u05d2", 18: "\u05e9\u05de\u05f2\u05e1",
+    19: "\u05e9\u05e0\u05f2\u05d3", 20: "\u05d1\u05d9\u05e0\u05d3",
+    21: "\u05f0\u05d9\u05d8\u05e9", 22: "\u05d6\u05d9\u05e0\u05d2",
+    23: "\u05d8\u05e8\u05d9\u05e0\u05e7",
+    24: "\u05e6\u05f0\u05d9\u05e0\u05d2",
+    25: "\u05e9\u05dc\u05d9\u05e0\u05d2", 26: "\u05d1\u05f2\u05d2",
+    27: "\u05d4\u05f2\u05d1",
+    28: "\u05e4\u05d0\u05e8\u05dc\u05d9\u05e8",
+    29: "\u05e9\u05d8\u05f2", 30: "\u05e9\u05f0\u05e2\u05e8",
+    31: "\u05d1\u05e8\u05e2\u05e0\u05d2", 32: "\u05d4",
+}
+_YI_VERB_REPL = {
+    1: "\u05d2\u05f2", 2: "\u05e0\u05e2\u05de", 3: "\u05de\u05f2\u05d3",
+    4: "\u05d1\u05f2\u05d8", 5: "\u05d1\u05f2\u05e1",
+    6: "\u05f0\u05f2\u05d6", 7: "\u05d8\u05e8\u05f2\u05d1",
+    8: "\u05dc\u05f2\u05d8", 9: "\u05e7\u05dc\u05f2\u05d1",
+    10: "\u05e8\u05f2\u05d1", 11: "\u05e8\u05f2\u05e1",
+    12: "\u05e9\u05f0\u05f2\u05d2", 13: "\u05e9\u05de\u05f2\u05e1",
+    14: "\u05e9\u05e0\u05f2\u05d3", 15: "\u05e9\u05e8\u05f2\u05d1",
+    16: "\u05d1\u05d9\u05e0\u05d3", 17: "\u05f0\u05d9\u05d8\u05e9",
+    18: "\u05d6\u05d9\u05e0\u05d2",
+    19: "\u05d8\u05e8\u05d9\u05e0\u05e7",
+    20: "\u05e6\u05f0\u05d9\u05e0\u05d2",
+    21: "\u05e9\u05dc\u05d9\u05e0\u05d2", 22: "\u05d1\u05f2\u05d2",
+    23: "\u05d4\u05f2\u05d1",
+    24: "\u05e4\u05d0\u05e8\u05dc\u05d9\u05e8",
+    25: "\u05e9\u05d8\u05f2", 26: "\u05e9\u05f0\u05e2\u05e8",
+}
+
+_YI_MAIN_B = tuple((s.encode("utf-8"), r) for s, r in _YI_MAIN)
+_YI_VERB_B = tuple((s.encode("utf-8"), r) for s, r in _YI_VERBSTEM)
+_YI_NOUN_B = tuple((s.encode("utf-8"), r) for s, r in _YI_NOUN)
+_YI_ADJ_B = tuple((s.encode("utf-8"), r) for s, r in _YI_ADJ)
+_YI_PREFIX_B = tuple(
+    sorted((s.encode("utf-8") for s in _YI_PREFIXES), key=len, reverse=True)
+)
+_YI_CLUSTERS_B = tuple(
+    s.encode("utf-8") for s in ("\u05d3\u05d6\u05e9", "\u05e9\u05d8\u05e8",
+                                "\u05e9\u05d8\u05e9", "\u05e9\u05e4\u05e8")
+)
+_YI_GE = "\u05d2\u05e2".encode("utf-8")
+_YI_TSU = "\u05e6\u05d5".encode("utf-8")
+_YI_CUGN = "\u05e6\u05d5\u05d2\u05e0".encode("utf-8")
+_YI_CUKT = "\u05e6\u05d5\u05e7\u05d8".encode("utf-8")
+_YI_CUKN = "\u05e6\u05d5\u05e7\u05e0".encode("utf-8")
+_YI_GEBN = "\u05d2\u05e2\u05d1\u05e0".encode("utf-8")
+_YI_LT = "\u05dc\u05d8".encode("utf-8")
+_YI_BN = "\u05d1\u05e0".encode("utf-8")
+_YI_BRAX = "\u05d1\u05e8\u05d0\u05db".encode("utf-8")
+_YI_BRENG = "\u05d1\u05e8\u05e2\u05e0\u05d2".encode("utf-8")
+_YI_GIML = "\u05d2".encode("utf-8")
+_YI_SHIN = "\u05e9".encode("utf-8")
+_YI_YS = "\u05d9\u05e1".encode("utf-8")
+_YI_TET = "\u05d8".encode("utf-8")
+
+
+def _u8len(b: bytes, i: int) -> int:
+    x = b[i]
+    return 1 if x < 0x80 else (2 if x < 0xE0 else (3 if x < 0xF0 else 4))
+
+
+def _u8char(b: bytes, i: int) -> str:
+    return b[i : i + _u8len(b, i)].decode("utf-8", "replace")
+
+
+def _u8prevlen(b: bytes, i: int) -> int:
+    j = i - 1
+    while j > 0 and 0x80 <= b[j] < 0xC0:
+        j -= 1
+    return i - j
+
+
+def _yi_suffix(b: bytes, table) -> tuple[bytes, int] | None:
+    for suf, res in table:
+        if b.endswith(suf):
+            return suf, res
+    return None
+
+
+def yiddish_stem(word: str) -> str:
+    # prelude: digraph + final-letter normalization (char space)
+    w = word
+    i = 0
+    while i < len(w):
+        seg = w[i:]
+        two = seg[:2]
+        if two in ("\u05d5\u05d5", "\u05d5\u05d9", "\u05d9\u05d9"):
+            nxt = seg[2:3]
+            blocked = (
+                nxt == "\u05bc" if two == "\u05d5\u05d5" else nxt == "\u05b4"
+            )
+            if not blocked:
+                repl = {"\u05d5\u05d5": "\u05f0", "\u05d5\u05d9": "\u05f1",
+                        "\u05d9\u05d9": "\u05f2"}[two]
+                w = w[:i] + repl + w[i + 2 :]
+                continue
+        elif seg[0] in _YI_FINALS:
+            w = w[:i] + _YI_FINALS[seg[0]] + w[i + 1 :]
+            continue
+        i += 1
+    # drop nikud
+    w = "".join(ch for ch in w if ch not in _YI_NIKED)
+    b = w.encode("utf-8")
+    # mark_regions: GE/TSU markers + prefix handling. A leading
+    # gimel-ayin becomes the GE marker, and the separable-prefix
+    # among continues from there (both can fire on one word).
+    start = 0
+    if b.startswith(_YI_GE) and not (
+        b[4:].startswith(_YI_LT) or b[4:].startswith(_YI_BN)
+    ):
+        b = b"GE" + b[4:]
+        start = 2
+    pe = 0
+    for pref in _YI_PREFIX_B:
+        if b[start:].startswith(pref):
+            pe = start + len(pref)
+            break
+    base = start
+    if pe:
+        rest = b[pe:]
+        if (
+            len(rest) == 8
+            and (rest.startswith(_YI_CUGN) or rest.startswith(_YI_CUKT)
+                 or rest.startswith(_YI_CUKN))
+        ):
+            base = pe
+        elif rest.startswith(_YI_GEBN):
+            base = pe
+        elif rest.startswith(_YI_GE):
+            b = b[:pe] + b"GE" + b[pe + 4 :]
+            base = pe + 2
+        elif rest.startswith(_YI_TSU):
+            b = b[:pe] + b"TSU" + b[pe + 4 :]
+            base = pe + 3
+    # p1 (byte offsets)
+    n = len(b)
+    p1 = n
+    hop = base
+    ok = True
+    for _ in range(3):
+        if hop >= n:
+            ok = False
+            break
+        hop += _u8len(b, hop)
+    if ok:
+        c = base
+        for cl in _YI_CLUSTERS_B:
+            if b[c:].startswith(cl):
+                c += len(cl)
+                break
+        cc, k = c, 0
+        while k < 3 and cc < n and _u8char(b, cc) in _YI_CONS:
+            cc += _u8len(b, cc)
+            k += 1
+        if k == 3:
+            p1 = cc
+        else:
+            i = c
+            while i < n and _u8char(b, i) not in _YI_VOWEL:
+                i += _u8len(b, i)
+            if i < n:
+                i += _u8len(b, i)
+                while i < n and _u8char(b, i) in _YI_VOWEL:
+                    i += _u8len(b, i)
+                p1 = max(i, hop)
+    # main suffix step
+    hit = _yi_suffix(b, _YI_MAIN_B)
+    if hit is not None:
+        suf, res = hit
+        pos = len(b) - len(suf)
+        if res == 1:
+            if pos >= p1:
+                b = b[:pos]
+        elif res == 2:
+            if pos >= p1:
+                b = b[:pos] + _YI_MAIN_REPL[2].encode("utf-8")
+        elif res == 3:
+            if pos >= p1:
+                b = b[:pos]
+                vh = _yi_suffix(b, _YI_VERB_B)
+                if vh is not None:
+                    vs, vr = vh
+                    b = b[: len(b) - len(vs)] + _YI_VERB_REPL[vr].encode(
+                        "utf-8"
+                    )
+        elif res == 4:
+            if pos >= p1:
+                b = b[:pos]
+                end = len(b)
+            else:
+                b = b[:pos] + _YI_TET
+                end = pos
+            head = b[:end]
+            if head.endswith(_YI_BRAX):
+                start = end - len(_YI_BRAX)
+                if head[:start].endswith(_YI_GE):
+                    start -= len(_YI_GE)
+                b = b[:start] + _YI_BRENG + b[end:]
+        elif res == 33:
+            before = b[:pos]
+            if before.endswith(_YI_GIML) or before.endswith(_YI_SHIN):
+                if p1 <= pos + 4:
+                    b = b[:pos] + _YI_YS
+            elif pos >= p1:
+                b = b[:pos]
+        elif res in _YI_MAIN_REPL:
+            if res == 32:
+                if pos >= p1:
+                    b = b[:pos] + _YI_MAIN_REPL[32].encode("utf-8")
+            else:
+                b = b[:pos] + _YI_MAIN_REPL[res].encode("utf-8")
+    # noun suffixes
+    hit = _yi_suffix(b, _YI_NOUN_B)
+    if hit is not None:
+        suf, res = hit
+        pos = len(b) - len(suf)
+        if res == 1:
+            if pos >= p1:
+                b = b[:pos]
+        elif res == 2 and pos >= p1 and pos > 0:
+            plen = _u8prevlen(b, pos)
+            if b[pos - plen : pos].decode("utf-8", "replace") in _YI_CONS:
+                b = b[:pos]
+    # adjective suffixes
+    hit = _yi_suffix(b, _YI_ADJ_B)
+    if hit is not None:
+        suf, res = hit
+        pos = len(b) - len(suf)
+        if res == 1 and pos >= p1:
+            b = b[:pos]
+    # postlude: drop markers (backward scan; deletions can cascade)
+    i = len(b)
+    while i > 0:
+        if b[:i].endswith(b"GE"):
+            b = b[: i - 2] + b[i:]
+            i -= 2
+        elif b[:i].endswith(b"TSU"):
+            b = b[: i - 3] + b[i:]
+            i -= 3
+        else:
+            i -= _u8prevlen(b, i)
+    out = b.decode("utf-8", "replace")
+    # ts_lexize parity: an empty stem yields the original word
+    return word if out == "" else out
+
+
+
 EXTRA_STEMMERS = {
     "romanian": romanian_stem,
     "hungarian": hungarian_stem,
@@ -1782,6 +2109,7 @@ EXTRA_STEMMERS = {
     "nepali": nepali_stem,
     "basque": basque_stem,
     "lithuanian": lithuanian_stem,
+    "yiddish": yiddish_stem,
 }
 
 # ISO-639-1 codes for stemmer.stem() dispatch
@@ -1800,4 +2128,5 @@ EXTRA_CODES = {
     "ne": nepali_stem,
     "eu": basque_stem,
     "lt": lithuanian_stem,
+    "yi": yiddish_stem,
 }
