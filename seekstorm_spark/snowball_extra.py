@@ -2096,6 +2096,2302 @@ def yiddish_stem(word: str) -> str:
 
 
 
+# ---------------------------------------------------------------------------
+# Serbian
+# ---------------------------------------------------------------------------
+# Snowball 'serbian' (reference StemmerType::Serbian). Tables + switch
+# actions decoded from dict_snowball.so (serbian_UTF_8_stem
+# disassembly): Cyrillic-to-Latin transliteration, prelude
+# (consonant-'ije'-consonant -> 'e', consonant-'je'-consonant -> 'e',
+# 'dj' -> U+0111), no_diacritics flag, p1 = after first vowel
+# (extended past position 1 via the next consonant, and pulled back
+# to just after a syllabic 'r'), then step_1 (replacement among),
+# step_2 OR step_3 (p1-gated replacement / deletion amongs); flagged
+# rules fire only when the word carries no diacritic letters. All
+# offsets are BYTE offsets (diacritics are two UTF-8 bytes).
+# Oracle-verified (scripts/snowball_oracle.py).
+
+_SR_CYR = {
+    "\u0430": "a", "\u0431": "b", "\u0432": "v", "\u0433": "g",
+    "\u0434": "d", "\u0435": "e", "\u0436": "\u017e", "\u0437": "z",
+    "\u0438": "i", "\u043a": "k", "\u043b": "l", "\u043c": "m",
+    "\u043d": "n", "\u043e": "o", "\u043f": "p", "\u0440": "r",
+    "\u0441": "s", "\u0442": "t", "\u0443": "u", "\u0444": "f",
+    "\u0445": "h", "\u0446": "c", "\u0447": "\u010d",
+    "\u0448": "\u0161", "\u0452": "\u0111", "\u0458": "j",
+    "\u0459": "lj", "\u045a": "nj", "\u045b": "\u0107",
+    "\u045f": "d\u017e",
+}
+_SR_SA = frozenset("bcdfghjklmnprstvz\u0107\u010d\u0111\u0161\u017e")
+_SR_DIA = frozenset("\u0107\u010d\u0111\u0161\u017e")
+_SR_VOWEL = frozenset("aeiou")
+
+_SR_STEP1 = {
+    'teticima': ('tetika', False),
+    'centara': ('centra', False),
+    'kustava': ('kustva', False),
+    'tvenici': ('tvenik', False),
+    'atcima': ('atka', False),
+    'avilan': ('avilni', False),
+    'centar': ('centra', False),
+    'inzima': ('ing', False),
+    'istara': ('istra', False),
+    'jacima': ('jak', False),
+    'lozima': ('loga', False),
+    'metara': ('metra', False),
+    'nicima': ('nik', False),
+    'nstava': ('nstva', False),
+    'pesima': ('peh', False),
+    'pletan': ('pletni', False),
+    'pravan': ('pravni', False),
+    'stavan': ('stavni', False),
+    'tetici': ('tetika', False),
+    'ticima': ('tik', False),
+    'utcima': ('utka', False),
+    'voljan': ('voljni', False),
+    'zicima': ('zik', False),
+    'acaka': ('acka', True),
+    'ajaca': ('ajca', False),
+    'ajaka': ('ajka', False),
+    'alaca': ('alca', False),
+    'anaka': ('anki', False),
+    'anata': ('anta', False),
+    'anjac': ('anjca', False),
+    'antan': ('antni', False),
+    'ataka': ('atka', False),
+    'ačaka': ('ačka', False),
+    'bilan': ('bilni', False),
+    'bojci': ('bojka', False),
+    'cajan': ('cajni', True),
+    'dusan': ('dusni', True),
+    'dušan': ('dušni', False),
+    'ejaca': ('ejca', False),
+    'ekata': ('ekta', False),
+    'elaca': ('elca', False),
+    'esama': ('esma', False),
+    'eskan': ('eskna', False),
+    'etaka': ('etka', False),
+    'gilan': ('gilni', False),
+    'istar': ('istra', False),
+    'itaka': ('itka', False),
+    'izama': ('izma', False),
+    'kusan': ('kusni', False),
+    'laran': ('larni', False),
+    'ljaca': ('ljca', False),
+    'metar': ('metra', False),
+    'nilan': ('nilni', False),
+    'njaca': ('njca', False),
+    'ojaca': ('ojca', False),
+    'ojaka': ('ojka', False),
+    'ojsci': ('ojska', False),
+    'olaca': ('olca', False),
+    'otaka': ('otka', False),
+    'rilan': ('rilni', False),
+    'silan': ('silni', False),
+    'sivan': ('sivni', False),
+    'snici': ('snik', False),
+    'tetan': ('tetni', False),
+    'tican': ('ticni', True),
+    'tilan': ('tilni', False),
+    'tivan': ('tivni', False),
+    'tičan': ('tični', False),
+    'utaka': ('utka', False),
+    'vojci': ('vojka', False),
+    'čajan': ('čajni', False),
+    'čcima': ('čka', False),
+    'acak': ('acka', True),
+    'ajac': ('ajca', False),
+    'alac': ('alca', False),
+    'alan': ('alni', False),
+    'aoca': ('alca', False),
+    'asan': ('asni', True),
+    'atak': ('atka', False),
+    'atan': ('atni', False),
+    'atci': ('atka', False),
+    'ačak': ('ačka', False),
+    'ašan': ('ašni', False),
+    'baci': ('baci', False),
+    'daba': ('dba', False),
+    'ejac': ('ejca', False),
+    'ekat': ('ekta', False),
+    'elac': ('elca', False),
+    'enat': ('enta', False),
+    'eran': ('erni', False),
+    'esan': ('esni', False),
+    'etak': ('etka', False),
+    'inzi': ('ing', False),
+    'itak': ('itka', False),
+    'itci': ('itka', False),
+    'izam': ('izma', False),
+    'jaci': ('jak', False),
+    'jebe': ('jebi', False),
+    'kuse': ('kusi', False),
+    'ljac': ('ljca', False),
+    'lozi': ('loga', False),
+    'maca': ('mca', False),
+    'naca': ('nca', False),
+    'njac': ('njca', False),
+    'ojac': ('ojca', False),
+    'olac': ('olca', False),
+    'olce': ('olca', False),
+    'oscu': ('osti', True),
+    'otak': ('otka', False),
+    'ozan': ('ozni', False),
+    'ošću': ('osti', False),
+    'pesi': ('peh', False),
+    'raca': ('rca', False),
+    'rave': ('ravi', False),
+    'saca': ('sca', False),
+    'save': ('savi', True),
+    'usak': ('uska', True),
+    'utak': ('utka', False),
+    'utci': ('utka', False),
+    'ušak': ('uška', False),
+    'vaca': ('vca', False),
+    'šaca': ('šca', False),
+    'šave': ('šavi', False),
+    'mac': ('mca', False),
+    'nac': ('nca', False),
+    'rac': ('rca', False),
+    'sac': ('sca', False),
+    'vac': ('vca', False),
+    'čci': ('čka', False),
+    'šac': ('šca', False),
+}
+
+_SR_STEP2 = {
+    'astadosmo': ('asta', False),
+    'astadoste': ('asta', False),
+    'astajasmo': ('astaj', False),
+    'astajaste': ('astaj', False),
+    'evitijega': ('evit', False),
+    'evitijemu': ('evit', False),
+    'evitijima': ('evit', False),
+    'istadosmo': ('ista', False),
+    'istadoste': ('ista', False),
+    'istajasmo': ('istaj', False),
+    'istajaste': ('istaj', False),
+    'ostadosmo': ('osta', False),
+    'ostadoste': ('osta', False),
+    'ostajasmo': ('ostaj', False),
+    'ostajaste': ('ostaj', False),
+    'ovitijega': ('ovit', False),
+    'ovitijemu': ('ovit', False),
+    'ovitijima': ('ovit', False),
+    'anjijega': ('anj', False),
+    'anjijemu': ('anj', False),
+    'anjijima': ('anj', False),
+    'astademo': ('asta', False),
+    'astadete': ('asta', False),
+    'astadose': ('asta', True),
+    'astadoše': ('asta', False),
+    'astajahu': ('astaj', False),
+    'astajala': ('astaj', False),
+    'astajale': ('astaj', False),
+    'astajali': ('astaj', False),
+    'astajalo': ('astaj', False),
+    'astajase': ('astaj', True),
+    'astajati': ('astaj', False),
+    'astajaše': ('astaj', False),
+    'astajemo': ('astaj', False),
+    'astajete': ('astaj', False),
+    'astajuci': ('astaj', True),
+    'astajući': ('astaj', False),
+    'astanemo': ('asta', False),
+    'astanete': ('asta', False),
+    'astanila': ('asta', False),
+    'astanimo': ('asta', False),
+    'astanite': ('asta', False),
+    'astijega': ('ast', False),
+    'astijemu': ('ast', False),
+    'astijima': ('ast', False),
+    'cajevima': ('caj', False),
+    'enjijega': ('enj', False),
+    'enjijemu': ('enj', False),
+    'enjijima': ('enj', False),
+    'evitijeg': ('evit', False),
+    'evitijem': ('evit', False),
+    'evitijih': ('evit', False),
+    'evitijim': ('evit', False),
+    'evitijoj': ('evit', False),
+    'ganijama': ('ganij', False),
+    'ganijima': ('ganij', False),
+    'istademo': ('ista', False),
+    'istadete': ('ista', False),
+    'istadose': ('ista', True),
+    'istadoše': ('ista', False),
+    'istajahu': ('istaj', False),
+    'istajala': ('istaj', False),
+    'istajale': ('istaj', False),
+    'istajali': ('istaj', False),
+    'istajalo': ('istaj', False),
+    'istajase': ('istaj', True),
+    'istajati': ('istaj', False),
+    'istajaše': ('istaj', False),
+    'istajemo': ('istaj', False),
+    'istajete': ('istaj', False),
+    'istajuci': ('istaj', True),
+    'istajući': ('istaj', False),
+    'istanemo': ('ista', False),
+    'istanete': ('ista', False),
+    'istanila': ('ista', False),
+    'istanimo': ('ista', False),
+    'istanite': ('ista', False),
+    'lajevima': ('laj', False),
+    'lucujemo': ('luc', True),
+    'lucujete': ('luc', True),
+    'lucujuci': ('luc', True),
+    'lučujemo': ('luč', False),
+    'lučujete': ('luč', False),
+    'lučujući': ('luč', False),
+    'manijama': ('manij', False),
+    'manijima': ('manij', False),
+    'ostademo': ('osta', False),
+    'ostadete': ('osta', False),
+    'ostadose': ('osta', True),
+    'ostadoše': ('osta', False),
+    'ostajahu': ('ostaj', False),
+    'ostajala': ('ostaj', False),
+    'ostajale': ('ostaj', False),
+    'ostajali': ('ostaj', False),
+    'ostajalo': ('ostaj', False),
+    'ostajase': ('ostaj', True),
+    'ostajati': ('ostaj', False),
+    'ostajaše': ('ostaj', False),
+    'ostajemo': ('ostaj', False),
+    'ostajete': ('ostaj', False),
+    'ostajuci': ('ostaj', True),
+    'ostajući': ('ostaj', False),
+    'ostanemo': ('osta', False),
+    'ostanete': ('osta', False),
+    'ostanila': ('osta', False),
+    'ostanimo': ('osta', False),
+    'ostanite': ('osta', False),
+    'ovitijeg': ('ovit', False),
+    'ovitijem': ('ovit', False),
+    'ovitijih': ('ovit', False),
+    'ovitijim': ('ovit', False),
+    'ovitijoj': ('ovit', False),
+    'panijama': ('panij', False),
+    'panijima': ('panij', False),
+    'rajevima': ('raj', False),
+    'ranijama': ('ranij', False),
+    'ranijima': ('ranij', False),
+    'snjijega': ('snj', True),
+    'snjijemu': ('snj', True),
+    'snjijima': ('snj', True),
+    'tanijama': ('tanij', False),
+    'tanijima': ('tanij', False),
+    'ćajevima': ('ćaj', False),
+    'čajevima': ('čaj', False),
+    'đajevima': ('đaj', False),
+    'šnjijega': ('šnj', False),
+    'šnjijemu': ('šnj', False),
+    'šnjijima': ('šnj', False),
+    'ajevima': ('aj', False),
+    'anjijeg': ('anj', False),
+    'anjijem': ('anj', False),
+    'anjijih': ('anj', False),
+    'anjijim': ('anj', False),
+    'anjijoj': ('anj', False),
+    'astadem': ('asta', False),
+    'astades': ('asta', True),
+    'astadeš': ('asta', False),
+    'astadoh': ('asta', False),
+    'astajah': ('astaj', False),
+    'astajao': ('astaj', False),
+    'astajat': ('astaj', False),
+    'astajem': ('astaj', False),
+    'astajes': ('astaj', True),
+    'astaješ': ('astaj', False),
+    'astajmo': ('astaj', False),
+    'astajte': ('astaj', False),
+    'astanem': ('asta', False),
+    'astanes': ('asta', True),
+    'astaneš': ('asta', False),
+    'astavsi': ('asta', True),
+    'astavši': ('asta', False),
+    'astijeg': ('ast', False),
+    'astijem': ('ast', False),
+    'astijih': ('ast', False),
+    'astijim': ('ast', False),
+    'astijoj': ('ast', False),
+    'atijega': ('at', False),
+    'atijemu': ('at', False),
+    'atijima': ('at', False),
+    'avajuci': ('ava', True),
+    'avajući': ('ava', False),
+    'avijega': ('av', False),
+    'avijemu': ('av', False),
+    'avijima': ('av', False),
+    'elijega': ('el', False),
+    'elijemu': ('el', False),
+    'elijima': ('el', False),
+    'enjijeg': ('enj', False),
+    'enjijem': ('enj', False),
+    'enjijih': ('enj', False),
+    'enjijim': ('enj', False),
+    'enjijoj': ('enj', False),
+    'evajuci': ('eva', True),
+    'evajući': ('eva', False),
+    'evijega': ('ev', False),
+    'evijemu': ('ev', False),
+    'evijima': ('ev', False),
+    'evitega': ('evit', False),
+    'evitemu': ('evit', False),
+    'evitija': ('evit', False),
+    'evitije': ('evit', False),
+    'evitiji': ('evit', False),
+    'evitima': ('evit', False),
+    'evitoga': ('evit', False),
+    'evitome': ('evit', False),
+    'evitomu': ('evit', False),
+    'ganijom': ('ganij', False),
+    'ijalama': ('ijal', False),
+    'ijalima': ('ijal', False),
+    'ikatima': ('ikat', False),
+    'injasmo': ('inj', False),
+    'injaste': ('inj', False),
+    'irajuci': ('ir', True),
+    'irajući': ('ir', False),
+    'irujemo': ('ir', False),
+    'irujete': ('ir', False),
+    'irujuci': ('ir', True),
+    'irujući': ('ir', False),
+    'istadem': ('ista', False),
+    'istades': ('ista', True),
+    'istadeš': ('ista', False),
+    'istadoh': ('ista', False),
+    'istajah': ('istaj', False),
+    'istajao': ('istaj', False),
+    'istajat': ('istaj', False),
+    'istajem': ('istaj', False),
+    'istajes': ('istaj', True),
+    'istaješ': ('istaj', False),
+    'istajmo': ('istaj', False),
+    'istajte': ('istaj', False),
+    'istanem': ('ista', False),
+    'istanes': ('ista', True),
+    'istaneš': ('ista', False),
+    'istavsi': ('ista', True),
+    'istavši': ('ista', False),
+    'ivajuci': ('iva', True),
+    'ivajući': ('iva', False),
+    'ivijega': ('iv', False),
+    'ivijemu': ('iv', False),
+    'ivijima': ('iv', False),
+    'jetismo': ('jeti', False),
+    'jetiste': ('jeti', False),
+    'lucismo': ('luc', True),
+    'luciste': ('luc', True),
+    'lucujem': ('luc', True),
+    'lucujes': ('luc', True),
+    'lucujmo': ('luc', True),
+    'lucujte': ('luc', True),
+    'lučismo': ('luč', False),
+    'lučiste': ('luč', False),
+    'lučujem': ('luč', False),
+    'lučuješ': ('luč', False),
+    'lučujmo': ('luč', False),
+    'lučujte': ('luč', False),
+    'manijom': ('manij', False),
+    'olovima': ('olov', False),
+    'onovima': ('on', False),
+    'osijega': ('os', True),
+    'osijemu': ('os', True),
+    'osijima': ('os', True),
+    'ostadem': ('osta', False),
+    'ostades': ('osta', True),
+    'ostadeš': ('osta', False),
+    'ostadoh': ('osta', False),
+    'ostajah': ('ostaj', False),
+    'ostajao': ('ostaj', False),
+    'ostajat': ('ostaj', False),
+    'ostajem': ('ostaj', False),
+    'ostajes': ('ostaj', True),
+    'ostaješ': ('ostaj', False),
+    'ostajmo': ('ostaj', False),
+    'ostajte': ('ostaj', False),
+    'ostanem': ('osta', False),
+    'ostanes': ('osta', True),
+    'ostaneš': ('osta', False),
+    'ostavsi': ('osta', True),
+    'ostavši': ('osta', False),
+    'ovijega': ('ov', False),
+    'ovijemu': ('ov', False),
+    'ovijima': ('ov', False),
+    'ovitega': ('ovit', False),
+    'ovitemu': ('ovit', False),
+    'ovitija': ('ovit', False),
+    'ovitije': ('ovit', False),
+    'ovitiji': ('ovit', False),
+    'ovitima': ('ovit', False),
+    'ovitoga': ('ovit', False),
+    'ovitome': ('ovit', False),
+    'ovitomu': ('ovit', False),
+    'ozilima': ('ozil', False),
+    'ošijega': ('oš', False),
+    'ošijemu': ('oš', False),
+    'ošijima': ('oš', False),
+    'panijom': ('panij', False),
+    'ranijom': ('ranij', False),
+    'rarijem': ('rari', False),
+    'rosismo': ('rosi', True),
+    'rosiste': ('rosi', True),
+    'rosivsi': ('rosi', True),
+    'rošismo': ('roši', False),
+    'rošiste': ('roši', False),
+    'rošivši': ('roši', False),
+    'skijega': ('sk', False),
+    'skijemu': ('sk', False),
+    'skijima': ('sk', False),
+    'snjijeg': ('snj', True),
+    'snjijem': ('os', True),
+    'snjijih': ('snj', True),
+    'snjijim': ('snj', True),
+    'snjijoj': ('snj', True),
+    'tanijom': ('tanij', False),
+    'ugovima': ('ugov', False),
+    'urajuci': ('ur', True),
+    'urajući': ('ur', False),
+    'uvajuci': ('uva', True),
+    'uvajući': ('uva', False),
+    'škijega': ('šk', False),
+    'škijemu': ('šk', False),
+    'škijima': ('šk', False),
+    'šnjijeg': ('šnj', False),
+    'šnjijem': ('šnj', False),
+    'šnjijih': ('šnj', False),
+    'šnjijim': ('šnj', False),
+    'šnjijoj': ('šnj', False),
+    'acasmo': ('aca', True),
+    'acaste': ('aca', True),
+    'acavsi': ('aca', True),
+    'acismo': ('ac', True),
+    'aciste': ('ac', True),
+    'aninom': ('an', False),
+    'anjega': ('anj', False),
+    'anjemu': ('anj', False),
+    'anjija': ('anj', False),
+    'anjije': ('anj', False),
+    'anjiji': ('anj', False),
+    'anjiju': ('anj', False),
+    'anjima': ('anj', False),
+    'anjoga': ('anj', False),
+    'anjome': ('anj', False),
+    'anjomu': ('anj', False),
+    'astade': ('asta', False),
+    'astadu': ('asta', False),
+    'astaje': ('astaj', False),
+    'astaju': ('astaj', False),
+    'astala': ('asta', False),
+    'astale': ('asta', False),
+    'astali': ('asta', False),
+    'astalo': ('asta', False),
+    'astane': ('asta', False),
+    'astanu': ('asta', False),
+    'astati': ('asta', False),
+    'astega': ('ast', False),
+    'astemo': ('as', False),
+    'astemu': ('ast', False),
+    'astete': ('as', False),
+    'astija': ('ast', False),
+    'astije': ('ast', False),
+    'astiji': ('ast', False),
+    'astima': ('ast', False),
+    'astimo': ('as', False),
+    'astite': ('as', False),
+    'astoga': ('ast', False),
+    'astome': ('ast', False),
+    'astomu': ('ast', False),
+    'astuci': ('as', True),
+    'astući': ('as', False),
+    'atijeg': ('at', False),
+    'atijem': ('at', False),
+    'atijih': ('at', False),
+    'atijim': ('at', False),
+    'avajmo': ('ava', False),
+    'avajte': ('ava', False),
+    'avasmo': ('ava', False),
+    'avaste': ('ava', False),
+    'avijeg': ('av', False),
+    'avijem': ('av', False),
+    'avijih': ('av', False),
+    'avijim': ('av', False),
+    'avijoj': ('av', False),
+    'ačasmo': ('ača', False),
+    'ačaste': ('ača', False),
+    'ačavši': ('ača', False),
+    'ačismo': ('ač', False),
+    'ačiste': ('ač', False),
+    'basama': ('bas', True),
+    'basima': ('bas', True),
+    'bašama': ('baš', False),
+    'bašima': ('baš', False),
+    'bijama': ('bij', False),
+    'bijima': ('bij', False),
+    'cajama': ('caj', False),
+    'cajeva': ('caj', False),
+    'cajeve': ('caj', False),
+    'cajevi': ('caj', False),
+    'cajima': ('caj', False),
+    'cijama': ('cij', False),
+    'cijima': ('cij', False),
+    'cinama': ('cin', True),
+    'cinima': ('cin', True),
+    'cinoga': ('cin', True),
+    'cinome': ('cin', True),
+    'cinomu': ('cin', True),
+    'dijama': ('dij', False),
+    'dijima': ('dij', False),
+    'elijeg': ('el', False),
+    'elijem': ('el', False),
+    'elijih': ('el', False),
+    'elijim': ('el', False),
+    'elijoj': ('el', False),
+    'enjega': ('enj', False),
+    'enjemu': ('enj', False),
+    'enjija': ('enj', False),
+    'enjije': ('enj', False),
+    'enjiji': ('enj', False),
+    'enjiju': ('enj', False),
+    'enjima': ('enj', False),
+    'enjoga': ('enj', False),
+    'enjome': ('enj', False),
+    'enjomu': ('enj', False),
+    'estama': ('est', False),
+    'estima': ('est', False),
+    'etavsi': ('et', True),
+    'etavši': ('et', False),
+    'evajmo': ('eva', False),
+    'evajte': ('eva', False),
+    'evasmo': ('eva', False),
+    'evaste': ('eva', False),
+    'evijeg': ('ev', False),
+    'evijem': ('ev', False),
+    'evijih': ('ev', False),
+    'evijim': ('ev', False),
+    'evijoj': ('ev', False),
+    'evitem': ('evit', False),
+    'evitih': ('evit', False),
+    'evitim': ('evit', False),
+    'evitog': ('evit', False),
+    'evitoj': ('evit', False),
+    'evitom': ('evit', False),
+    'fijama': ('fij', False),
+    'fijima': ('fij', False),
+    'ganija': ('ganij', False),
+    'ganije': ('ganij', False),
+    'ganiji': ('ganij', False),
+    'ganiju': ('ganij', False),
+    'gasama': ('gas', True),
+    'gasima': ('gas', True),
+    'gašama': ('gaš', False),
+    'gašima': ('gaš', False),
+    'gijama': ('gij', False),
+    'gijima': ('gij', False),
+    'govima': ('g', False),
+    'ijalom': ('ijal', False),
+    'ikatom': ('ikat', False),
+    'injahu': ('inj', False),
+    'injala': ('inj', False),
+    'injale': ('inj', False),
+    'injali': ('inj', False),
+    'injalo': ('inj', False),
+    'injase': ('inj', True),
+    'injati': ('inj', False),
+    'injaše': ('inj', False),
+    'injemo': ('inj', False),
+    'injete': ('inj', False),
+    'irasmo': ('ir', False),
+    'iraste': ('ir', False),
+    'iravsi': ('ir', True),
+    'iravši': ('ir', False),
+    'irivat': ('ir', False),
+    'irujem': ('ir', False),
+    'irujes': ('ir', True),
+    'iruješ': ('ir', False),
+    'irujmo': ('ir', False),
+    'irujte': ('ir', False),
+    'istade': ('ista', False),
+    'istadu': ('ista', False),
+    'istaje': ('istaj', False),
+    'istaju': ('istaj', False),
+    'istala': ('ista', False),
+    'istale': ('ista', False),
+    'istali': ('ista', False),
+    'istalo': ('ista', False),
+    'istama': ('ist', False),
+    'istane': ('ista', False),
+    'istanu': ('ista', False),
+    'istati': ('ista', False),
+    'istima': ('ist', False),
+    'ivajmo': ('iva', False),
+    'ivajte': ('iva', False),
+    'ivasmo': ('iva', False),
+    'ivaste': ('iva', False),
+    'ivijeg': ('iv', False),
+    'ivijem': ('iv', False),
+    'ivijih': ('iv', False),
+    'ivijim': ('iv', False),
+    'ivijoj': ('iv', False),
+    'ištima': ('išt', False),
+    'jasama': ('jas', True),
+    'jasima': ('jas', True),
+    'jašama': ('jaš', False),
+    'jašima': ('jaš', False),
+    'jetila': ('jeti', False),
+    'jetile': ('jeti', False),
+    'jetili': ('jeti', False),
+    'jetilo': ('jeti', False),
+    'jetimo': ('jeti', False),
+    'jetise': ('jeti', True),
+    'jetite': ('jeti', False),
+    'jetiti': ('jeti', False),
+    'jetiše': ('jeti', False),
+    'kasama': ('kas', True),
+    'kasima': ('kas', True),
+    'kašama': ('kaš', False),
+    'kašima': ('kaš', False),
+    'kijega': ('k', False),
+    'kijemu': ('k', False),
+    'kijima': ('k', False),
+    'kstama': ('kst', False),
+    'kstima': ('kst', False),
+    'lajama': ('laj', False),
+    'lajeva': ('laj', False),
+    'lajeve': ('laj', False),
+    'lajevi': ('laj', False),
+    'lajima': ('laj', False),
+    'latima': ('lat', False),
+    'lemama': ('lem', False),
+    'lemima': ('lem', False),
+    'lijama': ('lij', False),
+    'lijima': ('lij', False),
+    'logama': ('log', False),
+    'lovima': ('lov', False),
+    'lucena': ('luc', True),
+    'lucene': ('luc', True),
+    'luceni': ('luc', True),
+    'luceno': ('luc', True),
+    'lucila': ('luc', True),
+    'lucile': ('luc', True),
+    'lucili': ('luc', True),
+    'lucilo': ('luc', True),
+    'lucimo': ('luc', True),
+    'lucise': ('luc', True),
+    'lucite': ('luc', True),
+    'luciti': ('luc', True),
+    'lucuje': ('luc', True),
+    'lucuju': ('luc', True),
+    'lučena': ('luč', False),
+    'lučene': ('luč', False),
+    'lučeni': ('luč', False),
+    'lučeno': ('luč', False),
+    'lučila': ('luč', False),
+    'lučile': ('luč', False),
+    'lučili': ('luč', False),
+    'lučilo': ('luč', False),
+    'lučimo': ('luč', False),
+    'lučite': ('luč', False),
+    'lučiti': ('luč', False),
+    'lučiše': ('luč', False),
+    'lučuje': ('luč', False),
+    'lučuju': ('luč', False),
+    'manija': ('manij', False),
+    'manije': ('manij', False),
+    'maniji': ('manij', False),
+    'maniju': ('manij', False),
+    'mijama': ('mij', False),
+    'mijima': ('mij', False),
+    'movima': ('mov', False),
+    'nalama': ('nal', False),
+    'nalima': ('nal', False),
+    'nasama': ('nas', True),
+    'nasima': ('nas', True),
+    'našama': ('naš', False),
+    'našima': ('naš', False),
+    'nijama': ('nij', False),
+    'nijega': ('n', False),
+    'nijemu': ('n', False),
+    'nijima': ('n', False),
+    'osijeg': ('os', True),
+    'osijem': ('os', True),
+    'osijih': ('os', True),
+    'osijim': ('os', True),
+    'osijoj': ('os', True),
+    'ostade': ('osta', False),
+    'ostadu': ('osta', False),
+    'ostaje': ('ostaj', False),
+    'ostaju': ('ostaj', False),
+    'ostala': ('osta', False),
+    'ostale': ('osta', False),
+    'ostali': ('osta', False),
+    'ostalo': ('osta', False),
+    'ostama': ('ost', False),
+    'ostane': ('osta', False),
+    'ostanu': ('osta', False),
+    'ostati': ('osta', False),
+    'ostima': ('ost', False),
+    'otijem': ('oti', False),
+    'ovasmo': ('ova', False),
+    'ovaste': ('ova', False),
+    'ovijeg': ('ov', False),
+    'ovijem': ('ov', False),
+    'ovijih': ('ov', False),
+    'ovijim': ('ov', False),
+    'ovijoj': ('ov', False),
+    'ovitem': ('ovit', False),
+    'ovitih': ('ovit', False),
+    'ovitim': ('ovit', False),
+    'ovitog': ('ovit', False),
+    'ovitoj': ('ovit', False),
+    'ovitom': ('ovit', False),
+    'ozilom': ('ozil', False),
+    'ošijeg': ('oš', False),
+    'ošijem': ('oš', False),
+    'ošijih': ('oš', False),
+    'ošijim': ('oš', False),
+    'ošijoj': ('oš', False),
+    'panija': ('panij', False),
+    'panije': ('panij', False),
+    'paniji': ('panij', False),
+    'paniju': ('panij', False),
+    'pijama': ('pij', False),
+    'pijima': ('pij', False),
+    'rajama': ('raj', False),
+    'rajeva': ('raj', False),
+    'rajeve': ('raj', False),
+    'rajevi': ('raj', False),
+    'rajima': ('raj', False),
+    'ramama': ('ram', False),
+    'ranija': ('ranij', False),
+    'ranije': ('ranij', False),
+    'raniji': ('ranij', False),
+    'raniju': ('ranij', False),
+    'rarija': ('rari', False),
+    'rariju': ('rari', False),
+    'rijama': ('rij', False),
+    'rijima': ('rij', False),
+    'rosila': ('rosi', True),
+    'rosile': ('rosi', True),
+    'rosili': ('rosi', True),
+    'rosilo': ('rosi', True),
+    'rosimo': ('rosi', True),
+    'rosise': ('rosi', True),
+    'rosite': ('rosi', True),
+    'rositi': ('rosi', True),
+    'rošila': ('roši', False),
+    'rošile': ('roši', False),
+    'rošili': ('roši', False),
+    'rošilo': ('roši', False),
+    'rošimo': ('roši', False),
+    'rošite': ('roši', False),
+    'rošiti': ('roši', False),
+    'rošiše': ('roši', False),
+    'sijama': ('sij', False),
+    'sijima': ('sij', False),
+    'skijeg': ('sk', False),
+    'skijem': ('sk', False),
+    'skijih': ('sk', False),
+    'skijim': ('sk', False),
+    'skijoj': ('sk', False),
+    'snjega': ('snj', True),
+    'snjemu': ('snj', True),
+    'snjija': ('snj', True),
+    'snjije': ('snj', True),
+    'snjiji': ('snj', True),
+    'snjiju': ('snj', True),
+    'snjima': ('snj', True),
+    'snjoga': ('snj', True),
+    'snjome': ('snj', True),
+    'snjomu': ('snj', True),
+    'stvima': ('stv', False),
+    'tanija': ('tanij', False),
+    'tanije': ('tanij', False),
+    'taniji': ('tanij', False),
+    'taniju': ('tanij', False),
+    'tasama': ('tas', True),
+    'tasima': ('tas', True),
+    'tašama': ('taš', False),
+    'tašima': ('taš', False),
+    'tijama': ('tij', False),
+    'tijima': ('tij', False),
+    'urajmo': ('ur', False),
+    'urajte': ('ur', False),
+    'urasmo': ('ur', False),
+    'uraste': ('ur', False),
+    'uvajmo': ('uva', False),
+    'uvajte': ('uva', False),
+    'uvasmo': ('uva', False),
+    'uvaste': ('uva', False),
+    'vasama': ('vas', True),
+    'vasima': ('vas', True),
+    'vašama': ('vaš', False),
+    'vašima': ('vaš', False),
+    'zijama': ('zij', False),
+    'zijima': ('zij', False),
+    'ćajama': ('ćaj', False),
+    'ćajeva': ('ćaj', False),
+    'ćajeve': ('ćaj', False),
+    'ćajevi': ('ćaj', False),
+    'ćajima': ('ćaj', False),
+    'čajama': ('čaj', False),
+    'čajeva': ('čaj', False),
+    'čajeve': ('čaj', False),
+    'čajevi': ('čaj', False),
+    'čajima': ('čaj', False),
+    'činama': ('čin', False),
+    'činima': ('čin', False),
+    'činoga': ('čin', False),
+    'činome': ('čin', False),
+    'činomu': ('čin', False),
+    'đajama': ('đaj', False),
+    'đajeva': ('đaj', False),
+    'đajeve': ('đaj', False),
+    'đajevi': ('đaj', False),
+    'đajima': ('đaj', False),
+    'škijeg': ('šk', False),
+    'škijem': ('šk', False),
+    'škijih': ('šk', False),
+    'škijim': ('šk', False),
+    'škijoj': ('šk', False),
+    'šnjega': ('šnj', False),
+    'šnjemu': ('šnj', False),
+    'šnjija': ('šnj', False),
+    'šnjije': ('šnj', False),
+    'šnjiji': ('šnj', False),
+    'šnjiju': ('šnj', False),
+    'šnjima': ('šnj', False),
+    'šnjoga': ('šnj', False),
+    'šnjome': ('šnj', False),
+    'šnjomu': ('šnj', False),
+    'štvima': ('štv', False),
+    'žijama': ('žij', False),
+    'žijima': ('žij', False),
+    'acahu': ('aca', True),
+    'acaju': ('aca', True),
+    'acala': ('aca', True),
+    'acale': ('aca', True),
+    'acali': ('aca', True),
+    'acalo': ('aca', True),
+    'acamo': ('aca', True),
+    'acana': ('aca', True),
+    'acane': ('aca', True),
+    'acani': ('aca', True),
+    'acano': ('aca', True),
+    'acase': ('aca', True),
+    'acate': ('aca', True),
+    'acati': ('aca', True),
+    'aceci': ('ac', True),
+    'acega': ('ac', True),
+    'acemu': ('ac', True),
+    'acena': ('ac', True),
+    'acene': ('ac', True),
+    'aceni': ('ac', True),
+    'aceno': ('ac', True),
+    'acila': ('ac', True),
+    'acile': ('ac', True),
+    'acili': ('ac', True),
+    'acilo': ('ac', True),
+    'acima': ('ac', True),
+    'acimo': ('ac', True),
+    'acise': ('ac', True),
+    'acite': ('ac', True),
+    'aciti': ('ac', True),
+    'acoga': ('ac', True),
+    'acome': ('ac', True),
+    'acomu': ('ac', True),
+    'ajama': ('aj', False),
+    'ajeva': ('aj', False),
+    'ajeve': ('aj', False),
+    'ajevi': ('aj', False),
+    'ajima': ('aj', False),
+    'ajuci': ('a', True),
+    'ajući': ('a', False),
+    'alama': ('a', False),
+    'alima': ('a', False),
+    'anega': ('an', False),
+    'anemu': ('an', False),
+    'anima': ('an', False),
+    'anina': ('an', False),
+    'anine': ('an', False),
+    'aninu': ('an', False),
+    'anjeg': ('anj', False),
+    'anjem': ('anj', False),
+    'anjih': ('anj', False),
+    'anjim': ('anj', False),
+    'anjog': ('anj', False),
+    'anjoj': ('anj', False),
+    'anjom': ('anj', False),
+    'arama': ('ar', False),
+    'arima': ('ar', False),
+    'astao': ('asta', False),
+    'astat': ('asta', False),
+    'astem': ('ast', False),
+    'astes': ('as', True),
+    'asteš': ('as', False),
+    'astih': ('ast', False),
+    'astim': ('ast', False),
+    'astog': ('ast', False),
+    'astoj': ('ast', False),
+    'astom': ('ast', False),
+    'atega': ('at', False),
+    'atemu': ('at', False),
+    'atija': ('at', False),
+    'atije': ('at', False),
+    'atiji': ('at', False),
+    'atiju': ('at', False),
+    'atima': ('at', False),
+    'atoga': ('at', False),
+    'atome': ('at', False),
+    'atomu': ('at', False),
+    'avahu': ('ava', False),
+    'avaju': ('ava', False),
+    'avala': ('ava', False),
+    'avale': ('ava', False),
+    'avali': ('ava', False),
+    'avalo': ('ava', False),
+    'avama': ('av', False),
+    'avamo': ('ava', False),
+    'avana': ('ava', False),
+    'avane': ('ava', False),
+    'avani': ('ava', False),
+    'avano': ('ava', False),
+    'avase': ('ava', True),
+    'avate': ('ava', False),
+    'avati': ('ava', False),
+    'avaše': ('ava', False),
+    'avega': ('av', False),
+    'avemu': ('av', False),
+    'avija': ('av', False),
+    'avije': ('av', False),
+    'aviji': ('av', False),
+    'aviju': ('av', False),
+    'avima': ('av', False),
+    'avoga': ('av', False),
+    'avome': ('av', False),
+    'avomu': ('av', False),
+    'aćega': ('ać', False),
+    'aćemu': ('ać', False),
+    'aćima': ('ać', False),
+    'aćoga': ('ać', False),
+    'aćome': ('ać', False),
+    'aćomu': ('ać', False),
+    'ačahu': ('ača', False),
+    'ačaju': ('ača', False),
+    'ačala': ('ača', False),
+    'ačale': ('ača', False),
+    'ačali': ('ača', False),
+    'ačalo': ('ača', False),
+    'ačamo': ('ača', False),
+    'ačana': ('ača', False),
+    'ačane': ('ača', False),
+    'ačani': ('ača', False),
+    'ačano': ('ača', False),
+    'ačate': ('ača', False),
+    'ačati': ('ača', False),
+    'ačaše': ('ača', False),
+    'ačena': ('ač', False),
+    'ačene': ('ač', False),
+    'ačeni': ('ač', False),
+    'ačeno': ('ač', False),
+    'ačeći': ('ač', False),
+    'ačila': ('ač', False),
+    'ačile': ('ač', False),
+    'ačili': ('ač', False),
+    'ačilo': ('ač', False),
+    'ačimo': ('ač', False),
+    'ačite': ('ač', False),
+    'ačiti': ('ač', False),
+    'ačiše': ('ač', False),
+    'basem': ('bas', True),
+    'basom': ('bas', True),
+    'bašem': ('baš', False),
+    'bašom': ('baš', False),
+    'bijom': ('bij', False),
+    'cajem': ('caj', False),
+    'cijom': ('cij', False),
+    'cinih': ('cin', True),
+    'cinim': ('cin', True),
+    'cinog': ('cin', True),
+    'cinoj': ('cin', True),
+    'cinom': ('cin', True),
+    'dijom': ('dij', False),
+    'drama': ('dr', False),
+    'drima': ('dr', False),
+    'ecega': ('ec', True),
+    'ecemu': ('ec', True),
+    'ecima': ('ec', True),
+    'ecoga': ('ec', True),
+    'ecome': ('ec', True),
+    'ecomu': ('ec', True),
+    'elama': ('e', False),
+    'elega': ('el', False),
+    'elemu': ('el', False),
+    'elija': ('el', False),
+    'elije': ('el', False),
+    'eliji': ('el', False),
+    'eliju': ('el', False),
+    'elima': ('el', False),
+    'eloga': ('el', False),
+    'elome': ('el', False),
+    'elomu': ('el', False),
+    'enega': ('en', False),
+    'enemu': ('en', False),
+    'enjeg': ('enj', False),
+    'enjem': ('enj', False),
+    'enjih': ('enj', False),
+    'enjim': ('enj', False),
+    'enjog': ('enj', False),
+    'enjoj': ('enj', False),
+    'enjom': ('enj', False),
+    'erama': ('er', False),
+    'erima': ('er', False),
+    'esama': ('es', True),
+    'esima': ('es', False),
+    'estom': ('est', False),
+    'etama': ('et', False),
+    'etemo': ('et', False),
+    'etima': ('et', False),
+    'etimo': ('et', False),
+    'etuci': ('et', True),
+    'etući': ('et', False),
+    'evahu': ('eva', False),
+    'evaju': ('eva', False),
+    'evala': ('eva', False),
+    'evale': ('eva', False),
+    'evali': ('eva', False),
+    'evalo': ('eva', False),
+    'evama': ('ev', False),
+    'evamo': ('eva', False),
+    'evana': ('eva', False),
+    'evane': ('eva', False),
+    'evani': ('eva', False),
+    'evano': ('eva', False),
+    'evase': ('eva', True),
+    'evate': ('eva', False),
+    'evati': ('eva', False),
+    'evaše': ('eva', False),
+    'evega': ('ev', False),
+    'evemu': ('ev', False),
+    'evija': ('ev', False),
+    'evije': ('ev', False),
+    'eviji': ('ev', False),
+    'eviju': ('ev', False),
+    'evima': ('ev', False),
+    'evita': ('evit', False),
+    'evite': ('evit', False),
+    'eviti': ('evit', False),
+    'evito': ('evit', False),
+    'evitu': ('evit', False),
+    'evoga': ('ev', False),
+    'evome': ('ev', False),
+    'evomu': ('ev', False),
+    'ećega': ('eć', False),
+    'ećemu': ('eć', False),
+    'ećima': ('eć', False),
+    'ećoga': ('eć', False),
+    'ećome': ('eć', False),
+    'ećomu': ('eć', False),
+    'ešama': ('eš', False),
+    'ešima': ('eš', False),
+    'fijom': ('fij', False),
+    'gasem': ('gas', True),
+    'gasom': ('gas', True),
+    'gašem': ('gaš', False),
+    'gašom': ('gaš', False),
+    'gijom': ('gij', False),
+    'ijala': ('ijal', False),
+    'ijale': ('ijal', False),
+    'ijali': ('ijal', False),
+    'ijalo': ('ijal', False),
+    'ijalu': ('ijal', False),
+    'ijemo': ('i', False),
+    'ijete': ('i', False),
+    'ikata': ('ikat', False),
+    'ikate': ('ikat', False),
+    'ikati': ('ikat', False),
+    'ikato': ('ikat', False),
+    'ikatu': ('ikat', False),
+    'ilama': ('i', False),
+    'ilima': ('i', False),
+    'inama': ('in', False),
+    'inima': ('in', False),
+    'injah': ('inj', False),
+    'injao': ('inj', False),
+    'injat': ('inj', False),
+    'injem': ('inj', False),
+    'injes': ('inj', True),
+    'inješ': ('inj', False),
+    'irahu': ('ir', False),
+    'iraju': ('ir', False),
+    'irala': ('ir', False),
+    'irale': ('ir', False),
+    'irali': ('ir', False),
+    'iralo': ('ir', False),
+    'iramo': ('ir', False),
+    'irase': ('ir', True),
+    'irate': ('ir', False),
+    'irati': ('ir', False),
+    'iraše': ('ir', False),
+    'iruje': ('ir', False),
+    'iruju': ('ir', False),
+    'isama': ('is', True),
+    'isima': ('is', False),
+    'istao': ('ista', False),
+    'istat': ('ista', False),
+    'istem': ('ist', True),
+    'istom': ('ist', False),
+    'ivahu': ('iva', False),
+    'ivaju': ('iva', False),
+    'ivala': ('iva', False),
+    'ivale': ('iva', False),
+    'ivali': ('iva', False),
+    'ivalo': ('iva', False),
+    'ivama': ('iv', False),
+    'ivamo': ('iva', False),
+    'ivana': ('iva', False),
+    'ivane': ('iva', False),
+    'ivani': ('iva', False),
+    'ivano': ('iva', False),
+    'ivase': ('iva', True),
+    'ivate': ('iva', False),
+    'ivati': ('iva', False),
+    'ivaše': ('iva', False),
+    'ivega': ('iv', False),
+    'ivemu': ('iv', False),
+    'ivija': ('iv', False),
+    'ivije': ('iv', False),
+    'iviji': ('iv', False),
+    'iviju': ('iv', False),
+    'ivima': ('iv', False),
+    'ivoga': ('iv', False),
+    'ivome': ('iv', False),
+    'ivomu': ('iv', False),
+    'išama': ('iš', False),
+    'išima': ('iš', False),
+    'ištem': ('išt', False),
+    'jasem': ('jas', True),
+    'jasom': ('jas', True),
+    'jašem': ('jaš', False),
+    'jašom': ('jaš', False),
+    'jetih': ('jeti', False),
+    'jetim': ('jeti', False),
+    'jetio': ('jeti', False),
+    'jetis': ('jeti', True),
+    'jetit': ('jeti', False),
+    'jetiš': ('jeti', False),
+    'kasem': ('kas', True),
+    'kasom': ('kas', True),
+    'kašem': ('kaš', False),
+    'kašom': ('kaš', False),
+    'kijeg': ('k', False),
+    'kijem': ('k', False),
+    'kijih': ('k', False),
+    'kijim': ('k', False),
+    'kijoj': ('k', False),
+    'kstom': ('kst', False),
+    'lajem': ('laj', False),
+    'latom': ('lat', False),
+    'lemom': ('lem', False),
+    'lijem': ('li', False),
+    'lijom': ('lij', False),
+    'logom': ('log', False),
+    'lovom': ('lov', False),
+    'lucen': ('luc', True),
+    'lucih': ('luc', True),
+    'lucim': ('luc', True),
+    'lucio': ('luc', True),
+    'lucis': ('luc', True),
+    'lucit': ('luc', True),
+    'lucuj': ('luc', True),
+    'lučen': ('luč', False),
+    'lučih': ('luč', False),
+    'lučim': ('luč', False),
+    'lučio': ('luč', False),
+    'lučit': ('luč', False),
+    'lučiš': ('luč', False),
+    'lučuj': ('luč', False),
+    'mijom': ('mij', False),
+    'movom': ('mov', False),
+    'nalom': ('nal', False),
+    'nasem': ('nas', True),
+    'nasom': ('nas', True),
+    'našem': ('naš', False),
+    'našom': ('naš', False),
+    'nijeg': ('n', False),
+    'nijem': ('n', False),
+    'nijih': ('n', False),
+    'nijim': ('n', False),
+    'nijoj': ('n', False),
+    'nijom': ('nij', False),
+    'nismo': ('ni', False),
+    'niste': ('ni', False),
+    'nivsi': ('ni', True),
+    'nivši': ('ni', False),
+    'nusmo': ('n', False),
+    'nuste': ('n', False),
+    'nuvsi': ('n', True),
+    'nuvši': ('n', False),
+    'olima': ('ol', False),
+    'olova': ('olov', False),
+    'olove': ('olov', False),
+    'olovi': ('olov', False),
+    'onima': ('on', False),
+    'onova': ('on', False),
+    'onove': ('on', False),
+    'onovi': ('on', False),
+    'orama': ('or', False),
+    'orima': ('or', False),
+    'osega': ('os', True),
+    'osemu': ('os', True),
+    'osija': ('os', True),
+    'osije': ('os', True),
+    'osiji': ('os', True),
+    'osiju': ('os', True),
+    'osima': ('os', True),
+    'osoga': ('os', True),
+    'osome': ('os', True),
+    'osomu': ('os', True),
+    'ostao': ('osta', False),
+    'ostat': ('osta', False),
+    'ostom': ('ost', False),
+    'otija': ('oti', False),
+    'otiju': ('oti', False),
+    'ovahu': ('ova', False),
+    'ovala': ('ova', False),
+    'ovale': ('ova', False),
+    'ovali': ('ova', False),
+    'ovalo': ('ova', False),
+    'ovase': ('ova', True),
+    'ovati': ('ova', False),
+    'ovaše': ('ova', False),
+    'ovega': ('ov', False),
+    'ovemu': ('ov', False),
+    'ovija': ('ov', False),
+    'ovije': ('ov', False),
+    'oviji': ('ov', False),
+    'oviju': ('ov', False),
+    'ovima': ('ov', False),
+    'ovita': ('ovit', False),
+    'ovite': ('ovit', False),
+    'oviti': ('ovit', False),
+    'ovito': ('ovit', False),
+    'ovitu': ('ovit', False),
+    'ovoga': ('ov', False),
+    'ovome': ('ov', False),
+    'ovomu': ('ov', False),
+    'ozila': ('ozil', False),
+    'ozile': ('ozil', False),
+    'ozili': ('ozil', False),
+    'ozilu': ('ozil', False),
+    'ošega': ('oš', False),
+    'ošemu': ('oš', False),
+    'ošija': ('oš', False),
+    'ošije': ('oš', False),
+    'ošiji': ('oš', False),
+    'ošiju': ('oš', False),
+    'ošima': ('oš', False),
+    'ošoga': ('oš', False),
+    'ošome': ('oš', False),
+    'ošomu': ('oš', False),
+    'pijom': ('pij', False),
+    'rajem': ('raj', False),
+    'ramom': ('ram', False),
+    'rario': ('rari', False),
+    'rijom': ('rij', False),
+    'rosih': ('rosi', True),
+    'rosim': ('rosi', True),
+    'rosio': ('rosi', True),
+    'rosis': ('rosi', True),
+    'rosit': ('rosi', True),
+    'roših': ('roši', False),
+    'rošim': ('roši', False),
+    'rošio': ('roši', False),
+    'rošit': ('roši', False),
+    'rošiš': ('roši', False),
+    'sijem': ('si', False),
+    'sijom': ('sij', False),
+    'skega': ('sk', False),
+    'skemu': ('sk', False),
+    'skija': ('sk', False),
+    'skije': ('sk', False),
+    'skiji': ('sk', False),
+    'skima': ('sk', False),
+    'skoga': ('sk', False),
+    'skome': ('sk', False),
+    'skomu': ('sk', False),
+    'snega': ('sn', True),
+    'snemu': ('sn', True),
+    'snjeg': ('snj', True),
+    'snjem': ('snj', True),
+    'snjih': ('snj', True),
+    'snjim': ('snj', True),
+    'snjog': ('snj', True),
+    'snjoj': ('snj', True),
+    'snjom': ('snj', True),
+    'stvom': ('stv', False),
+    'tajmo': ('ta', False),
+    'tajte': ('ta', False),
+    'tasem': ('tas', True),
+    'tasmo': ('ta', False),
+    'tasom': ('tas', True),
+    'taste': ('ta', False),
+    'tavsi': ('ta', True),
+    'tavši': ('ta', False),
+    'tašem': ('taš', False),
+    'tašom': ('taš', False),
+    'tijom': ('tij', False),
+    'ucega': ('uc', True),
+    'ucemu': ('uc', True),
+    'ucima': ('uc', True),
+    'ucoga': ('uc', True),
+    'ucome': ('uc', True),
+    'ucomu': ('uc', True),
+    'ugama': ('ug', False),
+    'ugova': ('ugov', False),
+    'ugove': ('ugov', False),
+    'ugovi': ('ugov', False),
+    'ujemo': ('uj', False),
+    'ujete': ('uj', False),
+    'ujuci': ('uj', True),
+    'ujući': ('uj', False),
+    'urahu': ('ur', False),
+    'uraju': ('ur', False),
+    'urala': ('ur', False),
+    'urale': ('ur', False),
+    'urali': ('ur', False),
+    'uralo': ('ur', False),
+    'uramo': ('ur', False),
+    'urana': ('ur', False),
+    'urane': ('ur', False),
+    'urani': ('ur', False),
+    'urano': ('ur', False),
+    'urase': ('ur', True),
+    'urate': ('ur', False),
+    'urati': ('ur', False),
+    'uraše': ('ur', False),
+    'uvahu': ('uva', False),
+    'uvaju': ('uva', False),
+    'uvala': ('uva', False),
+    'uvale': ('uva', False),
+    'uvali': ('uva', False),
+    'uvalo': ('uva', False),
+    'uvamo': ('uva', False),
+    'uvana': ('uva', False),
+    'uvane': ('uva', False),
+    'uvani': ('uva', False),
+    'uvano': ('uva', False),
+    'uvase': ('uva', True),
+    'uvate': ('uva', False),
+    'uvati': ('uva', False),
+    'uvaše': ('uva', False),
+    'ućega': ('uć', False),
+    'ućemu': ('uć', False),
+    'ućima': ('uć', False),
+    'ućoga': ('uć', False),
+    'ućome': ('uć', False),
+    'ućomu': ('uć', False),
+    'vasem': ('vas', True),
+    'vasom': ('vas', True),
+    'vašem': ('vaš', False),
+    'vašom': ('vaš', False),
+    'zijom': ('zij', False),
+    'ćajem': ('ćaj', False),
+    'čajem': ('čaj', False),
+    'činih': ('čin', False),
+    'činim': ('čin', False),
+    'činog': ('čin', False),
+    'činoj': ('čin', False),
+    'činom': ('čin', False),
+    'đajem': ('đaj', False),
+    'škega': ('šk', False),
+    'škemu': ('šk', False),
+    'škija': ('šk', False),
+    'škije': ('šk', False),
+    'škiji': ('šk', False),
+    'škima': ('šk', False),
+    'škoga': ('šk', False),
+    'škome': ('šk', False),
+    'škomu': ('šk', False),
+    'šnega': ('šn', False),
+    'šnemu': ('šn', False),
+    'šnjeg': ('šnj', False),
+    'šnjem': ('šnj', False),
+    'šnjih': ('šnj', False),
+    'šnjim': ('šnj', False),
+    'šnjog': ('šnj', False),
+    'šnjoj': ('šnj', False),
+    'šnjom': ('šnj', False),
+    'štvom': ('štv', False),
+    'žijom': ('žij', False),
+    'acah': ('aca', True),
+    'acam': ('aca', True),
+    'acan': ('aca', True),
+    'acao': ('aca', True),
+    'acas': ('aca', True),
+    'acat': ('aca', True),
+    'aceg': ('ac', True),
+    'acem': ('ac', True),
+    'acen': ('ac', True),
+    'acih': ('ac', True),
+    'acim': ('ac', True),
+    'acio': ('ac', True),
+    'acis': ('ac', True),
+    'acit': ('ac', True),
+    'acog': ('ac', True),
+    'acoj': ('ac', True),
+    'acom': ('ac', True),
+    'acuh': ('ac', True),
+    'ajem': ('a', False),
+    'ajmo': ('a', False),
+    'ajte': ('a', False),
+    'aloj': ('a', False),
+    'alom': ('a', False),
+    'aneg': ('an', False),
+    'anem': ('an', False),
+    'anin': ('an', False),
+    'anja': ('anj', False),
+    'anje': ('anj', False),
+    'anji': ('anj', False),
+    'anjo': ('anj', False),
+    'anju': ('anj', False),
+    'anom': ('an', False),
+    'arom': ('ar', False),
+    'asla': ('as', False),
+    'asle': ('as', False),
+    'asli': ('as', False),
+    'aslo': ('as', False),
+    'asmo': ('a', False),
+    'asta': ('ast', False),
+    'aste': ('ast', False),
+    'asti': ('ast', False),
+    'asto': ('ast', False),
+    'astu': ('ast', False),
+    'ateg': ('at', False),
+    'atem': ('at', False),
+    'atih': ('at', False),
+    'atim': ('at', False),
+    'atog': ('at', False),
+    'atoj': ('at', False),
+    'atom': ('at', False),
+    'avah': ('ava', False),
+    'avaj': ('ava', False),
+    'avam': ('ava', False),
+    'avan': ('ava', False),
+    'avao': ('ava', False),
+    'avas': ('ava', True),
+    'avat': ('ava', False),
+    'avav': ('ava', False),
+    'avaš': ('ava', False),
+    'aveg': ('av', False),
+    'avem': ('av', False),
+    'avih': ('av', False),
+    'avim': ('av', False),
+    'avog': ('av', False),
+    'avoj': ('av', False),
+    'avom': ('av', False),
+    'avsi': ('a', True),
+    'avši': ('a', False),
+    'aćeg': ('ać', False),
+    'aćem': ('ać', False),
+    'aćih': ('ać', False),
+    'aćim': ('ać', False),
+    'aćog': ('ać', False),
+    'aćoj': ('ać', False),
+    'aćom': ('ać', False),
+    'aćuh': ('ać', False),
+    'ačah': ('ača', False),
+    'ačam': ('ača', False),
+    'ačan': ('ača', False),
+    'ačao': ('ača', False),
+    'ačat': ('ača', False),
+    'ačaš': ('ača', False),
+    'ačen': ('ač', False),
+    'ačih': ('ač', False),
+    'ačim': ('ač', False),
+    'ačio': ('ač', False),
+    'ačit': ('ač', False),
+    'ačiš': ('ač', False),
+    'basa': ('bas', True),
+    'base': ('bas', True),
+    'basi': ('bas', True),
+    'basu': ('bas', True),
+    'baša': ('baš', False),
+    'baše': ('baš', False),
+    'baši': ('baš', False),
+    'bašu': ('baš', False),
+    'bija': ('bij', False),
+    'bije': ('bij', False),
+    'biji': ('bij', False),
+    'bijo': ('bij', False),
+    'biju': ('bij', False),
+    'caja': ('caj', False),
+    'caje': ('caj', False),
+    'caji': ('caj', False),
+    'caju': ('caj', False),
+    'cija': ('cij', False),
+    'cije': ('cij', False),
+    'ciji': ('cij', False),
+    'cijo': ('cij', False),
+    'ciju': ('cij', False),
+    'cina': ('cin', True),
+    'cine': ('cin', True),
+    'cini': ('cin', True),
+    'cino': ('cin', True),
+    'cinu': ('cin', True),
+    'dija': ('dij', False),
+    'dije': ('dij', False),
+    'diji': ('dij', False),
+    'dijo': ('dij', False),
+    'diju': ('dij', False),
+    'drom': ('dr', False),
+    'eceg': ('ec', True),
+    'ecem': ('ec', True),
+    'ecih': ('ec', True),
+    'ecim': ('ec', True),
+    'ecog': ('ec', True),
+    'ecoj': ('ec', True),
+    'ecom': ('ec', True),
+    'ecuh': ('ec', True),
+    'eleg': ('el', False),
+    'elem': ('el', False),
+    'elih': ('el', False),
+    'elim': ('el', False),
+    'elog': ('el', False),
+    'eloj': ('el', False),
+    'elom': ('el', False),
+    'eneg': ('en', False),
+    'enem': ('en', False),
+    'enja': ('enj', False),
+    'enje': ('enj', False),
+    'enji': ('enj', False),
+    'enjo': ('enj', False),
+    'enju': ('enj', False),
+    'erom': ('er', False),
+    'esem': ('es', True),
+    'esom': ('es', False),
+    'esta': ('est', False),
+    'este': ('est', False),
+    'esti': ('est', False),
+    'esto': ('est', False),
+    'estu': ('est', False),
+    'etem': ('et', False),
+    'etes': ('et', True),
+    'eteš': ('et', False),
+    'etom': ('et', False),
+    'evah': ('eva', False),
+    'evaj': ('eva', False),
+    'evam': ('eva', False),
+    'evan': ('eva', False),
+    'evao': ('eva', False),
+    'evas': ('eva', True),
+    'evat': ('eva', False),
+    'evav': ('eva', False),
+    'evaš': ('eva', False),
+    'eveg': ('ev', False),
+    'evem': ('ev', False),
+    'evih': ('ev', False),
+    'evim': ('ev', False),
+    'evog': ('ev', False),
+    'evoj': ('ev', False),
+    'evom': ('ev', False),
+    'ećeg': ('eć', False),
+    'ećem': ('eć', False),
+    'ećih': ('eć', False),
+    'ećim': ('eć', False),
+    'ećog': ('eć', False),
+    'ećoj': ('eć', False),
+    'ećom': ('eć', False),
+    'ećuh': ('eć', False),
+    'ešem': ('eš', False),
+    'ešom': ('eš', False),
+    'fija': ('fij', False),
+    'fije': ('fij', False),
+    'fiji': ('fij', False),
+    'fijo': ('fij', False),
+    'fiju': ('fij', False),
+    'gama': ('g', False),
+    'gasa': ('gas', True),
+    'gase': ('gas', True),
+    'gasi': ('gas', True),
+    'gasu': ('gas', True),
+    'gaša': ('gaš', False),
+    'gaše': ('gaš', False),
+    'gaši': ('gaš', False),
+    'gašu': ('gaš', False),
+    'gija': ('gij', False),
+    'gije': ('gij', False),
+    'giji': ('gij', False),
+    'gijo': ('gij', False),
+    'giju': ('gij', False),
+    'gova': ('g', False),
+    'gove': ('g', False),
+    'govi': ('g', False),
+    'ieci': ('i', True),
+    'ieći': ('i', False),
+    'ijem': ('i', False),
+    'ijes': ('i', True),
+    'iješ': ('i', False),
+    'ijmo': ('i', False),
+    'ijte': ('i', False),
+    'ilom': ('i', False),
+    'inom': ('in', False),
+    'irah': ('ir', False),
+    'iral': ('ir', False),
+    'iram': ('ir', False),
+    'iran': ('ir', False),
+    'irao': ('ir', False),
+    'iras': ('ir', True),
+    'irat': ('ir', False),
+    'iraš': ('ir', False),
+    'iruj': ('ir', False),
+    'isem': ('is', True),
+    'ismo': ('i', False),
+    'isom': ('is', False),
+    'ista': ('ist', False),
+    'iste': ('ist', False),
+    'isti': ('ist', False),
+    'isto': ('ist', False),
+    'istu': ('ist', False),
+    'ivah': ('iva', False),
+    'ivaj': ('iva', False),
+    'ivam': ('iva', False),
+    'ivan': ('iva', False),
+    'ivao': ('iva', False),
+    'ivas': ('iva', True),
+    'ivat': ('iva', False),
+    'ivav': ('iva', False),
+    'ivaš': ('iva', False),
+    'iveg': ('iv', False),
+    'ivem': ('iv', False),
+    'ivih': ('iv', False),
+    'ivim': ('iv', False),
+    'ivog': ('iv', False),
+    'ivoj': ('iv', False),
+    'ivom': ('iv', False),
+    'ivsi': ('i', True),
+    'ivši': ('i', False),
+    'išem': ('iš', False),
+    'išom': ('iš', False),
+    'išta': ('išt', False),
+    'ište': ('išt', False),
+    'ištu': ('išt', False),
+    'jasa': ('jas', True),
+    'jase': ('jas', True),
+    'jasi': ('jas', True),
+    'jasu': ('jas', True),
+    'jaša': ('jaš', False),
+    'jaše': ('jaš', False),
+    'jaši': ('jaš', False),
+    'jašu': ('jaš', False),
+    'kasa': ('kas', True),
+    'kase': ('kas', True),
+    'kasi': ('kas', True),
+    'kasu': ('kas', True),
+    'kaša': ('kaš', False),
+    'kaše': ('kaš', False),
+    'kaši': ('kaš', False),
+    'kašu': ('kaš', False),
+    'kega': ('k', False),
+    'kemu': ('k', False),
+    'kija': ('k', False),
+    'kije': ('k', False),
+    'kiji': ('k', False),
+    'kiju': ('k', False),
+    'kima': ('k', False),
+    'koga': ('k', False),
+    'kome': ('k', False),
+    'komu': ('k', False),
+    'ksta': ('kst', False),
+    'kste': ('kst', False),
+    'ksti': ('kst', False),
+    'ksto': ('kst', False),
+    'kstu': ('kst', False),
+    'laja': ('laj', False),
+    'laje': ('laj', False),
+    'laji': ('laj', False),
+    'laju': ('laj', False),
+    'lata': ('lat', False),
+    'late': ('lat', False),
+    'lati': ('lat', False),
+    'lato': ('lat', False),
+    'latu': ('lat', False),
+    'lema': ('lem', False),
+    'leme': ('lem', False),
+    'lemi': ('lem', False),
+    'lemo': ('lem', False),
+    'lemu': ('lem', False),
+    'lija': ('li', False),
+    'lije': ('lij', False),
+    'liji': ('lij', False),
+    'lijo': ('lij', False),
+    'liju': ('li', False),
+    'loga': ('log', False),
+    'loge': ('log', False),
+    'logu': ('log', False),
+    'lova': ('lov', False),
+    'love': ('lov', False),
+    'lovi': ('lov', False),
+    'lovu': ('lov', False),
+    'luce': ('luc', True),
+    'luci': ('luc', True),
+    'luče': ('luč', False),
+    'luči': ('luč', False),
+    'mija': ('mij', False),
+    'mije': ('mij', False),
+    'miji': ('mij', False),
+    'mijo': ('mij', False),
+    'miju': ('mij', False),
+    'mova': ('mov', False),
+    'move': ('mov', False),
+    'movi': ('mov', False),
+    'movu': ('mov', False),
+    'nala': ('nal', False),
+    'nale': ('nal', False),
+    'nali': ('nal', False),
+    'nalo': ('nal', False),
+    'nalu': ('nal', False),
+    'nasa': ('nas', True),
+    'nase': ('nas', True),
+    'nasi': ('nas', True),
+    'nasu': ('nas', True),
+    'naša': ('naš', False),
+    'naše': ('naš', False),
+    'naši': ('naš', False),
+    'našu': ('naš', False),
+    'nega': ('n', False),
+    'nemo': ('n', False),
+    'nemu': ('n', False),
+    'nete': ('n', False),
+    'nija': ('n', False),
+    'nije': ('n', False),
+    'niji': ('n', False),
+    'nijo': ('nij', False),
+    'niju': ('n', False),
+    'nila': ('ni', False),
+    'nile': ('ni', False),
+    'nili': ('ni', False),
+    'nilo': ('ni', False),
+    'nima': ('n', False),
+    'nimo': ('n', False),
+    'nite': ('n', False),
+    'niti': ('ni', False),
+    'noga': ('n', False),
+    'nome': ('n', False),
+    'nomu': ('n', False),
+    'nuci': ('n', True),
+    'nula': ('n', False),
+    'nule': ('n', False),
+    'nuli': ('n', False),
+    'nulo': ('n', False),
+    'nuta': ('n', False),
+    'nuti': ('n', False),
+    'nuto': ('n', False),
+    'nući': ('n', False),
+    'olom': ('ol', False),
+    'onom': ('on', False),
+    'orom': ('or', False),
+    'oseg': ('os', True),
+    'osem': ('os', True),
+    'osih': ('os', True),
+    'osim': ('os', True),
+    'osog': ('os', True),
+    'osoj': ('os', True),
+    'osom': ('os', True),
+    'osta': ('ost', False),
+    'oste': ('ost', False),
+    'osti': ('ost', False),
+    'osto': ('ost', False),
+    'ostu': ('ost', False),
+    'otio': ('oti', False),
+    'ovah': ('ova', False),
+    'ovao': ('ova', False),
+    'ovat': ('ova', False),
+    'oveg': ('ov', False),
+    'ovih': ('ov', False),
+    'ovim': ('ov', False),
+    'ovog': ('ov', False),
+    'ovoj': ('ov', False),
+    'ovom': ('ov', False),
+    'ošeg': ('oš', False),
+    'ošem': ('oš', False),
+    'oših': ('oš', False),
+    'ošim': ('oš', False),
+    'ošog': ('oš', False),
+    'ošoj': ('oš', False),
+    'ošom': ('oš', False),
+    'pija': ('pij', False),
+    'pije': ('pij', False),
+    'piji': ('pij', False),
+    'pijo': ('pij', False),
+    'piju': ('pij', False),
+    'raja': ('raj', False),
+    'raje': ('raj', False),
+    'raji': ('raj', False),
+    'raju': ('raj', False),
+    'rama': ('ram', False),
+    'rame': ('ram', False),
+    'rami': ('ram', False),
+    'ramo': ('ram', False),
+    'ramu': ('ram', False),
+    'rija': ('rij', False),
+    'rije': ('rij', False),
+    'riji': ('rij', False),
+    'rijo': ('rij', False),
+    'riju': ('rij', False),
+    'sija': ('si', False),
+    'sije': ('sij', False),
+    'siji': ('sij', False),
+    'sijo': ('sij', False),
+    'siju': ('si', False),
+    'skem': ('sk', False),
+    'skih': ('sk', False),
+    'skim': ('sk', False),
+    'skog': ('sk', False),
+    'skoj': ('sk', False),
+    'skom': ('sk', False),
+    'sneg': ('sn', True),
+    'snem': ('sn', True),
+    'snja': ('snj', True),
+    'snje': ('snj', True),
+    'snji': ('snj', True),
+    'snjo': ('snj', True),
+    'snju': ('snj', True),
+    'stva': ('stv', False),
+    'stvo': ('stv', False),
+    'stvu': ('stv', False),
+    'taju': ('ta', False),
+    'tala': ('ta', False),
+    'tale': ('ta', False),
+    'tali': ('ta', False),
+    'talo': ('ta', False),
+    'tamo': ('ta', False),
+    'tana': ('ta', False),
+    'tane': ('ta', False),
+    'tani': ('ta', False),
+    'tano': ('ta', False),
+    'tasa': ('tas', True),
+    'tase': ('tas', True),
+    'tasi': ('tas', True),
+    'tasu': ('tas', True),
+    'tate': ('ta', False),
+    'tati': ('ta', False),
+    'taša': ('taš', False),
+    'taše': ('taš', False),
+    'taši': ('taš', False),
+    'tašu': ('taš', False),
+    'tija': ('tij', False),
+    'tije': ('tij', False),
+    'tiji': ('tij', False),
+    'tijo': ('tij', False),
+    'tiju': ('tij', False),
+    'uceg': ('uc', True),
+    'ucem': ('uc', True),
+    'ucih': ('uc', True),
+    'ucim': ('uc', True),
+    'ucog': ('uc', True),
+    'ucoj': ('uc', True),
+    'ucom': ('uc', True),
+    'ucuh': ('uc', True),
+    'ugom': ('ug', False),
+    'ujem': ('uj', False),
+    'ujes': ('uj', True),
+    'uješ': ('uj', False),
+    'ujmo': ('uj', False),
+    'urah': ('ur', False),
+    'uraj': ('ur', False),
+    'ural': ('ur', False),
+    'uram': ('ur', False),
+    'uran': ('ur', False),
+    'urao': ('ur', False),
+    'uras': ('ur', True),
+    'urat': ('ur', False),
+    'uraš': ('ur', False),
+    'uvah': ('uva', False),
+    'uvaj': ('uva', False),
+    'uvam': ('uva', False),
+    'uvan': ('uva', False),
+    'uvao': ('uva', False),
+    'uvas': ('uva', True),
+    'uvat': ('uva', False),
+    'uvav': ('uva', False),
+    'uvaš': ('uva', False),
+    'ućeg': ('uć', False),
+    'ućem': ('uć', False),
+    'ućih': ('uć', False),
+    'ućim': ('uć', False),
+    'ućog': ('uć', False),
+    'ućoj': ('uć', False),
+    'ućom': ('uć', False),
+    'ućuh': ('uć', False),
+    'vasa': ('vas', True),
+    'vase': ('vas', True),
+    'vasi': ('vas', True),
+    'vasu': ('vas', True),
+    'vaša': ('vaš', False),
+    'vaše': ('vaš', False),
+    'vaši': ('vaš', False),
+    'vašu': ('vaš', False),
+    'zija': ('zij', False),
+    'zije': ('zij', False),
+    'ziji': ('zij', False),
+    'zijo': ('zij', False),
+    'ziju': ('zij', False),
+    'ćaja': ('ćaj', False),
+    'ćaje': ('ćaj', False),
+    'ćaji': ('ćaj', False),
+    'ćaju': ('ćaj', False),
+    'čaja': ('čaj', False),
+    'čaje': ('čaj', False),
+    'čaji': ('čaj', False),
+    'čaju': ('čaj', False),
+    'čina': ('čin', False),
+    'čine': ('čin', False),
+    'čini': ('čin', False),
+    'čino': ('čin', False),
+    'činu': ('čin', False),
+    'đaja': ('đaj', False),
+    'đaje': ('đaj', False),
+    'đaji': ('đaj', False),
+    'đaju': ('đaj', False),
+    'škem': ('šk', False),
+    'ških': ('šk', False),
+    'škim': ('šk', False),
+    'škog': ('šk', False),
+    'škoj': ('šk', False),
+    'škom': ('šk', False),
+    'šneg': ('šn', False),
+    'šnem': ('šn', False),
+    'šnja': ('šnj', False),
+    'šnje': ('šnj', False),
+    'šnji': ('šnj', False),
+    'šnjo': ('šnj', False),
+    'šnju': ('šnj', False),
+    'štva': ('štv', False),
+    'štvo': ('štv', False),
+    'štvu': ('štv', False),
+    'žija': ('žij', False),
+    'žije': ('žij', False),
+    'žiji': ('žij', False),
+    'žijo': ('žij', False),
+    'žiju': ('žij', False),
+    'aca': ('ac', True),
+    'ace': ('ac', True),
+    'aci': ('ac', True),
+    'ahu': ('a', False),
+    'aja': ('aj', False),
+    'aje': ('a', False),
+    'aji': ('aj', False),
+    'aju': ('a', False),
+    'ala': ('a', False),
+    'ale': ('a', False),
+    'ali': ('a', False),
+    'alo': ('a', False),
+    'alu': ('a', False),
+    'amo': ('a', False),
+    'ana': ('an', False),
+    'ane': ('an', False),
+    'ani': ('an', False),
+    'ano': ('a', False),
+    'anu': ('an', False),
+    'ara': ('ar', False),
+    'are': ('ar', False),
+    'ari': ('ar', False),
+    'aru': ('ar', False),
+    'ase': ('a', True),
+    'ata': ('at', False),
+    'ate': ('a', False),
+    'ati': ('a', False),
+    'ato': ('at', False),
+    'atu': ('at', False),
+    'ava': ('av', False),
+    'ave': ('av', False),
+    'avi': ('av', False),
+    'avo': ('av', False),
+    'avu': ('av', False),
+    'aća': ('ać', False),
+    'aće': ('ać', False),
+    'ače': ('ač', False),
+    'ači': ('ač', False),
+    'aše': ('a', False),
+    'dra': ('dr', False),
+    'dre': ('dr', False),
+    'dri': ('dr', False),
+    'dru': ('dr', False),
+    'eca': ('ec', True),
+    'ece': ('ec', True),
+    'ela': ('el', False),
+    'ele': ('el', False),
+    'eli': ('el', False),
+    'elo': ('el', False),
+    'elu': ('el', False),
+    'emo': ('e', False),
+    'era': ('er', False),
+    'ere': ('er', False),
+    'eri': ('er', False),
+    'eru': ('er', False),
+    'esa': ('es', False),
+    'ese': ('es', False),
+    'esi': ('es', True),
+    'esu': ('es', False),
+    'eta': ('et', False),
+    'ete': ('et', False),
+    'eti': ('et', False),
+    'eto': ('et', False),
+    'etu': ('et', False),
+    'eva': ('ev', False),
+    'eve': ('ev', False),
+    'evi': ('ev', False),
+    'evo': ('ev', False),
+    'evu': ('ev', False),
+    'eća': ('eć', False),
+    'eće': ('eć', False),
+    'eša': ('eš', False),
+    'eše': ('eš', False),
+    'eši': ('eš', False),
+    'ešu': ('eš', False),
+    'gom': ('g', False),
+    'ije': ('i', False),
+    'iju': ('i', False),
+    'ila': ('i', False),
+    'ile': ('i', False),
+    'ili': ('i', False),
+    'ilo': ('i', False),
+    'ilu': ('i', False),
+    'imo': ('i', False),
+    'ina': ('in', False),
+    'ine': ('in', False),
+    'ini': ('in', False),
+    'ino': ('in', False),
+    'inu': ('in', False),
+    'isa': ('is', False),
+    'ise': ('is', False),
+    'isi': ('is', True),
+    'isu': ('is', False),
+    'ite': ('i', False),
+    'iti': ('i', False),
+    'iva': ('iv', False),
+    'ive': ('iv', False),
+    'ivi': ('iv', False),
+    'ivo': ('iv', False),
+    'ivu': ('iv', False),
+    'iša': ('iš', False),
+    'iše': ('iš', False),
+    'iši': ('iš', False),
+    'išu': ('iš', False),
+    'keg': ('k', False),
+    'kem': ('k', False),
+    'kih': ('k', False),
+    'kim': ('k', False),
+    'kog': ('k', False),
+    'koj': ('k', False),
+    'kom': ('k', False),
+    'kov': ('k', False),
+    'lio': ('li', False),
+    'neg': ('n', False),
+    'nem': ('n', False),
+    'nes': ('n', True),
+    'neš': ('n', False),
+    'nih': ('n', False),
+    'nim': ('n', False),
+    'nio': ('ni', False),
+    'nis': ('ni', True),
+    'niš': ('ni', False),
+    'nog': ('n', False),
+    'noj': ('n', False),
+    'nom': ('n', False),
+    'nuo': ('n', False),
+    'nut': ('n', False),
+    'ola': ('ol', False),
+    'ole': ('ol', False),
+    'oli': ('ol', False),
+    'olu': ('ol', False),
+    'ona': ('on', False),
+    'one': ('on', False),
+    'oni': ('on', False),
+    'onu': ('on', False),
+    'ora': ('or', False),
+    'ore': ('or', False),
+    'ori': ('or', False),
+    'oru': ('or', False),
+    'osa': ('os', True),
+    'ose': ('os', True),
+    'osi': ('os', True),
+    'osu': ('os', True),
+    'ova': ('ov', False),
+    'ove': ('ov', False),
+    'ovi': ('ov', False),
+    'ovo': ('ov', False),
+    'ovu': ('ov', False),
+    'oša': ('oš', False),
+    'oše': ('oš', False),
+    'oši': ('oš', False),
+    'ošu': ('oš', False),
+    'sio': ('si', False),
+    'ska': ('sk', False),
+    'ske': ('sk', False),
+    'ski': ('sk', False),
+    'sko': ('sk', False),
+    'sku': ('sk', False),
+    'tah': ('ta', False),
+    'taj': ('ta', False),
+    'tam': ('ta', False),
+    'tan': ('ta', False),
+    'tao': ('ta', False),
+    'tas': ('ta', True),
+    'tat': ('ta', False),
+    'taš': ('ta', False),
+    'uca': ('uc', True),
+    'uce': ('uc', True),
+    'uga': ('ug', False),
+    'uge': ('ug', False),
+    'ugi': ('ug', False),
+    'ugo': ('ug', False),
+    'ugu': ('ug', False),
+    'uje': ('uj', False),
+    'uju': ('uj', False),
+    'uća': ('uć', False),
+    'uće': ('uć', False),
+    'ška': ('šk', False),
+    'ške': ('šk', False),
+    'ški': ('šk', False),
+    'ško': ('šk', False),
+    'šku': ('šk', False),
+    'ah': ('a', False),
+    'aj': ('a', False),
+    'al': ('a', False),
+    'am': ('a', False),
+    'an': ('a', False),
+    'ao': ('a', False),
+    'as': ('a', True),
+    'at': ('a', False),
+    'aš': ('a', False),
+    'el': ('e', False),
+    'em': ('e', False),
+    'es': ('e', True),
+    'eš': ('e', False),
+    'ga': ('g', False),
+    'ge': ('g', False),
+    'gi': ('g', False),
+    'go': ('g', False),
+    'gu': ('g', False),
+    'ih': ('i', False),
+    'ij': ('i', False),
+    'il': ('i', False),
+    'im': ('i', False),
+    'io': ('i', False),
+    'is': ('i', True),
+    'it': ('i', False),
+    'iš': ('i', False),
+    'ka': ('k', False),
+    'ke': ('k', False),
+    'ki': ('k', False),
+    'ko': ('k', False),
+    'ku': ('k', False),
+    'na': ('n', False),
+    'ne': ('n', False),
+    'ni': ('n', False),
+    'no': ('n', False),
+    'nu': ('n', False),
+}
+
+_SR_STEP3 = (
+    'anih', 'anim', 'anog', 'anoj', 'enih', 'enim', 'enog', 'enoj', 
+    'enom', 'ama', 'ani', 'ano', 'ena', 'eni', 'eno', 'enu', 'ima', 
+    'oga', 'ost', 'og', 'om', 'a', 'e', 'i', 'o', 'u', 
+)
+
+
+_SR_STEP1_B = {
+    s.encode("utf-8"): (r.encode("utf-8"), f) for s, (r, f) in _SR_STEP1.items()
+}
+_SR_STEP2_B = {
+    s.encode("utf-8"): (r.encode("utf-8"), f) for s, (r, f) in _SR_STEP2.items()
+}
+_SR_STEP3_B = tuple(s.encode("utf-8") for s in _SR_STEP3)
+_SR_MAX1 = max(len(s) for s in _SR_STEP1_B)
+_SR_MAX2 = max(len(s) for s in _SR_STEP2_B)
+
+
+def _sr_longest(b: bytes, table: dict, maxlen: int):
+    for n in range(min(maxlen, len(b)), 0, -1):
+        hit = table.get(b[-n:])
+        if hit is not None:
+            return n, hit
+    return None
+
+
+def serbian_stem(word: str) -> str:
+    w = "".join(_SR_CYR.get(ch, ch) for ch in word)
+    # prelude scans (a replacement is re-examined at the same position)
+    for pat, repl in (("ije", "e"), ("je", "e")):
+        i = 0
+        while i < len(w):
+            if (
+                w[i] in _SR_SA
+                and w[i + 1 : i + 1 + len(pat)] == pat
+                and i + 1 + len(pat) < len(w)
+                and w[i + 1 + len(pat)] in _SR_SA
+            ):
+                w = w[: i + 1] + repl + w[i + 1 + len(pat) :]
+            else:
+                i += 1
+    w = w.replace("dj", "\u0111")
+    no_dia = not any(ch in _SR_DIA for ch in w)
+    b = w.encode("utf-8")
+    # p1 (byte offsets)
+    n = len(b)
+    p1 = n
+    i = 0
+    while i < n and chr(b[i]) not in _SR_VOWEL:
+        i += _u8len(b, i)
+    if i < n:
+        p1 = i + 1
+        if p1 <= 1:
+            j = p1
+            while j < n and chr(b[j]) in _SR_VOWEL:
+                j += 1
+            if j < n:
+                p1 = j + _u8len(b, j)
+    # syllabic-r adjustment: first 'r' in the word
+    rp = b.find(b"r")
+    if rp == 0:
+        j = 1
+        while j < n and b[j : j + 1] == b"r":
+            j += 1
+        if j < n:
+            cand = j + _u8len(b, j)
+            if p1 - cand > 1:
+                p1 = cand
+    elif rp > 0:
+        if p1 - (rp + 1) > 1:
+            p1 = rp + 1
+    # step 1 (no region gate)
+    hit = _sr_longest(b, _SR_STEP1_B, _SR_MAX1)
+    if hit is not None:
+        ln, (repl, flagged) = hit
+        if not flagged or no_dia:
+            b = b[: len(b) - ln] + repl
+    # step 2 OR step 3
+    done = False
+    hit = _sr_longest(b, _SR_STEP2_B, _SR_MAX2)
+    if hit is not None:
+        ln, (repl, flagged) = hit
+        if len(b) - ln >= p1 and (not flagged or no_dia):
+            b = b[: len(b) - ln] + repl
+            done = True
+    if not done:
+        for suf in _SR_STEP3_B:
+            if b.endswith(suf):
+                if len(b) - len(suf) >= p1:
+                    b = b[: len(b) - len(suf)]
+                break
+    return b.decode("utf-8", "replace")
+
+
+
 EXTRA_STEMMERS = {
     "romanian": romanian_stem,
     "hungarian": hungarian_stem,
@@ -2110,6 +4406,7 @@ EXTRA_STEMMERS = {
     "basque": basque_stem,
     "lithuanian": lithuanian_stem,
     "yiddish": yiddish_stem,
+    "serbian": serbian_stem,
 }
 
 # ISO-639-1 codes for stemmer.stem() dispatch
@@ -2129,4 +4426,5 @@ EXTRA_CODES = {
     "eu": basque_stem,
     "lt": lithuanian_stem,
     "yi": yiddish_stem,
+    "sr": serbian_stem,
 }
