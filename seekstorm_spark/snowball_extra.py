@@ -4392,6 +4392,400 @@ def serbian_stem(word: str) -> str:
 
 
 
+# ---------------------------------------------------------------------------
+# Arabic
+# ---------------------------------------------------------------------------
+# Snowball 'arabic' (reference StemmerType::Arabic; Assem Chelli's
+# algorithm). Tables + control flow decoded from dict_snowball.so
+# (arabic_UTF_8_stem disassembly): Checks1 sets is_noun/is_verb/
+# is_defined from a definite-article prefix; Normalize_pre strips
+# tashkeel and maps digits / presentation forms; the suffix phase is
+# a verb-alternatives-or-noun-chain-or-alef-maqsura disjunction with
+# whole-word char-length gates; the prefix phase runs hamza, waw/feh,
+# article and verb-prefix steps at a moving cursor; Normalize_post
+# folds final and medial hamza carriers. Oracle-verified
+# (scripts/snowball_oracle.py).
+
+_AR_NORM_PRE = {
+    'ـ': None,
+    'ً': None,
+    'ٌ': None,
+    'ٍ': None,
+    'َ': None,
+    'ُ': None,
+    'ِ': None,
+    'ّ': None,
+    'ْ': None,
+    '٠': '0',
+    '١': '1',
+    '٢': '2',
+    '٣': '3',
+    '٤': '4',
+    '٥': '5',
+    '٦': '6',
+    '٧': '7',
+    '٨': '8',
+    '٩': '9',
+    'ﺀ': 'ء',
+    'ﺁ': 'آ',
+    'ﺂ': 'آ',
+    'ﺃ': 'أ',
+    'ﺄ': 'أ',
+    'ﺅ': 'ؤ',
+    'ﺆ': 'ؤ',
+    'ﺇ': 'إ',
+    'ﺈ': 'إ',
+    'ﺉ': 'ئ',
+    'ﺊ': 'ئ',
+    'ﺋ': 'ئ',
+    'ﺌ': 'ئ',
+    'ﺍ': 'ا',
+    'ﺎ': 'ا',
+    'ﺏ': 'ب',
+    'ﺐ': 'ب',
+    'ﺑ': 'ب',
+    'ﺒ': 'ب',
+    'ﺓ': 'ة',
+    'ﺔ': 'ة',
+    'ﺕ': 'ت',
+    'ﺖ': 'ت',
+    'ﺗ': 'ت',
+    'ﺘ': 'ت',
+    'ﺙ': 'ث',
+    'ﺚ': 'ث',
+    'ﺛ': 'ث',
+    'ﺜ': 'ث',
+    'ﺝ': 'ج',
+    'ﺞ': 'ج',
+    'ﺟ': 'ج',
+    'ﺠ': 'ج',
+    'ﺡ': 'ح',
+    'ﺢ': 'ح',
+    'ﺣ': 'ح',
+    'ﺤ': 'ح',
+    'ﺥ': 'خ',
+    'ﺦ': 'خ',
+    'ﺧ': 'خ',
+    'ﺨ': 'خ',
+    'ﺩ': 'د',
+    'ﺪ': 'د',
+    'ﺫ': 'ذ',
+    'ﺬ': 'ذ',
+    'ﺭ': 'ر',
+    'ﺮ': 'ر',
+    'ﺯ': 'ز',
+    'ﺰ': 'ز',
+    'ﺱ': 'س',
+    'ﺲ': 'س',
+    'ﺳ': 'س',
+    'ﺴ': 'س',
+    'ﺵ': 'ش',
+    'ﺶ': 'ش',
+    'ﺷ': 'ش',
+    'ﺸ': 'ش',
+    'ﺹ': 'ص',
+    'ﺺ': 'ص',
+    'ﺻ': 'ص',
+    'ﺼ': 'ص',
+    'ﺽ': 'ض',
+    'ﺾ': 'ض',
+    'ﺿ': 'ض',
+    'ﻀ': 'ض',
+    'ﻁ': 'ط',
+    'ﻂ': 'ط',
+    'ﻃ': 'ط',
+    'ﻄ': 'ط',
+    'ﻅ': 'ظ',
+    'ﻆ': 'ظ',
+    'ﻇ': 'ظ',
+    'ﻈ': 'ظ',
+    'ﻉ': 'ع',
+    'ﻊ': 'ع',
+    'ﻋ': 'ع',
+    'ﻌ': 'ع',
+    'ﻍ': 'غ',
+    'ﻎ': 'غ',
+    'ﻏ': 'غ',
+    'ﻐ': 'غ',
+    'ﻑ': 'ف',
+    'ﻒ': 'ف',
+    'ﻓ': 'ف',
+    'ﻔ': 'ف',
+    'ﻕ': 'ق',
+    'ﻖ': 'ق',
+    'ﻗ': 'ق',
+    'ﻘ': 'ق',
+    'ﻙ': 'ك',
+    'ﻚ': 'ك',
+    'ﻛ': 'ك',
+    'ﻜ': 'ك',
+    'ﻝ': 'ل',
+    'ﻞ': 'ل',
+    'ﻟ': 'ل',
+    'ﻠ': 'ل',
+    'ﻡ': 'م',
+    'ﻢ': 'م',
+    'ﻣ': 'م',
+    'ﻤ': 'م',
+    'ﻥ': 'ن',
+    'ﻦ': 'ن',
+    'ﻧ': 'ن',
+    'ﻨ': 'ن',
+    'ﻩ': 'ه',
+    'ﻪ': 'ه',
+    'ﻫ': 'ه',
+    'ﻬ': 'ه',
+    'ﻭ': 'و',
+    'ﻮ': 'و',
+    'ﻯ': 'ى',
+    'ﻰ': 'ى',
+    'ﻱ': 'ي',
+    'ﻲ': 'ي',
+    'ﻳ': 'ي',
+    'ﻴ': 'ي',
+    'ﻵ': 'لآ',
+    'ﻶ': 'لآ',
+    'ﻷ': 'لأ',
+    'ﻸ': 'لأ',
+    'ﻹ': 'لإ',
+    'ﻺ': 'لإ',
+    'ﻻ': 'لا',
+    'ﻼ': 'لا',
+}
+
+
+# (suffix, min whole-word char length) — longest-first; a longest
+# match whose length gate fails ends the step (no shorter fallback)
+_AR_SVS1 = (
+    ("\u0643\u0645\u0648", 5), ("\u0643\u0645\u0627", 5),
+    ("\u0647\u0645\u0627", 5), ("\u0643\u0645", 4),
+    ("\u0647\u0645", 4), ("\u0643\u0646", 4), ("\u0647\u0646", 4),
+    ("\u0646\u064a", 4), ("\u0646\u0627", 4), ("\u0647\u0627", 4),
+    ("\u0643", 3), ("\u0647", 3),
+)
+_AR_SVS2A = (
+    ("\u062a\u0645\u0627", 5), ("\u0648\u0646", 5),
+    ("\u064a\u0646", 5), ("\u0627\u0646", 5), ("\u062a\u0646", 4),
+    ("\u0646\u0627", 4), ("\u062a\u0627", 4), ("\u0646", 3),
+    ("\u064a", 3), ("\u0627", 3), ("\u062a", 3),
+)
+_AR_SVS2B = (("\u062a\u0645", 4), ("\u0648\u0627", 4))
+_AR_SVS2C = (("\u062a\u0645\u0648", 5), ("\u0648", 3))
+_AR_SNS1A = (
+    ("\u0643\u0645\u0627", 5), ("\u0647\u0645\u0627", 5),
+    ("\u0643\u0645", 4), ("\u0647\u0645", 4), ("\u0647\u0646", 4),
+    ("\u0646\u0627", 4), ("\u0647\u0627", 4), ("\u0643", 3),
+    ("\u0647", 3), ("\u064a", 3),
+)
+_AR_SNS2A = (("\u0648", 4), ("\u064a", 4), ("\u0627", 4))
+_AR_SNS2B = (("\u0627\u062a", 4),)
+_AR_SNS2C1 = (("\u062a", 3),)
+
+
+def _ar_del(w: str, table) -> tuple[str, bool]:
+    for suf, ml in table:
+        if w.endswith(suf):
+            if len(w) > ml:
+                return w[: -len(suf)], True
+            return w, False
+    return w, False
+
+
+def arabic_stem(word: str) -> str:
+    w = word
+    is_noun = is_verb = True
+    is_defined = False
+    # Checks1
+    if w.startswith(("\u0628\u0627\u0644", "\u0643\u0627\u0644")):
+        if len(w) > 4:
+            is_noun, is_verb, is_defined = True, False, True
+    elif w.startswith(("\u0627\u0644", "\u0644\u0644")):
+        if len(w) > 3:
+            is_noun, is_verb, is_defined = True, False, True
+    # Normalize_pre (forward scan; a replacement is skipped over)
+    i = 0
+    while i < len(w):
+        for k in (w[i : i + 2], w[i : i + 1]):
+            if k and k in _AR_NORM_PRE:
+                repl = _AR_NORM_PRE[k]
+                if repl is None:
+                    w = w[:i] + w[i + len(k) :]
+                else:
+                    w = w[:i] + repl + w[i + len(k) :]
+                    i += len(repl)
+                break
+        else:
+            i += 1
+    # ------ suffix phase ------
+    done = False
+    if is_verb:
+        count = 0
+        while True:
+            w2, ok = _ar_del(w, _AR_SVS1)
+            if not ok:
+                break
+            w = w2
+            count += 1
+        if count >= 1:
+            w2, ok = _ar_del(w, _AR_SVS2A)
+            if ok:
+                w, done = w2, True
+            else:
+                w2, ok = _ar_del(w, _AR_SVS2C)
+                if ok:
+                    w, done = w2, True
+                elif len(w) > 0:
+                    done = True  # 'next' succeeds
+        if not done:
+            w2, ok = _ar_del(w, _AR_SVS2B)
+            if ok:
+                w, done = w2, True
+            else:
+                w2, ok = _ar_del(w, _AR_SVS2A)
+                if ok:
+                    w, done = w2, True
+    if not done and is_noun:
+        # try-chain, then Suffix_Noun_Step3, else alef maqsura
+        def chain_2x(wx):
+            # Step2a or Step2b or Step2c1 or next (returns w, reached)
+            w3, ok3 = _ar_del(wx, _AR_SNS2A)
+            if ok3:
+                return w3, True
+            w3, ok3 = _ar_del(wx, _AR_SNS2B)
+            if ok3:
+                return w3, True
+            w3, ok3 = _ar_del(wx, _AR_SNS2C1)
+            if ok3:
+                return w3, True
+            return wx, len(wx) > 0
+
+        handled = False
+        if w.endswith("\u0629") and len(w) > 3:
+            w = w[:-1]
+            handled = True
+        if not handled and not is_defined:
+            w2, ok = _ar_del(w, _AR_SNS1A)
+            if ok:
+                w, handled = w2, True
+                w, nxt = chain_2x(w)
+                if not nxt:
+                    handled = False  # fall through to Step1b alternative
+        if not handled:
+            if w.endswith("\u0646") and len(w) > 5:
+                w = w[:-1]
+                handled = True
+                w3, ok3 = _ar_del(w, _AR_SNS2A)
+                if ok3:
+                    w = w3
+                else:
+                    w3, ok3 = _ar_del(w, _AR_SNS2B)
+                    if ok3:
+                        w = w3
+                    else:
+                        w3, ok3 = _ar_del(w, _AR_SNS2C1)
+                        if ok3:
+                            w = w3
+                        else:
+                            handled = False
+        if not handled and not is_defined:
+            w2, ok = _ar_del(w, _AR_SNS2A)
+            if ok:
+                w, handled = w2, True
+        if not handled:
+            w2, ok = _ar_del(w, _AR_SNS2B)
+            if ok:
+                w = w2
+        # Suffix_Noun_Step3
+        if w.endswith("\u064a") and len(w) > 2:
+            w = w[:-1]
+            done = True
+    if not done:
+        # Suffix_All_alef_maqsura
+        if w.endswith("\u0649"):
+            w = w[:-1] + "\u064a"
+    # ------ prefix phase ------
+    c = 0
+    if len(w) > 3 and w[:2] in (
+        "\u0623\u0623", "\u0623\u0624", "\u0623\u0622",
+        "\u0623\u0627", "\u0623\u0625",
+    ):
+        w = {
+            "\u0623\u0623": "\u0623", "\u0623\u0624": "\u0623",
+            "\u0623\u0622": "\u0622", "\u0623\u0627": "\u0627",
+            "\u0623\u0625": "\u0625",
+        }[w[:2]] + w[2:]
+        c = 1
+    if (
+        len(w) > 3
+        and w[c : c + 1] in ("\u0641", "\u0648")
+        and w[c + 1 : c + 2] != "\u0627"
+    ):
+        w = w[:c] + w[c + 1 :]
+    seg = w[c:]
+    art = False
+    if seg.startswith(("\u0628\u0627\u0644", "\u0643\u0627\u0644")):
+        if len(w) > 5:
+            w = w[:c] + seg[3:]
+            art = True
+    elif seg.startswith(("\u0627\u0644", "\u0644\u0644")):
+        if len(w) > 4:
+            w = w[:c] + seg[2:]
+            art = True
+    if not art:
+        seg = w[c:]
+        handled3b = False
+        if is_noun:
+            if seg.startswith("\u0628\u0628"):
+                if len(w) > 3:
+                    w = w[:c] + "\u0628" + seg[2:]
+                    handled3b = True
+            elif seg.startswith("\u0643\u0643"):
+                if len(w) > 3:
+                    w = w[:c] + "\u0643" + seg[2:]
+                    handled3b = True
+            elif seg.startswith("\u0628\u0627"):
+                handled3b = True  # protected, no change
+            elif seg.startswith("\u0628"):
+                if len(w) > 3:
+                    w = w[:c] + seg[1:]
+                    handled3b = True
+        if not handled3b and is_verb:
+            seg = w[c:]
+            if len(w) > 4 and seg[:2] in (
+                "\u0633\u064a", "\u0633\u062a", "\u0633\u0646",
+                "\u0633\u0623",
+            ):
+                w = w[:c] + {
+                    "\u0633\u064a": "\u064a", "\u0633\u062a": "\u062a",
+                    "\u0633\u0646": "\u0646", "\u0633\u0623": "\u0623",
+                }[seg[:2]] + seg[2:]
+                c += 1
+            seg = w[c:]
+            if len(w) > 4 and seg[:3] in (
+                "\u062a\u0633\u062a", "\u0646\u0633\u062a",
+                "\u064a\u0633\u062a",
+            ):
+                is_verb, is_noun = True, False
+                w = w[:c] + "\u0627\u0633\u062a" + seg[3:]
+    # ------ Normalize_post ------
+    if w[-1:] in ("\u0622", "\u0623", "\u0624", "\u0625", "\u0626"):
+        w = w[:-1] + "\u0621"
+    out = []
+    for ch in w:
+        if ch in ("\u0622", "\u0623", "\u0625"):
+            out.append("\u0627")
+        elif ch == "\u0624":
+            out.append("\u0648")
+        elif ch == "\u0626":
+            out.append("\u064a")
+        else:
+            out.append(ch)
+    res = "".join(out)
+    # ts_lexize parity: an empty stem yields the original word
+    return word if res == "" else res
+
+
+
 EXTRA_STEMMERS = {
     "romanian": romanian_stem,
     "hungarian": hungarian_stem,
@@ -4407,6 +4801,7 @@ EXTRA_STEMMERS = {
     "lithuanian": lithuanian_stem,
     "yiddish": yiddish_stem,
     "serbian": serbian_stem,
+    "arabic": arabic_stem,
 }
 
 # ISO-639-1 codes for stemmer.stem() dispatch
@@ -4427,4 +4822,5 @@ EXTRA_CODES = {
     "lt": lithuanian_stem,
     "yi": yiddish_stem,
     "sr": serbian_stem,
+    "ar": arabic_stem,
 }
