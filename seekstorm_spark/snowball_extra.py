@@ -4786,6 +4786,380 @@ def arabic_stem(word: str) -> str:
 
 
 
+# ---------------------------------------------------------------------------
+# Tamil
+# ---------------------------------------------------------------------------
+# Snowball 'tamil' (reference StemmerType::Tamil; Damodharan's
+# algorithm). Control flow + every rule string decoded from
+# dict_snowball.so (tamil_UTF_8_stem + fix_ending/fix_va helper
+# disassembly): question/pronoun prefix removal with va-restoration,
+# question suffixes, um, common word endings, vetrumai urupukal
+# (case markers; sets the flag that arms fix_ending's \u0ba4\u0bcd\u0ba4\u0bcd
+# rule), plural suffixes, command suffixes, then a repeat-while-match
+# tense-suffix loop; fix_ending runs between phases (repeated where
+# the compiled code loops it). Oracle-verified
+# (scripts/snowball_oracle.py).
+
+_TA_STOPS = frozenset("\u0b95\u0b9a\u0b9f\u0ba4\u0baa\u0bb1")
+_TA_NASALS = frozenset(
+    "\u0b95\u0b99\u0b9a\u0b9e\u0ba4\u0ba8\u0baa\u0bae\u0baf\u0bb5"
+)
+_TA_VS = frozenset(
+    "\u0bc0\u0bc1\u0bc2\u0bc6\u0bc7\u0bc8\u0bbe\u0bbf"
+)
+_TA_LIQ_NAS = frozenset(
+    "\u0baf\u0bb0\u0bb2\u0bb3\u0bb4\u0bb5"
+    "\u0b99\u0b9e\u0ba3\u0ba8\u0ba9\u0bae"
+)
+_TA_IND_V = frozenset(
+    "\u0b85\u0b86\u0b87\u0b88\u0b89\u0b8a\u0b8e\u0b8f"
+    "\u0b90\u0b92\u0b93\u0b94"
+)
+_P = "\u0bcd"  # pulli
+
+
+def _ta_fix_va(w: str) -> str:
+    for pat, rep in (
+        ("\u0bb5\u0bcb", "\u0b93"), ("\u0bb5\u0bca", "\u0b92"),
+        ("\u0bb5\u0bc1", "\u0b89"), ("\u0bb5\u0bc2", "\u0b8a"),
+    ):
+        if w.startswith(pat):
+            return rep + w[2:]
+    return w
+
+
+def _ta_fix_ending(w: str, vu: bool) -> tuple[str, bool]:
+    if len(w) <= 3:
+        return w, False
+    for suf in ("\u0ba8\u0bcd\u0ba4\u0bcd", "\u0ba8\u0bcd\u0ba4",
+                "\u0ba8\u0bcd"):
+        if w.endswith(suf):
+            return w[: -len(suf)], True
+    if w.endswith("\u0baf\u0bcd") and len(w) >= 3 and w[-3] in (
+        "\u0bc0", "\u0bc8", "\u0bbf"
+    ):
+        return w[:-2], True
+    if w.endswith(("\u0b9f\u0bcd\u0baa\u0bcd",
+                   "\u0b9f\u0bcd\u0b95\u0bcd")):
+        return w[:-4] + "\u0bb3\u0bcd", True
+    if w.endswith("\u0ba9\u0bcd\u0bb1\u0bcd"):
+        return w[:-4] + "\u0bb2\u0bcd", True
+    if w.endswith("\u0bb1\u0bcd\u0b95\u0bcd"):
+        return w[:-4] + "\u0bb2\u0bcd", True
+    if w.endswith("\u0b9f\u0bcd\u0b9f\u0bcd"):
+        return w[:-4] + "\u0b9f\u0bc1", True
+    if vu and w.endswith("\u0ba4\u0bcd\u0ba4\u0bcd") and (
+        len(w) < 5 or w[-5] != "\u0bc8"
+    ):
+        return w[:-4] + "\u0bae\u0bcd", True
+    if w.endswith("\u0bc1\u0b95\u0bcd"):
+        return w[:-3] + _P, True
+    if w.endswith("\u0bc1\u0b95\u0bcd\u0b95\u0bcd"):
+        return w[:-5] + _P, True
+    if (
+        len(w) >= 4
+        and w[-1] == _P and w[-2] in _TA_STOPS
+        and w[-3] == _P and w[-4] in _TA_STOPS
+    ):
+        return w[:-4], True
+    if len(w) >= 2 and w[-1] == _P and w[-2] in _TA_STOPS:
+        return w[:-2], True
+    if (
+        len(w) >= 3
+        and w[-1] == _P and w[-2] in _TA_LIQ_NAS and w[-3] == _P
+    ):
+        return w[:-3] + _P, True
+    for suf in ("\u0bb5\u0bcd", "\u0baf", "\u0bb5"):
+        if w.endswith(suf):
+            return w[: -len(suf)], True
+    if w.endswith("\u0ba9\u0bc1") and (
+        len(w) < 3 or w[-3] not in _TA_VS
+    ):
+        return w[:-2], True
+    if w.endswith("\u0b99\u0bcd"):
+        if len(w) >= 3 and w[-3] == "\u0bc8":
+            return w[:-2], True
+        return w[:-2] + "\u0bae\u0bcd", True
+    if w.endswith(_P):
+        if len(w) >= 2 and (w[-2] in _TA_VS or w[-2] == _P):
+            return w[:-1], True
+        return w, False
+    return w, False
+
+
+def _ta_fix_endings(w: str, vu: bool) -> str:
+    while True:
+        w, ch = _ta_fix_ending(w, vu)
+        if not ch:
+            return w
+
+
+def tamil_stem(word: str) -> str:
+    w = word
+    vu = False  # found_vetrumai_urupu
+    w, _ = _ta_fix_ending(w, vu)
+    if len(w) <= 4:
+        return w
+    # remove_question_prefixes
+    if (
+        len(w) >= 3 and w[0] == "\u0b8e"
+        and w[1] in _TA_NASALS and w[2] == _P
+    ):
+        w = w[3:]
+        w = _ta_fix_va(w)
+    # remove_pronoun_prefixes
+    if (
+        len(w) >= 3 and w[0] in "\u0b85\u0b87\u0b89"
+        and w[1] in _TA_NASALS and w[2] == _P
+    ):
+        w = w[3:]
+        w = _ta_fix_va(w)
+    # remove_question_suffixes
+    if len(w) > 4:
+        if w[-1:] in ("\u0bc7", "\u0bcb", "\u0bbe"):
+            w = w[:-1] + _P
+        w = _ta_fix_endings(w, vu)
+    # remove_um
+    if len(w) > 4 and w.endswith("\u0bc1\u0bae\u0bcd"):
+        w = w[:-3] + _P
+        w, _ = _ta_fix_ending(w, vu)
+    # remove_common_word_endings
+    if len(w) > 4:
+        tagged = False
+        for suf in (
+            "\u0bc1\u0b9f\u0ba9\u0bcd", "\u0bbf\u0bb2\u0bcd\u0bb2\u0bc8",
+            "\u0bbf\u0b9f\u0bae\u0bcd", "\u0bbf\u0ba9\u0bcd\u0bb1\u0bbf",
+            "\u0bbe\u0b95\u0bbf", "\u0bbe\u0b95\u0bbf\u0baf",
+            "\u0bc6\u0ba9\u0bcd\u0bb1\u0bc1", "\u0bc1\u0bb3\u0bcd\u0bb3",
+            "\u0bc1\u0b9f\u0bc8\u0baf", "\u0bc1\u0b9f\u0bc8",
+            "\u0bc6\u0ba9\u0bc1\u0bae\u0bcd",
+        ):
+            if w.endswith(suf):
+                w = w[: -len(suf)] + _P
+                tagged = True
+                break
+        if not tagged:
+            if w.endswith("\u0bb2\u0bcd\u0bb2") and (
+                len(w) < 4 or w[-4] not in _TA_VS
+            ):
+                w = w[:-3] + _P
+                tagged = True
+            elif w.endswith("\u0bc6\u0ba9"):
+                w = w[:-2] + _P
+                tagged = True
+            elif w.endswith("\u0bbe\u0b95\u0bbf"):
+                w = w[:-3] + _P
+                tagged = True
+        if tagged:
+            w = _ta_fix_endings(w, vu)
+        else:
+            for suf in (
+                "\u0baa\u0b9f\u0bcd\u0b9f\u0bc1",
+                "\u0bb5\u0bbf\u0b9f\u0bcd\u0b9f\u0bc1",
+                "\u0baa\u0b9f\u0bcd\u0b9f\u0ba4\u0bc1",
+                "\u0baa\u0b9f\u0bbf\u0ba4\u0bbe\u0ba9",
+                "\u0bc6\u0bb2\u0bcd\u0bb2\u0bbe\u0bae\u0bcd",
+                "\u0baa\u0b9f\u0bcd\u0b9f\u0ba3", "\u0baa\u0b9f\u0bc1",
+                "\u0bb5\u0bbf\u0b9f\u0bc1", "\u0baa\u0b9f\u0bcd\u0b9f",
+                "\u0b95\u0bc1\u0bb0\u0bbf\u0baf", "\u0ba4\u0bbe\u0ba9",
+                "\u0baa\u0bb1\u0bcd\u0bb1\u0bbf", "\u0baa\u0b9f\u0bbf",
+            ):
+                if w.endswith(suf):
+                    w = w[: -len(suf)]
+                    w = _ta_fix_endings(w, vu)
+                    break
+    # remove_vetrumai_urupukal
+    vu = False
+    if len(w) > 4:
+        matched = True
+        if w.endswith("\u0ba9\u0bc8"):
+            w = w[:-2]
+        else:
+            goto_c = False
+            if w.endswith("\u0bbf\u0ba9\u0bc8"):
+                if len(w) >= 4 and w[-4] in _TA_STOPS:
+                    goto_c = True
+                else:
+                    w = w[:-3] + _P
+            elif w.endswith("\u0bc8"):
+                if len(w) >= 2 and w[-2] in _TA_STOPS:
+                    goto_c = True
+                else:
+                    w = w[:-1] + _P
+            else:
+                goto_c = True
+            if goto_c:
+                if (
+                    w.endswith("\u0bc8")
+                    and len(w) >= 3
+                    and w[-2] in _TA_STOPS
+                    and w[-3] == _P
+                ):
+                    w = w[:-1] + _P
+                else:
+                    matched = False
+        if not matched:
+            for suf in (
+                "\u0bca\u0b9f\u0bc1", "\u0bcb\u0b9f\u0bc1",
+                "\u0bbf\u0bb2\u0bcd", "\u0bbf\u0bb1\u0bcd",
+            ):
+                if w.endswith(suf):
+                    w = w[: -len(suf)] + _P
+                    matched = True
+                    break
+        if not matched and w.endswith("\u0bbf\u0ba9\u0bcd") and not (
+            len(w) >= 4 and w[-4] == "\u0bae"
+        ):
+            w = w[:-3] + _P
+            matched = True
+        if not matched:
+            for suf, minlen in (
+                ("\u0bbf\u0ba9\u0bcd\u0bb1\u0bc1", 0),
+                ("\u0bbf\u0bb0\u0bc1\u0ba8\u0bcd\u0ba4\u0bc1", 0),
+                ("\u0bb5\u0bbf\u0b9f", 0),
+                ("\u0bbf\u0b9f\u0bae\u0bcd", 7),
+                ("\u0bbe\u0bb2\u0bcd", 0), ("\u0bc1\u0b9f\u0bc8", 0),
+                ("\u0bbe\u0bae\u0bb2\u0bcd", 0),
+            ):
+                if w.endswith(suf) and len(w) > minlen - 1:
+                    if minlen and len(w) <= 6:
+                        continue
+                    w = w[: -len(suf)] + _P
+                    matched = True
+                    break
+        if not matched and w.endswith("\u0bb2\u0bcd") and (
+            len(w) < 3 or w[-3] not in _TA_VS
+        ):
+            w = w[:-2] + _P
+            matched = True
+        if not matched and w.endswith("\u0bc1\u0bb3\u0bcd"):
+            w = w[:-3] + _P
+            matched = True
+        deleted = False
+        if not matched:
+            for suf in (
+                "\u0b95\u0ba3\u0bcd", "\u0bae\u0bc1\u0ba9\u0bcd",
+                "\u0bae\u0bc7\u0bb2\u0bcd", "\u0bae\u0bc7\u0bb1\u0bcd",
+                "\u0b95\u0bc0\u0bb4\u0bcd", "\u0baa\u0bbf\u0ba9\u0bcd",
+            ):
+                if w.endswith(suf):
+                    w = w[: -len(suf)]
+                    matched = deleted = True
+                    break
+        if not matched and w.endswith("\u0ba4\u0bc1") and (
+            len(w) < 3 or w[-3] not in _TA_VS
+        ):
+            w = w[:-2]
+            matched = deleted = True
+        ee = False
+        if not matched and w.endswith("\u0bc0"):
+            w = w[:-1] + "\u0bbf"
+            matched = ee = True
+        if matched:
+            vu = True
+            if w.endswith("\u0bbf\u0ba9\u0bcd"):
+                w = w[:-3] + _P
+            w = _ta_fix_endings(w, vu)
+    # remove_plural_suffix
+    if len(w) > 4:
+        if w.endswith("\u0bc1\u0b99\u0bcd\u0b95\u0bb3\u0bcd") and (
+            len(w) < 7 or w[-7] not in _TA_STOPS
+        ):
+            w = w[:-6] + _P
+        elif w.endswith("\u0bb1\u0bcd\u0b95\u0bb3\u0bcd"):
+            w = w[:-5] + "\u0bb2\u0bcd"
+        elif w.endswith("\u0b9f\u0bcd\u0b95\u0bb3\u0bcd"):
+            w = w[:-5] + "\u0bb3\u0bcd"
+        elif w.endswith("\u0b95\u0bb3\u0bcd"):
+            w = w[:-3]
+    # remove_command_suffixes
+    if len(w) > 4 and w.endswith(("\u0baa\u0bbf", "\u0bb5\u0bbf")):
+        w = w[:-2]
+    # remove_tense_suffixes
+    flag = True
+    while flag:
+        flag = False
+        if len(w) > 4:
+            new = _ta_tense_once(w)
+            if new is not None:
+                w = new
+                flag = True
+            if True:
+                for suf in (
+                    "\u0b95\u0bbf\u0ba9\u0bcd\u0bb1\u0bcd",
+                    "\u0bbe\u0ba8\u0bbf\u0ba9\u0bcd\u0bb1\u0bcd",
+                    "\u0b95\u0bbf\u0bb1\u0bcd",
+                    "\u0b95\u0bbf\u0ba9\u0bcd\u0bb1",
+                    "\u0bbe\u0ba8\u0bbf\u0ba9\u0bcd\u0bb1",
+                    "\u0b95\u0bbf\u0bb1",
+                ):
+                    if w.endswith(suf):
+                        w = w[: -len(suf)]
+                        flag = True
+                        break
+                w = _ta_fix_endings(w, vu)
+    # ts_lexize parity: an empty stem yields the original word
+    return word if w == "" else w
+
+
+def _ta_tense_once(w: str):
+    """First matching tense-suffix rule; None if none applies."""
+    for suf in ("\u0baa\u0b9f\u0bc1",
+                "\u0b95\u0bca\u0ba3\u0bcd\u0b9f\u0bbf\u0bb0\u0bcd"):
+        if w.endswith(suf):
+            return w[: -len(suf)]
+    if w.endswith("\u0bae\u0bbe\u0bb0\u0bcd"):
+        return w[:-4]
+    for suf in ("\u0bae\u0bbf\u0ba9\u0bcd", "\u0ba9\u0ba9\u0bcd",
+                "\u0ba9\u0bbe\u0ba9\u0bcd", "\u0ba9\u0bbe\u0bb3\u0bcd",
+                "\u0ba9\u0bbe\u0bb0\u0bcd"):
+        if w.endswith(suf):
+            return w[: -len(suf)]
+    if w.endswith("\u0bb5\u0ba9\u0bcd") and (
+        len(w) < 4 or w[-4] not in _TA_IND_V
+    ):
+        return w[:-3]
+    for suf in ("\u0ba9\u0bb3\u0bcd", "\u0bb5\u0bb3\u0bcd",
+                "\u0ba9\u0bb0\u0bcd", "\u0bb5\u0bb0\u0bcd",
+                "\u0ba9", "\u0baa", "\u0b95", "\u0ba4", "\u0baf",
+                "\u0baa\u0ba9\u0bcd", "\u0baa\u0bb3\u0bcd",
+                "\u0baa\u0bb0\u0bcd"):
+        if w.endswith(suf):
+            return w[: -len(suf)]
+    if w.endswith("\u0ba4\u0bc1") and (
+        len(w) < 3 or w[-3] not in _TA_VS
+    ):
+        return w[:-2]
+    for suf in ("\u0bbf\u0bb1\u0bcd\u0bb1\u0bc1",
+                "\u0baa\u0bae\u0bcd", "\u0ba9\u0bae\u0bcd",
+                "\u0ba4\u0bc1\u0bae\u0bcd", "\u0bb1\u0bc1\u0bae\u0bcd",
+                "\u0b95\u0bc1\u0bae\u0bcd",
+                "\u0ba9\u0bc6\u0ba9\u0bcd", "\u0ba9\u0bc8",
+                "\u0bb5\u0bc8"):
+        if w.endswith(suf):
+            return w[: -len(suf)]
+    if w.endswith("\u0bbe\u0ba9\u0bcd") and (
+        len(w) < 4 or w[-4] != "\u0b9a"
+    ):
+        return w[:-3] + _P
+    for suf in ("\u0bbe\u0bb3\u0bcd", "\u0bbe\u0bb0\u0bcd",
+                "\u0bc7\u0ba9\u0bcd", "\u0bbe",
+                "\u0bbe\u0bae\u0bcd", "\u0bc6\u0bae\u0bcd",
+                "\u0bc7\u0bae\u0bcd", "\u0bcb\u0bae\u0bcd",
+                "\u0b95\u0bc1\u0bae\u0bcd", "\u0ba4\u0bc1\u0bae\u0bcd",
+                "\u0b9f\u0bc1\u0bae\u0bcd", "\u0bb1\u0bc1\u0bae\u0bcd",
+                "\u0bbe\u0baf\u0bcd", "\u0ba9\u0bc6\u0ba9\u0bcd",
+                "\u0ba9\u0bbf\u0bb0\u0bcd", "\u0bc0\u0bb0\u0bcd",
+                "\u0bc0\u0baf\u0bb0\u0bcd"):
+        if w.endswith(suf):
+            return w[: -len(suf)] + _P
+    for suf in ("\u0b95\u0bc1", "\u0ba4\u0bc1"):
+        if w.endswith(suf) and len(w) >= 3 and w[-3] == _P:
+            return w[:-2]
+    return None
+
+
+
 EXTRA_STEMMERS = {
     "romanian": romanian_stem,
     "hungarian": hungarian_stem,
@@ -4802,6 +5176,7 @@ EXTRA_STEMMERS = {
     "yiddish": yiddish_stem,
     "serbian": serbian_stem,
     "arabic": arabic_stem,
+    "tamil": tamil_stem,
 }
 
 # ISO-639-1 codes for stemmer.stem() dispatch
@@ -4823,4 +5198,5 @@ EXTRA_CODES = {
     "yi": yiddish_stem,
     "sr": serbian_stem,
     "ar": arabic_stem,
+    "ta": tamil_stem,
 }
