@@ -5160,6 +5160,423 @@ def _ta_tense_once(w: str):
 
 
 
+# ---------------------------------------------------------------------------
+# Greek
+# ---------------------------------------------------------------------------
+# Snowball 'greek' (reference StemmerType::Greek; Ntais/Saroukos
+# algorithm). All 68 among tables + step flow decoded from
+# dict_snowball.so (greek_UTF_8_stem disassembly): tolower prelude
+# (case folding + final sigma + diacritics), step1 irregular-stem
+# rewrites, ~25 suffix steps, each "delete + conditional re-append"
+# (the exceptions append when the whole remaining word is in the
+# exception list, or when it merely ends with a listed stem — both
+# shapes occur and are kept distinct below), vowel-gated verb steps,
+# the step-6 mu-alpha rewrite, the test1-gated big ending table, and
+# the comparative step. The compiled code's stale-slice quirk for
+# bare '\u03b1\u03b3\u03b1\u03bc\u03b5' is reproduced via the
+# `sliced` flag. Oracle-verified (scripts/snowball_oracle.py).
+
+_EL_V = frozenset("\u03b1\u03b5\u03b7\u03b9\u03bf\u03c5\u03c9")
+_EL_V2 = frozenset("\u03b1\u03b5\u03b7\u03b9\u03bf\u03c9")
+
+_EL_LOWER = {
+    'ς': 'σ',
+    'Ά': 'α',
+    'Έ': 'ε',
+    'Ή': 'η',
+    'Ί': 'ι',
+    'ϊ': 'η',
+    'ϋ': 'υ',
+    'Ό': 'ο',
+    'ό': 'ο',
+    'ύ': 'υ',
+    'Ύ': 'υ',
+    'ώ': 'ω',
+    'Ώ': 'ω',
+    'ΐ': 'η',
+    'Α': 'α',
+    'Β': 'β',
+    'Γ': 'γ',
+    'Δ': 'δ',
+    'Ε': 'ε',
+    'Ζ': 'ζ',
+    'Η': 'η',
+    'Θ': 'θ',
+    'Ι': 'ι',
+    'Κ': 'κ',
+    'Λ': 'λ',
+    'Μ': 'μ',
+    'Ν': 'ν',
+    'Ξ': 'ξ',
+    'Ο': 'ο',
+    'Π': 'π',
+    'Ρ': 'ρ',
+    'Σ': 'σ',
+    'Τ': 'τ',
+    'Υ': 'υ',
+    'Φ': 'φ',
+    'Χ': 'χ',
+    'Ψ': 'ψ',
+    'Ω': 'ω',
+    'Ϊ': 'ι',
+    'Ϋ': 'υ',
+    'ά': 'α',
+    'έ': 'ε',
+    'ή': 'η',
+    'ί': 'ι',
+    'ΰ': 'υ',
+}
+_EL_STEP1 = (('καθεστωτοσ', 10), ('καθεστωτων', 10), ('γεγονοτοσ', 11), ('γεγονοτων', 11), ('καθεστωτα', 10), ('γεγονοτα', 11), ('καθεστωσ', 10), ('τατογιου', 5), ('τατογιων', 5), ('γεγονοσ', 11), ('κρεατοσ', 6), ('κρεατων', 6), ('ολογιου', 3), ('ολογιων', 3), ('περατοσ', 7), ('περατων', 7), ('σκαγιου', 2), ('σκαγιων', 2), ('τατογια', 5), ('τερατοσ', 8), ('τερατων', 8), ('κρεατα', 6), ('ολογια', 3), ('περατα', 7), ('περατη', 7), ('σκαγια', 2), ('σογιου', 4), ('σογιων', 4), ('τερατα', 8), ('φαγιου', 1), ('φαγιων', 1), ('κρεασ', 6), ('περασ', 7), ('σογια', 4), ('τερασ', 8), ('φαγια', 1), ('φωτοσ', 9), ('φωτων', 9), ('φωτα', 9), ('φωσ', 9))
+_EL_S2 = ('ιζουμε', 'ιζουνε', 'ιζαμε', 'ιζανε', 'ιζατε', 'ιζεισ', 'ιζετε', 'ιζουν', 'ιζαν', 'ιζει', 'ιζεσ', 'ιζα', 'ιζε', 'ιζω',)
+_EL_S2X = (('πιπερορ', 2), ('συναθρο', 1), ('αναμπα', 1), ('βαθυρι', 2), ('βολβορ', 2), ('γλυκορ', 2), ('γλυκυρ', 2), ('ξαναπα', 1), ('περιπα', 1), ('αμπαρ', 2), ('πολυρ', 2), ('αθρο', 1), ('βαρκ', 2), ('δανε', 1), ('εμπα', 1), ('κορν', 2), ('μαρκ', 2), ('αρρ', 2), ('γκρ', 2), ('επα', 1), ('ιμπ', 2), ('λου', 2), ('μαρ', 2), ('μπρ', 2), ('πα', 1), ('πρ', 2), ('β', 2), ('λ', 2), ('μ', 2), ('π', 2), ('ρ', 2))
+_EL_S3 = ('ωθηκαμε', 'ωθηκανε', 'ωθηκατε', 'ωθηκαν', 'ωθηκεσ', 'ωθηκα', 'ωθηκε',)
+_EL_S3X = ('αλ', 'βι', 'εν', 'ζω', 'λι', 'υψ', 'σ', 'χ',)
+_EL_S4 = ('ισαμε', 'ισανε', 'ισατε', 'ισαν', 'ισεσ', 'ισα', 'ισε',)
+_EL_S4X = (('γιγαντοαφ', 2), ('δημοκρατ', 2), ('συναθρο', 1), ('χαρτοπα', 1), ('αναμπα', 1), ('απεκλε', 1), ('αποκλε', 1), ('εξαρχα', 1), ('εσωκλε', 1), ('μετεπε', 1), ('ξαναπα', 1), ('περιπα', 1), ('πουκαμ', 2), ('αθρο', 1), ('δανε', 1), ('εκλε', 1), ('εμπα', 1), ('γκε', 2), ('επα', 1), ('επε', 1), ('εσε', 1), ('κλε', 1), ('κομ', 2), ('λαρ', 2), ('ολο', 2), ('αν', 2), ('αφ', 2), ('γε', 2), ('γκ', 2), ('πε', 1), ('μ', 2), ('π', 2))
+_EL_S5 = ('ισουμε', 'ισουνε', 'ισεισ', 'ισετε', 'ισουν', 'ισει', 'ισω',)
+_EL_S5X = ('συναθρο', 'χαρτοπα', 'αναμπα', 'απεκλε', 'αποκλε', 'εξαρχα', 'εσωκλε', 'μετεπε', 'ξαναπα', 'περιπα', 'αθρο', 'δανε', 'εκλε', 'εμπα', 'επα', 'επε', 'εσε', 'κλε', 'πε',)
+_EL_S6 = ('ιστουσ', 'ιστεσ', 'ιστησ', 'ιστοι', 'ιστοσ', 'ιστου', 'ιστων', 'ιστα', 'ιστε', 'ιστη', 'ιστο',)
+_EL_S6X = (('συναθρο', 1), ('εσωκλε', 1), ('δανε', 1), ('ακτ', 2), ('αορ', 2), ('ασε', 1), ('ασχ', 2), ('ατα', 2), ('αχν', 2), ('αχτ', 2), ('γεμ', 2), ('γυρ', 2), ('εμπ', 2), ('ευπ', 2), ('εχθ', 2), ('ηφα', 2), ('καθ', 2), ('κακ', 2), ('κλε', 1), ('κυλ', 2), ('λυγ', 2), ('μακ', 2), ('μεγ', 2), ('πλε', 1), ('ταχ', 2), ('φιλ', 2), ('χωρ', 2), ('απ', 2), ('αρ', 2), ('ηδ', 2), ('κτ', 2), ('σε', 1), ('σκ', 2), ('σχ', 2), ('υψ', 2), ('φα', 2), ('χρ', 2), ('χτ', 2), ('μ', 2), ('π', 2))
+_EL_S7 = ('ισμουσ', 'ισμοι', 'ισμοσ', 'ισμου', 'ισμων', 'ισμο',)
+_EL_S7R = (('αλεξανδριν', 8), ('αγνωστικ', 1), ('βυζαντιν', 9), ('εκλεκτικ', 5), ('γνωστικ', 3), ('θεατριν', 10), ('σκεπτικ', 6), ('ατομικ', 2), ('εθνικ', 4), ('τοπικ', 7))
+_EL_S7X = (('αντιδανε', 2), ('μικροσε', 1), ('αποκλε', 1), ('μετασε', 1), ('εγκλε', 1), ('δανε', 2), ('σε', 1))
+_EL_S8 = ('ουδακια', 'αρακια', 'ουδακι', 'αρακι',)
+_EL_S9 = ('αρακια', 'αρακι', 'ιτσασ', 'ιτσεσ', 'ιτσων', 'ακια', 'ιτσα', 'ακι',)
+_EL_S9X = (('τσεχοσλοβ', 1), ('ηγουμεν', 2), ('κατραπ', 1), ('μακρυν', 2), ('ναγκασ', 1), ('τριπολ', 2), ('αλισφ', 1), ('καπακ', 1), ('μουστ', 1), ('πατερ', 2), ('αμβρ', 1), ('ανθρ', 1), ('βαμβ', 1), ('γιαν', 2), ('καιμ', 1), ('καρδ', 2), ('κλιμ', 1), ('λαβρ', 1), ('λουλ', 1), ('σλοβ', 1), ('σπαν', 1), ('φαρμ', 1), ('βαλ', 2), ('κον', 1), ('κορ', 1), ('μαλ', 1), ('μερ', 1), ('νυφ', 2), ('σοκ', 1), ('τοσ', 2), ('φυλ', 1), ('βρ', 1), ('γλ', 2), ('πλ', 1), ('ρυ', 1), ('σκ', 1), ('σφ', 1), ('τζ', 1), ('β', 2), ('ζ', 2), ('κ', 1), ('π', 2), ('ρ', 1), ('σ', 1), ('φ', 1), ('χ', 1))
+_EL_S10 = ('ιδιων', 'ιδια', 'ιδιο',)
+_EL_S10X = ('αιφν', 'ολο', 'ψαλ', 'ιρ',)
+_EL_S10E = ('παιχν', 'ε',)
+_EL_S11 = ('ισκοσ', 'ισκου', 'ισκε', 'ισκο',)
+_EL_S11X = ('φραγκ', 'οβελ', 'λυκ', 'μην', 'ιβ', 'δ', 'ρ',)
+_EL_S12 = ('αδεσ', 'αδων',)
+_EL_S12E = ('γιαγι', 'μπαμπ', 'νταντ', 'πατερ', 'πεθερ', 'θει', 'κυρ', 'μαμ', 'μαν', 'οκ',)
+_EL_S13 = ('εδεσ', 'εδων',)
+_EL_S13E = ('κρασπ', 'γηπ', 'δαπ', 'εμπ', 'μιλ', 'ιπ', 'οπ', 'υπ',)
+_EL_S14 = ('ουδεσ', 'ουδων',)
+_EL_S14E = ('καλιακ', 'πεταλ', 'λουλ', 'πλεξ', 'τραγ', 'αρκ', 'βελ', 'λιχ', 'σκ', 'σπ', 'φε', 'φλ', 'φρ', 'χν', 'σ',)
+_EL_S15 = ('εων', 'εωσ',)
+_EL_S15X = ('γαλ', 'παρ', 'ελ', 'ιδ', 'δ', 'θ', 'ν', 'π',)
+_EL_S16 = ('ιου', 'ιων', 'ια',)
+_EL_S17 = ('ικου', 'ικων', 'ικα', 'ικο',)
+_EL_S17X = ('αμμοχαλ', 'μπαγιατ', 'ποστελν', 'συνομηλ', 'καλλιν', 'πικαντ', 'πλιατσ', 'πρωτοδ', 'αντιδ', 'καταδ', 'συναδ', 'φιλον', 'φυλοδ', 'αμαν', 'ανηθ', 'βρωμ', 'εξωδ', 'καλπ', 'μουλ', 'μπαν', 'μπολ', 'μποσ', 'πετσ', 'πιτσ', 'σερτ', 'τσαμ', 'υποδ', 'γερ', 'ενδ', 'νιτ', 'ξικ', 'φυσ', 'χασ', 'αδ', 'αλ', 'ηθ',)
+_EL_5A = ('ηθηκαμε', 'ουσαμε', 'αγαμε', 'ηκαμε', 'ησαμε',)
+_EL_5AX = ('αποστ', 'αναπ', 'αποθ', 'αποκ', 'βουβ', 'πικρ', 'ξεθ', 'ουλ', 'πεθ', 'ποτ', 'σιχ', 'χ',)
+_EL_5B = ('ιουντανε', 'ηθηκανε', 'ιοντανε', 'ουντανε', 'ιοτανε', 'οντανε', 'ουσανε', 'αγανε', 'ηκανε', 'ησανε', 'οτανε',)
+_EL_5BX = ('τρ', 'τσ',)
+_EL_5BN = ('καπνοβιομηχ', 'μεγλοβιομηχ', 'μικροβιομηχ', 'χαμηλοδαπ', 'αμερικαν', 'μουσουλμ', 'ξηροκλιβ', 'ολιγοδαμ', 'σαρακατσ', 'φωτοστεφ', 'βαθυγαλ', 'δραδουμ', 'καλπουζ', 'καταγαλ', 'κοιλαρφ', 'πενταρφ', 'πολυδαπ', 'πολυμηχ', 'τσαρλατ', 'ψηλοταβ', 'ατσιγγ', 'βιομηχ', 'βραχυκ', 'καστελ', 'κορμορ', 'λουθηρ', 'μωαμεθ', 'ολογαλ', 'περιτρ', 'πορτολ', 'πουριτ', 'υπερηφ', 'υποκοπ', 'ψυχοπλ', 'αθιγγ', 'ανοργ', 'βετερ', 'βουλκ', 'βραχμ', 'ενοργ', 'λαοπλ', 'μαιντ', 'πελεκ', 'περηφ', 'πολισ', 'σουλτ', 'τσιγγ', 'αδαπ', 'αμηχ', 'ανικ', 'απηγ', 'απιθ', 'βασκ', 'διατ', 'διαφ', 'διπλ', 'ζωντ', 'καστ', 'κλιβ', 'νταβ', 'πλατ', 'στεγ', 'στεφ', 'τραγ', 'τσαγ', 'τσοπ', 'βασ', 'γαλ', 'γερ', 'δεκ', 'θυσ', 'κοπ', 'λιβ', 'λιχ', 'μελ', 'ορφ', 'ουλ', 'ουρ', 'πιθ', 'σιγ', 'ταβ', 'τετ', 'αγ', 'ερ', 'ικ', 'πλ', 'σπ', 'γ', 'θ', 'μ', 'ν', 'π', 'σ', 'φ', 'χ',)
+_EL_5C = ('ησετε',)
+_EL_5CE = ('υπερθ', 'διαθ', 'συνδ', 'συνθ', 'ωφελ', 'αιν', 'αιρ', 'αρκ', 'βαρ', 'βολ', 'εκθ', 'ενδ', 'ενθ', 'ευθ', 'ευρ', 'καθ', 'νετ', 'πον', 'πυρ', 'ραθ', 'ροθ', 'ρον', 'συν', 'ταθ', 'τιθ', 'φορ', 'χωρ', 'βρ', 'οδ', 'σθ', 'σχ',)
+_EL_5CX = ('παρακαλ', 'βαρον', 'αβαρ', 'εναρ', 'θαρρ', 'μπορ', 'σερπ', 'σκελ', 'συρφ', 'αβρ', 'απλ', 'βεν', 'κοπ', 'νιφ', 'ντρ', 'παγ', 'τοκ', 'αδ', 'αθ', 'αν', 'εμ', 'σκ', 'δ', 'θ', 'υ',)
+_EL_5D1 = ('οντασ', 'ωντασ',)
+_EL_5D2 = ('ιομαστε', 'ομαστε',)
+_EL_5E1X = ('αμεταμφ', 'ακαταπ', 'ασυμπ', 'συμπ', 'απ', 'π',)
+_EL_5E2X = ('παρακαλ', 'εκτελ', 'νισ', 'προ', 'αλ', 'αρ', 'ζ', 'μ', 'ξ',)
+_EL_5F1 = ('ηθηκεσ', 'ηθηκα', 'ηθηκε',)
+_EL_5F2 = ('ηκεσ', 'ηκα', 'ηκε',)
+_EL_5F2E = ('σκουλ', 'ναρθ', 'σκωλ', 'πιθ', 'οθ', 'σφ',)
+_EL_5F2X = ('παρακαταθ', 'προσθ', 'διαθ', 'συνθ', 'θ',)
+_EL_5G = ('ουσεσ', 'ουσα', 'ουσε',)
+_EL_5GE = ('μαντιλ', 'πανταχ', 'κυματ', 'ποδαρ', 'βλεπ', 'μαλλ', 'πρωτ', 'φρυδ', 'λαχ', 'ληγ', 'φαγ', 'ομ',)
+_EL_5GX = ('δευτερευ', 'ενδιαφερ', 'καθαρευ', 'υποτειν', 'δεσποζ', 'λαμπιδ', 'φαρμακ', 'αναρρ', 'εκλιπ', 'μεσαζ', 'ανηκ', 'βρομ', 'αγκ', 'αιθ', 'λεχ', 'μεδ', 'πατ', 'πλε', 'τσα', 'χαδ', 'αμ', 'δε', 'λ', 'μ', 'ρ',)
+_EL_5H = ('ησου', 'ησα', 'ησε',)
+_EL_5HX = ('δωδεκαν', 'μεγαλον', 'ερημον', 'χερσον', 'επταν', 'ν',)
+_EL_5I = ('αγεσ', 'αγα', 'αγε',)
+_EL_5IE = (('ναυλοχ', -1), ('σμην', 1), ('χορτ', 1), ('λοχ', 1), ('πελ', 1), ('ψοφ', -1), ('λλ', 1), ('οφ', 1), ('πρ', 1), ('ρπ', 1), ('σφ', 1), ('φρ', 1))
+_EL_5IX = ('κροκαλοπ', 'προσωποπ', 'σιδηροπ', 'αιμοστ', 'αμαλλι', 'δερβεν', 'δροσοπ', 'αβαστ', 'ανυστ', 'αρτιπ', 'ασπαρ', 'νομοτ', 'ουλαμ', 'πολυφ', 'προστ', 'αδηφ', 'αειπ', 'αμαλ', 'ανυπ', 'απερ', 'αποτ', 'αχαρ', 'διατ', 'επιτ', 'νεοπ', 'ολοπ', 'ομοτ', 'παμφ', 'συμπ', 'συντ', 'υποτ', 'ασπ', 'ναυ', 'ξεφ', 'ουρ', 'χαρ', 'αφ', 'εν', 'τρ', 'λ', 'μ', 'π', 'ρ', 'τ',)
+_EL_5J = ('ηστε',)
+_EL_5JX = ('κοινοχρ', 'παλιμψ', 'αειμν', 'δυσχρ', 'ευχρ', 'απλ', 'ασβ', 'αχρ', 'σβ', 'χρ',)
+_EL_5K = ('ηθουνε', 'ησουνε', 'ουνε',)
+_EL_5KX = ('στραβομουτσ', 'κακομουτσ', 'εξων', 'σπι', 'ν', 'ρ',)
+_EL_5L = ('ηθουμε', 'ησουμε', 'ουμε',)
+_EL_5LX = ('αλλοσουσ', 'παρασουσ', 'ωριοπλ', 'ασουσ', 'αζ', 'φ', 'χ',)
+_EL_S6B = ('ματοσ', 'ματων', 'ματα',)
+_EL_S7D = ('ιοντουσαν', 'ιομασταν', 'ιοσασταν', 'ιουμαστε', 'οντουσαν', 'ηθηκατε', 'ιεμαστε', 'ιεσαστε', 'ιομουνα', 'ιοσαστε', 'ιοσουνα', 'ιουνται', 'ιουνταν', 'ομασταν', 'οσασταν', 'ουμαστε', 'ηθειτε', 'ηθηκαν', 'ιομουν', 'ιονταν', 'ιοσουν', 'ομουνα', 'οσαστε', 'οσουνα', 'ουνται', 'ουνταν', 'ουσατε', 'αγατε', 'ηθεισ', 'ηθουν', 'ηκατε', 'ησατε', 'ησουν', 'ιεμαι', 'ιεσαι', 'ιεται', 'ιοταν', 'ιουμα', 'ομουν', 'ονται', 'ονταν', 'οσουν', 'ουμαι', 'ουσαν', 'αγαν', 'αμαι', 'ασαι', 'αται', 'ειτε', 'εσαι', 'εται', 'ηδεσ', 'ηδων', 'ηθει', 'ηκαν', 'ησαν', 'ησει', 'ησεσ', 'ομαι', 'οταν', 'αει', 'εισ', 'ηθω', 'ησω', 'ουν', 'ουσ', 'αν', 'ασ', 'αω', 'ει', 'εσ', 'ησ', 'οι', 'οσ', 'ου', 'υσ', 'ων', 'α', 'ε', 'η', 'ι', 'ο', 'υ', 'ω',)
+_EL_COMP = ('εστατ', 'εστερ', 'οτατ', 'οτερ', 'υτατ', 'υτερ', 'ωτατ', 'ωτερ',)
+
+
+_EL_STEP1_MAP = {
+    1: "φα", 2: "σκα", 3: "ολο", 4: "σο", 5: "τατο", 6: "κρε",
+    7: "περ", 8: "τερ", 9: "φω", 10: "καθεστ", 11: "γεγον",
+}
+_EL_S7R_MAP = {
+    1: "αγνωστ", 2: "ατομ", 3: "γνωστ", 4: "εθν", 5: "εκλεκτ",
+    6: "σκεπτ", 7: "τοπ", 8: "αλεξανδρ", 9: "βυζαντ", 10: "θεατρ",
+}
+
+
+def _el_suf(w, table):
+    for item in table:
+        s = item[0] if isinstance(item, tuple) else item
+        if w.endswith(s):
+            return item
+    return None
+
+
+def greek_stem(word: str) -> str:
+    w = "".join(_EL_LOWER.get(ch, ch) for ch in word)
+    if len(w) < 3:
+        return w
+    test1 = True
+    sliced = False
+    # step1: irregular stems
+    hit = _el_suf(w, _EL_STEP1)
+    if hit is not None:
+        s, r = hit
+        w = w[: -len(s)] + _EL_STEP1_MAP[r]
+        test1 = False
+        sliced = True
+
+    def dele(table):
+        nonlocal w, sliced
+        hit = _el_suf(w, table)
+        if hit is None:
+            return False
+        s = hit[0] if isinstance(hit, tuple) else hit
+        w = w[: -len(s)]
+        sliced = True
+        return True
+
+    # s2
+    if dele(_EL_S2):
+        test1 = False
+        hit = _el_suf(w, _EL_S2X)
+        if hit is not None and hit[0] == w:
+            w += "ι" if hit[1] == 1 else "ιζ"
+    # s3
+    if dele(_EL_S3):
+        test1 = False
+        if w in _EL_S3X_SET:
+            w += "ων"
+    # s4
+    if dele(_EL_S4):
+        test1 = False
+        if w == "ισα":
+            pass  # compiled code's slice here nets no visible change
+        else:
+            hit = _el_suf(w, _EL_S4X)
+            if hit is not None and hit[0] == w:
+                w += "ι" if hit[1] == 1 else "ισ"
+    # s5
+    if dele(_EL_S5):
+        test1 = False
+        if w in _EL_S5X_SET:
+            w += "ι"
+    # s6
+    if dele(_EL_S6):
+        test1 = False
+        hit = _el_suf(w, _EL_S6X)
+        if hit is not None and hit[0] == w:
+            w += "ι" if hit[1] == 1 else "ιστ"
+    # s7
+    if dele(_EL_S7):
+        test1 = False
+        hit = _el_suf(w, _EL_S7R)
+        if hit is not None:
+            w = w[: -len(hit[0])] + _EL_S7R_MAP[hit[1]]
+        else:
+            hit = _el_suf(w, _EL_S7X)
+            if hit is not None and hit[0] == w:
+                w += "ισμ" if hit[1] == 1 else "ι"
+    # s8
+    if dele(_EL_S8):
+        test1 = False
+        if w in ("σ", "χ"):
+            w += "αρακ"
+    # s9
+    if dele(_EL_S9):
+        test1 = False
+        hit = _el_suf(w, _EL_S9X)
+        if hit is not None and hit[0] == w:
+            w += "ακ" if hit[1] == 1 else "ιτσ"
+        elif w.endswith("κορ"):
+            w += "ιτσ"
+    # s10
+    if dele(_EL_S10):
+        test1 = False
+        if w in _EL_S10X_SET or _el_suf(w, _EL_S10E) is not None:
+            w += "ιδ"
+    # s11
+    if dele(_EL_S11):
+        test1 = False
+        if w in _EL_S11X_SET:
+            w += "ισκ"
+    # s12 (step2a)
+    if dele(_EL_S12):
+        if _el_suf(w, _EL_S12E) is None:
+            w += "αδ"
+    # s13
+    if dele(_EL_S13):
+        if _el_suf(w, _EL_S13E) is not None:
+            w += "εδ"
+    # s14
+    if dele(_EL_S14):
+        if _el_suf(w, _EL_S14E) is not None:
+            w += "ουδ"
+    # s15
+    if dele(_EL_S15):
+        test1 = False
+        if w in _EL_S15X_SET:
+            w += "ε"
+    # s16
+    if dele(_EL_S16):
+        test1 = False
+        if w[-1:] in _EL_V:
+            w += "ι"
+    # s17
+    if dele(_EL_S17):
+        test1 = False
+        if w[-1:] in _EL_V:
+            w += "ικ"
+        elif w in _EL_S17X_SET:
+            w += "ικ"
+    # step5a
+    if w == "αγαμε":
+        w = w + "αγαμ" if sliced else "αγαμ"
+        sliced = True
+    if dele(_EL_5A):
+        test1 = False
+    if w.endswith("αμε"):
+        w = w[:-3]
+        sliced = True
+        test1 = False
+        if w in _EL_5AX_SET:
+            w += "αμ"
+    # step5b
+    if dele(_EL_5B):
+        test1 = False
+        if w in _EL_5BX_SET:
+            w += "αγαν"
+    if w.endswith("ανε"):
+        w = w[:-3]
+        sliced = True
+        test1 = False
+        if w[-1:] in _EL_V2:
+            w += "αν"
+        elif w in _EL_5BN_SET:
+            w += "αν"
+    # step5c
+    if dele(_EL_5C):
+        test1 = False
+    if w.endswith("ετε"):
+        w = w[:-3]
+        sliced = True
+        test1 = False
+        if w[-1:] in _EL_V2:
+            w += "ετ"
+            if w in _EL_5CX_SET:
+                w += "ετ"
+        elif _el_suf(w, _EL_5CE) is not None:
+            w += "ετ"
+        elif w in _EL_5CX_SET:
+            w += "ετ"
+    # step5d
+    if dele(_EL_5D1):
+        test1 = False
+        if w == "αρχ":
+            w += "οντ"
+        elif w.endswith("κρε"):
+            w += "ωντ"
+    if dele(_EL_5D2):
+        test1 = False
+        if w == "ον":
+            w += "ομαστ"
+    # step5e
+    if w.endswith("ιεστε"):
+        w = w[:-5]
+        sliced = True
+        test1 = False
+        if w in _EL_5E1X_SET:
+            w += "ιεστ"
+    if w.endswith("εστε"):
+        w = w[:-4]
+        sliced = True
+        test1 = False
+        if w in _EL_5E2X_SET:
+            w += "ιεστ"
+    # step5f
+    if dele(_EL_5F1):
+        test1 = False
+    if dele(_EL_5F2):
+        test1 = False
+        if _el_suf(w, _EL_5F2E) is not None:
+            w += "ηκ"
+        elif w in _EL_5F2X_SET:
+            w += "ηκ"
+    # step5g
+    if dele(_EL_5G):
+        test1 = False
+        if _el_suf(w, _EL_5GE) is not None:
+            w += "ουσ"
+        elif w in _EL_5GX_SET:
+            w += "ουσ"
+    # step5h
+    if dele(_EL_5H):
+        test1 = False
+        if w in _EL_5HX_SET:
+            w += "ησ"
+    # step5i
+    if dele(_EL_5I):
+        test1 = False
+        if w.endswith("κολλ"):
+            w += "αγ"
+        else:
+            hit = _el_suf(w, _EL_5IE)
+            if hit is not None:
+                if hit[1] == 1:
+                    w += "αγ"
+            elif w in _EL_5IX_SET:
+                w += "αγ"
+    # step5j
+    if dele(_EL_5J):
+        test1 = False
+        if w in _EL_5JX_SET:
+            w += "ηστ"
+    # step5k
+    if dele(_EL_5K):
+        test1 = False
+        if w in _EL_5KX_SET:
+            w += "ουν"
+    # step5l
+    if dele(_EL_5L):
+        test1 = False
+        if w in _EL_5LX_SET:
+            w += "ουμ"
+    # step6
+    hit = _el_suf(w, _EL_S6B)
+    if hit is not None:
+        w = w[: -len(hit)] + "μα"
+        sliced = True
+    # step7
+    if test1:
+        dele(_EL_S7D)
+    # comparatives
+    dele(_EL_COMP)
+    # ts_lexize parity: an empty stem yields the original word
+    return word if w == "" else w
+
+
+_EL_S3X_SET = frozenset(_EL_S3X)
+_EL_S5X_SET = frozenset(_EL_S5X)
+_EL_S10X_SET = frozenset(_EL_S10X)
+_EL_S11X_SET = frozenset(_EL_S11X)
+_EL_S15X_SET = frozenset(_EL_S15X)
+_EL_S17X_SET = frozenset(_EL_S17X)
+_EL_5AX_SET = frozenset(_EL_5AX)
+_EL_5BX_SET = frozenset(_EL_5BX)
+_EL_5BN_SET = frozenset(_EL_5BN)
+_EL_5CX_SET = frozenset(_EL_5CX)
+_EL_5E1X_SET = frozenset(_EL_5E1X)
+_EL_5E2X_SET = frozenset(_EL_5E2X)
+_EL_5F2X_SET = frozenset(_EL_5F2X)
+_EL_5GX_SET = frozenset(_EL_5GX)
+_EL_5HX_SET = frozenset(_EL_5HX)
+_EL_5IX_SET = frozenset(_EL_5IX)
+_EL_5JX_SET = frozenset(_EL_5JX)
+_EL_5KX_SET = frozenset(_EL_5KX)
+_EL_5LX_SET = frozenset(_EL_5LX)
+
+
+
 EXTRA_STEMMERS = {
     "romanian": romanian_stem,
     "hungarian": hungarian_stem,
@@ -5177,6 +5594,7 @@ EXTRA_STEMMERS = {
     "serbian": serbian_stem,
     "arabic": arabic_stem,
     "tamil": tamil_stem,
+    "greek": greek_stem,
 }
 
 # ISO-639-1 codes for stemmer.stem() dispatch
@@ -5199,4 +5617,5 @@ EXTRA_CODES = {
     "sr": serbian_stem,
     "ar": arabic_stem,
     "ta": tamil_stem,
+    "el": greek_stem,
 }
