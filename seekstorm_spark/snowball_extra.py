@@ -5577,6 +5577,578 @@ _EL_5LX_SET = frozenset(_EL_5LX)
 
 
 
+# ---------------------------------------------------------------------------
+# Turkish
+# ---------------------------------------------------------------------------
+# Snowball 'turkish' (reference StemmerType::Turkish; Evren Kapusuz
+# Cilden's stemmer). All among tables, vowel-harmony logic, the
+# optional-letter machinery (with the compiled code's double-test
+# quirk: the no-letter path still requires the second-from-cursor
+# char to be in the test group), the nominal-verb or-chain, the noun
+# chain with stacked marks deleted in one cut, the recursive
+# ki-chain, and the postlude (reserved words ad/soyad, append-U after
+# d/g, final devoicing) decoded from dict_snowball.so
+# (turkish_UTF_8_stem + 20 static helper disassemblies).
+# Oracle-verified (scripts/snowball_oracle.py).
+
+_TR_VOWELS = frozenset("aeiou\u00f6\u00fc\u0131")
+_TR_U = frozenset("iu\u00fc\u0131")
+_TR_HARMONY = {
+    "a": "aou\u0131", "e": "ei\u00f6\u00fc", "\u0131": "a\u0131",
+    "i": "ei", "o": "ou", "\u00f6": "\u00f6\u00fc", "u": "ou",
+    "\u00fc": "\u00f6\u00fc",
+}
+_TR_YMUS = ("mi\u015f", "mu\u015f", "m\u0131\u015f", "m\u00fc\u015f")
+_TR_YSA = ("sak", "sek", "sam", "sem", "san", "sen", "sa", "se")
+_TR_YDU = tuple(
+    d + v + k
+    for v in ("i", "u", "\u0131", "\u00fc")
+    for k in ("k", "m", "n", "")
+    for d in ("d", "t")
+)
+_TR_CASINA = ("cas\u0131na", "cesine")
+_TR_DUR = tuple(d + v + "r" for v in ("i", "u", "\u0131", "\u00fc") for d in ("d", "t"))
+_TR_NUZ = ("niz", "nuz", "n\u0131z", "n\u00fcz")
+_TR_LAR = ("lar", "ler")
+_TR_SUNUZ = ("siniz", "sunuz", "s\u0131n\u0131z", "s\u00fcn\u00fcz")
+_TR_YUZ = ("iz", "uz", "\u0131z", "\u00fcz")
+_TR_SUN = ("sin", "sun", "s\u0131n", "s\u00fcn")
+_TR_YUM = ("im", "um", "\u0131m", "\u00fcm")
+_TR_NCA = ("ca", "ce")
+_TR_YLA = ("la", "le")
+_TR_NDAN = ("ndan", "nden")
+_TR_DAN = ("dan", "tan", "den", "ten")
+_TR_NDA = ("nda", "nde")
+_TR_DA = ("da", "ta", "de", "te")
+_TR_NA = ("na", "ne")
+_TR_YA = ("a", "e")
+_TR_NUN = ("in", "un", "\u0131n", "\u00fcn")
+_TR_NU = ("ni", "nu", "n\u0131", "n\u00fc")
+_TR_LARI = ("leri", "lar\u0131")
+_TR_POSS = (
+    "miz", "niz", "muz", "nuz", "m\u0131z", "n\u0131z", "m\u00fcz",
+    "n\u00fcz", "m", "n",
+)
+
+
+def _tr_harmony(w: str, end: int) -> bool:
+    """Compiled semantics: find the last vowel, then goto-scan the
+    rest of the word leftward for ANY char in that vowel's
+    compatibility set (incompatible vowels are skipped over)."""
+    i = end - 1
+    while i >= 0 and w[i] not in _TR_VOWELS:
+        i -= 1
+    if i < 0:
+        return False
+    s = _TR_HARMONY[w[i]]
+    return any(ch in s for ch in w[:i])
+
+
+def _tr_opt(w: str, c: int, letter: str, group) -> int | None:
+    """Optional-letter consumption with the compiled double-test
+    quirk: succeed iff w[c-2] is in ``group``; consume the letter
+    only when it is present at w[c-1]."""
+    if c >= 2 and w[c - 1] == letter:
+        return c - 1 if w[c - 2] in group else None
+    if c >= 2 and w[c - 2] in group:
+        return c
+    return None
+
+
+def _tr_among(w: str, end: int, sufs) -> int | None:
+    seg = w[:end]
+    for s in sorted(sufs, key=len, reverse=True):
+        if seg.endswith(s):
+            return end - len(s)
+    return None
+
+
+def _mk_ymus(w, end):
+    if not _tr_harmony(w, end):
+        return None
+    p = _tr_among(w, end, _TR_YMUS)
+    if p is None:
+        return None
+    return _tr_opt(w, p, "y", _TR_VOWELS)
+
+
+def _mk_ydu(w, end):
+    if not _tr_harmony(w, end):
+        return None
+    p = _tr_among(w, end, _TR_YDU)
+    if p is None:
+        return None
+    return _tr_opt(w, p, "y", _TR_VOWELS)
+
+
+def _mk_ysa(w, end):
+    p = _tr_among(w, end, _TR_YSA)
+    if p is None:
+        return None
+    return _tr_opt(w, p, "y", _TR_VOWELS)
+
+
+def _mk_yken(w, end):
+    if not w[:end].endswith("ken"):
+        return None
+    return _tr_opt(w, end - 3, "y", _TR_VOWELS)
+
+
+def _mk_simple(sufs, harmony=True):
+    def mk(w, end):
+        if harmony and not _tr_harmony(w, end):
+            return None
+        return _tr_among(w, end, sufs)
+    return mk
+
+
+_mk_casina = _mk_simple(_TR_CASINA, harmony=False)
+_mk_sunuz = _mk_simple(_TR_SUNUZ, harmony=False)
+_mk_lari = _mk_simple(_TR_LARI, harmony=False)
+_mk_lar = _mk_simple(_TR_LAR)
+_mk_dur = _mk_simple(_TR_DUR)
+_mk_sun = _mk_simple(_TR_SUN)
+_mk_nuz = _mk_simple(_TR_NUZ)
+_mk_nu = _mk_simple(_TR_NU)
+_mk_na = _mk_simple(_TR_NA)
+_mk_da = _mk_simple(_TR_DA)
+_mk_nda = _mk_simple(_TR_NDA)
+_mk_dan = _mk_simple(_TR_DAN)
+_mk_ndan = _mk_simple(_TR_NDAN)
+
+
+def _mk_yum(w, end):
+    if not _tr_harmony(w, end):
+        return None
+    p = _tr_among(w, end, _TR_YUM)
+    if p is None:
+        return None
+    return _tr_opt(w, p, "y", _TR_VOWELS)
+
+
+def _mk_yuz(w, end):
+    if not _tr_harmony(w, end):
+        return None
+    p = _tr_among(w, end, _TR_YUZ)
+    if p is None:
+        return None
+    return _tr_opt(w, p, "y", _TR_VOWELS)
+
+
+def _mk_nca(w, end):
+    if not _tr_harmony(w, end):
+        return None
+    p = _tr_among(w, end, _TR_NCA)
+    if p is None:
+        return None
+    return _tr_opt(w, p, "n", _TR_VOWELS)
+
+
+def _mk_nun(w, end):
+    if not _tr_harmony(w, end):
+        return None
+    p = _tr_among(w, end, _TR_NUN)
+    if p is None:
+        return None
+    return _tr_opt(w, p, "n", _TR_VOWELS)
+
+
+def _mk_yla(w, end):
+    if not _tr_harmony(w, end):
+        return None
+    p = _tr_among(w, end, _TR_YLA)
+    if p is None:
+        return None
+    return _tr_opt(w, p, "y", _TR_VOWELS)
+
+
+def _mk_ya(w, end):
+    if not _tr_harmony(w, end):
+        return None
+    p = _tr_among(w, end, _TR_YA)
+    if p is None:
+        return None
+    return _tr_opt(w, p, "y", _TR_VOWELS)
+
+
+def _mk_su(w, end):
+    if not _tr_harmony(w, end):
+        return None
+    if end < 1 or w[end - 1] not in _TR_U:
+        return None
+    return _tr_opt(w, end - 1, "s", _TR_VOWELS)
+
+
+def _mk_yu(w, end):
+    if not _tr_harmony(w, end):
+        return None
+    if end < 1 or w[end - 1] not in _TR_U:
+        return None
+    return _tr_opt(w, end - 1, "y", _TR_VOWELS)
+
+
+def _mk_poss(w, end):
+    p = _tr_among(w, end, _TR_POSS)
+    if p is None:
+        return None
+    if p >= 2 and w[p - 1] in _TR_U:
+        return p - 1 if w[p - 2] not in _TR_VOWELS else None
+    if p >= 2 and w[p - 2] not in _TR_VOWELS:
+        return p
+    return None
+
+
+def _tr_ki_try(w, end):
+    """eq 'ki' at the current seam, then the chain (which protects
+    w[end:]); returns (w, end, fired)."""
+    if w[:end].endswith("ki"):
+        return _tr_chain(w, end, end - 2)
+    return w, end, False
+
+
+def _tr_chain(w, end, kipos):
+    # deletions splice [pos, end) out of w, keeping the tail
+    def cut(pos, wx, endx):
+        return wx[:pos] + wx[endx:], pos
+
+    p = _mk_da(w, kipos)
+    if p is not None:
+        w, end = cut(p, w, end)
+        p2 = _mk_lar(w, end)
+        if p2 is not None:
+            w, end = cut(p2, w, end)
+            w, end, _ = _tr_ki_try(w, end)
+            return w, end, True
+        p3 = _mk_poss(w, end)
+        if p3 is not None:
+            w, end = cut(p3, w, end)
+            p4 = _mk_lar(w, end)
+            if p4 is not None:
+                w, end = cut(p4, w, end)
+                w, end, _ = _tr_ki_try(w, end)
+            return w, end, True
+        return w, end, True
+    p = _mk_nun(w, kipos)
+    if p is not None:
+        w, end = cut(p, w, end)
+        p2 = _mk_lari(w, end)
+        if p2 is not None:
+            w, end = cut(p2, w, end)
+            return w, end, True
+        p3 = _mk_poss(w, end)
+        if p3 is None:
+            p3 = _mk_su(w, end)
+        if p3 is not None:
+            w, end = cut(p3, w, end)
+            p4 = _mk_lar(w, end)
+            if p4 is not None:
+                w, end = cut(p4, w, end)
+                w, end, _ = _tr_ki_try(w, end)
+            return w, end, True
+        w, end, _ = _tr_ki_try(w, end)
+        return w, end, True
+    p = _mk_nda(w, kipos)
+    if p is not None:
+        p2 = _mk_lari(w, p)
+        if p2 is not None:
+            w, end = cut(p2, w, end)
+            return w, end, True
+        p3 = _mk_su(w, p)
+        if p3 is not None:
+            w, end = cut(p3, w, end)
+            p4 = _mk_lar(w, end)
+            if p4 is not None:
+                w, end = cut(p4, w, end)
+                w, end, _ = _tr_ki_try(w, end)
+            return w, end, True
+        return _tr_ki_try(w, p)
+    return w, end, False
+
+
+def turkish_stem(word: str) -> str:
+    w = word
+    if sum(1 for ch in w if ch in _TR_VOWELS) < 2:
+        return w
+    # ---- stem_nominal_verb_suffixes ----
+    cont = True
+    done = False
+    n = len(w)
+    p = _mk_ymus(w, n)
+    if p is not None:
+        w = w[:p]
+        done = True
+    if not done:
+        p = _mk_ydu(w, n)
+        if p is not None:
+            w = w[:p]
+            done = True
+    if not done:
+        p = _mk_ysa(w, n)
+        if p is not None:
+            w = w[:p]
+            done = True
+    if not done:
+        p = _mk_yken(w, n)
+        if p is not None:
+            w = w[:p]
+            done = True
+    if not done:
+        p = _mk_casina(w, n)
+        if p is not None:
+            q = _mk_sunuz(w, p)
+            if q is None:
+                q = _mk_lar(w, p)
+            if q is None:
+                q = _mk_yum(w, p)
+            if q is None:
+                q = _mk_sun(w, p)
+            if q is None:
+                q = _mk_yuz(w, p)
+            if q is None:
+                q = p
+            r = _mk_ymus(w, q)
+            if r is not None:
+                w = w[:r]
+                done = True
+    if not done:
+        p = _mk_lar(w, n)
+        if p is not None:
+            w = w[:p]
+            cont = False
+            q = _mk_dur(w, len(w))
+            if q is None:
+                q = _mk_ydu(w, len(w))
+            if q is None:
+                q = _mk_ysa(w, len(w))
+            if q is None:
+                q = _mk_ymus(w, len(w))
+            if q is not None:
+                w = w[:q]
+            done = True
+    if not done:
+        p = _mk_nuz(w, n)
+        if p is not None:
+            q = _mk_ydu(w, p)
+            if q is None:
+                q = _mk_ysa(w, p)
+            if q is not None:
+                w = w[:q]
+                done = True
+    if not done:
+        p = _mk_sunuz(w, n)
+        if p is None:
+            p = _mk_yuz(w, n)
+        if p is None:
+            p = _mk_sun(w, n)
+        if p is None:
+            p = _mk_yum(w, n)
+        if p is not None:
+            w = w[:p]
+            done = True
+            q = _mk_ymus(w, len(w))
+            if q is not None:
+                w = w[:q]
+    if not done:
+        p = _mk_dur(w, n)
+        if p is not None:
+            w = w[:p]
+            q = _mk_sunuz(w, len(w))
+            if q is None:
+                q = _mk_lar(w, len(w))
+            if q is None:
+                q = _mk_yum(w, len(w))
+            if q is None:
+                q = _mk_sun(w, len(w))
+            if q is None:
+                q = _mk_yuz(w, len(w))
+            if q is None:
+                q = len(w)
+            r = _mk_ymus(w, q)
+            if r is not None:
+                w = w[:r]
+            done = True
+    # ---- stem_noun_suffixes (only when continue flag still set) ----
+    if cont:
+        w = _tr_noun(w)
+    # ---- postlude ----
+    if w in ("ad", "soyad"):
+        return w
+    if w.endswith(("d", "g")):
+        for i in range(len(w) - 1, -1, -1):
+            if w[i] in _TR_VOWELS:
+                v = w[i]
+                if v in "a\u0131":
+                    w += "\u0131"
+                elif v in "ei":
+                    w += "i"
+                elif v in "ou":
+                    w += "u"
+                else:
+                    w += "\u00fc"
+                break
+    last = w[-1:]
+    if last == "b":
+        w = w[:-1] + "p"
+    elif last == "c":
+        w = w[:-1] + "\u00e7"
+    elif last == "d":
+        w = w[:-1] + "t"
+    elif last == "\u011f":
+        w = w[:-1] + "k"
+    # ts_lexize parity: an empty stem yields the original word
+    return word if w == "" else w
+
+
+def _tr_noun(w: str) -> str:
+    n = len(w)
+
+    def kit(wx):
+        w2, _, _ = _tr_ki_try(wx, len(wx))
+        return w2
+
+    # N1: lAr
+    p = _mk_lar(w, n)
+    if p is not None:
+        return kit(w[:p])
+    # N2: ncA
+    p = _mk_nca(w, n)
+    if p is not None:
+        w = w[:p]
+        p2 = _mk_lari(w, len(w))
+        if p2 is not None:
+            return w[:p2]
+        p3 = _mk_poss(w, len(w))
+        if p3 is not None:
+            w = w[:p3]
+            p4 = _mk_lar(w, len(w))
+            if p4 is not None:
+                return kit(w[:p4])
+            return w
+        p5 = _mk_su(w, len(w))
+        if p5 is not None:
+            w = w[:p5]
+            p6 = _mk_lar(w, len(w))
+            if p6 is not None:
+                return kit(w[:p6])
+            return w
+        p7 = _mk_lar(w, len(w))
+        if p7 is not None:
+            return kit(w[:p7])
+        return w
+    # N3: (ndA or nA) -- marks only; the single cut spans the stack
+    for mk in (_mk_nda, _mk_na):
+        p = mk(w, n)
+        if p is not None:
+            p2 = _mk_lari(w, p)
+            if p2 is not None:
+                return w[:p2]
+            p3 = _mk_su(w, p)
+            if p3 is not None:
+                w = w[:p3]
+                p4 = _mk_lar(w, len(w))
+                if p4 is not None:
+                    return kit(w[:p4])
+                return w
+            w2, _, fired = _tr_ki_try(w, p)
+            if fired:
+                return w2
+            break
+    # N4: ndAn / nU with (sU or lArI)
+    for mk in (_mk_ndan, _mk_nu):
+        p = mk(w, n)
+        if p is not None:
+            p2 = _mk_su(w, p)
+            if p2 is not None:
+                w = w[:p2]
+                p3 = _mk_lar(w, len(w))
+                if p3 is not None:
+                    return kit(w[:p3])
+                return w
+            p4 = _mk_lari(w, p)
+            if p4 is not None:
+                return w[:p4]
+            break
+    # N6: DAn
+    p = _mk_dan(w, n)
+    if p is not None:
+        w = w[:p]
+        p2 = _mk_poss(w, len(w))
+        if p2 is not None:
+            w = w[:p2]
+            p3 = _mk_lar(w, len(w))
+            if p3 is not None:
+                return kit(w[:p3])
+            return w
+        p4 = _mk_lar(w, len(w))
+        if p4 is not None:
+            return kit(w[:p4])
+        return kit(w)
+    # N7: nUn / ylA
+    for mk in (_mk_nun, _mk_yla):
+        p = mk(w, n)
+        if p is not None:
+            w = w[:p]
+            p2 = _mk_lar(w, len(w))
+            if p2 is not None:
+                w = w[:p2]
+                w2, _, fired = _tr_ki_try(w, len(w))
+                if fired:
+                    return w2
+            p3 = _mk_poss(w, len(w))
+            if p3 is None:
+                p3 = _mk_su(w, len(w))
+            if p3 is not None:
+                w = w[:p3]
+                p4 = _mk_lar(w, len(w))
+                if p4 is not None:
+                    w = w[:p4]
+                    w2, _, fired = _tr_ki_try(w, len(w))
+                    if fired:
+                        return w2
+                return w
+            return kit(w)
+    # N9: lArI alone
+    p = _mk_lari(w, n)
+    if p is not None:
+        return w[:p]
+    # ki-chain directly
+    w2, _, fired = _tr_ki_try(w, len(w))
+    if fired:
+        return w2
+    # N10: DA / yU / yA with possessive continuation
+    for mk in (_mk_da, _mk_yu, _mk_ya):
+        p = mk(w, n)
+        if p is not None:
+            w = w[:p]
+            p2 = _mk_poss(w, len(w))
+            if p2 is not None:
+                w = w[:p2]
+                p3 = _mk_lar(w, len(w))
+                if p3 is not None:
+                    return kit(w[:p3])
+                return w
+            p4 = _mk_lar(w, len(w))
+            if p4 is not None:
+                return kit(w[:p4])
+            return w
+    # N13: possessives / sU at top level
+    p = _mk_poss(w, n)
+    if p is not None:
+        w = w[:p]
+        p2 = _mk_lar(w, len(w))
+        if p2 is not None:
+            return kit(w[:p2])
+        return w
+    p = _mk_su(w, n)
+    if p is not None:
+        w = w[:p]
+        p2 = _mk_lar(w, len(w))
+        if p2 is not None:
+            return kit(w[:p2])
+        return w
+    return w
+
+
 EXTRA_STEMMERS = {
     "romanian": romanian_stem,
     "hungarian": hungarian_stem,
@@ -5595,6 +6167,7 @@ EXTRA_STEMMERS = {
     "arabic": arabic_stem,
     "tamil": tamil_stem,
     "greek": greek_stem,
+    "turkish": turkish_stem,
 }
 
 # ISO-639-1 codes for stemmer.stem() dispatch
@@ -5618,4 +6191,5 @@ EXTRA_CODES = {
     "ar": arabic_stem,
     "ta": tamil_stem,
     "el": greek_stem,
+    "tr": turkish_stem,
 }
