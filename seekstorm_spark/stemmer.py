@@ -165,11 +165,15 @@ def stem(word: str, lang: str = "en") -> str:
     """Stem ``word``: ``en`` → original Porter (here; the reference's
     StemmerType::Porter), ``en2`` → Porter2 (StemmerType::English),
     ``de``/``fr``/``es``/``sv``/``no``/``da``/``nl``/``pt``/``it``/
-    ``ru`` → snowball.py, ``ro``/``hu``/``fi`` → snowball_extra.py —
-    all oracle-verified against the compiled Snowball stemmers. Other
-    languages pass through unchanged (documented gap — the reference
-    ships 38 rust-stemmers languages behind this same per-index hook,
-    index.rs:641-722). For a multilingual corpus, route each language
+    ``ru`` → snowball.py, and ``ro hu fi ga hy ca hi id ne eu lt yi
+    sr ar ta el tr`` → snowball_extra.py — every port verified to
+    zero mismatches against the compiled Snowball stemmers
+    (scripts/snowball_oracle.py), covering 28 of the reference's 38
+    rust-stemmers languages behind this same per-index hook
+    (index.rs:641-722). The remaining 9 (czech, dutch_porter,
+    esperanto, estonian, lovins, persian, polish, sesotho, ukrainian)
+    have no obtainable oracle in-container and pass through unchanged
+    (documented gap). For a multilingual corpus, route each language
     partition through its own index (the corpus schema's ``lang``
     column is the natural partition key)."""
     if lang == "en":
