@@ -34,7 +34,40 @@ MAX_POSITIONS_PER_TERM = 65_536
 TOKEN_PER_FIELD_MAX = 65_536
 
 # UnicodeAlphanumeric: token = word char, then word chars and + - #.
-_RE_UNICODE_ALNUM = re.compile(r"\w[\w+#-]*", re.UNICODE)
+def _combining_mark_class() -> str:
+    """Character-class snippet for combining marks that the
+    reference's tokenizer keeps inside tokens. Rust's
+    ``char::is_alphanumeric`` (tokenizer.rs:85) uses the Unicode
+    Alphabetic property, which includes Other_Alphabetic marks
+    (Devanagari matras, Tamil vowel signs, Hebrew points, Arabic
+    harakat) that Python's ``\\w`` excludes — without them every
+    Indic/pointed word shatters into per-consonant fragments.
+    Viramas (canonical combining class 9, e.g. Devanagari U+094D,
+    Tamil pulli U+0BCD) are NOT Alphabetic in Rust either and stay
+    token breaks on both sides."""
+    import unicodedata
+
+    ranges = []
+    start = prev = None
+    for cp in range(0x0300, 0x3000):
+        ch = chr(cp)
+        if unicodedata.category(ch) in ("Mn", "Mc") and unicodedata.combining(ch) != 9:
+            if prev is not None and cp == prev + 1:
+                prev = cp
+            else:
+                if start is not None:
+                    ranges.append((start, prev))
+                start = prev = cp
+    if start is not None:
+        ranges.append((start, prev))
+    return "".join(
+        f"\\u{a:04x}-\\u{b:04x}" if a != b else f"\\u{a:04x}"
+        for a, b in ranges
+    )
+
+
+_MARKS = _combining_mark_class()
+_RE_UNICODE_ALNUM = re.compile(rf"[\w{_MARKS}][\w{_MARKS}+#-]*", re.UNICODE)
 # AsciiAlphabetic: runs of a-z after ascii lowercasing.
 _RE_ASCII_ALPHA = re.compile(r"[a-z]+")
 
