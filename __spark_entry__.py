@@ -675,6 +675,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size(tokenize_udf(F.col("text"))).cast("long").alias("n_tokens"),
         )
     )
+    def _q_tokenize_marks(s, d):
+        # Combining-mark tokenizer parity (tokenizer.rs:85 —
+        # Other_Alphabetic marks stay inside tokens, viramas split):
+        # driver-checkable golden row; input is a VALUES literal, so
+        # it is sf-independent. Oracle = hand-transcribed expected
+        # tokens (DuckDB cannot express the mark class in RE2).
+        rows = s.sql(
+            "SELECT * FROM VALUES "
+            "(0, '\u092e\u0947\u0930\u0940 \u0915\u093f\u0924\u093e\u092c\u094b\u0902 "
+            "\u0905\u091a\u094d\u091b\u0940 \u0939\u0948\u0902'), "
+            "(1, '\u0bb5\u0bc0\u0b9f\u0bc1\u0b95\u0bb3\u0bbf\u0bb2\u0bcd "
+            "\u0b87\u0bb0\u0bc1\u0ba8\u0bcd\u0ba4\u0bc1'), "
+            "(2, '\u05d3\u05d0\u05e1 \u05d1\u05d5\u05da \u05d0\u05d9\u05d6 \u05d2\u05d5\u05d8'), "
+            "(3, '\u0639\u064e\u0631\u064e\u0628\u0650\u064a\u0651 \u0643\u0650\u062a\u064e\u0627\u0628'), "
+            "(4, 'c++ and c# in x-ray') AS t(sid, s)"
+        )
+        return (
+            rows.select("sid", F.posexplode(tokenize_udf(F.col("s"))))
+            .select(
+                F.col("sid").cast("long").alias("sid"),
+                F.col("pos").cast("long").alias("pos"),
+                F.col("col").alias("token"),
+            )
+        )
+
+    q["tokenize_marks"] = _q_tokenize_marks
     q["term_df"] = lambda s, d: (
         tokens(_docs(s, d))
         .groupBy("term")
@@ -3181,6 +3207,10 @@ def oracle_sql() -> dict[str, str]:
     o["tokenize_count"] = (
         "SELECT doc_id, len(list_filter(string_split(text, ' '), "
         "x -> x <> ''))::BIGINT AS n_tokens FROM documents WHERE doc_id < 50"
+    )
+    o["tokenize_marks"] = (
+        "SELECT sid::BIGINT AS sid, pos::BIGINT AS pos, token "
+        "FROM (VALUES (0, 0, 'मेरी'), (0, 1, 'किताबों'), (0, 2, 'अच'), (0, 3, 'छी'), (0, 4, 'हैं'), (1, 0, 'வீடுகளில'), (1, 1, 'இருந'), (1, 2, 'து'), (2, 0, 'דאס'), (2, 1, 'בוך'), (2, 2, 'איז'), (2, 3, 'גוט'), (3, 0, 'عَرَبِيّ'), (3, 1, 'كِتَاب'), (4, 0, 'c++'), (4, 1, 'and'), (4, 2, 'c#'), (4, 3, 'in'), (4, 4, 'x-ray')) AS t(sid, pos, token)"
     )
     o["term_df"] = (
         f"SELECT term, count(DISTINCT doc_id)::BIGINT AS df, "
