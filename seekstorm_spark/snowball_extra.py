@@ -5655,9 +5655,18 @@ def _tr_opt(w: str, c: int, letter: str, group) -> int | None:
     return None
 
 
+_TR_SORTED = {}
+
+
 def _tr_among(w: str, end: int, sufs) -> int | None:
+    try:
+        ordered = _TR_SORTED[sufs]
+    except KeyError:
+        ordered = _TR_SORTED[sufs] = tuple(
+            sorted(sufs, key=len, reverse=True)
+        )
     seg = w[:end]
-    for s in sorted(sufs, key=len, reverse=True):
+    for s in ordered:
         if seg.endswith(s):
             return end - len(s)
     return None
