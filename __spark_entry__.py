@@ -38,6 +38,7 @@ from seekstorm_spark.query.dataframe_engine import (
     bm25_topk,
     doc_lengths,
     phrase_docids,
+    term_df_agg,
     tokenize_udf,
     tokens,
 )
@@ -701,14 +702,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tokenize_marks"] = _q_tokenize_marks
-    q["term_df"] = lambda s, d: (
-        tokens(_docs(s, d))
-        .groupBy("term")
-        .agg(
-            F.countDistinct("docid").cast("long").alias("df"),
-            F.count("*").cast("long").alias("cf"),
-        )
-    )
+    # map-side pre-aggregated twin of tokens().groupBy(term).agg(
+    # countDistinct(docid), count(*)) — integer-exact, shuffles
+    # vocabulary-sized partials instead of corpus-sized token rows
+    q["term_df"] = lambda s, d: term_df_agg(_docs(s, d))
     q["doc_length_quantized"] = lambda s, d: (
         doc_lengths(_docs(s, d), s).select(
             "docid",
@@ -2575,8 +2572,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- similarity search ---
     def ann_query_vec(s: SparkSession, d: str) -> list[float]:
-        row = _emb(s, d).filter(F.col("vec_id") == 0).select("embedding").first()
-        return [float(x) for x in row["embedding"]]
+        # driver-side pyarrow point read (the engine's zero-job probe
+        # pattern, cf. query/docstore.py): fetching ONE known row via
+        # a Spark .first() costs a whole scheduled job (~0.2 s) inside
+        # every ann_* query's timed region. Identical floats: same
+        # parquet values, same float32 → float64 widening.
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(f"{d}/embeddings.parquet").to_table(
+            columns=["embedding"], filter=pads.field("vec_id") == 0
+        )
+        return [float(x) for x in tbl.column("embedding")[0].as_py()]
 
     q["ann_cosine_topk"] = lambda s, d: cosine_topk(
         _emb(s, d).filter(F.col("vec_id") != 0), ann_query_vec(s, d), k=10

@@ -86,24 +86,45 @@ def jaccard_pairs(
     """(docid_a, docid_b, jaccard) for pairs ≥ threshold.
 
     Candidate pairs come from co-occurring shingles (inverted-index
-    join), intersection size from the pair count, union via
+    style), intersection size from the pair count, union via
     inclusion–exclusion — the same |A∪B| = |A|+|B|−|A∩B| trick the
-    reference uses for union counts (`union.rs:1236-1248`)."""
+    reference uses for union counts (`union.rs:1236-1248`).
+
+    Pair generation is ONE groupBy(shingle) + an in-row pair expansion
+    over the sorted posting list (JVM higher-order functions) instead
+    of the former self-join on shingle: the same pairs, minus two
+    exchanges and a duplicate pass over the shingle table (guide
+    §2.4). Per-row pair memory is bounded by the skew guard
+    (``max_docs_per_shingle``² structs worst case)."""
     sh = shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("docid").agg(F.count("*").alias("n_sh"))
-    # drop shingles too frequent to be discriminative (skew guard)
-    freq_ok = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_docs_per_shingle)
-        .select("shingle")
+    ds = F.col("ds")
+    # all (ds[i], ds[j]) with i < j over the ASCENDING doc list — the
+    # exact pair set the old a⋈b self-join produced (docid_a < docid_b)
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(
+                    x.alias("docid_a"), y.alias("docid_b")
+                ),
+            ),
+        )
     )
-    sh2 = sh.join(freq_ok, "shingle")
-    a = sh2.select(F.col("docid").alias("docid_a"), "shingle")
-    b = sh2.select(F.col("docid").alias("docid_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("docid_a") < F.col("docid_b"))
+        sh.groupBy("shingle")
+        .agg(
+            F.sort_array(F.collect_list("docid")).alias("ds"),
+            F.count("*").alias("df"),
+        )
+        # drop shingles too frequent to be discriminative (skew
+        # guard); singleton shingles contribute no pairs
+        .filter(
+            (F.col("df") <= max_docs_per_shingle) & (F.col("df") >= 2)
+        )
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.docid_a", "p.docid_b")
         .groupBy("docid_a", "docid_b")
         .agg(F.count("*").alias("n_common"))
     )

@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
-from seekstorm_spark.quantization import DOCUMENT_LENGTH_COMPRESSION
+from seekstorm_spark.quantization import (
+    DOCUMENT_LENGTH_COMPRESSION,
+    int_to_byte4,
+)
 from seekstorm_spark.scoring import B, K
 from seekstorm_spark.tokenizer import tokenize_line
 
@@ -39,12 +42,33 @@ def tokenize_udf(texts: pd.Series) -> pd.Series:
 def quantization_table(spark: SparkSession) -> DataFrame:
     """256-row (dl_lo, dl_hi, dl_q) range table; joining
     ``dl_raw BETWEEN dl_lo AND dl_hi`` implements int_to_byte4 →
-    byte4_to_int exactly (reference index.rs:4232-4279)."""
+    byte4_to_int exactly (reference index.rs:4232-4279).
+
+    Built as a ``VALUES`` literal (LocalTableScan): an RDD-backed
+    ``createDataFrame`` schedules a ~200 ms job every time the table
+    is broadcast, a VALUES relation none (CLAUDE.md sharp edge)."""
     t = DOCUMENT_LENGTH_COMPRESSION
     rows = [
         (t[b], (t[b + 1] - 1) if b < 255 else (1 << 31), t[b]) for b in range(256)
     ]
-    return spark.createDataFrame(rows, "dl_lo long, dl_hi long, dl_q long")
+    vals = ", ".join(f"({lo}L, {hi}L, {q}L)" for lo, hi, q in rows)
+    return spark.sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(dl_lo, dl_hi, dl_q)"
+    )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism for a Python tokenize pass: a small
+    corpus (one parquet file → one scan task) is round-robin
+    repartitioned to the cluster's default parallelism so the pass
+    runs wide; an input that already scans wider than the cluster is
+    left alone (no full-corpus shuffle at scale — guide §2.5/§6.1).
+    Results are unaffected: every doc's rows stay within one task."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def tokens(docs: DataFrame, docid_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -52,6 +76,52 @@ def tokens(docs: DataFrame, docid_col: str = "doc_id", text_col: str = "text") -
     return docs.select(
         F.col(docid_col).alias("docid"),
         F.posexplode(tokenize_udf(F.col(text_col))).alias("pos", "term"),
+    )
+
+
+def term_df_agg(
+    docs: DataFrame, docid_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, df, cf) — identical to
+    ``tokens(docs).groupBy("term").agg(countDistinct(docid), count(*))``
+    but MAP-SIDE PRE-AGGREGATED inside the tokenize pass (guide §2.3
+    "aggregate before you shuffle"): each task emits one partial row
+    per distinct term instead of one exploded row per token, so the
+    Arrow boundary and the shuffle carry vocabulary-sized data, not
+    corpus-sized. Exact because every doc is tokenized in exactly one
+    task: per-task distinct-doc counts sum to the global df, per-task
+    occurrence counts to the global cf (all integer arithmetic)."""
+
+    def _agg(batches):
+        from collections import Counter
+
+        df_c: Counter = Counter()
+        cf_c: Counter = Counter()
+        for pdf in batches:
+            for text in pdf[text_col].values:
+                toks = tokenize_line(text or "")
+                cf_c.update(toks)
+                df_c.update(frozenset(toks))
+        if cf_c:
+            terms = list(cf_c.keys())
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    "df_p": pd.Series(
+                        [df_c[t] for t in terms], dtype="int64"
+                    ),
+                    "cf_p": pd.Series(
+                        [cf_c[t] for t in terms], dtype="int64"
+                    ),
+                }
+            )
+
+    partial = _spread(docs.select(text_col)).mapInPandas(
+        _agg, schema="term string, df_p long, cf_p long"
+    )
+    return partial.groupBy("term").agg(
+        F.sum("df_p").cast("long").alias("df"),
+        F.sum("cf_p").cast("long").alias("cf"),
     )
 
 
@@ -89,22 +159,32 @@ def query_term_rows(
     matched query term — everything BM25 needs without re-tokenizing
     the corpus for dl, df and tf separately. ``with_positions`` adds
     each matched term's token positions, so phrase adjacency can run
-    from the SAME pass (no second corpus tokenize)."""
+    from the SAME pass (no second corpus tokenize).
+
+    ``dl_q`` (the SmallFloat byte4 round-trip of ``dl_raw``) is
+    computed here in Python — integer-exact vs the 256-row range-join
+    it replaces — so consumers skip two BroadcastNestedLoopJoins
+    (256 predicate evaluations per row each; guide §4.2)."""
     term_set = frozenset(terms)
+    decode = DOCUMENT_LENGTH_COMPRESSION
 
     def _tok(batches):
         from collections import defaultdict
 
         for pdf in batches:
             out_doc, out_term, out_dl, out_tf = [], [], [], []
+            out_dlq: list[int] = []
             out_pos: list[list[int] | None] = []
             for docid, text in zip(pdf[docid_col].values, pdf[text_col].values):
                 toks = tokenize_line(text or "")
                 did = int(docid)
+                n = len(toks)
+                dlq = decode[int_to_byte4(n)]
                 out_doc.append(did)
                 out_term.append("")
-                out_dl.append(len(toks))
+                out_dl.append(n)
                 out_tf.append(0)
+                out_dlq.append(dlq)
                 out_pos.append(None)
                 hits: dict[str, list[int]] = defaultdict(list)
                 for i, t in enumerate(toks):
@@ -113,23 +193,27 @@ def query_term_rows(
                 for t, plist in hits.items():
                     out_doc.append(did)
                     out_term.append(t)
-                    out_dl.append(len(toks))
+                    out_dl.append(n)
                     out_tf.append(len(plist))
+                    out_dlq.append(dlq)
                     out_pos.append(plist if with_positions else None)
             frame = {
                 "docid": pd.Series(out_doc, dtype="int64"),
                 "term": out_term,
                 "dl_raw": pd.Series(out_dl, dtype="int64"),
                 "tf": pd.Series(out_tf, dtype="int64"),
+                "dl_q": pd.Series(out_dlq, dtype="int64"),
             }
             if with_positions:
                 frame["positions"] = out_pos
             yield pd.DataFrame(frame)
 
-    schema = "docid long, term string, dl_raw long, tf long"
+    schema = "docid long, term string, dl_raw long, tf long, dl_q long"
     if with_positions:
         schema += ", positions array<int>"
-    return docs.select(docid_col, text_col).mapInPandas(_tok, schema=schema)
+    return _spread(docs.select(docid_col, text_col)).mapInPandas(
+        _tok, schema=schema
+    )
 
 
 def bm25_scored(
@@ -147,18 +231,20 @@ def bm25_scored(
     semantics via HAVING count); OR = any; NOT terms anti-joined.
     idf/avgdl per reference math (scoring.py), computed in float64 —
     corpus stats arrive as a 1-row cross-joined DataFrame (no per-query
-    ``collect``), and the corpus is tokenized exactly ONCE per query.
+    ``collect``), and the corpus is tokenized exactly ONCE per query:
+    the term-row pass is ``localCheckpoint``-materialized (tiny —
+    one sentinel row per doc plus matched-term rows), so the stats and
+    df broadcast subtrees re-read it instead of re-running the Python
+    tokenize (guide §2.4/§5: the heavy pass runs once, the light
+    consumers share it).
     """
     not_terms = not_terms or []
     q = [t for t in dict.fromkeys(query_terms)]  # dedup, keep order
-    rows = query_term_rows(docs, list(q) + list(not_terms), docid_col, text_col)
+    rows = query_term_rows(
+        docs, list(q) + list(not_terms), docid_col, text_col
+    ).localCheckpoint()
 
-    quant = F.broadcast(quantization_table(spark))
-    dl = (
-        rows.filter(F.col("term") == "")
-        .join(quant, (F.col("dl_raw") >= quant.dl_lo) & (F.col("dl_raw") <= quant.dl_hi), "left")
-        .select("docid", "dl_q")
-    )
+    dl = rows.filter(F.col("term") == "").select("docid", "dl_q")
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl_q") / F.count("*")).alias("avgdl"),
@@ -168,11 +254,6 @@ def bm25_scored(
     df_tbl = term_rows.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         term_rows.join(F.broadcast(df_tbl), "term")
-        .join(
-            quant,
-            (F.col("dl_raw") >= quant.dl_lo) & (F.col("dl_raw") <= quant.dl_hi),
-            "left",
-        )
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
@@ -380,20 +461,15 @@ def bm25_phrase_topk(
     ONE corpus tokenize pass: ``query_term_rows`` carries each matched
     term's positions, scoring and the positional adjacency check both
     read it — the adjacency predicate is a JVM-side ``exists`` over
-    the per-term position arrays (no second scan, no self-join)."""
+    the per-term position arrays (no second scan, no self-join). The
+    pass is ``localCheckpoint``-materialized so the stats/df broadcast
+    subtrees share it instead of re-tokenizing (guide §2.4/§5)."""
     q = list(dict.fromkeys(phrase_terms))
-    rows = query_term_rows(docs, q, docid_col, text_col, with_positions=True)
+    rows = query_term_rows(
+        docs, q, docid_col, text_col, with_positions=True
+    ).localCheckpoint()
 
-    quant = F.broadcast(quantization_table(spark))
-    dl = (
-        rows.filter(F.col("term") == "")
-        .join(
-            quant,
-            (F.col("dl_raw") >= quant.dl_lo) & (F.col("dl_raw") <= quant.dl_hi),
-            "left",
-        )
-        .select("docid", "dl_q")
-    )
+    dl = rows.filter(F.col("term") == "").select("docid", "dl_q")
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl_q") / F.count("*")).alias("avgdl"),
@@ -402,11 +478,6 @@ def bm25_phrase_topk(
     df_tbl = term_rows.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         term_rows.join(F.broadcast(df_tbl), "term")
-        .join(
-            quant,
-            (F.col("dl_raw") >= quant.dl_lo) & (F.col("dl_raw") <= quant.dl_hi),
-            "left",
-        )
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
