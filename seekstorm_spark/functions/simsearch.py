@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType, LongType
 
+from seekstorm_spark.sqlexpr import double_array, long_array
+
 
 def cosine_col(vec_col, query: list[float]):
     """cosine(vec, query) as a built-in column expression (float64)."""
@@ -32,7 +34,7 @@ def cosine_col(vec_col, query: list[float]):
     for x in q:  # sequential f64 sum — matches SQL list_sum order
         acc += x * x
     qnorm = float(np.sqrt(acc))
-    qlit = F.array(*[F.lit(x) for x in q])
+    qlit = double_array(q)
     v = F.transform(vec_col, lambda x: x.cast("double"))
     dot = F.aggregate(
         F.zip_with(v, qlit, lambda a, b: a * b),
@@ -69,7 +71,7 @@ def cosine_topk(
 def dot_col(vec_col, query: list[float]):
     """dot(vec, query) as a built-in column expression (float64) —
     reference Dot similarity (vector_similarity.rs:15-41)."""
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qlit = double_array(query)
     v = F.transform(vec_col, lambda x: x.cast("double"))
     return F.aggregate(
         F.zip_with(v, qlit, lambda a, b: a * b),
@@ -81,7 +83,7 @@ def dot_col(vec_col, query: list[float]):
 def euclidean_col(vec_col, query: list[float]):
     """Euclidean distance ||vec - query|| as a built-in column
     expression (float64) — reference Euclidean similarity."""
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qlit = double_array(query)
     v = F.transform(vec_col, lambda x: x.cast("double"))
     return F.sqrt(
         F.aggregate(
@@ -382,7 +384,7 @@ def turboquant_topk(
     normalized at index time."""
     normalize = similarity == "cosine"
     qcodes, qscale, qnorm = turboquant_query(query, seed, normalize)
-    qlit = F.array(*[F.lit(c).cast("long") for c in qcodes])
+    qlit = long_array(qcodes)
     idot = F.aggregate(
         F.zip_with(
             F.col("codes"), qlit, lambda a, b: a.cast("long") * b

@@ -19,7 +19,7 @@ over 256 rows).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
@@ -244,17 +244,28 @@ def bm25_scored(
         docs, list(q) + list(not_terms), docid_col, text_col
     ).localCheckpoint()
 
-    dl = rows.filter(F.col("term") == "").select("docid", "dl_q")
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        (F.sum("dl_q") / F.count("*")).alias("avgdl"),
-    )
-
     term_rows = rows.filter(F.col("term").isin(q))
-    df_tbl = term_rows.groupBy("term").agg(F.count("*").alias("df"))
+    # ONE broadcast side-table carries BOTH per-term df and the corpus
+    # stats: one groupBy(term) over the checkpointed rows yields the
+    # sentinel row ('' → n_docs, Σdl_q) and each query term's df; the
+    # scalars ride every row via a window over the ≤|q|+1-row
+    # aggregate. Same integer aggregates and the same long/long
+    # division as the former separate stats subtree — bit-identical —
+    # for one broadcast build instead of two (guide §2.4).
+    grp = rows.groupBy("term").agg(
+        F.count("*").alias("cnt"), F.sum("dl_q").alias("sdlq")
+    )
+    w = Window.partitionBy()
+    sent_cnt = F.max(F.when(F.col("term") == "", F.col("cnt"))).over(w)
+    sent_sum = F.max(F.when(F.col("term") == "", F.col("sdlq"))).over(w)
+    comb = (
+        grp.withColumn("n_docs", sent_cnt.cast("double"))
+        .withColumn("avgdl", sent_sum / sent_cnt)
+        .filter(F.col("term").isin(q))
+        .select("term", F.col("cnt").alias("df"), "n_docs", "avgdl")
+    )
     scored = (
-        term_rows.join(F.broadcast(df_tbl), "term")
-        .crossJoin(F.broadcast(stats))
+        term_rows.join(F.broadcast(comb), "term")
         .withColumn(
             "idf",
             F.log(
@@ -469,16 +480,23 @@ def bm25_phrase_topk(
         docs, q, docid_col, text_col, with_positions=True
     ).localCheckpoint()
 
-    dl = rows.filter(F.col("term") == "").select("docid", "dl_q")
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        (F.sum("dl_q") / F.count("*")).alias("avgdl"),
-    )
     term_rows = rows.filter(F.col("term").isin(q))
-    df_tbl = term_rows.groupBy("term").agg(F.count("*").alias("df"))
+    # single broadcast side-table with per-term df + corpus stats —
+    # same construction (and bit-identity argument) as bm25_scored
+    grp = rows.groupBy("term").agg(
+        F.count("*").alias("cnt"), F.sum("dl_q").alias("sdlq")
+    )
+    w = Window.partitionBy()
+    sent_cnt = F.max(F.when(F.col("term") == "", F.col("cnt"))).over(w)
+    sent_sum = F.max(F.when(F.col("term") == "", F.col("sdlq"))).over(w)
+    comb = (
+        grp.withColumn("n_docs", sent_cnt.cast("double"))
+        .withColumn("avgdl", sent_sum / sent_cnt)
+        .filter(F.col("term").isin(q))
+        .select("term", F.col("cnt").alias("df"), "n_docs", "avgdl")
+    )
     scored = (
-        term_rows.join(F.broadcast(df_tbl), "term")
-        .crossJoin(F.broadcast(stats))
+        term_rows.join(F.broadcast(comb), "term")
         .withColumn(
             "idf",
             F.log(

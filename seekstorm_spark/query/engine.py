@@ -75,7 +75,12 @@ from seekstorm_spark.index.builder import (
 from seekstorm_spark.index.store import IndexStore
 from seekstorm_spark.quantization import _DECODE_NP
 from seekstorm_spark.scoring import B, K, idf_f32
+from seekstorm_spark.sqlexpr import double_array, double_array_sql
 from seekstorm_spark.tokenizer import ParsedQuery, parse_query
+
+# static 256-entry SmallFloat decode table as a literal-array SQL
+# string, built once at import (see _annotated_postings)
+_DLQ_ARRAY_SQL = double_array_sql(_DECODE_NP.tolist())
 
 RESULT_SCHEMA = "docid long, score float"
 COUNT_SCHEMA = "matches long"
@@ -1622,7 +1627,7 @@ def facet_range_counts_many(
     # bucket decode keys on (query_id, facet): bound sets may differ
     decode = F.lit(None).cast("double")
     for (qi, fc), bs in bounds_by_qf.items():
-        arr = F.array(*[F.lit(float(b)) for b in bs])
+        arr = double_array(bs)
         decode = F.when(
             (F.col("query_id") == qi) & (F.col("facet") == fc),
             F.element_at(arr, F.col("code").cast("int") + 1),
@@ -2839,7 +2844,7 @@ def geo_range_counts_many(
     )
     decode = F.lit(None).cast("double")
     for (qi, fc), bs in bounds_by_qf.items():
-        arr = F.array(*[F.lit(float(b)) for b in bs])
+        arr = double_array(bs)
         decode = F.when(
             (F.col("query_id") == qi) & (F.col("facet") == fc),
             F.element_at(arr, F.col("code").cast("int") + 1),
@@ -2937,7 +2942,7 @@ def _facet_count_run(
     }
     decode_bounds.update(geo_out_bounds)
     for fc, bounds in decode_bounds.items():
-        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        arr = double_array(bounds)
         expr = F.element_at(arr, F.col("code").cast("int") + 1)
         bounds_arr = (
             expr
@@ -3369,11 +3374,10 @@ def _annotated_postings(
     # valid even when avgdl drifted after the block was written. Per-
     # field rows each contribute boost·idf·comp_ub — an upper bound of
     # the BM25F sum over fields (add_result.rs:1171-1426).
-    from seekstorm_spark.quantization import DOCUMENT_LENGTH_COMPRESSION
-
-    dlq_arr = F.array(
-        *[F.lit(float(v)) for v in DOCUMENT_LENGTH_COMPRESSION]
-    )
+    # The 256-entry decode table is ONE F.expr literal: per-element
+    # F.lit cost ~2 py4j round-trips each, ~0.1 s of plan-build time
+    # on every query (profiled; identical doubles — sqlexpr docstring).
+    dlq_arr = F.expr(_DLQ_ARRAY_SQL)
     min_dlq = F.element_at(dlq_arr, F.col("min_dl_byte") + 1)
 
     def _comp_ub(tf_col):
