@@ -46,10 +46,29 @@ from seekstorm_spark.codecs import ROARING_BLOCK_SIZE
 from seekstorm_spark.index.store import IndexStore
 from seekstorm_spark.quantization import decode_lengths
 
+# One shuffled row per (doc, field, term) PAIR — not per token
+# position (guide §2.3 "aggregate before you shuffle" / §8 "move
+# heavy bytes once"): positions are delta+varint-encoded map-side into
+# ``pos_vb`` (byte-identical chunks of the final posting stream —
+# varints are per-value independent), and the five small int columns
+# ride two packed longs, since an UnsafeRow charges a fixed 8-byte
+# slot per field. At 250k synthetic docs this cut the build shuffle
+# from 66.8M rows × 8 slots to 40M rows × 4 slots.
+#   meta  = field << 40 | dl_byte << 32 | tf        (tf ≤ 65,536)
+#   grams = tf1 << 42 | tf2 << 21 | tf3             (each ≤ 65,536)
 TERM_ROW_SCHEMA = (
-    "docid long, field int, term string, pos int, dl_byte int, "
-    "tf1 int, tf2 int, tf3 int"
+    "docid long, term string, meta long, grams long, pos_vb binary"
 )
+
+
+def term_row_field(col):
+    """int32 field id from a packed term-row ``meta``."""
+    return F.shiftright(col, 40).cast("int")
+
+
+def term_row_dl_byte(col):
+    """int32 dl_byte from a packed term-row ``meta``."""
+    return (F.shiftright(col, 32) % 256).cast("int")
 
 # Multi-field postings: one row per (term, field, block) with the
 # field's tf/positions/dl bytes — the reference's default data model
@@ -235,16 +254,45 @@ def tokenize_to_term_rows(
     field_cols = list(fields) if fields else [text_col]
 
     def _tok(batches):
-        # mapInArrow, not mapInPandas: the output is millions of tiny
-        # per-token rows per batch, and building them as a pandas
-        # DataFrame costs ~17x more than building the Arrow arrays
-        # directly (measured 3.9s vs 0.23s per 4.2M rows — pandas
-        # object-column consolidation, all thrown away at the Arrow
-        # boundary anyway)
+        # mapInArrow, not mapInPandas: the output is hundreds of
+        # thousands of pair rows per batch, and building them as a
+        # pandas DataFrame costs ~17x more than building the Arrow
+        # arrays directly (measured — pandas object-column
+        # consolidation, all thrown away at the Arrow boundary anyway)
         import pyarrow as pa
 
+        from seekstorm_spark.codecs import vb_encode_chunks
         from seekstorm_spark.quantization import int_to_byte4
         from seekstorm_spark.tokenizer import TOKEN_PER_FIELD_MAX, tokenize_line
+
+        def _pairs(doc_idx, codes, positions):
+            """Aggregate occurrence-level (doc index, term code, pos)
+            triples into (doc, term) pairs: returns (index of each
+            pair's first-by-position occurrence, tf per pair, per-pair
+            VB bytes of the position deltas). Occurrences are sorted
+            by (pair key, pos) — the same position interleave the
+            former position-level kernel produced — so the VB chunk
+            per pair is byte-identical to the corresponding slice of
+            the final posting stream (varint values are encoded
+            independently and deltas reset at every pair change)."""
+            key = doc_idx.astype(np.int64) * np.int64(
+                int(codes.max()) + 1 if len(codes) else 1
+            ) + codes
+            order = np.lexsort((positions, key))
+            sk = key[order]
+            first = np.empty(len(sk), dtype=bool)
+            if len(sk):
+                first[0] = True
+                first[1:] = sk[1:] != sk[:-1]
+            starts = np.flatnonzero(first)
+            tf = np.diff(np.append(starts, len(sk)))
+            p_sorted = positions[order]
+            deltas = np.empty_like(p_sorted)
+            if len(p_sorted):
+                deltas[0] = p_sorted[0]
+                deltas[1:] = p_sorted[1:] - p_sorted[:-1] - 1
+                deltas[starts] = p_sorted[starts]
+            return order[starts], tf, vb_encode_chunks(deltas, tf)
 
         for rb in batches:
             docid_in = rb.column(rb.schema.get_field_index("docid")).to_numpy(
@@ -309,6 +357,11 @@ def tokenize_to_term_rows(
                 pos = np.arange(total, dtype=np.int64) - np.repeat(
                     starts, counts_a
                 )
+                didx = np.repeat(
+                    np.arange(len(docs_a), dtype=np.int64), counts_a
+                )
+                terms_arr = np.asarray(all_terms, dtype=object)
+                tcodes = pd.factorize(terms_arr)[0].astype(np.int64)
                 if freq and (bi_patterns or tri_patterns) and total:
                     # N-gram postings: adjacent term pairs/triples
                     # whose frequent/rare shape matches an enabled
@@ -322,22 +375,13 @@ def tokenize_to_term_rows(
                     # touches only the selected gram positions (the
                     # per-doc Counter+loop version cost ~2x the
                     # tokenize itself).
-                    terms_arr = np.asarray(all_terms, dtype=object)
                     isf = pd.Series(terms_arr).isin(freq).to_numpy()
                     doc_rep = np.repeat(docs_a, counts_a)
                     dlb_rep = np.repeat(
                         dlb_a.astype(np.int64), counts_a
                     )
                     # per-(doc, term) tf broadcast back to positions
-                    tcodes = pd.factorize(terms_arr)[0].astype(np.int64)
-                    key = (
-                        np.repeat(
-                            np.arange(len(docs_a), dtype=np.int64),
-                            counts_a,
-                        )
-                        * (int(tcodes.max()) + 1)
-                        + tcodes
-                    )
+                    key = didx * (int(tcodes.max()) + 1) + tcodes
                     _uk, inv, cnt = np.unique(
                         key, return_inverse=True, return_counts=True
                     )
@@ -402,92 +446,90 @@ def tokenize_to_term_rows(
                             tf_pos[sel3 + 2],
                         ]
                     )
-                n_ng = len(ng_doc)
-                n_sy = len(sy_doc)
-                n_rows = total + len(docs_a) + n_ng + n_sy
+                # ---- occurrence → pair aggregation (map-side) ----
+                # ONE aggregation over regular + n-gram + synonym
+                # occurrences: a synonym target colliding with a
+                # regular token of the same doc must merge into ONE
+                # pair with position-interleaved deltas, exactly as
+                # the former position-level shuffle + kernel run-
+                # length produced. Gram payload (tf1-3) is taken from
+                # the pair's first-by-position occurrence — the old
+                # kernel's pair_starts semantics.
+                fid_hi = np.int64(fid) << np.int64(40)
+                n_ng, n_sy = len(ng_doc), len(sy_doc)
+                occ_doc = np.concatenate([
+                    np.repeat(docs_a, counts_a),
+                    np.asarray(ng_doc, dtype=np.int64),
+                    np.asarray(sy_doc, dtype=np.int64),
+                ])
+                occ_term = np.concatenate([
+                    terms_arr,
+                    np.asarray(ng_term, dtype=object),
+                    np.asarray(sy_term, dtype=object),
+                ])
+                occ_pos = np.concatenate([
+                    pos,
+                    np.asarray(ng_pos, dtype=np.int64),
+                    np.asarray(sy_pos, dtype=np.int64),
+                ])
+                occ_dlb = np.concatenate([
+                    np.repeat(dlb_a.astype(np.int64), counts_a),
+                    np.asarray(ng_dlb, dtype=np.int64),
+                    np.asarray(sy_dlb, dtype=np.int64),
+                ])
+                zeros_reg = np.zeros(total, np.int64)
+                zeros_sy = np.zeros(n_sy, np.int64)
+                occ_g1 = np.concatenate(
+                    [zeros_reg, np.asarray(ng_tf1, np.int64), zeros_sy]
+                )
+                occ_g2 = np.concatenate(
+                    [zeros_reg, np.asarray(ng_tf2, np.int64), zeros_sy]
+                )
+                occ_g3 = np.concatenate(
+                    [zeros_reg, np.asarray(ng_tf3, np.int64), zeros_sy]
+                )
+                out_docid = [docs_a]
+                out_terms: list = [""] * len(docs_a)
+                out_meta = [
+                    fid_hi
+                    | (dlb_a.astype(np.int64) << np.int64(32))
+                    | np.int64(1)
+                ]
+                out_grams = [np.zeros(len(docs_a), np.int64)]
+                # sentinel pairs above: term='', tf=1, one position 0
+                # (the clipped pos=-1 of the former sentinel rows) —
+                # byte-identical posting stream for the '' term
+                out_posvb: list[bytes] = [b"\x00"] * len(docs_a)
+                if len(occ_doc):
+                    dcodes = pd.factorize(occ_doc)[0].astype(np.int64)
+                    ocodes = pd.factorize(occ_term)[0].astype(np.int64)
+                    sel, ptf, pvb = _pairs(dcodes, ocodes, occ_pos)
+                    out_docid.append(occ_doc[sel])
+                    out_terms.extend(occ_term[sel].tolist())
+                    out_meta.append(
+                        fid_hi | (occ_dlb[sel] << np.int64(32)) | ptf
+                    )
+                    out_grams.append(
+                        (occ_g1[sel] << np.int64(42))
+                        | (occ_g2[sel] << np.int64(21))
+                        | occ_g3[sel]
+                    )
+                    out_posvb.extend(pvb)
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(
-                            np.concatenate(
-                                [
-                                    np.repeat(docs_a, counts_a),
-                                    docs_a,
-                                    np.asarray(ng_doc, dtype=np.int64),
-                                    np.asarray(sy_doc, dtype=np.int64),
-                                ]
-                            ),
-                            type=pa.int64(),
+                            np.concatenate(out_docid), type=pa.int64()
+                        ),
+                        pa.array(out_terms, type=pa.string()),
+                        pa.array(
+                            np.concatenate(out_meta), type=pa.int64()
                         ),
                         pa.array(
-                            np.full(n_rows, fid, dtype=np.int32),
-                            type=pa.int32(),
+                            np.concatenate(out_grams), type=pa.int64()
                         ),
-                        pa.array(
-                            all_terms
-                            + [""] * len(docs_a)
-                            + ng_term
-                            + sy_term,
-                            type=pa.string(),
-                        ),
-                        pa.array(
-                            np.concatenate(
-                                [
-                                    pos,
-                                    np.full(len(docs_a), -1, dtype=np.int64),
-                                    np.asarray(ng_pos, dtype=np.int64),
-                                    np.asarray(sy_pos, dtype=np.int64),
-                                ]
-                            ).astype(np.int32),
-                            type=pa.int32(),
-                        ),
-                        pa.array(
-                            np.concatenate(
-                                [
-                                    np.repeat(
-                                        dlb_a.astype(np.int64), counts_a
-                                    ),
-                                    dlb_a.astype(np.int64),
-                                    np.asarray(ng_dlb, dtype=np.int64),
-                                    np.asarray(sy_dlb, dtype=np.int64),
-                                ]
-                            ).astype(np.int32),
-                            type=pa.int32(),
-                        ),
-                        pa.array(
-                            np.concatenate(
-                                [
-                                    np.zeros(total + len(docs_a), np.int32),
-                                    np.asarray(ng_tf1, dtype=np.int32),
-                                    np.zeros(n_sy, np.int32),
-                                ]
-                            ),
-                            type=pa.int32(),
-                        ),
-                        pa.array(
-                            np.concatenate(
-                                [
-                                    np.zeros(total + len(docs_a), np.int32),
-                                    np.asarray(ng_tf2, dtype=np.int32),
-                                    np.zeros(n_sy, np.int32),
-                                ]
-                            ),
-                            type=pa.int32(),
-                        ),
-                        pa.array(
-                            np.concatenate(
-                                [
-                                    np.zeros(total + len(docs_a), np.int32),
-                                    np.asarray(ng_tf3, dtype=np.int32),
-                                    np.zeros(n_sy, np.int32),
-                                ]
-                            ),
-                            type=pa.int32(),
-                        ),
+                        pa.array(out_posvb, type=pa.binary()),
                     ],
-                    names=[
-                        "docid", "field", "term", "pos", "dl_byte",
-                        "tf1", "tf2", "tf3",
-                    ],
+                    names=["docid", "term", "meta", "grams", "pos_vb"],
                 )
 
     return docs.select("docid", *field_cols).mapInArrow(
@@ -567,39 +609,29 @@ def build_posting_blocks(
         term_codes, uniq_terms = pd.factorize(pdf["term"], sort=True)
         term_codes = term_codes.astype(np.int64)
         uniq_terms = np.asarray(uniq_terms, dtype=object)
-        fld = pdf["field"].values.astype(np.int64)
-        d = pdf["docid"].values.astype(np.int64)
-        # sentinel rows carry pos=-1; clip so the VB codec stays unsigned
-        p = np.maximum(pdf["pos"].values.astype(np.int64), 0)
-        dlb = pdf["dl_byte"].values.astype(np.uint8)
-        tf1a = pdf["tf1"].values.astype(np.int64)
-        tf2a = pdf["tf2"].values.astype(np.int64)
-        tf3a = pdf["tf3"].values.astype(np.int64)
-        order = np.lexsort((p, d, fld, term_codes))
-        t = term_codes[order]
-        f = fld[order]
-        d = d[order]
-        p = p[order]
-        dlb = dlb[order]
-        tf1a = tf1a[order]
-        tf2a = tf2a[order]
-        tf3a = tf3a[order]
-
-        # (term, field, doc) run boundaries → tf per posting
-        new_pair = np.empty(len(t), dtype=bool)
-        new_pair[0] = True
-        new_pair[1:] = (
-            (t[1:] != t[:-1]) | (f[1:] != f[:-1]) | (d[1:] != d[:-1])
+        # input rows ARE (doc, field, term) pairs: unpack the two
+        # packed longs (see TERM_ROW_SCHEMA) — positions arrive as
+        # per-pair VB byte chunks the map side already encoded
+        meta = pdf["meta"].values.astype(np.int64)
+        fld = meta >> np.int64(40)
+        dlb_all = ((meta >> np.int64(32)) & np.int64(0xFF)).astype(
+            np.uint8
         )
-        pair_starts = np.flatnonzero(new_pair)
-        tfs_all = np.diff(np.append(pair_starts, len(t)))
-        td_term = t[pair_starts]
-        td_field = f[pair_starts]
-        td_doc = d[pair_starts]
-        td_dlb = dlb[pair_starts]
-        td_tf1 = tf1a[pair_starts]
-        td_tf2 = tf2a[pair_starts]
-        td_tf3 = tf3a[pair_starts]
+        tf_all = meta & np.int64(0xFFFFFFFF)
+        d = pdf["docid"].values.astype(np.int64)
+        g = pdf["grams"].values.astype(np.int64)
+        posvb = pdf["pos_vb"].values
+        order = np.lexsort((d, fld, term_codes))
+        td_term = term_codes[order]
+        td_field = fld[order]
+        td_doc = d[order]
+        td_dlb = dlb_all[order]
+        tfs_all = tf_all[order]
+        g = g[order]
+        td_tf1 = g >> np.int64(42)
+        td_tf2 = (g >> np.int64(21)) & np.int64(0x1FFFFF)
+        td_tf3 = g & np.int64(0x1FFFFF)
+        posvb = posvb[order]
         n_pairs = len(td_term)
 
         # per-(term, field) runs over the pair-level arrays — one
@@ -648,15 +680,13 @@ def build_posting_blocks(
         # tfs: VB of tf-1 per pair, sliced per run
         out_tfs = vb_encode_chunks(tfs_all - 1, run_lens)
 
-        # positions: occurrence-level deltas resetting at every pair
-        # (doc) start, sliced per run's occurrence count
-        occ_per_run = np.add.reduceat(tfs_all, tf_starts)
-        pd_ = np.empty_like(p)
-        if len(p):
-            pd_[0] = p[0]
-            pd_[1:] = p[1:] - p[:-1] - 1
-            pd_[pair_starts] = p[pair_starts]
-        out_pos = vb_encode_chunks(pd_, occ_per_run)
+        # positions: concatenate the map-side per-pair VB chunks per
+        # run — byte-identical to encoding the run's delta stream in
+        # one go (varints are per-value independent, deltas reset at
+        # every pair start)
+        out_pos = [
+            b"".join(posvb[s:e]) for s, e in zip(tf_starts, tf_ends)
+        ]
 
         # dl bytes: raw u8 per pair, sliced per run
         dls_all = td_dlb.tobytes()

@@ -286,8 +286,15 @@ def stage_batch(
         ngram_patterns=meta.get("ngram_patterns"),
     ).cache()
 
+    from seekstorm_spark.index.builder import (
+        term_row_dl_byte,
+        term_row_field,
+    )
+
     doc_meta = term_rows.filter(F.col("term") == "").select(
-        "docid", "field", "dl_byte"
+        "docid",
+        term_row_field(F.col("meta")).alias("field"),
+        term_row_dl_byte(F.col("meta")).alias("dl_byte"),
     )
     doc_meta.write.mode("overwrite").parquet(os.path.join(stage, "doc_meta"))
 
