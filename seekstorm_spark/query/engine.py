@@ -1709,7 +1709,6 @@ def _search_many_fused(
         postings = postings.filter(
             F.col("field").isin([int(i) for i in allowed])
         )
-    rows = postings.repartition("block_id")
     geo_cols = set()
     for gf in (geo_by_q or {}).values():
         geo_cols |= (
@@ -1731,9 +1730,46 @@ def _search_many_fused(
         }
         | geo_cols
     )
-    if facet_cols:
-        rows, _extra = _join_facet_blocks(spark, store, rows, facet_cols)
-    rows = rows.sortWithinPartitions("block_id", "term", "field")
+    # Query sharding: the per-(block, query) kernel work is Python
+    # compute, and with few blocks the partition count caps the
+    # parallelism (a 4-block index uses 4 of 32 cores for a 100-query
+    # batch). Replicate the posting rows across ceil(cores / blocks)
+    # shards and give each shard its qid-sliced subset of the batch —
+    # every query still sees every block exactly once, so per-query
+    # results are bit-identical; when the index has at least as many
+    # blocks as cores the shard count is 1 and the plan is unchanged
+    # (scale-adaptive, no duplication at scale). Facet/geo-joined
+    # batches keep n_shards=1: their facet join reuses the block_id
+    # partitioning.
+    n_shards = 1
+    if not facet_cols and len(idx_plans) > 1:
+        par = spark.sparkContext.defaultParallelism
+        bsz = int(store.meta.get("block_size", ROARING_BLOCK_SIZE))
+        n_blocks_est = max(
+            1, -(-int(store.meta.get("n_docs") or 1) // bsz)
+        )
+        n_shards = max(1, min(len(idx_plans), -(-par // n_blocks_est)))
+    if n_shards > 1:
+        rows = postings.withColumn(
+            "shard",
+            F.explode(F.expr(f"sequence(0, {n_shards - 1})")),
+        ).repartition(
+            min(
+                spark.sparkContext.defaultParallelism,
+                n_blocks_est * n_shards,
+            ),
+            "block_id",
+            "shard",
+        )
+    else:
+        rows = postings.withColumn("shard", F.lit(0)).repartition(
+            "block_id"
+        )
+        if facet_cols:
+            rows, _extra = _join_facet_blocks(
+                spark, store, rows, facet_cols
+            )
+    rows = rows.sortWithinPartitions("shard", "block_id", "term", "field")
     kernel = _make_multi_kernel(
         idx_plans, top_k, prune and not count_only, avgdl, boosts,
         block_size=int(store.meta.get("block_size", ROARING_BLOCK_SIZE)),
@@ -1749,6 +1785,7 @@ def _search_many_fused(
         },
         facet_sizes=facet_sizes,
         dist_sort_by_q=dist_sort_by_q,
+        n_shards=n_shards,
     )
     if count_facets_by_q:
         schema = "query_id int, " + FACET_COUNT_SCHEMA
@@ -1849,6 +1886,7 @@ def _make_multi_kernel(
     facet_kinds: dict[str, str] | None = None,
     facet_sizes: dict[str, int] | None = None,
     dist_sort_by_q: dict[int, str] | None = None,
+    n_shards: int = 1,
 ):
     """Batched kernel: decode each posting row ONCE, score every
     query against the shared decode. Per-query state (top-k heap,
@@ -1951,6 +1989,11 @@ def _make_multi_kernel(
         )
         for qi, p in idx_plans
     ]
+    # query → shard assignment (see _search_many_fused: each shard's
+    # posting-row copies drive only that shard's queries)
+    qinfo_by_shard: dict[int, list] = {s: [] for s in range(n_shards)}
+    for entry in qinfo:
+        qinfo_by_shard[entry[0] % n_shards].append(entry)
     decode_tab = _DECODE_NP.astype(np.float32)
     avgdl32 = np.float32(avgdl)
     # float64 upper-bound factors, identical math to the block_bound
@@ -2012,7 +2055,7 @@ def _make_multi_kernel(
             order = np.lexsort((d, key))[:top_k]
             best_d[qi], best_s[qi], best_g[qi] = d[order], s[order], g[order]
 
-        def process_block(rows: pd.DataFrame) -> None:
+        def process_block(rows: pd.DataFrame, qlist: list) -> None:
             block_id = int(rows["block_id"].iloc[0])
             base = block_id * block_size
             # one shared facet-buffer decode per block; every counting
@@ -2168,7 +2211,7 @@ def _make_multi_kernel(
 
             present = set(row_ub)
             for (qi, qtype, pos_terms, required_terms, not_set,
-                 source_map, align, unit_parts_q, bound_terms) in qinfo:
+                 source_map, align, unit_parts_q, bound_terms) in qlist:
                 if qtype in ("intersection", "phrase", "ngram"):
                     if any(t not in present for t in required_terms):
                         continue
@@ -2401,18 +2444,24 @@ def _make_multi_kernel(
                     merge_topk(qi, base + cand, scores)
 
         pending: list[pd.DataFrame] = []
-        pending_block = None
+        pending_key = None
         for pdf in batches:
             if pdf.empty:
                 continue
-            for block_id, grp in pdf.groupby("block_id", sort=False):
-                if pending_block is not None and block_id != pending_block:
-                    process_block(pd.concat(pending))
+            for key2, grp in pdf.groupby(["shard", "block_id"], sort=False):
+                if pending_key is not None and key2 != pending_key:
+                    process_block(
+                        pd.concat(pending),
+                        qinfo_by_shard.get(int(pending_key[0]), ()),
+                    )
                     pending = []
-                pending_block = block_id
+                pending_key = key2
                 pending.append(grp)
         if pending:
-            process_block(pd.concat(pending))
+            process_block(
+                pd.concat(pending),
+                qinfo_by_shard.get(int(pending_key[0]), ()),
+            )
 
         if cfacets_by_q:
             out_q: list[int] = []
