@@ -535,7 +535,13 @@ SELECT docid, round(raw::DOUBLE, 4) AS score FROM (
 """
 
 
-# Spark-side match counting with identical semantics
+# Spark-side match counting with identical semantics. ONE tokenize
+# pass (query_term_rows): per-(doc, term) rows carry tf + positions,
+# so the distinct-term count, the NOT exclusion and the phrase
+# adjacency check all read the same pass instead of re-tokenizing the
+# corpus per subtree (guide §2.4); the adjacency predicate is the
+# same JVM `exists` over per-term position arrays the phrase scorer
+# uses — identical to the former positional self-join.
 def _match_count_df(
     spark: SparkSession,
     docs: DataFrame,
@@ -544,17 +550,60 @@ def _match_count_df(
     not_terms: list[str] | None = None,
     phrase: list[str] | None = None,
 ) -> DataFrame:
+    from seekstorm_spark.query.dataframe_engine import query_term_rows
+
     terms = list(dict.fromkeys(terms))
-    tok = tokens(docs)
-    cand = tok.filter(F.col("term").isin(terms)).groupBy("docid")
-    cand = cand.agg(F.countDistinct("term").alias("nm"))
+    phrase = phrase or []
+    not_terms = not_terms or []
+    scan_terms = list(
+        dict.fromkeys(list(terms) + list(phrase) + list(not_terms))
+    )
+    rows = query_term_rows(
+        docs, scan_terms, with_positions=bool(phrase)
+    )
+    if not_terms:
+        # two consumers (candidates + exclusion): materialize the pass
+        rows = rows.localCheckpoint()
+    aggs = [
+        F.countDistinct(
+            F.when(F.col("term").isin(terms), F.col("term"))
+        ).alias("nm")
+    ]
+    if phrase:
+        aggs.append(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pos")
+        )
+    cand = (
+        rows.filter(F.col("term").isin(scan_terms) & (F.col("term") != ""))
+        .groupBy("docid")
+        .agg(*aggs)
+    )
     if qtype in ("intersection", "phrase"):
         cand = cand.filter(F.col("nm") == len(terms))
-    if not_terms:
-        excl = tok.filter(F.col("term").isin(not_terms)).select("docid").distinct()
-        cand = cand.join(excl, "docid", "left_anti")
+    else:
+        # union: only docs matching >= 1 of `terms` count (a doc
+        # matched solely by a NOT/phrase-extra scan term must not)
+        cand = cand.filter(F.col("nm") >= 1)
     if phrase:
-        cand = cand.join(phrase_docids(docs, phrase), "docid")
+        def _adjacent(p):
+            cond = None
+            for i, t in enumerate(phrase[1:], start=1):
+                c = F.array_contains(F.col("pos")[F.lit(t)], p + i)
+                cond = c if cond is None else (cond & c)
+            return cond if cond is not None else F.lit(True)
+
+        cand = cand.filter(
+            F.exists(F.col("pos")[F.lit(phrase[0])], _adjacent)
+        )
+    if not_terms:
+        excl = (
+            rows.filter(F.col("term").isin(not_terms))
+            .select("docid")
+            .distinct()
+        )
+        cand = cand.join(excl, "docid", "left_anti")
     return cand.agg(F.count("*").cast("long").alias("matches"))
 
 
@@ -1827,17 +1876,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _docs(s, d), ["fast", "table"], "phrase", phrase=["fast", "table"]
     )
 
-    # union inclusion–exclusion invariant (reference union.rs:1236-1248)
+    # union inclusion–exclusion invariant (reference union.rs:1236-1248).
+    # ONE tokenize pass + ONE action (formerly three counted actions,
+    # each re-tokenizing, + an RDD-backed literal result): per-doc
+    # membership flags from the shared term-row pass, then a single
+    # global aggregation computes n_a / n_b / n_and; n_or is the
+    # inclusion–exclusion identity over those integers — same values.
     def union_incl_excl(s: SparkSession, d: str) -> DataFrame:
-        docs = _docs(s, d)
-        tok = tokens(docs)
-        a = tok.filter(F.col("term") == "fast").select("docid").distinct()
-        b = tok.filter(F.col("term") == "table").select("docid").distinct()
-        n_a, n_b = a.count(), b.count()
-        n_and = a.join(b, "docid").count()
-        return s.createDataFrame(
-            [(n_a, n_b, n_and, n_a + n_b - n_and)],
-            "n_a long, n_b long, n_and long, n_or long",
+        from seekstorm_spark.query.dataframe_engine import query_term_rows
+
+        rows = query_term_rows(_docs(s, d), ["fast", "table"])
+        per = (
+            rows.filter(F.col("term").isin(["fast", "table"]))
+            .groupBy("docid")
+            .agg(
+                F.max(
+                    F.when(F.col("term") == "fast", 1).otherwise(0)
+                ).alias("ha"),
+                F.max(
+                    F.when(F.col("term") == "table", 1).otherwise(0)
+                ).alias("hb"),
+            )
+        )
+        return per.agg(
+            F.sum("ha").cast("long").alias("n_a"),
+            F.sum("hb").cast("long").alias("n_b"),
+            F.sum(F.col("ha") * F.col("hb")).cast("long").alias("n_and"),
+        ).select(
+            "n_a",
+            "n_b",
+            "n_and",
+            (F.col("n_a") + F.col("n_b") - F.col("n_and"))
+            .cast("long")
+            .alias("n_or"),
         )
 
     q["count_union_incl_excl"] = union_incl_excl

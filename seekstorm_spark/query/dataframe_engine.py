@@ -329,29 +329,23 @@ def bm25f_scored(
       fields (reference search.rs:2483-2495, add_result.rs:3124-3136).
     """
     q = list(dict.fromkeys(query_terms))
-    quant = F.broadcast(quantization_table(spark))
 
-    per_field_toks = []
-    per_field_dl = []
-    for fname, _boost in fields:
-        t = tokens(docs, docid_col, fname).withColumn("field", F.lit(fname))
-        per_field_toks.append(t)
-        dl = docs.select(
-            F.col(docid_col).alias("docid"),
-            F.size(tokenize_udf(F.col(fname))).cast("long").alias("dl_raw"),
-        ).withColumn("field", F.lit(fname))
-        per_field_dl.append(dl)
-    tok = per_field_toks[0]
-    for t in per_field_toks[1:]:
-        tok = tok.unionByName(t)
-    dl_all = per_field_dl[0]
-    for d in per_field_dl[1:]:
-        dl_all = dl_all.unionByName(d)
-    dl_q = dl_all.join(
-        quant,
-        (dl_all.dl_raw >= quant.dl_lo) & (dl_all.dl_raw <= quant.dl_hi),
-        "left",
-    ).select("docid", "field", "dl_q")
+    # ONE term-row pass per field (query_term_rows: per-(doc, term)
+    # tf + sentinel dl rows, dl_q computed in-pass), checkpointed so
+    # the stats / df / tf consumers share it instead of re-tokenizing
+    # every field for each subtree (guide §2.4) — the multi-field
+    # analog of the single-field twin's structure.
+    per_field = [
+        query_term_rows(docs, q, docid_col, fname).withColumn(
+            "field", F.lit(fname)
+        )
+        for fname, _boost in fields
+    ]
+    rows = per_field[0]
+    for r in per_field[1:]:
+        rows = rows.unionByName(r)
+    rows = rows.localCheckpoint()
+    dl_q = rows.filter(F.col("term") == "").select("docid", "field", "dl_q")
 
     # corpus stats as a broadcast 1-row crossJoin — no per-query
     # driver collects (same shape as the single-field twin)
@@ -360,20 +354,17 @@ def bm25f_scored(
         (F.sum("dl_q") / F.countDistinct("docid")).alias("avgdl"),
     )
 
+    term_rows = rows.filter(F.col("term").isin(q))
     # df over ANY field (matching is field-unrestricted for idf)
-    df_tbl = (
-        tok.filter(F.col("term").isin(q))
-        .groupBy("term")
-        .agg(F.countDistinct("docid").alias("df"))
+    df_tbl = term_rows.groupBy("term").agg(
+        F.countDistinct("docid").alias("df")
     )
-    scoring_tok = tok
+    scoring_rows = term_rows
     if field_filter:
-        scoring_tok = tok.filter(F.col("field").isin(list(field_filter)))
-    tf_tbl = (
-        scoring_tok.filter(F.col("term").isin(q))
-        .groupBy("docid", "field", "term")
-        .agg(F.count("*").alias("tf"))
-    )
+        scoring_rows = term_rows.filter(
+            F.col("field").isin(list(field_filter))
+        )
+    tf_tbl = scoring_rows.select("docid", "field", "term", "tf")
     boost_map = F.create_map(
         *[x for fname, b in fields for x in (F.lit(fname), F.lit(float(b)))]
     )
