@@ -1748,7 +1748,14 @@ def _search_many_fused(
         n_blocks_est = max(
             1, -(-int(store.meta.get("n_docs") or 1) // bsz)
         )
-        n_shards = max(1, min(len(idx_plans), -(-par // n_blocks_est)))
+        # keep >= ~3 queries per shard: below that the extra task
+        # dispatch + row duplication outweigh the parallel kernel
+        # work (measured: a 9-query batch is fastest at 2-4 shards,
+        # slower at 8)
+        n_shards = max(
+            1,
+            min(len(idx_plans) // 3, -(-par // n_blocks_est)),
+        )
     if n_shards > 1:
         rows = postings.withColumn(
             "shard",
