@@ -3398,8 +3398,6 @@ def _annotated_postings(
         )
     if plan.qtype == "phrase":
         postings = postings.withColumnRenamed("positions_vb", "pos_vb")
-    else:
-        postings = postings.withColumn("pos_vb", F.lit(None).cast("binary"))
 
     # term metadata as LITERAL expressions (a query touches a handful
     # of terms): no broadcast-join sub-job — a measurable chunk of the
@@ -3409,12 +3407,6 @@ def _annotated_postings(
         idf_expr = F.when(F.col("term") == t, F.lit(float(v))).otherwise(
             idf_expr
         )
-    rows = postings.withColumn("idf", idf_expr).withColumn(
-        "is_not",
-        F.col("term").isin(list(plan.not_terms))
-        if plan.not_terms
-        else F.lit(False),
-    )
     n_fields = len(store.meta.get("fields") or ["text"])
     boost_arr = F.array(
         *[
@@ -3422,7 +3414,23 @@ def _annotated_postings(
             for i in range(max(n_fields, 1))
         ]
     )
-    rows = rows.withColumn("boost", F.element_at(boost_arr, F.col("field") + 1))
+    # one select for all annotation columns: each pyspark withColumn
+    # is ~9 ms of py4j/plan-copy on the serving floor (profiled)
+    rows = postings.select(
+        "*",
+        *(
+            []
+            if plan.qtype == "phrase"
+            else [F.lit(None).cast("binary").alias("pos_vb")]
+        ),
+        idf_expr.alias("idf"),
+        (
+            F.col("term").isin(list(plan.not_terms))
+            if plan.not_terms
+            else F.lit(False)
+        ).alias("is_not"),
+        F.element_at(boost_arr, F.col("field") + 1).alias("boost"),
+    )
     # format v3+: the block-max bound is computed HERE, at query time,
     # from the current avgdl — comp(max_tf, min_dl) bounds every doc in
     # the block because BM25 tf-saturation is increasing in tf and
@@ -3457,11 +3465,8 @@ def _annotated_postings(
                 F.col(f"max_tf{k + 1}")
             )
         bound_expr = F.when(F.col("term") == gk, g).otherwise(bound_expr)
-    rows = rows.withColumn(
-        "bound_contrib",
-        F.when(F.col("is_not"), F.lit(0.0)).otherwise(
-            F.col("boost") * bound_expr
-        ),
+    bound_contrib = F.when(F.col("is_not"), F.lit(0.0)).otherwise(
+        F.col("boost") * bound_expr
     )
     n_index_fields = len(store.meta.get("fields") or ["text"])
     eff_fields = (
@@ -3477,7 +3482,7 @@ def _annotated_postings(
         # single posting row per block: its contribution IS the block
         # bound — skip the per-block window (one whole exchange).
         # Disabled when staged batches may add a second row per block.
-        rows = rows.withColumn("block_bound", F.col("bound_contrib"))
+        rows = rows.select("*", bound_contrib.alias("block_bound"))
         if facet_cols:
             rows, extra = _join_facet_blocks(
                 spark, store, rows, facet_cols, staged,
@@ -3486,17 +3491,22 @@ def _annotated_postings(
             return rows.select(*base_cols, *extra)
         return rows.select(*base_cols)
     w = Window.partitionBy("block_id")
-    rows = rows.withColumn("block_bound", F.sum("bound_contrib").over(w))
+    rows = rows.withColumn("bound_contrib", bound_contrib)
     if plan.qtype in ("intersection", "phrase", "ngram"):
         required = plan.required_posting_terms()
-        rows = rows.withColumn(
-            "pos_in_block",
+        rows = rows.select(
+            "*",
+            F.sum("bound_contrib").over(w).alias("block_bound"),
             F.size(
                 F.collect_set(
                     F.when(~F.col("is_not"), F.col("term"))
                 ).over(w)
-            ),
+            ).alias("pos_in_block"),
         ).filter(F.col("pos_in_block") >= len(required))
+    else:
+        rows = rows.select(
+            "*", F.sum("bound_contrib").over(w).alias("block_bound")
+        )
     if facet_cols:
         rows, extra = _join_facet_blocks(
             spark, store, rows, facet_cols, staged,
