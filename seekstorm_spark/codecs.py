@@ -20,22 +20,15 @@ import numpy as np
 
 ROARING_BLOCK_SIZE = 65_536  # docids per block, reference index.rs:114-115
 
+# vb_byte_lengths thresholds: a value needs k bytes iff it is above
+# 2^(7(k-1))-1, i.e. nbytes = searchsorted(thresholds, v) + 1
+_VB_THRESH = np.array(
+    [(1 << (7 * k)) - 1 for k in range(1, 10)], dtype=np.uint64
+)
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """Vectorized little-endian base-128 varint encode (uint64 input)."""
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # bytes needed per value: ceil(bit_length/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        nbits[nz] += 1
-        tmp = tmp >> np.uint64(1)
-    nbytes = np.maximum((nbits + 6) // 7, 1)
+
+def _vb_encode(v: np.ndarray, nbytes: np.ndarray) -> bytes:
+    """Encode with precomputed per-value byte counts (uint64 input)."""
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
     starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
@@ -51,20 +44,40 @@ def vb_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def vb_encode(values: np.ndarray) -> bytes:
+    """Vectorized little-endian base-128 varint encode (uint64 input)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    return _vb_encode(v, vb_byte_lengths(v))
+
+
 def vb_byte_lengths(values: np.ndarray) -> np.ndarray:
     """Per-value encoded byte count of :func:`vb_encode` (ceil of
     bit_length/7, min 1) — lets a caller split one whole-batch encode
     into per-chunk slices without re-encoding."""
     v = np.asarray(values, dtype=np.uint64)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        nbits[nz] += 1
-        tmp = tmp >> np.uint64(1)
-    return np.maximum((nbits + 6) // 7, 1)
+    return np.searchsorted(_VB_THRESH, v, side="left") + 1
+
+
+def vb_encode_chunk_offsets(
+    values: np.ndarray, chunk_lengths: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Chunked :func:`vb_encode` as ``(buffer, offsets)``: chunk ``i``
+    is ``buffer[offsets[i]:offsets[i+1]]`` (empty chunks zero-width).
+    The chunks tile the buffer contiguously, so a caller can hand the
+    pair straight to an Arrow binary array without materializing one
+    ``bytes`` object per chunk."""
+    v = np.asarray(values, dtype=np.uint64)
+    lens = np.asarray(chunk_lengths, dtype=np.int64)
+    if v.size == 0:
+        return b"", np.zeros(len(lens) + 1, dtype=np.int64)
+    nbytes = vb_byte_lengths(v)
+    buf = _vb_encode(v, nbytes)
+    byte_off = np.concatenate(([0], np.cumsum(nbytes)))
+    ends = np.minimum(np.cumsum(lens), len(v))
+    offsets = np.concatenate(([0], byte_off[ends]))
+    return buf, offsets
 
 
 def vb_encode_chunks(
@@ -74,20 +87,12 @@ def vb_encode_chunks(
     split into per-chunk byte slices (``b""`` for empty chunks).
     Byte-identical to encoding each chunk separately — varints are
     per-value independent."""
-    v = np.asarray(values, dtype=np.uint64)
-    lens = np.asarray(chunk_lengths, dtype=np.int64)
-    if v.size == 0:
-        return [b""] * len(lens)
-    buf = vb_encode(v)
-    nbytes = vb_byte_lengths(v)
-    byte_off = np.concatenate(([0], np.cumsum(nbytes)))
-    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    b0 = byte_off[starts]
-    b1 = byte_off[np.minimum(starts + lens, len(v))]
+    buf, offsets = vb_encode_chunk_offsets(values, chunk_lengths)
     view = memoryview(buf)
+    off = offsets.tolist()
     return [
         bytes(view[a:b]) if b > a else b""
-        for a, b in zip(b0.tolist(), b1.tolist())
+        for a, b in zip(off[:-1], off[1:])
     ]
 
 

@@ -261,15 +261,16 @@ def tokenize_to_term_rows(
         # consolidation, all thrown away at the Arrow boundary anyway)
         import pyarrow as pa
 
-        from seekstorm_spark.codecs import vb_encode_chunks
+        from seekstorm_spark.codecs import vb_encode_chunk_offsets
         from seekstorm_spark.quantization import int_to_byte4
         from seekstorm_spark.tokenizer import TOKEN_PER_FIELD_MAX, tokenize_line
 
         def _pairs(doc_idx, codes, positions):
             """Aggregate occurrence-level (doc index, term code, pos)
             triples into (doc, term) pairs: returns (index of each
-            pair's first-by-position occurrence, tf per pair, per-pair
-            VB bytes of the position deltas). Occurrences are sorted
+            pair's first-by-position occurrence, tf per pair, and the
+            per-pair VB position-delta chunks as one contiguous
+            ``(buffer, offsets)`` pair). Occurrences are sorted
             by (pair key, pos) — the same position interleave the
             former position-level kernel produced — so the VB chunk
             per pair is byte-identical to the corresponding slice of
@@ -292,7 +293,7 @@ def tokenize_to_term_rows(
                 deltas[0] = p_sorted[0]
                 deltas[1:] = p_sorted[1:] - p_sorted[:-1] - 1
                 deltas[starts] = p_sorted[starts]
-            return order[starts], tf, vb_encode_chunks(deltas, tf)
+            return order[starts], tf, vb_encode_chunk_offsets(deltas, tf)
 
         for rb in batches:
             docid_in = rb.column(rb.schema.get_field_index("docid")).to_numpy(
@@ -498,12 +499,18 @@ def tokenize_to_term_rows(
                 out_grams = [np.zeros(len(docs_a), np.int64)]
                 # sentinel pairs above: term='', tf=1, one position 0
                 # (the clipped pos=-1 of the former sentinel rows) —
-                # byte-identical posting stream for the '' term
-                out_posvb: list[bytes] = [b"\x00"] * len(docs_a)
+                # byte-identical posting stream for the '' term.
+                # pos_vb assembles ZERO-COPY as (buffer, offsets):
+                # materializing one Python bytes object per pair just
+                # to re-pack them into an Arrow binary array was the
+                # single hottest line of the whole tokenize pass.
+                n_sent = len(docs_a)
                 if len(occ_doc):
                     dcodes = pd.factorize(occ_doc)[0].astype(np.int64)
                     ocodes = pd.factorize(occ_term)[0].astype(np.int64)
-                    sel, ptf, pvb = _pairs(dcodes, ocodes, occ_pos)
+                    sel, ptf, (pbuf, poff) = _pairs(
+                        dcodes, ocodes, occ_pos
+                    )
                     out_docid.append(occ_doc[sel])
                     out_terms.extend(occ_term[sel].tolist())
                     out_meta.append(
@@ -514,7 +521,22 @@ def tokenize_to_term_rows(
                         | (occ_g2[sel] << np.int64(21))
                         | occ_g3[sel]
                     )
-                    out_posvb.extend(pvb)
+                else:
+                    pbuf, poff = b"", np.zeros(1, dtype=np.int64)
+                n_rows = n_sent + (len(poff) - 1)
+                # sentinel chunks are 1 byte each (b"\x00"), then the
+                # pair chunks shifted past them
+                offsets32 = np.empty(n_rows + 1, dtype=np.int32)
+                offsets32[: n_sent + 1] = np.arange(
+                    n_sent + 1, dtype=np.int32
+                )
+                offsets32[n_sent:] = (poff + n_sent).astype(np.int32)
+                data = b"\x00" * n_sent + pbuf
+                posvb_arr = pa.Array.from_buffers(
+                    pa.binary(),
+                    n_rows,
+                    [None, pa.py_buffer(offsets32), pa.py_buffer(data)],
+                )
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(
@@ -527,7 +549,7 @@ def tokenize_to_term_rows(
                         pa.array(
                             np.concatenate(out_grams), type=pa.int64()
                         ),
-                        pa.array(out_posvb, type=pa.binary()),
+                        posvb_arr,
                     ],
                     names=["docid", "term", "meta", "grams", "pos_vb"],
                 )

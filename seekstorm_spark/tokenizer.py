@@ -68,6 +68,13 @@ def _combining_mark_class() -> str:
 
 _MARKS = _combining_mark_class()
 _RE_UNICODE_ALNUM = re.compile(rf"[\w{_MARKS}][\w{_MARKS}+#-]*", re.UNICODE)
+# ASCII fast path for the default tokenizer: on an already-lowercased
+# ASCII string, Unicode ``\w`` reduces to ``[0-9a-z_]`` and the
+# combining-mark class (all >= U+0300) cannot match, so this pattern
+# yields the IDENTICAL token stream while the regex engine runs on
+# 256-entry bitmap classes instead of per-char Unicode category
+# lookups (~1.7x on the scan; guide §4 keep the per-row Python thin).
+_RE_ASCII_FAST = re.compile(r"[0-9a-z_][0-9a-z_+#-]*")
 # AsciiAlphabetic: runs of a-z after ascii lowercasing.
 _RE_ASCII_ALPHA = re.compile(r"[a-z]+")
 
@@ -139,7 +146,14 @@ def tokenize_line(
     ``stemmer`` (e.g. ``"en"``) stems every token after tokenization,
     index- and query-side alike (reference tokenizer.rs:576-592)."""
     if tokenizer == "unicode_alphanumeric":
-        toks = _RE_UNICODE_ALNUM.findall(text.lower())
+        low = text.lower()
+        # isascii on the LOWERED text (U+212A Kelvin lowers to ascii
+        # 'k'; some non-ascii lowers stay non-ascii) — identical
+        # tokens by construction, see _RE_ASCII_FAST
+        if low.isascii():
+            toks = _RE_ASCII_FAST.findall(low)
+        else:
+            toks = _RE_UNICODE_ALNUM.findall(low)
     elif tokenizer == "unicode_alphanumeric_folded":
         toks = _RE_UNICODE_ALNUM.findall(fold_text(text))
     elif tokenizer == "unicode_alphanumeric_zh":

@@ -111,3 +111,48 @@ def test_vb_encode_chunks_matches_per_chunk_encode():
         b"",
         b"",
     ]
+
+
+def test_vb_encode_chunk_offsets_matches_chunks():
+    """The zero-copy (buffer, offsets) form tiles the buffer with the
+    same per-chunk byte slices vb_encode_chunks returns — including
+    boundary byte-length values and empty chunks."""
+    import numpy as np
+
+    from seekstorm_spark.codecs import (
+        vb_byte_lengths,
+        vb_encode,
+        vb_encode_chunk_offsets,
+        vb_encode_chunks,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 1 << 50, 4000).astype(np.uint64)
+    # varint width boundaries (128^k - 1, 128^k) and the u64 extremes
+    edges = []
+    for k in range(1, 10):
+        edges += [(1 << (7 * k)) - 1, 1 << (7 * k)]
+    vals[: len(edges) + 2] = np.array(
+        edges + [0, (1 << 64) - 1], dtype=np.uint64
+    )
+    for v, want in zip(vals[: len(edges)], edges):
+        enc = vb_encode(np.array([v], np.uint64))
+        assert len(enc) == int(vb_byte_lengths(np.array([v], np.uint64))[0])
+    lens = []
+    left = len(vals)
+    while left:
+        n = int(rng.integers(0, min(7, left) + 1))
+        lens.append(n)
+        left -= n
+    lens = np.array(lens + [0], dtype=np.int64)
+    buf, offsets = vb_encode_chunk_offsets(vals, lens)
+    assert len(offsets) == len(lens) + 1
+    assert offsets[0] == 0 and offsets[-1] == len(buf)
+    sliced = [
+        bytes(buf[a:b]) for a, b in zip(offsets[:-1], offsets[1:])
+    ]
+    assert sliced == vb_encode_chunks(vals, lens)
+    ebuf, eoff = vb_encode_chunk_offsets(
+        np.empty(0, np.uint64), np.array([0, 0])
+    )
+    assert ebuf == b"" and eoff.tolist() == [0, 0, 0]
