@@ -563,9 +563,12 @@ def _match_count_df(
     )
     if not_terms:
         # two consumers (candidates + exclusion): materialize the pass
-        rows = rows.localCheckpoint()
+        # (lazily — the first consumer's job does it)
+        rows = rows.localCheckpoint(eager=False)
+    # ≤1 row per (docid, term) from query_term_rows: counting the
+    # non-null whens ≡ countDistinct, without the distinct rewrite
     aggs = [
-        F.countDistinct(
+        F.count(
             F.when(F.col("term").isin(terms), F.col("term"))
         ).alias("nm")
     ]

@@ -18,6 +18,8 @@ over 256 rows).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -57,18 +59,41 @@ def quantization_table(spark: SparkSession) -> DataFrame:
     )
 
 
+# ~2 MB of source bytes per tokenize task (~50 ms of regex work):
+# below that, extra tasks cost more in dispatch + Python-worker spawn
+# than they recover in parallelism
+_SPREAD_SPLIT_BYTES = int(
+    os.environ.get("SEEKSTORM_SPREAD_SPLIT_BYTES", str(2 * 1024 * 1024))
+)
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Scale-adaptive parallelism for a Python tokenize pass: a small
     corpus (one parquet file → one scan task) is round-robin
-    repartitioned to the cluster's default parallelism so the pass
-    runs wide; an input that already scans wider than the cluster is
-    left alone (no full-corpus shuffle at scale — guide §2.5/§6.1).
-    Results are unaffected: every doc's rows stay within one task."""
+    repartitioned so the pass runs wide; an input that already scans
+    wider than the cluster is left alone (no full-corpus shuffle at
+    scale — guide §2.5/§6.1). The width is sized to the INPUT (one
+    task per ~2 MB, capped at the cluster's parallelism) — a
+    kilobyte-scale corpus on a 32-core cluster gets 1 task, not 32
+    two-millisecond tasks plus 32 Python worker spawns. Results are
+    unaffected: every doc's rows stay within one task."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    cur = df.rdd.getNumPartitions()
+    if cur >= target:
+        return df
+    try:
+        nbytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        # unknown sources report conf.defaultSizeInBytes (huge) and
+        # fall through to full parallelism, today's behavior
+        target = max(1, min(target, -(-nbytes // _SPREAD_SPLIT_BYTES)))
+    except Exception:
+        pass
+    if target <= cur:
+        return df
+    return df.repartition(target)
 
 
 def tokens(docs: DataFrame, docid_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -240,9 +265,11 @@ def bm25_scored(
     """
     not_terms = not_terms or []
     q = [t for t in dict.fromkeys(query_terms)]  # dedup, keep order
+    # lazy checkpoint: the first consumer's job materializes the pass
+    # (instead of a separate eager job), later subtrees read the cache
     rows = query_term_rows(
         docs, list(q) + list(not_terms), docid_col, text_col
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     term_rows = rows.filter(F.col("term").isin(q))
     # ONE broadcast side-table carries BOTH per-term df and the corpus
@@ -291,9 +318,13 @@ def bm25_scored(
             ),
         )
     )
+    # query_term_rows emits AT MOST ONE row per (docid, term) — the
+    # per-doc hits dict collapses positions — so count(term) equals
+    # countDistinct(term) while planning as a single partial+final
+    # aggregation instead of the two-exchange distinct rewrite
     agg = scored.groupBy("docid").agg(
         F.sum("contrib").alias("score"),
-        F.countDistinct("term").alias("n_matched"),
+        F.count("term").alias("n_matched"),
     )
     if qtype == "intersection":
         agg = agg.filter(F.col("n_matched") == len(q))
@@ -344,7 +375,7 @@ def bm25f_scored(
     rows = per_field[0]
     for r in per_field[1:]:
         rows = rows.unionByName(r)
-    rows = rows.localCheckpoint()
+    rows = rows.localCheckpoint(eager=False)
     dl_q = rows.filter(F.col("term") == "").select("docid", "field", "dl_q")
 
     # corpus stats as a broadcast 1-row crossJoin — no per-query
@@ -469,7 +500,7 @@ def bm25_phrase_topk(
     q = list(dict.fromkeys(phrase_terms))
     rows = query_term_rows(
         docs, q, docid_col, text_col, with_positions=True
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     term_rows = rows.filter(F.col("term").isin(q))
     # single broadcast side-table with per-term df + corpus stats —
@@ -513,9 +544,10 @@ def bm25_phrase_topk(
             ),
         )
     )
+    # ≤1 row per (docid, term): count ≡ countDistinct, single-pass agg
     agg = scored.groupBy("docid").agg(
         F.sum("contrib").alias("score"),
-        F.countDistinct("term").alias("nm"),
+        F.count("term").alias("nm"),
         F.map_from_entries(
             F.collect_list(F.struct("term", "positions"))
         ).alias("pos"),
