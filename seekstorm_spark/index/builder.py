@@ -61,6 +61,29 @@ TERM_ROW_SCHEMA = (
 )
 
 
+# Segment-row shuffle (the bulk-load fast path): when the BUILDER
+# assigned the docids (``id_col=None``), every map task covers a
+# contiguous, disjoint, ascending docid range, so the map side can
+# aggregate its (doc, term) pairs all the way down to ONE row per
+# (term, field, block, map-batch) — the segment's posting bytes
+# already in final encoded form. The reduce concatenates segments in
+# docid order, re-encoding ONLY each boundary docid varint (a
+# segment's first docid is encoded absolute; in the joined stream it
+# must be the delta-1 from the previous segment's last docid — varints
+# are per-value independent, so the spliced stream is byte-identical
+# to encoding the whole run at once). This cuts the build shuffle from
+# ~40M pair rows to ~1M segment rows at the 250k-doc bench corpus;
+# the dominant cost was not bytes but per-row shuffle serialization +
+# the Arrow→pandas object materialization in the reduce.
+TERM_SEG_SCHEMA = (
+    "term string, field int, block_id int, seg_first long, "
+    "seg_last long, n_pairs int, max_tf int, min_dl_byte int, "
+    "max_tf1 int, max_tf2 int, max_tf3 int, docids_vb binary, "
+    "tfs_vb binary, dls binary, positions_vb binary, "
+    "tfs1_vb binary, tfs2_vb binary, tfs3_vb binary"
+)
+
+
 def term_row_field(col):
     """int32 field id from a packed term-row ``meta``."""
     return F.shiftright(col, 40).cast("int")
@@ -209,6 +232,152 @@ def assign_docids(
 NGRAM_SEP = "\x1e"  # joins partial terms inside an n-gram key
 
 
+def _binary_column(pa, buf, offsets, validity=None):
+    """Arrow binary array from a contiguous (buffer, offsets) pair —
+    zero-copy, no per-row Python bytes objects. ``validity`` (bool
+    array) marks non-null rows; null rows must be zero-width."""
+    n = len(offsets) - 1
+    vbuf = (
+        None
+        if validity is None
+        else pa.py_buffer(np.packbits(validity, bitorder="little"))
+    )
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [vbuf, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(buf)],
+    )
+
+
+def _segment_record_batch(
+    pa,
+    pair_doc,
+    pair_term,
+    pair_tf,
+    pair_dlb,
+    pair_g1,
+    pair_g2,
+    pair_g3,
+    pos_data,
+    pos_off,
+    fid,
+    block_size,
+):
+    """(doc, term) pair arrays (docids ASCENDING) → one segment row
+    per (term, block) run, posting bytes in final encoded form.
+
+    The per-run byte streams are exactly the slices the v1 reduce
+    kernel would produce for these pairs: docid deltas reset at run
+    starts (absolute first value), tf-1 varints per pair, raw dl
+    bytes, the map-encoded per-pair position chunks reordered to
+    (term, doc) order, and gram tf varints on n-gram runs only.
+    """
+    from seekstorm_spark.codecs import vb_encode_chunk_offsets
+
+    tcodes, uniq = pd.factorize(pair_term)
+    tcodes = tcodes.astype(np.int64)
+    uniq = np.asarray(uniq, dtype=object)
+    order = np.lexsort((pair_doc, tcodes))
+    t = tcodes[order]
+    d = pair_doc[order]
+    tf_s = pair_tf[order]
+    dlb_s = pair_dlb[order]
+    g1s, g2s, g3s = pair_g1[order], pair_g2[order], pair_g3[order]
+    blk = d // np.int64(block_size)
+    n = len(d)
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (t[1:] != t[:-1]) | (blk[1:] != blk[:-1])
+    starts = np.flatnonzero(new_run)
+    ends = np.append(starts[1:], n)
+    lens = ends - starts
+    n_runs = len(starts)
+
+    local = d - blk * np.int64(block_size)
+    dd = np.empty_like(local)
+    dd[0] = local[0]
+    dd[1:] = local[1:] - local[:-1] - 1
+    dd[starts] = local[starts]
+    dbuf, doff = vb_encode_chunk_offsets(dd, lens)
+    tbuf, toff = vb_encode_chunk_offsets(tf_s - 1, lens)
+
+    dls_u8 = dlb_s.astype(np.uint8)
+    # one raw byte per pair: run offsets are the pair indices
+    dls_off = np.append(starts, n).astype(np.int64)
+
+    # positions: gather the map-encoded per-pair chunks into the new
+    # pair order, runs then slice contiguously
+    plen_orig = np.diff(pos_off)
+    plens = plen_orig[order]
+    old_starts = pos_off[:-1][order]
+    total_pos = int(plens.sum())
+    new_starts = np.concatenate(([0], np.cumsum(plens)[:-1]))
+    gather = np.repeat(old_starts - new_starts, plens) + np.arange(
+        total_pos, dtype=np.int64
+    )
+    pos_u8 = np.frombuffer(pos_data, dtype=np.uint8)[gather]
+    coff = np.concatenate(([0], np.cumsum(plens)))
+    pos_run_off = coff[np.append(starts, n)]
+
+    run_t = t[starts]
+    seps = np.array([u.count(NGRAM_SEP) for u in uniq], dtype=np.int64)
+    run_seps = seps[run_t]
+    gram_run = run_seps > 0
+    tri_run = run_seps == 2
+    gram_pairs = np.repeat(gram_run, lens)
+    tri_pairs = np.repeat(tri_run, lens)
+
+    def _gram_col(vals, pair_mask, run_mask):
+        buf, part_off = vb_encode_chunk_offsets(
+            vals[pair_mask] - 1, lens[run_mask]
+        )
+        out_off = np.zeros(n_runs + 1, dtype=np.int64)
+        out_off[1:][run_mask] = np.diff(part_off)
+        np.cumsum(out_off, out=out_off)
+        return _binary_column(pa, buf, out_off, validity=run_mask)
+
+    tfs1_arr = _gram_col(g1s, gram_pairs, gram_run)
+    tfs2_arr = _gram_col(g2s, gram_pairs, gram_run)
+    tfs3_arr = _gram_col(g3s, tri_pairs, tri_run)
+
+    max_tf = np.maximum.reduceat(tf_s, starts).astype(np.int32)
+    min_dlb = np.minimum.reduceat(dlb_s, starts).astype(np.int32)
+    mt1 = np.where(gram_run, np.maximum.reduceat(g1s, starts), 0)
+    mt2 = np.where(gram_run, np.maximum.reduceat(g2s, starts), 0)
+    mt3 = np.where(tri_run, np.maximum.reduceat(g3s, starts), 0)
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(uniq[run_t], type=pa.string()),
+            pa.array(
+                np.full(n_runs, fid, dtype=np.int32), type=pa.int32()
+            ),
+            pa.array(blk[starts].astype(np.int32), type=pa.int32()),
+            pa.array(d[starts], type=pa.int64()),
+            pa.array(d[ends - 1], type=pa.int64()),
+            pa.array(lens.astype(np.int32), type=pa.int32()),
+            pa.array(max_tf, type=pa.int32()),
+            pa.array(min_dlb, type=pa.int32()),
+            pa.array(mt1.astype(np.int32), type=pa.int32()),
+            pa.array(mt2.astype(np.int32), type=pa.int32()),
+            pa.array(mt3.astype(np.int32), type=pa.int32()),
+            _binary_column(pa, dbuf, doff),
+            _binary_column(pa, tbuf, toff),
+            _binary_column(pa, dls_u8.tobytes(), dls_off),
+            _binary_column(pa, pos_u8, pos_run_off),
+            tfs1_arr,
+            tfs2_arr,
+            tfs3_arr,
+        ],
+        names=[
+            "term", "field", "block_id", "seg_first", "seg_last",
+            "n_pairs", "max_tf", "min_dl_byte", "max_tf1", "max_tf2",
+            "max_tf3", "docids_vb", "tfs_vb", "dls", "positions_vb",
+            "tfs1_vb", "tfs2_vb", "tfs3_vb",
+        ],
+    )
+
+
 def tokenize_to_term_rows(
     docs: DataFrame,
     text_col: str = "text",
@@ -219,10 +388,17 @@ def tokenize_to_term_rows(
     frequent_terms: frozenset[str] | None = None,
     synonym_map: dict[str, list[str]] | None = None,
     ngram_patterns: tuple[str, ...] | list[str] | None = None,
+    emit: str = "pairs",
+    block_size: int = ROARING_BLOCK_SIZE,
 ) -> DataFrame:
     """docs(docid, <fields…>) → flat (docid, field, term, pos, dl_byte)
     rows; one sentinel row per (doc, field) (term='', pos=-1) carries
     that field's quantized length so empty fields stay counted.
+
+    ``emit="segments"`` (bulk-load fast path, REQUIRES per-task
+    ascending docids — the builder-assigned id paths) aggregates all
+    the way to TERM_SEG_SCHEMA rows map-side; see the schema comment.
+    ``block_size`` is only used by segment emission.
 
     ``fields`` defaults to ``[text_col]`` (single-field, field id 0);
     multi-field indexes list their field columns in build order — the
@@ -252,6 +428,9 @@ def tokenize_to_term_rows(
     bi_patterns = frozenset(p for p in patterns if len(p) == 2)
     tri_patterns = frozenset(p for p in patterns if len(p) == 3)
     field_cols = list(fields) if fields else [text_col]
+    if emit not in ("pairs", "segments"):
+        raise ValueError(f"unknown emit mode {emit!r}")
+    emit_segments = emit == "segments"
 
     def _tok(batches):
         # mapInArrow, not mapInPandas: the output is hundreds of
@@ -489,15 +668,7 @@ def tokenize_to_term_rows(
                 occ_g3 = np.concatenate(
                     [zeros_reg, np.asarray(ng_tf3, np.int64), zeros_sy]
                 )
-                out_docid = [docs_a]
-                out_terms: list = [""] * len(docs_a)
-                out_meta = [
-                    fid_hi
-                    | (dlb_a.astype(np.int64) << np.int64(32))
-                    | np.int64(1)
-                ]
-                out_grams = [np.zeros(len(docs_a), np.int64)]
-                # sentinel pairs above: term='', tf=1, one position 0
+                # sentinel pairs: term='', tf=1, one position 0
                 # (the clipped pos=-1 of the former sentinel rows) —
                 # byte-identical posting stream for the '' term.
                 # pos_vb assembles ZERO-COPY as (buffer, offsets):
@@ -511,18 +682,68 @@ def tokenize_to_term_rows(
                     sel, ptf, (pbuf, poff) = _pairs(
                         dcodes, ocodes, occ_pos
                     )
-                    out_docid.append(occ_doc[sel])
-                    out_terms.extend(occ_term[sel].tolist())
-                    out_meta.append(
-                        fid_hi | (occ_dlb[sel] << np.int64(32)) | ptf
-                    )
-                    out_grams.append(
-                        (occ_g1[sel] << np.int64(42))
-                        | (occ_g2[sel] << np.int64(21))
-                        | occ_g3[sel]
-                    )
                 else:
+                    sel = np.empty(0, dtype=np.int64)
+                    ptf = np.empty(0, dtype=np.int64)
                     pbuf, poff = b"", np.zeros(1, dtype=np.int64)
+                if emit_segments:
+                    if n_sent == 0:
+                        continue
+                    if n_sent > 1 and not bool(
+                        np.all(docs_a[1:] > docs_a[:-1])
+                    ):
+                        raise ValueError(
+                            "emit='segments' requires ascending docids "
+                            "per task (builder-assigned ids); use the "
+                            "pair shuffle for id_col batches"
+                        )
+                    pair_doc = np.concatenate([docs_a, occ_doc[sel]])
+                    pair_term = np.concatenate([
+                        np.array([""] * n_sent, dtype=object),
+                        occ_term[sel],
+                    ])
+                    pair_tf = np.concatenate([
+                        np.ones(n_sent, np.int64), ptf
+                    ])
+                    pair_dlb = np.concatenate([
+                        dlb_a.astype(np.int64), occ_dlb[sel]
+                    ])
+                    zs = np.zeros(n_sent, np.int64)
+                    yield _segment_record_batch(
+                        pa,
+                        pair_doc,
+                        pair_term,
+                        pair_tf,
+                        pair_dlb,
+                        np.concatenate([zs, occ_g1[sel]]),
+                        np.concatenate([zs, occ_g2[sel]]),
+                        np.concatenate([zs, occ_g3[sel]]),
+                        b"\x00" * n_sent + pbuf,
+                        np.concatenate(
+                            [
+                                np.arange(n_sent, dtype=np.int64),
+                                poff + n_sent,
+                            ]
+                        ),
+                        fid,
+                        block_size,
+                    )
+                    continue
+                out_docid = [docs_a, occ_doc[sel]]
+                out_terms: list = [""] * n_sent
+                out_terms.extend(occ_term[sel].tolist())
+                out_meta = [
+                    fid_hi
+                    | (dlb_a.astype(np.int64) << np.int64(32))
+                    | np.int64(1),
+                    fid_hi | (occ_dlb[sel] << np.int64(32)) | ptf,
+                ]
+                out_grams = [
+                    np.zeros(n_sent, np.int64),
+                    (occ_g1[sel] << np.int64(42))
+                    | (occ_g2[sel] << np.int64(21))
+                    | occ_g3[sel],
+                ]
                 n_rows = n_sent + (len(poff) - 1)
                 # sentinel chunks are 1 byte each (b"\x00"), then the
                 # pair chunks shifted past them
@@ -555,7 +776,8 @@ def tokenize_to_term_rows(
                 )
 
     return docs.select("docid", *field_cols).mapInArrow(
-        _tok, schema=TERM_ROW_SCHEMA
+        _tok,
+        schema=TERM_SEG_SCHEMA if emit_segments else TERM_ROW_SCHEMA,
     )
 
 
@@ -788,9 +1010,183 @@ def build_posting_blocks(
             }
         )
 
-    blocks = term_rows.withColumn(
-        "block_id", (F.col("docid") / F.lit(block_size)).cast("int")
-    ).withColumn(
+    def _build_seg(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        """Segment-row reduce (TERM_SEG_SCHEMA input): concatenate the
+        map-encoded posting byte streams per (term, field) in docid
+        order, re-encoding only each segment-boundary docid varint —
+        byte-identical to :func:`_build` over the same pairs (varints
+        are per-value independent; the boundary value is the delta-1
+        the whole-run encode would have produced)."""
+        from seekstorm_spark.codecs import (
+            vb_byte_lengths,
+            vb_decode,
+            vb_encode_chunk_offsets,
+        )
+
+        tbucket, block_id = int(key[0]), int(key[1])
+        term_codes, uniq_terms = pd.factorize(pdf["term"], sort=True)
+        term_codes = term_codes.astype(np.int64)
+        uniq_terms = np.asarray(uniq_terms, dtype=object)
+        fld = pdf["field"].values.astype(np.int64)
+        first = pdf["seg_first"].values.astype(np.int64)
+        last = pdf["seg_last"].values.astype(np.int64)
+        order = np.lexsort((first, fld, term_codes))
+        t = term_codes[order]
+        f = fld[order]
+        first = first[order]
+        last = last[order]
+        n_pairs = pdf["n_pairs"].values.astype(np.int64)[order]
+        s_mtf = pdf["max_tf"].values.astype(np.int64)[order]
+        s_mdl = pdf["min_dl_byte"].values.astype(np.int64)[order]
+        s_mt1 = pdf["max_tf1"].values.astype(np.int64)[order]
+        s_mt2 = pdf["max_tf2"].values.astype(np.int64)[order]
+        s_mt3 = pdf["max_tf3"].values.astype(np.int64)[order]
+        dvb = pdf["docids_vb"].values[order]
+        tvb = pdf["tfs_vb"].values[order]
+        dls = pdf["dls"].values[order]
+        pvb = pdf["positions_vb"].values[order]
+        t1 = pdf["tfs1_vb"].values[order]
+        t2 = pdf["tfs2_vb"].values[order]
+        t3 = pdf["tfs3_vb"].values[order]
+        n_seg = len(t)
+
+        new_run = np.empty(n_seg, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (t[1:] != t[:-1]) | (f[1:] != f[:-1])
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], n_seg)
+        n_runs = len(starts)
+        run_term = t[starts]
+
+        # segments of one run must be disjoint ascending docid ranges
+        # (the emit='segments' contract — builder-assigned ids)
+        if n_seg > 1 and not bool(
+            np.all(new_run[1:] | (first[1:] > last[:-1]))
+        ):
+            raise ValueError(
+                "overlapping docid segments — emit='segments' used "
+                "with non-ascending per-task docids"
+            )
+
+        base = np.int64(block_id) * np.int64(block_size)
+        local_first = first - base
+        local_last = last - base
+        # boundary docid varint for every non-run-start segment: the
+        # delta-1 from the previous segment's last docid
+        bvals = np.where(
+            new_run,
+            0,
+            local_first - np.concatenate(([0], local_last[:-1])) - 1,
+        ).astype(np.uint64)
+        bbuf, boff = vb_encode_chunk_offsets(
+            bvals, np.ones(n_seg, dtype=np.int64)
+        )
+        head_lens = vb_byte_lengths(local_first.astype(np.uint64))
+
+        out_docids: list = []
+        out_tfs: list = []
+        out_dls: list = []
+        out_pos: list = []
+        out_tfs1: list = []
+        out_tfs2: list = []
+        out_tfs3: list = []
+        for s, e in zip(starts, ends):
+            if e - s == 1:
+                out_docids.append(dvb[s])
+            else:
+                parts = [dvb[s]]
+                for i in range(s + 1, e):
+                    parts.append(
+                        bytes(bbuf[boff[i] : boff[i + 1]])
+                        + dvb[i][int(head_lens[i]) :]
+                    )
+                out_docids.append(b"".join(parts))
+            out_tfs.append(b"".join(tvb[s:e]))
+            out_dls.append(b"".join(dls[s:e]))
+            out_pos.append(b"".join(pvb[s:e]))
+            if t1[s] is not None:
+                out_tfs1.append(b"".join(t1[s:e]))
+                out_tfs2.append(b"".join(t2[s:e]))
+            else:
+                out_tfs1.append(None)
+                out_tfs2.append(None)
+            out_tfs3.append(
+                b"".join(t3[s:e]) if t3[s] is not None else None
+            )
+
+        out_count = np.add.reduceat(n_pairs, starts)
+        out_maxtf = np.maximum.reduceat(s_mtf, starts).astype(np.int32)
+        out_mindl = np.minimum.reduceat(s_mdl, starts).astype(np.int32)
+        out_maxtf1 = np.maximum.reduceat(s_mt1, starts).astype(np.int32)
+        out_maxtf2 = np.maximum.reduceat(s_mt2, starts).astype(np.int32)
+        out_maxtf3 = np.maximum.reduceat(s_mt3, starts).astype(np.int32)
+
+        # df_block: distinct docs per term ACROSS fields, placed on
+        # the term's first run. Single-field terms (the common case):
+        # segments are disjoint, every pair a distinct doc, so df =
+        # posting_count. Terms spanning >1 field decode their docid
+        # streams and count the union (same value the pair kernel's
+        # unique-(term, doc) pass produced).
+        new_term = np.empty(n_runs, dtype=bool)
+        new_term[0] = True
+        new_term[1:] = run_term[1:] != run_term[:-1]
+        tstarts = np.flatnonzero(new_term)
+        tends = np.append(tstarts[1:], n_runs)
+        out_dfb = np.zeros(n_runs, dtype=np.int64)
+        for ts, te in zip(tstarts, tends):
+            if te - ts == 1:
+                out_dfb[ts] = out_count[ts]
+            else:
+                seen: list = []
+                for run in range(ts, te):
+                    v = vb_decode(out_docids[run])
+                    seen.append(
+                        np.cumsum(v.astype(np.int64) + 1) - 1
+                    )
+                out_dfb[ts] = len(np.unique(np.concatenate(seen)))
+
+        return pd.DataFrame(
+            {
+                "term": uniq_terms[run_term],
+                "field": pd.Series(
+                    f[starts].astype(np.int32), dtype="int32"
+                ),
+                "block_id": pd.Series(
+                    np.full(n_runs, block_id, dtype=np.int32),
+                    dtype="int32",
+                ),
+                "posting_count": pd.Series(
+                    out_count.astype(np.int32), dtype="int32"
+                ),
+                "df_block": pd.Series(
+                    out_dfb.astype(np.int32), dtype="int32"
+                ),
+                "max_tf": pd.Series(out_maxtf, dtype="int32"),
+                "min_dl_byte": pd.Series(out_mindl, dtype="int32"),
+                "docids_vb": out_docids,
+                "tfs_vb": out_tfs,
+                "dls": out_dls,
+                "positions_vb": out_pos,
+                "tfs1_vb": out_tfs1,
+                "tfs2_vb": out_tfs2,
+                "tfs3_vb": out_tfs3,
+                "max_tf1": out_maxtf1,
+                "max_tf2": out_maxtf2,
+                "max_tf3": out_maxtf3,
+                "tbucket": pd.Series(
+                    np.full(n_runs, tbucket, dtype=np.int32),
+                    dtype="int32",
+                ),
+            }
+        )
+
+    is_segments = "seg_first" in term_rows.columns
+    blocks = term_rows
+    if not is_segments:
+        blocks = blocks.withColumn(
+            "block_id", (F.col("docid") / F.lit(block_size)).cast("int")
+        )
+    blocks = blocks.withColumn(
         "tbucket",
         F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int"),
     )
@@ -800,7 +1196,8 @@ def build_posting_blocks(
             F.col("tbucket").isin([int(b) for b in only_buckets])
         )
     return blocks.groupBy("tbucket", "block_id").applyInPandas(
-        _build, schema=POSTING_SCHEMA + ", tbucket int"
+        _build_seg if is_segments else _build,
+        schema=POSTING_SCHEMA + ", tbucket int",
     )
 
 
@@ -1347,6 +1744,12 @@ class IndexBuilder:
             stemmer=self.stemmer, frequent_terms=self.frequent_terms,
             synonym_map=self.synonym_map or None,
             ngram_patterns=self.ngram_patterns,
+            # builder-assigned ids ascend within every task (both the
+            # order_col and partition-offset paths), so the bulk load
+            # takes the segment shuffle; id_col docids are caller-
+            # controlled and keep the pair shuffle
+            emit="pairs" if id_col is not None else "segments",
+            block_size=self.block_size,
         )
         posting_blocks = build_posting_blocks(
             term_rows,
