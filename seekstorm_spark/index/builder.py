@@ -201,32 +201,28 @@ def assign_docids(
         .agg(F.count("*").alias("cnt"))
         .collect()
     }
-    offsets: dict[int, int] = {}
+    max_pid = max(counts) if counts else 0
+    offs: list[int] = []
     acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for pid in range(max_pid + 1):
+        offs.append(acc)
+        acc += counts.get(pid, 0)
 
-    from pyspark.sql.types import LongType, StructField, StructType
+    # pure-JVM numbering (no Python pass — the former mapInPandas
+    # assignment pushed the whole corpus across the JVM↔Python
+    # boundary a second time before tokenize):
+    # monotonically_increasing_id() is (partition id << 33) | row
+    # index within partition, so offset[pid] + (mid - (pid << 33))
+    # reproduces the exact sequential numbering batch iteration gave.
+    from seekstorm_spark.sqlexpr import long_array
 
-    out_schema = StructType(
-        list(docs.schema.fields) + [StructField("docid", LongType())]
+    local = F.monotonically_increasing_id() - F.shiftleft(
+        F.col("_pid").cast("long"), 33
     )
-
-    def _assign_seq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n = 0
-        base = None
-        for pdf in batches:
-            if base is None and len(pdf):
-                base = offsets[int(pdf["_pid"].iloc[0])]
-            pdf = pdf.drop(columns=["_pid"])
-            pdf["docid"] = np.arange(n, n + len(pdf), dtype=np.int64) + (
-                base or 0
-            )
-            n += len(pdf)
-            yield pdf
-
-    return with_pid.mapInPandas(_assign_seq, schema=out_schema)
+    base = F.element_at(long_array(offs), F.col("_pid") + 1)
+    return with_pid.withColumn(
+        "docid", (base + local).cast("long")
+    ).drop("_pid")
 
 
 NGRAM_SEP = "\x1e"  # joins partial terms inside an n-gram key
