@@ -172,6 +172,39 @@ def corpus_stats(tok: DataFrame, dl: DataFrame) -> tuple[DataFrame, Column]:
     return tok.groupBy("term").agg(F.countDistinct("docid").alias("df"))
 
 
+def _stats_one_row(rows: DataFrame, terms: list[str]) -> DataFrame:
+    """ONE-row broadcast side-table over the checkpointed term rows:
+    corpus stats from the sentinel rows plus each query term's df —
+    one global partial+final aggregation (a single 1-row exchange)
+    instead of the former groupBy(term) + whole-frame window (two
+    exchanges / AQE stages). Same integer aggregates and the same
+    long/long division → bit-identical downstream floats."""
+    sent = F.col("term") == ""
+    aggs = [
+        F.count(F.when(sent, F.lit(1))).cast("double").alias("n_docs"),
+        (
+            F.sum(F.when(sent, F.col("dl_q")))
+            / F.count(F.when(sent, F.lit(1)))
+        ).alias("avgdl"),
+    ]
+    for i, t in enumerate(terms):
+        aggs.append(
+            F.count(F.when(F.col("term") == t, F.lit(1))).alias(f"df_{i}")
+        )
+    return rows.agg(*aggs)
+
+
+def _df_case(terms: list[str]):
+    """Per-row df from the 1-row stats table: CASE on the term."""
+    expr = None
+    for i, t in enumerate(terms):
+        c = F.when(F.col("term") == t, F.col(f"df_{i}"))
+        expr = c if expr is None else expr.when(
+            F.col("term") == t, F.col(f"df_{i}")
+        )
+    return expr
+
+
 def query_term_rows(
     docs: DataFrame,
     terms: list[str],
@@ -272,32 +305,13 @@ def bm25_scored(
     ).localCheckpoint(eager=False)
 
     term_rows = rows.filter(F.col("term").isin(q))
-    # ONE broadcast side-table carries BOTH per-term df and the corpus
-    # stats: one groupBy(term) over the checkpointed rows yields the
-    # sentinel row ('' → n_docs, Σdl_q) and each query term's df; the
-    # scalars ride every row via a window over the ≤|q|+1-row
-    # aggregate. Same integer aggregates and the same long/long
-    # division as the former separate stats subtree — bit-identical —
-    # for one broadcast build instead of two (guide §2.4).
-    grp = rows.groupBy("term").agg(
-        F.count("*").alias("cnt"), F.sum("dl_q").alias("sdlq")
-    )
-    w = Window.partitionBy()
-    sent_cnt = F.max(F.when(F.col("term") == "", F.col("cnt"))).over(w)
-    sent_sum = F.max(F.when(F.col("term") == "", F.col("sdlq"))).over(w)
-    comb = (
-        grp.withColumn("n_docs", sent_cnt.cast("double"))
-        .withColumn("avgdl", sent_sum / sent_cnt)
-        .filter(F.col("term").isin(q))
-        .select("term", F.col("cnt").alias("df"), "n_docs", "avgdl")
-    )
     scored = (
-        term_rows.join(F.broadcast(comb), "term")
+        term_rows.crossJoin(F.broadcast(_stats_one_row(rows, q)))
         .withColumn(
             "idf",
             F.log(
-                (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
+                (F.col("n_docs") - _df_case(q) + F.lit(0.5))
+                / (_df_case(q) + F.lit(0.5))
                 + F.lit(1.0)
             ),
         )
@@ -503,27 +517,15 @@ def bm25_phrase_topk(
     ).localCheckpoint(eager=False)
 
     term_rows = rows.filter(F.col("term").isin(q))
-    # single broadcast side-table with per-term df + corpus stats —
-    # same construction (and bit-identity argument) as bm25_scored
-    grp = rows.groupBy("term").agg(
-        F.count("*").alias("cnt"), F.sum("dl_q").alias("sdlq")
-    )
-    w = Window.partitionBy()
-    sent_cnt = F.max(F.when(F.col("term") == "", F.col("cnt"))).over(w)
-    sent_sum = F.max(F.when(F.col("term") == "", F.col("sdlq"))).over(w)
-    comb = (
-        grp.withColumn("n_docs", sent_cnt.cast("double"))
-        .withColumn("avgdl", sent_sum / sent_cnt)
-        .filter(F.col("term").isin(q))
-        .select("term", F.col("cnt").alias("df"), "n_docs", "avgdl")
-    )
+    # single-row broadcast side-table with per-term df + corpus stats
+    # — same construction (and bit-identity argument) as bm25_scored
     scored = (
-        term_rows.join(F.broadcast(comb), "term")
+        term_rows.crossJoin(F.broadcast(_stats_one_row(rows, q)))
         .withColumn(
             "idf",
             F.log(
-                (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
+                (F.col("n_docs") - _df_case(q) + F.lit(0.5))
+                / (_df_case(q) + F.lit(0.5))
                 + F.lit(1.0)
             ),
         )
