@@ -245,45 +245,129 @@ def _binary_column(pa, buf, offsets, validity=None):
     )
 
 
+def _sentinel_segment_batch(pa, docs_a, dlb_a, fid, block_size):
+    """Segment rows for the term='' sentinels: one pair per doc with
+    tf=1 and a single position 0, so tf-1 and the position delta both
+    encode to one zero byte per pair — built directly, no sort or
+    varint pass needed (docids arrive ascending)."""
+    from seekstorm_spark.codecs import vb_encode_chunk_offsets
+
+    d = docs_a
+    blk = d // np.int64(block_size)
+    n = len(d)
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = blk[1:] != blk[:-1]
+    starts = np.flatnonzero(new_run)
+    ends = np.append(starts[1:], n)
+    lens = ends - starts
+    n_runs = len(starts)
+    local = d - blk * np.int64(block_size)
+    dd = np.empty_like(local)
+    dd[0] = local[0]
+    dd[1:] = local[1:] - local[:-1] - 1
+    dd[starts] = local[starts]
+    dbuf, doff = vb_encode_chunk_offsets(dd, lens)
+    one_byte_off = np.append(starts, n).astype(np.int64)
+    zeros_buf = b"\x00" * n
+    gram_null = _binary_column(
+        pa,
+        b"",
+        np.zeros(n_runs + 1, dtype=np.int64),
+        validity=np.zeros(n_runs, dtype=bool),
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([""] * n_runs, type=pa.string()),
+            pa.array(np.full(n_runs, fid, dtype=np.int32), type=pa.int32()),
+            pa.array(blk[starts].astype(np.int32), type=pa.int32()),
+            pa.array(d[starts], type=pa.int64()),
+            pa.array(d[ends - 1], type=pa.int64()),
+            pa.array(lens.astype(np.int32), type=pa.int32()),
+            pa.array(np.ones(n_runs, dtype=np.int32), type=pa.int32()),
+            pa.array(
+                np.minimum.reduceat(dlb_a, starts).astype(np.int32),
+                type=pa.int32(),
+            ),
+            pa.array(np.zeros(n_runs, dtype=np.int32), type=pa.int32()),
+            pa.array(np.zeros(n_runs, dtype=np.int32), type=pa.int32()),
+            pa.array(np.zeros(n_runs, dtype=np.int32), type=pa.int32()),
+            _binary_column(pa, dbuf, doff),
+            _binary_column(pa, zeros_buf, one_byte_off),
+            _binary_column(
+                pa, dlb_a.astype(np.uint8).tobytes(), one_byte_off
+            ),
+            _binary_column(pa, zeros_buf, one_byte_off),
+            gram_null,
+            gram_null,
+            gram_null,
+        ],
+        names=[
+            "term", "field", "block_id", "seg_first", "seg_last",
+            "n_pairs", "max_tf", "min_dl_byte", "max_tf1", "max_tf2",
+            "max_tf3", "docids_vb", "tfs_vb", "dls", "positions_vb",
+            "tfs1_vb", "tfs2_vb", "tfs3_vb",
+        ],
+    )
+
+
 def _segment_record_batch(
     pa,
-    pair_doc,
-    pair_term,
-    pair_tf,
-    pair_dlb,
-    pair_g1,
-    pair_g2,
-    pair_g3,
-    pos_data,
+    d,
+    t,
+    uniq,
+    tf_s,
+    dlb_s,
+    g1s,
+    g2s,
+    g3s,
+    pos_buf,
     pos_off,
     fid,
     block_size,
 ):
-    """(doc, term) pair arrays (docids ASCENDING) → one segment row
-    per (term, block) run, posting bytes in final encoded form.
+    """(doc, term)-ordered pair arrays → one segment row per
+    (term, block) run, posting bytes in final encoded form. ``t`` are
+    codes into ``uniq``; ``pos_off`` slices ``pos_buf`` per pair in
+    the incoming order.
 
     The per-run byte streams are exactly the slices the v1 reduce
     kernel would produce for these pairs: docid deltas reset at run
     starts (absolute first value), tf-1 varints per pair, raw dl
-    bytes, the map-encoded per-pair position chunks reordered to
-    (term, doc) order, and gram tf varints on n-gram runs only.
+    bytes, per-pair position chunks, and gram tf varints on n-gram
+    runs only.
     """
     from seekstorm_spark.codecs import vb_encode_chunk_offsets
 
-    tcodes, uniq = pd.factorize(pair_term)
-    tcodes = tcodes.astype(np.int64)
-    uniq = np.asarray(uniq, dtype=object)
-    order = np.lexsort((pair_doc, tcodes))
-    t = tcodes[order]
-    d = pair_doc[order]
-    tf_s = pair_tf[order]
-    dlb_s = pair_dlb[order]
-    g1s, g2s, g3s = pair_g1[order], pair_g2[order], pair_g3[order]
+    # re-sort the PAIRS term-major (6x fewer elements than sorting
+    # the occurrences term-major — see the _pairs note)
+    order = np.lexsort((d, t))
+    d = d[order]
+    t = t[order]
+    tf_s = tf_s[order]
+    dlb_s = dlb_s[order]
+    g1s, g2s, g3s = g1s[order], g2s[order], g3s[order]
+    plens = np.diff(pos_off)[order]
+    old_starts = pos_off[:-1][order]
+    total_pos = int(plens.sum())
+    new_starts = np.concatenate(([0], np.cumsum(plens)[:-1]))
+    gather = np.repeat(old_starts - new_starts, plens) + np.arange(
+        total_pos, dtype=np.int64
+    )
+    pos_buf = np.frombuffer(pos_buf, dtype=np.uint8)[gather]
+    pos_off = np.concatenate(([0], np.cumsum(plens)))
+
     blk = d // np.int64(block_size)
     n = len(d)
     new_run = np.empty(n, dtype=bool)
     new_run[0] = True
     new_run[1:] = (t[1:] != t[:-1]) | (blk[1:] != blk[:-1])
+    if n > 1 and not bool(np.all(new_run[1:] | (d[1:] > d[:-1]))):
+        raise ValueError(
+            "emit='segments' requires ascending docids per task "
+            "(builder-assigned ids); use the pair shuffle for id_col "
+            "batches"
+        )
     starts = np.flatnonzero(new_run)
     ends = np.append(starts[1:], n)
     lens = ends - starts
@@ -301,19 +385,9 @@ def _segment_record_batch(
     # one raw byte per pair: run offsets are the pair indices
     dls_off = np.append(starts, n).astype(np.int64)
 
-    # positions: gather the map-encoded per-pair chunks into the new
-    # pair order, runs then slice contiguously
-    plen_orig = np.diff(pos_off)
-    plens = plen_orig[order]
-    old_starts = pos_off[:-1][order]
-    total_pos = int(plens.sum())
-    new_starts = np.concatenate(([0], np.cumsum(plens)[:-1]))
-    gather = np.repeat(old_starts - new_starts, plens) + np.arange(
-        total_pos, dtype=np.int64
-    )
-    pos_u8 = np.frombuffer(pos_data, dtype=np.uint8)[gather]
-    coff = np.concatenate(([0], np.cumsum(plens)))
-    pos_run_off = coff[np.append(starts, n)]
+    # positions: the per-pair chunks are already in run order
+    pos_u8 = pos_buf
+    pos_run_off = pos_off[np.append(starts, n)]
 
     run_t = t[starts]
     seps = np.array([u.count(NGRAM_SEP) for u in uniq], dtype=np.int64)
@@ -440,7 +514,7 @@ def tokenize_to_term_rows(
         from seekstorm_spark.quantization import int_to_byte4
         from seekstorm_spark.tokenizer import TOKEN_PER_FIELD_MAX, tokenize_line
 
-        def _pairs(doc_idx, codes, positions):
+        def _pairs(doc_idx, codes, positions, term_major=False):
             """Aggregate occurrence-level (doc index, term code, pos)
             triples into (doc, term) pairs: returns (index of each
             pair's first-by-position occurrence, tf per pair, and the
@@ -450,10 +524,25 @@ def tokenize_to_term_rows(
             former position-level kernel produced — so the VB chunk
             per pair is byte-identical to the corresponding slice of
             the final posting stream (varint values are encoded
-            independently and deltas reset at every pair change)."""
-            key = doc_idx.astype(np.int64) * np.int64(
-                int(codes.max()) + 1 if len(codes) else 1
-            ) + codes
+            independently and deltas reset at every pair change).
+
+            ``term_major`` orders pairs by (term, doc) instead of
+            (doc, term) — per-pair chunks are unchanged (deltas reset
+            at every pair either way). NOTE: measured SLOWER for
+            segment emission despite saving the second sort — the
+            doc-major key is nearly sorted (occurrences arrive in doc
+            order, stable mergesort exploits the runs) while the
+            term-major key is a full shuffle of the occurrence array,
+            and re-sorting the ~6x smaller PAIR array afterwards is
+            cheaper. Kept for the record."""
+            if term_major:
+                key = codes.astype(np.int64) * np.int64(
+                    int(doc_idx.max()) + 1 if len(doc_idx) else 1
+                ) + doc_idx
+            else:
+                key = doc_idx.astype(np.int64) * np.int64(
+                    int(codes.max()) + 1 if len(codes) else 1
+                ) + codes
             order = np.lexsort((positions, key))
             sk = key[order]
             first = np.empty(len(sk), dtype=bool)
@@ -672,16 +761,6 @@ def tokenize_to_term_rows(
                 # to re-pack them into an Arrow binary array was the
                 # single hottest line of the whole tokenize pass.
                 n_sent = len(docs_a)
-                if len(occ_doc):
-                    dcodes = pd.factorize(occ_doc)[0].astype(np.int64)
-                    ocodes = pd.factorize(occ_term)[0].astype(np.int64)
-                    sel, ptf, (pbuf, poff) = _pairs(
-                        dcodes, ocodes, occ_pos
-                    )
-                else:
-                    sel = np.empty(0, dtype=np.int64)
-                    ptf = np.empty(0, dtype=np.int64)
-                    pbuf, poff = b"", np.zeros(1, dtype=np.int64)
                 if emit_segments:
                     if n_sent == 0:
                         continue
@@ -693,38 +772,44 @@ def tokenize_to_term_rows(
                             "per task (builder-assigned ids); use the "
                             "pair shuffle for id_col batches"
                         )
-                    pair_doc = np.concatenate([docs_a, occ_doc[sel]])
-                    pair_term = np.concatenate([
-                        np.array([""] * n_sent, dtype=object),
-                        occ_term[sel],
-                    ])
-                    pair_tf = np.concatenate([
-                        np.ones(n_sent, np.int64), ptf
-                    ])
-                    pair_dlb = np.concatenate([
-                        dlb_a.astype(np.int64), occ_dlb[sel]
-                    ])
-                    zs = np.zeros(n_sent, np.int64)
-                    yield _segment_record_batch(
-                        pa,
-                        pair_doc,
-                        pair_term,
-                        pair_tf,
-                        pair_dlb,
-                        np.concatenate([zs, occ_g1[sel]]),
-                        np.concatenate([zs, occ_g2[sel]]),
-                        np.concatenate([zs, occ_g3[sel]]),
-                        b"\x00" * n_sent + pbuf,
-                        np.concatenate(
-                            [
-                                np.arange(n_sent, dtype=np.int64),
-                                poff + n_sent,
-                            ]
-                        ),
-                        fid,
-                        block_size,
+                    yield _sentinel_segment_batch(
+                        pa, docs_a, dlb_a, fid, block_size
                     )
+                    if len(occ_doc):
+                        dcodes = pd.factorize(occ_doc)[0].astype(
+                            np.int64
+                        )
+                        ocodes, ouniq = pd.factorize(occ_term)
+                        ocodes = ocodes.astype(np.int64)
+                        sel, ptf, (pbuf, poff) = _pairs(
+                            dcodes, ocodes, occ_pos
+                        )
+                        yield _segment_record_batch(
+                            pa,
+                            occ_doc[sel],
+                            ocodes[sel],
+                            np.asarray(ouniq, dtype=object),
+                            ptf,
+                            occ_dlb[sel],
+                            occ_g1[sel],
+                            occ_g2[sel],
+                            occ_g3[sel],
+                            pbuf,
+                            poff,
+                            fid,
+                            block_size,
+                        )
                     continue
+                if len(occ_doc):
+                    dcodes = pd.factorize(occ_doc)[0].astype(np.int64)
+                    ocodes = pd.factorize(occ_term)[0].astype(np.int64)
+                    sel, ptf, (pbuf, poff) = _pairs(
+                        dcodes, ocodes, occ_pos
+                    )
+                else:
+                    sel = np.empty(0, dtype=np.int64)
+                    ptf = np.empty(0, dtype=np.int64)
+                    pbuf, poff = b"", np.zeros(1, dtype=np.int64)
                 out_docid = [docs_a, occ_doc[sel]]
                 out_terms: list = [""] * n_sent
                 out_terms.extend(occ_term[sel].tolist())
